@@ -1,0 +1,70 @@
+"""Headline-query benchmark.
+
+Runs the flagged headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed twice: a warm-up collect (JIT/codegen/broadcast
+warm) is NOT counted — we measure steady-state plan execution, which
+is what scales to the cluster; first-run JVM warmup does not.
+Set BDB_BENCH_WARMUP=0 to count cold runs instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from bigdatabowl2024_25_spark import suite  # noqa: E402
+from bigdatabowl2024_25_spark.session import get_spark  # noqa: E402
+
+#: queries included in the headline benchmark (subset of the suite —
+#: the heavier, scale-representative ones)
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_segment_revenue",
+    "q03_nation_revenue",
+    "q08_latest_order_per_customer",
+    "q09_top10_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warmup = os.environ.get("BDB_BENCH_WARMUP", "1") != "0"
+    suite.load_all()
+    spark = get_spark(app_name="bdb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    names = [n for n in HEADLINE if n in suite.QUERIES]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = suite.QUERIES[name]
+        if warmup:
+            fn(spark, sf_dir).collect()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

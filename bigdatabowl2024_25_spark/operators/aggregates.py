@@ -1,0 +1,123 @@
+"""Aggregation operators (SURVEY.md §2.4, A1-A12).
+
+All are expressible with built-in JVM-side aggregate functions — no
+UDAFs. The one real correctness risk, ordered string aggregation (A7),
+sorts *inside* the aggregate so results are invariant under
+repartitioning (bare collect_list order is nondeterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_median(
+    df: DataFrame, keys: list[str], value: str, out: str
+) -> DataFrame:
+    """A2: `summarize(throw_speed = median(s, na.rm=TRUE))`
+    (`Openness_Data_Frame_Prep.R:87-88`). Exact median (Spark ≥3.4)
+    for oracle parity; swap to percentile_approx at 100 TB when the
+    consumer tolerates approximation."""
+    return df.groupBy(*keys).agg(F.median(value).alias(out))
+
+
+def multi_stat(
+    df: DataFrame, keys: list[str], value: str, prefix: str | None = None
+) -> DataFrame:
+    """A5: pandas `.agg({"x":["mean","std"], ...})`
+    (`DefCoverage.ipynb` cell 2; `DefPosModel.ipynb` cell 1). pandas
+    std is the sample stddev → stddev_samp."""
+    p = prefix or value
+    return df.groupBy(*keys).agg(
+        F.avg(value).alias(f"{p}_mean"),
+        F.stddev_samp(value).alias(f"{p}_std"),
+        F.min(value).alias(f"{p}_min"),
+        F.max(value).alias(f"{p}_max"),
+        F.count(value).alias(f"{p}_count"),
+    )
+
+
+def first_last_by(
+    df: DataFrame, keys: list[str], order_col: str, value: str
+) -> DataFrame:
+    """A6: `.agg(start_x=('x','first'), end_x=('x','last'))` after a
+    frame sort (`DefPosModel.ipynb` cell 1, defender_start_end).
+    min_by/max_by avoid the window + filter round-trip: single hash
+    aggregate, map-side partial."""
+    return df.groupBy(*keys).agg(
+        F.min_by(value, order_col).alias(f"start_{value}"),
+        F.max_by(value, order_col).alias(f"end_{value}"),
+    )
+
+
+def ordered_string_agg(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value: str,
+    out: str,
+    sep: str = " ",
+) -> DataFrame:
+    """A7: `summarise(route_tree = paste(routeRan, collapse=" "))` with
+    an explicit `arrange(gameId, playId, y)` beforehand (`Matchup
+    Information.R:38-41,63-68`). Spark sort order does not survive into
+    collect_list, so the sort happens inside the aggregate:
+    collect structs of (order, value), array_sort, project, join.
+    `order_col` must be unique per group for determinism."""
+    return df.groupBy(*keys).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col(order_col), F.col(value)))),
+                lambda s: s[value].cast("string"),
+            ),
+            sep,
+        ).alias(out)
+    )
+
+
+def pivot_wide(
+    df: DataFrame,
+    ids: list[str],
+    pivot_col: str,
+    pivot_values: list,
+    aggs: list[Column],
+    fill: float | None = 0.0,
+) -> DataFrame:
+    """A8: `pivot_wider(names_from=defLabel, values_from=(x,y,s))` →
+    33 wide defender columns (`Openness_Data_Frame_Prep.R:38-43`);
+    pandas `pivot_table(fill_value=0)` (`DefCoverage.ipynb` cell 3).
+    Explicit `pivot_values` skips Spark's extra distinct-values job —
+    at 100 TB that job is a full extra scan."""
+    out = df.groupBy(*ids).pivot(pivot_col, pivot_values).agg(*aggs)
+    return out.na.fill(fill) if fill is not None else out
+
+
+def entropy(
+    df: DataFrame, keys: list[str], label: str, out: str
+) -> DataFrame:
+    """A11: normalized-count Shannon entropy, log2
+    (`QBReadStats.R:330-341`). Two hash aggregates, no window: count
+    per (keys,label), then -Σ p·log2(p) per keys."""
+    counts = df.groupBy(*keys + [label]).agg(F.count("*").alias("__n"))
+    tot = Window.partitionBy(*keys)
+    p = (F.col("__n") / F.sum("__n").over(tot))
+    return (
+        counts.withColumn("__p", p)
+        .groupBy(*keys)
+        .agg((-F.sum(F.col("__p") * F.log2("__p"))).alias(out))
+    )
+
+
+def conditional_count(cond: Column, alias: str) -> Column:
+    """A12: `sum(dig)` / `sum(is_exp_max)` (`cover_threshold.R:37`,
+    `QBReadStats.R:216-218`)."""
+    return F.sum(F.when(cond, 1).otherwise(0)).alias(alias)
+
+
+def row_sum(cols: list[str], alias: str) -> Column:
+    """A10: horizontal `rowSums(data[, 5:22])` (`cover_threshold.R:11`)."""
+    out = F.lit(0.0)
+    for c in cols:
+        out = out + F.coalesce(F.col(c), F.lit(0.0))
+    return out.alias(alias)

@@ -1,0 +1,190 @@
+"""Window operators (SURVEY.md §2.5, W1-W12).
+
+The reference's signature pattern: partition by (gameId, playId)
+[± nflId], order by frameId. All grouped-mutate dplyr idioms and the
+notebooks' per-group Python loops become window expressions — one
+shuffle per distinct partitioning, no driver-side iteration.
+
+Scale: windows partitioned by play are massively parallel (16k plays →
+16k independent groups); the orderBy inside a window sorts within
+groups only. Chains of windows over the same partitioning reuse the
+same exchange (Catalyst ReuseExchange), so the idiomatic cost is ONE
+shuffle per stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def play_window(*partition: str, order_by: list[Column | str] | None = None) -> WindowSpec:
+    w = Window.partitionBy(*partition)
+    return w.orderBy(*order_by) if order_by else w
+
+
+def dense_rank_id(
+    df: DataFrame, partition: list[str], order_by: list[Column | str], out: str
+) -> DataFrame:
+    """W1: `mutate(secondId = dense_rank(frameId) - 1)` per play
+    (`radius_model.R:257-261`)."""
+    w = Window.partitionBy(*partition).orderBy(*order_by)
+    return df.withColumn(out, F.dense_rank().over(w) - 1)
+
+
+def running_sum(
+    df: DataFrame,
+    partition: list[str],
+    order_by: list[Column | str],
+    value: Column | str,
+    out: str,
+) -> DataFrame:
+    """W2: per-play cumulative distance (`BuildingReadOrder.R:88-94`).
+    `order_by` must be a total order for float determinism."""
+    w = (
+        Window.partitionBy(*partition)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col(value) if isinstance(value, str) else value
+    return df.withColumn(out, F.sum(v).over(w))
+
+
+def first_crossing(
+    df: DataFrame,
+    partition: list[str],
+    cond: Column,
+    order_key: Column | str,
+    out: str,
+) -> DataFrame:
+    """W3: first frame where cumulative distance ≥ dropbackDistance —
+    `min(frameId[cumulative_distance >= dropbackDistance])`
+    (`BuildingReadOrder.R:97-106`). Unbounded window min over a
+    conditional key."""
+    w = Window.partitionBy(*partition)
+    k = F.col(order_key) if isinstance(order_key, str) else order_key
+    return df.withColumn(out, F.min(F.when(cond, k)).over(w))
+
+
+def group_min_offset(
+    df: DataFrame, partition: list[str], value: Column | str, base: Column | str, out: str
+) -> DataFrame:
+    """W4: `adj_time = time_to_complete_dropback - min(frameId)` per play
+    (`BuildingReadOrder.R:108-111`)."""
+    w = Window.partitionBy(*partition)
+    v = F.col(value) if isinstance(value, str) else value
+    b = F.col(base) if isinstance(base, str) else base
+    return df.withColumn(out, v - F.min(b).over(w))
+
+
+def filter_to_group_min(
+    df: DataFrame, partition: list[str], key: str
+) -> DataFrame:
+    """W5: `filter(frameId == min(frameId))` per play
+    (`BuildingReadOrder.R:128-130`)."""
+    w = Window.partitionBy(*partition)
+    return (
+        df.withColumn("__mn", F.min(key).over(w))
+        .filter(F.col(key) == F.col("__mn"))
+        .drop("__mn")
+    )
+
+
+def filter_to_group_extremes(
+    df: DataFrame, partition: list[str], key: str
+) -> DataFrame:
+    """W6: `filter(y == min(y) | y == max(y))` per play → outside
+    receivers (`BuildingReadOrder.R:133-137`)."""
+    w = Window.partitionBy(*partition)
+    return (
+        df.withColumn("__mn", F.min(key).over(w))
+        .withColumn("__mx", F.max(key).over(w))
+        .filter((F.col(key) == F.col("__mn")) | (F.col(key) == F.col("__mx")))
+        .drop("__mn", "__mx")
+    )
+
+
+def argmax_row(
+    df: DataFrame, partition: list[str], order_by: list[Column]
+) -> DataFrame:
+    """W7/O3: per-group top-1 row with deterministic tie-break —
+    `slice_max(open_count, n=1, with_ties=FALSE)` (`QBReadStats.R:182-184`,
+    `BuildingReadOrder.R:141-146`). Callers append a unique key to
+    `order_by`."""
+    w = Window.partitionBy(*partition).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def row_number_by(
+    df: DataFrame, partition: list[str], order_by: list[Column | str], out: str
+) -> DataFrame:
+    """W8: read order via row_number over a conditional sort key —
+    `arrange(..., if_else(firstSide=="R", -y, y))`
+    (`BuildingReadOrder.R:151-157`). Pass the conditional expression as
+    an order_by Column."""
+    w = Window.partitionBy(*partition).orderBy(*order_by)
+    return df.withColumn(out, F.row_number().over(w))
+
+
+def stable_label(
+    df: DataFrame, partition: list[str], order_by: list[Column | str], out: str
+) -> DataFrame:
+    """W9: per-frame defender labels 1..11. The reference recycles
+    physical row order (`def_data$defLabel <- rep(1:11)`,
+    `Openness_Data_Frame_Prep.R:34-36`) — fragile; any stable per-frame
+    labeling satisfies downstream use, so we label by an explicit key
+    (nflId)."""
+    w = Window.partitionBy(*partition).orderBy(*order_by)
+    return df.withColumn(out, F.row_number().over(w))
+
+
+def event_anchored_range(
+    df: DataFrame,
+    partition: list[str],
+    event_col: str,
+    event_value: str,
+    frame_col: str,
+    lo_offset: int,
+    hi_offset: int,
+) -> DataFrame:
+    """W10: rows at frame offsets [lo,hi] after an event — ball
+    positions `x+2..x+7` after `pass_forward`
+    (`Openness_Data_Frame_Prep.R:70-74`). The reference indexes global
+    row numbers; within-play frame offsets are the intended semantics."""
+    w = Window.partitionBy(*partition)
+    anchor = F.max(
+        F.when(F.col(event_col) == event_value, F.col(frame_col))
+    ).over(w)
+    return df.withColumn("__evt", anchor).filter(
+        F.col(frame_col).between(F.col("__evt") + lo_offset, F.col("__evt") + hi_offset)
+    ).drop("__evt")
+
+
+def event_time_window_filter(
+    df: DataFrame,
+    partition: list[str],
+    ts_col: str,
+    start_cond: Column,
+    end_cond: Column,
+    end_shift: Column | None = None,
+) -> DataFrame:
+    """W12: keep rows with line_set ≤ t ≤ ball_snap − 2s per play — the
+    per-group Python loop of `DefPosModel.ipynb` cell 1
+    (`get_play_time_window_events`) as a pure window expression: no
+    loop, no driver round-trips, one shuffle."""
+    w = Window.partitionBy(*partition)
+    ts = F.col(ts_col)
+    start = F.max(F.when(start_cond, ts)).over(w)
+    end = F.max(F.when(end_cond, ts)).over(w)
+    if end_shift is not None:
+        end = end + end_shift
+    return (
+        df.withColumn("__t0", start)
+        .withColumn("__t1", end)
+        .filter(ts.between(F.col("__t0"), F.col("__t1")))
+        .drop("__t0", "__t1")
+    )

@@ -1,0 +1,119 @@
+"""Sources & sinks (SURVEY.md §2.1, S1-S7).
+
+The reference ingests CSVs with inferred schemas into SQLite
+(`DatabaseCreation.R:14-56`: per-file read_csv loop + 300k-row
+transactional chunks) and links pipeline stages through SQLite tables.
+Spark-first replacements:
+
+- S1/S2: one globbed `spark.read` with an *explicit* schema — the 9-file
+  append loop (`DatabaseCreation.R:32-36`) collapses into a single scan;
+  schema inference (two passes over 59M rows) is eliminated.
+- S3/S4: `df.write.mode(...)` — partition-parallel, no manual chunking
+  or transactions.
+- S5: `spark.sql` over registered views — lazy, never a blocking
+  full-result fetch like `dbFetch(res, -1)`
+  (`Openness_Data_Frame_Prep.R:17`).
+- S7 (PK/FK DDL, non-functional in SQLite): `assert_unique_key` turns
+  the intended constraints into cheap verifiable invariants.
+
+Scale notes: parquet scans get column pruning + predicate pushdown from
+Catalyst for free; writers default to snappy parquet partitioned by a
+caller-chosen key (week/gameId for tracking at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: tables the driver materializes under /root/testdata/sf*/
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one synthetic table (S1).
+
+    `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark rejects
+    by default; we read it as long nanos (legacy conf) and derive
+
+    - ``ts_us``: epoch microseconds (long) — exact integer `div`, never
+      a double divide (nanos exceed 2^53 and would round);
+    - ``ts``: TIMESTAMP via timestamp_micros for event-time/streaming
+      use.
+
+    ``ts_us`` equals DuckDB's ``epoch_us(ts)`` bit-for-bit and is
+    timezone-independent, so parity queries project it, never raw ts.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return (
+            df.withColumn("ts_us", F.expr("ts div 1000"))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> None:
+    """Expose the tables to `spark.sql` (S5)."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType, **options
+) -> DataFrame:
+    """S1/S2: schema-declared CSV scan; `path` may be a glob.
+
+    Replaces `list.files(pattern=...)` + per-file append
+    (`DatabaseCreation.R:32-36`) with one distributed scan.
+    """
+    opts = {"header": "true", "mode": "FAILFAST"}
+    opts.update(options)
+    return spark.read.schema(schema).options(**opts).csv(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """S3: stage-table sink (parquet). Replaces `dbWriteTable(...,
+    overwrite=TRUE)` (`DatabaseCreation.R:15-29`)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S6: CSV sink (`QBReadStats.R:263`, `DefCoverage.ipynb` cell 9)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def assert_unique_key(df: DataFrame, keys: list[str]) -> None:
+    """S7: the PK/FK DDL of `DatabaseCreation.R:60-73` (silently
+    non-functional in SQLite) becomes an executable invariant."""
+    dup = df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError(f"duplicate key {keys}")

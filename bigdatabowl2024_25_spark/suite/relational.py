@@ -1,0 +1,363 @@
+"""Parity queries: scans, filters, joins, sorts, set ops
+(SURVEY.md §2.1-2.3, §2.6-2.7).
+
+Query naming: q<nn>_<slug>. Each docstring cites the reference
+operator(s) it exercises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.relational import (
+    anti_join,
+    dim_join,
+    keep_first,
+    mirror_self_join,
+    semi_join,
+    top_k,
+    union_all,
+)
+from ..sources.io import load_table
+from .registry import query
+from .stable import davg, dsum, epoch_us, oracle_davg, oracle_dsum
+
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_dsum('l_quantity', 'sum_qty')},
+           {oracle_dsum('l_extendedprice', 'sum_base_price')},
+           {oracle_dsum('l_extendedprice*(1-l_discount)', 'sum_disc_price')},
+           {oracle_dsum('l_extendedprice*(1-l_discount)*(1+l_tax)', 'sum_charge')},
+           {oracle_davg('l_quantity', 'avg_qty')},
+           {oracle_davg('l_extendedprice', 'avg_price')},
+           {oracle_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark, sf_dir):
+    """Flagship: scan → filter (P4) → groupBy agg (A1/A4/A12-family),
+    mirroring the shape of the openness-vs-coverage aggregate
+    (`Openness_Data_Frame_Prep.R:8-15` + `radius_model.R:265-268`).
+    Scale: single hash aggregate with map-side partials; the shipdate
+    predicate and 7-column projection push into the parquet scan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc, "sum_disc_price"),
+            dsum(disc * (1 + F.col("l_tax")), "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_segment_revenue",
+    oracle=f"""
+    SELECT c.c_mktsegment, o.o_orderstatus,
+           {oracle_dsum('o.o_totalprice', 'revenue')},
+           COUNT(*) AS n_orders
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, o.o_orderstatus
+    """,
+)
+def q02_segment_revenue(spark, sf_dir):
+    """J1: fact ⋈ broadcast dim left join, the tracking⋈plays pattern
+    (`Openness_Data_Frame_Prep.R:8-15`). customer is dim-sized →
+    broadcast hash join, no shuffle of orders."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cdim = c.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    joined = dim_join(o, cdim, on=["o_custkey"], how="left")
+    return joined.groupBy("c_mktsegment", "o_orderstatus").agg(
+        dsum("o_totalprice", "revenue"), F.count("*").alias("n_orders")
+    )
+
+
+@query(
+    "q03_nation_revenue",
+    oracle=f"""
+    SELECT n.n_name, r.r_name,
+           {oracle_dsum('l.l_extendedprice*(1-l.l_discount)', 'revenue')}
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def q03_nation_revenue(spark, sf_dir):
+    """J2 chain (the reference's ~15 merge sites, `DataCleaning.R:22`
+    etc.) as a snowflake join. All four dims broadcast; Catalyst pushes
+    the date filter below the joins so lineitem only joins qualifying
+    orders."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (
+        l.join(F.broadcast(o.select("o_orderkey", "o_custkey")),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy("n_name", "r_name").agg(dsum(rev, "revenue"))
+
+
+@query(
+    "q04_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q04_customers_with_orders(spark, sf_dir):
+    """J7 left-semi: `semi_join(tracking, cleaned_player_data)`
+    (`Visualization.R:22`). Semi join never duplicates or widens the
+    left side — at scale it is a broadcast of the (distinct) right
+    keys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return semi_join(
+        c.select("c_custkey", "c_name", "c_mktsegment"),
+        o.withColumnRenamed("o_custkey", "c_custkey"),
+        ["c_custkey"],
+    )
+
+
+@query(
+    "q05_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q05_customers_without_orders(spark, sf_dir):
+    """J11 as a true anti join — the reference fakes it with left join +
+    `is.na` (`Matchup Information.R:86`)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return anti_join(
+        c.select("c_custkey", "c_name"),
+        o.withColumnRenamed("o_custkey", "c_custkey"),
+        ["c_custkey"],
+    )
+
+
+@query(
+    "q06_nation_pairs",
+    oracle="""
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b,
+           a.n_regionkey AS n_regionkey
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+    """,
+)
+def q06_nation_pairs(spark, sf_dir):
+    """J8 self join: matchups ⋈ itself on reversed route within same
+    coverage (`Matchup Information.R:79-84`), here nation pairs within
+    a region."""
+    n = load_table(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_name") < F.col("b.n_name")),
+    ).select(
+        F.col("a.n_name").alias("nation_a"),
+        F.col("b.n_name").alias("nation_b"),
+        F.col("a.n_regionkey").alias("n_regionkey"),
+    )
+
+
+@query(
+    "q07_distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q07_distinct_segments(spark, sf_dir):
+    """P8: `distinct()` / `unique()` / `drop_duplicates()`
+    (`Openness_Data_Frame_Prep.R:83,95,98`)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+    )
+
+
+@query(
+    "q08_latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           epoch_us(o_orderdate) AS order_ts
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+)
+def q08_latest_order_per_customer(spark, sf_dir):
+    """P9 with determinism: `distinct(gameId, playId, .keep_all=TRUE)`
+    (`QBReadStats.R:139`) — keep-first under an explicit total order
+    instead of physical row order. Timestamps exit as epoch micros
+    (timezone-neutral)."""
+    o = load_table(spark, sf_dir, "orders")
+    return keep_first(
+        o, ["o_custkey"], [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        epoch_us("o_orderdate").alias("order_ts"),
+    )
+
+
+@query(
+    "q09_top10_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q09_top10_orders(spark, sf_dir):
+    """O2 global top-k (`QBReadStats.R:230-247`). Spark compiles
+    orderBy+limit to TakeOrderedAndProject — per-partition heaps, no
+    global sort, scales to any row count."""
+    o = load_table(spark, sf_dir, "orders")
+    return top_k(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+@query(
+    "q10_union_priority_slices",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM (
+        SELECT * FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderstatus = 'F'
+    ) GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def q10_union_priority_slices(spark, sf_dir):
+    """U1 union-all (`DataCleaning.R:20`) + P5 set-membership filter
+    (`BuildingReadOrder.R:56-57`). Overlapping slices keep duplicate
+    rows — union-all, not union-distinct."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    b = o.filter(F.col("o_orderstatus") == "F")
+    return (
+        union_all(a, b)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q11_urgent_customer_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def q11_urgent_customer_intersect(spark, sf_dir):
+    """§2.7 exposure: intersect (not used by the reference but part of
+    the engine surface)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "q12_urgent_customer_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def q12_urgent_customer_except(spark, sf_dir):
+    """§2.7 exposure: except-distinct."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return a.subtract(b)
+
+
+@query(
+    "q13_mirror_match",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    )
+    SELECT m.o_orderpriority, m.o_orderstatus, m.n_orders,
+           COALESCE(b.n_orders, 0) AS n_orders_m
+    FROM m LEFT JOIN m b
+      ON m.o_orderpriority = b.o_orderpriority
+     AND b.o_orderstatus = (CASE WHEN m.o_orderstatus = 'F' THEN 'O'
+                                 WHEN m.o_orderstatus = 'O' THEN 'F'
+                                 ELSE m.o_orderstatus END)
+    """,
+)
+def q13_mirror_match(spark, sf_dir):
+    """J8+J11 composed, shaped like the route-mirror lookup: aggregate,
+    self-join each group to its 'mirrored' twin, null-fill misses with 0
+    (`Matchup Information.R:79-86`)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders")
+    )
+    mirrored = m.withColumn(
+        "mirror_status",
+        F.when(F.col("o_orderstatus") == "F", "O")
+        .when(F.col("o_orderstatus") == "O", "F")
+        .otherwise(F.col("o_orderstatus")),
+    )
+    out = mirror_self_join(
+        mirrored.drop("mirror_status").withColumn(
+            "mirror_of",
+            F.when(F.col("o_orderstatus") == "F", "O")
+            .when(F.col("o_orderstatus") == "O", "F")
+            .otherwise(F.col("o_orderstatus")),
+        ),
+        left_col="mirror_of",
+        right_col="o_orderstatus",
+        extra_keys=["o_orderpriority"],
+        payload=["n_orders"],
+    )
+    return out.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n_orders",
+        F.coalesce(F.col("n_orders_m"), F.lit(0)).alias("n_orders_m"),
+    )
