@@ -23,6 +23,9 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 DEC = "decimal(25,6)"
+#: higher-scale variant for unit-magnitude addends (probabilities,
+#: p*log2(p) terms) where 6 fractional digits would truncate visibly
+DEC12 = "decimal(25,12)"
 
 
 def _c(col: Column | str) -> Column:
@@ -45,13 +48,18 @@ def dstddev_samp(col: Column | str, alias: str) -> Column:
     sqrt((n*Σx² − (Σx)²) / (n*(n−1))).
 
     pandas `.std()` in the reference (`DefCoverage.ipynb` cell 2) is the
-    sample stddev, so this is the parity target for A5.
+    sample stddev, so this is the parity target for A5. The final
+    round-6 absorbs engine-level expression-fusion differences
+    (DuckDB's C++ may contract ``n*Σx² − (Σx)²`` into an FMA; the JVM
+    never does — observed ~1e-11 relative drift without it).
     """
     c = _c(col)
     n = F.count(c).cast("double")
     sx = F.sum(c.cast(DEC)).cast("double")
     sx2 = F.sum((c * c).cast(DEC)).cast("double")
-    return F.sqrt((n * sx2 - sx * sx) / (n * (n - F.lit(1.0)))).alias(alias)
+    return F.round(
+        F.sqrt((n * sx2 - sx * sx) / (n * (n - F.lit(1.0)))), 6
+    ).alias(alias)
 
 
 def epoch_us(col_name: str) -> Column:
@@ -79,4 +87,6 @@ def oracle_dstddev_samp(expr: str, alias: str) -> str:
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
     sx = f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
     sx2 = f"CAST(SUM(CAST(({expr})*({expr}) AS DECIMAL(25,6))) AS DOUBLE)"
-    return f"SQRT(({n}*{sx2} - {sx}*{sx}) / ({n}*({n}-1.0))) AS {alias}"
+    return (
+        f"ROUND(SQRT(({n}*{sx2} - {sx}*{sx}) / ({n}*({n}-1.0))), 6) AS {alias}"
+    )
