@@ -1,0 +1,165 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH banding, SimHash, and exact n-gram Jaccard verification.
+
+Design for 100 TB:
+- exact dedup = hash → groupBy keep-min: one shuffle on a 16-byte key,
+  map-side partial min, no text movement after the hash.
+- minhash = explode shingles once, ONE groupBy computing all k
+  signature mins (k aggregate expressions, not k passes).
+- LSH banding = band-key self-join: candidates only; never the O(n²)
+  cross join. Band keys are md5-compact so the shuffle carries 16-byte
+  keys, not shingle sets.
+- jaccard verify runs only on LSH candidates (the classic
+  minhash→band→verify funnel).
+
+All hashes are the engine-portable md5-based `portable_hash64`, so the
+DuckDB oracle reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text, portable_hash64, tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact (normalized) dedup: returns one row per distinct content
+    hash with the minimum id as the keeper and the group size."""
+    h = portable_hash64(normalize_text(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), h.alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingles array) — n-word shingles of the raw text."""
+    return df.select(
+        F.col(id_col), word_shingles(tokens(F.col(text_col)), n).alias("shingles")
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, id_col: str, k: int = 8
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    One explode + ONE hash aggregate: sig_i = min over shingles of
+    H(i||shingle). Documents with no shingles drop out (standard
+    MinHash domain restriction)."""
+    ex = shingled.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    mins = [
+        F.min(portable_hash64(F.col("shingle"), seed=i)).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return ex.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidates(
+    sigs: DataFrame, id_col: str, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the k-wide signature into `bands` groups of k/bands rows;
+    docs sharing any band key become a candidate pair (id_a < id_b).
+
+    The band key is md5 of the concatenated signature slice — a compact
+    fixed-width join key. Self-join happens per band key, so skew is
+    bounded by the largest near-dup cluster, not by n."""
+    r = k // bands
+    pieces = []
+    for b in range(bands):
+        key = F.md5(
+            F.concat_ws(
+                "_",
+                F.lit(str(b)),
+                *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)],
+            ).cast("binary")
+        )
+        pieces.append(
+            sigs.select(F.col(id_col).alias("doc"), key.alias("band_key"))
+        )
+    banded = reduce(lambda a, b: a.unionByName(b), pieces)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    candidates: DataFrame, shingled: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs (the verify stage of the
+    minhash→band→verify funnel)."""
+    ex = shingled.select(
+        F.col(id_col).alias("doc"), F.explode("shingles").alias("shingle")
+    ).distinct()
+    sizes = ex.groupBy("doc").agg(F.count("*").alias("n"))
+    ea = ex.select(F.col("doc").alias("id_a"), "shingle")
+    eb = ex.select(F.col("doc").alias("id_b"), "shingle")
+    inter = (
+        candidates.join(ea, ["id_a"])
+        .join(eb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(na, ["id_a"])
+        .join(nb, ["id_b"])
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash over whitespace tokens: bit b of the hash is the sign of
+    Σ_tokens (2·bit_b(H(token)) − 1). One explode + one aggregate with
+    `bits` sum expressions; the assembled hash is a BIGINT."""
+    ex = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", portable_hash64(F.col("tok")))
+    weights = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"w_{b}")
+        for b in range(bits)
+    ]
+    agg = ex.groupBy(id_col).agg(*weights)
+    sim = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"w_{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+        range(bits),
+        F.lit(0).cast("bigint"),
+    )
+    return agg.select(F.col(id_col), sim.alias("simhash"))

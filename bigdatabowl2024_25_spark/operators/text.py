@@ -1,0 +1,110 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, fingerprinting, shingling
+and portable hashing (foundation for the dedup layer).
+
+Everything is built-in-function SQL — no Python UDFs — so the whole
+layer runs inside whole-stage codegen and scales linearly with input
+splits at 100 TB. The hash primitive is engine-portable (md5-derived),
+which is what lets the DuckDB oracle verify minhash/simhash exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword sets for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "los"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "zu"),
+}
+
+
+def portable_hash64(col: Column, seed: int | None = None) -> Column:
+    """Deterministic 60-bit hash identical across Spark and DuckDB:
+    first 15 hex digits of md5, parsed as an integer. (xxhash64 etc.
+    are engine-specific; md5 is the portable common denominator. At
+    100 TB scale md5 costs ~2× xxhash64 — swap via this single choke
+    point if oracle parity is not needed.)"""
+    s = col if seed is None else F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def tokens(text: Column, sep: str = " ") -> Column:
+    """Whitespace tokenization (documents are single-space separated)."""
+    return F.split(text, sep)
+
+
+def regex_token_count(text: Column, pattern: str = r"\w+|[^\w\s]") -> Column:
+    """BPE-ish token counting: words plus standalone punctuation."""
+    return F.regexp_count(text, F.lit(pattern))
+
+
+def word_shingles(words: Column, n: int = 3) -> Column:
+    """n-word shingles as strings; empty array when the doc has < n
+    words (sequence(1,0) would produce a DESCENDING range in Spark —
+    guarded)."""
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + j) for j in range(n)]
+    )
+    return F.when(F.size(words) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprint/dedup: lowercase, strip
+    non-alphanumerics, collapse runs of spaces."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", "")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (hex), plus use
+    `portable_hash64(fingerprint_ish)` when a numeric key is needed."""
+    return F.md5(normalize_text(text).cast("binary"))
+
+
+def stopword_hits(words: Column, stopwords: tuple[str, ...]) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(*stopwords)))
+
+
+def lang_scores(words: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts (language-ID heuristic)."""
+    return {lang: stopword_hits(words, sw) for lang, sw in LANG_STOPWORDS.items()}
+
+
+def predict_lang(words: Column) -> Column:
+    """Argmax over language scores with a fixed preference order
+    (en > es > de on ties) — deterministic."""
+    s = lang_scores(words)
+    return (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["de"]), "en")
+        .when(s["es"] >= s["de"], "es")
+        .otherwise("de")
+    )
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality signals."""
+    w = tokens(text)
+    n_tok = F.size(w)
+    char_len = F.length(text)
+    total_word_chars = F.aggregate(
+        F.transform(w, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    punct = F.regexp_count(text, F.lit(r"[.,!?;:]"))
+    stop = stopword_hits(w, LANG_STOPWORDS["en"])
+    return {
+        "n_tokens": n_tok,
+        "char_len": char_len,
+        "avg_word_len": total_word_chars.cast("double") / n_tok,
+        "punct_ratio": punct.cast("double") / char_len,
+        "stopword_ratio": stop.cast("double") / n_tok,
+    }

@@ -1,1 +1,199 @@
-"""Placeholder — populated incrementally."""
+"""Parity queries: deduplication over `documents` — exact, MinHash
+signatures, MinHash+LSH→Jaccard-verified near-dup pairs, SimHash.
+
+The synthetic documents are all distinct, so near-dup structure is
+manufactured deterministically inside the query: a copy of the first
+docs with a small tail appended (high-Jaccard variants) and exact
+copies under shifted ids. Both engines build the same union, so the
+oracle stays an independent re-derivation.
+
+Oracle SQL for minhash/banding is generated programmatically — same
+hash (md5-prefix), same band keys, same thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_signatures,
+    simhash,
+    with_shingles,
+)
+from ..sources.io import load_table
+from .registry import query
+
+# ---- shared SQL fragments (DuckDB side) --------------------------------
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    "' +', ' ', 'g'))"
+)
+
+
+def _h64(expr: str) -> str:
+    return f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+_WORDS = "string_split(text, ' ')"
+_SHINGLES = (
+    f"list_transform(range(1, greatest(len({_WORDS}) - 1, 1)), "
+    f"i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1] || ' ' || {_WORDS}[i+2])"
+)
+
+#: the manufactured corpus: originals ∪ exact copies ∪ near-dup variants
+_CORPUS = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 40
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text || ' tail marker tokens'
+      AS text FROM documents WHERE doc_id < 40
+"""
+
+
+def _corpus_df(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail marker tokens")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+@query(
+    "q70_exact_dedup",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS})
+    SELECT {_h64(_NORM)} AS content_key,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM corpus GROUP BY 1
+    """,
+)
+def q70_exact_dedup(spark, sf_dir):
+    """Exact dedup: normalized-content hash → keep-min-id groups. One
+    shuffle on a 8-byte key; text never moves after hashing."""
+    return exact_dedup(_corpus_df(spark, sf_dir), "text", "doc_id")
+
+
+_K = 8
+_BANDS = 4
+_ROWS = _K // _BANDS
+
+_SIG_MINS = ",\n           ".join(
+    "MIN({h}) AS mh_{i}".format(h=_h64(f"'{i}:' || shingle"), i=i)
+    for i in range(_K)
+)
+
+
+@query(
+    "q71_minhash_signatures",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    )
+    SELECT doc_id,
+           {_SIG_MINS}
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q71_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (k=8): explode shingles once, ONE aggregate
+    computing all k mins — not k passes. Docs with <3 words drop out
+    (no shingles)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(with_shingles(d, "text", "doc_id"), "doc_id", k=_K)
+
+
+def _oracle_band_keys() -> str:
+    pieces = []
+    for b in range(_BANDS):
+        cols = ", ".join(
+            f"CAST(mh_{b * _ROWS + j} AS VARCHAR)" for j in range(_ROWS)
+        )
+        pieces.append(
+            f"SELECT doc_id AS doc, md5(concat_ws('_', '{b}', {cols}))"
+            f" AS band_key FROM sigs"
+        )
+    return " UNION ALL ".join(pieces)
+
+
+@query(
+    "q72_near_dup_pairs",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS}),
+    sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM corpus
+    ),
+    sigs AS (
+        SELECT doc_id, {_SIG_MINS} FROM sh GROUP BY doc_id
+    ),
+    banded AS ({_oracle_band_keys()}),
+    cand AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_key = b.band_key AND a.doc < b.doc
+    ),
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN dsh a ON a.doc_id = c.id_a
+        JOIN dsh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.4
+    """,
+)
+def q72_near_dup_pairs(spark, sf_dir):
+    """The full near-dup funnel: MinHash(k=8) → LSH banding (4 bands ×
+    2 rows) → candidate pairs → exact n-gram Jaccard verify ≥ 0.4.
+    Never materializes the O(n²) pair space — candidates only."""
+    corpus = _corpus_df(spark, sf_dir)
+    shingled = with_shingles(corpus, "text", "doc_id")
+    sigs = minhash_signatures(shingled, "doc_id", k=_K)
+    cand = lsh_candidates(sigs, "doc_id", k=_K, bands=_BANDS)
+    return jaccard_pairs(cand, shingled, "doc_id", threshold=0.4)
+
+
+_BITS = 16
+_W_SUMS = ",\n           ".join(
+    f"SUM(2 * ((h >> {b}) & 1) - 1) AS w_{b}" for b in range(_BITS)
+)
+_ASSEMBLE = " + ".join(
+    f"CASE WHEN w_{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+    for b in range(_BITS)
+)
+
+
+@query(
+    "q73_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_h64("unnest(string_split(text, ' '))")} AS h
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, {_W_SUMS} FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {_ASSEMBLE} AS simhash FROM w
+    """,
+)
+def q73_simhash(spark, sf_dir):
+    """SimHash (16-bit) over whitespace tokens: sign of per-bit weight
+    sums of portable token hashes. One explode + one aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, "text", "doc_id", bits=_BITS)

@@ -1,1 +1,266 @@
-"""Placeholder — populated incrementally."""
+"""Parity queries: scalar functions (SURVEY.md §2.8, F1-F15).
+
+F7 (timestamp pad+parse) has no string-timestamp column in the
+synthetic tables; it is covered by the BDB fixture tests
+(tests/test_scalar_functions.py), not an oracle query.
+
+Transcendental functions (sin/cos/atan2, log) differ by ulps between
+the JVM and libm — their outputs are rounded to 6 decimals on both
+sides. sqrt is IEEE-correctly-rounded and needs no rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.scalar import (
+    argmin_across,
+    clean_label,
+    clock_to_seconds,
+    coalesce_nearest,
+    dynamic_lookup,
+    euclid,
+    join_label,
+    physics_step,
+    recode,
+    reverse_words,
+    seconds_to_clock,
+    time_bucket,
+)
+from ..sources.io import load_table
+from .registry import query
+
+
+@query(
+    "q50_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(p_type, '[ -]', '.', 'g') AS clean_type,
+           concat_ws(' - ', p_brand, p_type) AS brand_type,
+           array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
+             AS reversed_name
+    FROM part
+    """,
+)
+def q50_string_functions(spark, sf_dir):
+    """F4 regex replace-all (`cover_threshold.R:18-20`), F5 concat with
+    sep (`Matchup Information.R:102`), F6 split/reverse/rejoin
+    (`Matchup Information.R:75-77`). DuckDB needs the 'g' flag for
+    replace-all; Spark replaces all by default."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        clean_label(F.col("p_type")).alias("clean_type"),
+        join_label(" - ", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        reverse_words(F.col("p_name")).alias("reversed_name"),
+    )
+
+
+@query(
+    "q51_clock_arithmetic",
+    oracle="""
+    SELECT event_id,
+           printf('%d:%02d',
+                  CAST(((epoch_us(ts) // 1000000) % 3600) // 60 AS INT),
+                  CAST((epoch_us(ts) // 1000000) % 60 AS INT)) AS clock,
+           CAST(((epoch_us(ts) // 1000000) % 3600) // 60 AS INT) * 60
+             + CAST((epoch_us(ts) // 1000000) % 60 AS INT) AS clock_seconds,
+           epoch_us(ts) - 2000000 AS ts_minus_2s_us
+    FROM events
+    """,
+)
+def q51_clock_arithmetic(spark, sf_dir):
+    """F9 clock string ↔ seconds (`Visualization.R:111-125`) + F8
+    interval arithmetic (`DefPosModel.ipynb` cell 1) in pure epoch
+    micros (timezone-free)."""
+    e = load_table(spark, sf_dir, "events")
+    total_sec = F.expr("ts_us div 1000000")
+    mins = ((total_sec % 3600) / 60).cast("int")
+    secs = (total_sec % 60).cast("int")
+    clock = seconds_to_clock(mins * 60 + secs)
+    return e.select(
+        "event_id",
+        clock.alias("clock"),
+        clock_to_seconds(clock).alias("clock_seconds"),
+        (F.col("ts_us") - 2_000_000).alias("ts_minus_2s_us"),
+    )
+
+
+@query(
+    "q52_time_buckets",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value < 50 THEN 1 WHEN value < 100 THEN 2
+                WHEN value < 150 THEN 3 WHEN value < 200 THEN 4
+                WHEN value < 250 THEN 5 ELSE 6 END AS bucket_case,
+           LEAST(CAST(FLOOR(value / 50) AS BIGINT) + 1, 6) AS bucket_formula
+    FROM events
+    """,
+)
+def q52_time_buckets(spark, sf_dir):
+    """F3: the 6-way nested ifelse time bucket
+    (`BuildingReadOrder.R:32-36`) and its closed-form equivalent
+    `least(floor(x/10)+1, 6)` — both emitted to prove equivalence."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    bucket_case = (
+        F.when(v < 50, 1)
+        .when(v < 100, 2)
+        .when(v < 150, 3)
+        .when(v < 200, 4)
+        .when(v < 250, 5)
+        .otherwise(6)
+    )
+    return e.select(
+        "event_id",
+        bucket_case.alias("bucket_case"),
+        F.least(F.floor(v / 50).cast("bigint") + 1, F.lit(6).cast("bigint")).alias(
+            "bucket_formula"
+        ),
+    )
+
+
+@query(
+    "q53_null_cascade",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_discount, 0.0), l_tax, 0.5) AS disc_or_tax,
+           COALESCE(NULLIF(l_discount, 0.0), 0.0) AS disc_filled
+    FROM lineitem WHERE l_discount IS NOT NULL
+    """,
+)
+def q53_null_cascade(spark, sf_dir):
+    """F10 constant null-fill (`DefCoverage.ipynb` cells 4-5), F11
+    nearest-column coalesce cascade (`QBReadStats.R:70-93`), P6 null
+    filter."""
+    l = load_table(spark, sf_dir, "lineitem")
+    d = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return l.filter(F.col("l_discount").isNotNull()).select(
+        "l_orderkey",
+        "l_linenumber",
+        coalesce_nearest([d, F.col("l_tax"), F.lit(0.5)], 0).alias("disc_or_tax"),
+        F.coalesce(d, F.lit(0.0)).alias("disc_filled"),
+    )
+
+
+@query(
+    "q54_nearest_column",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           list_position(
+             [abs(l_quantity*10 - 50.0), abs(l_extendedprice/1000 - 50.0),
+              abs(l_discount*100 - 50.0), abs(l_tax*100 - 50.0)],
+             list_min(
+             [abs(l_quantity*10 - 50.0), abs(l_extendedprice/1000 - 50.0),
+              abs(l_discount*100 - 50.0), abs(l_tax*100 - 50.0)])
+           ) AS nearest_idx
+    FROM lineitem
+    """,
+)
+def q54_nearest_column(spark, sf_dir):
+    """F12: argmin across columns — which read window the throw falls
+    into, `max.col(-diffs)` (`QBReadStats.R:102-114`)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cols = [
+        F.col("l_quantity") * 10,
+        F.col("l_extendedprice") / 1000,
+        F.col("l_discount") * 100,
+        F.col("l_tax") * 100,
+    ]
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        argmin_across(cols, F.lit(50.0)).cast("int").alias("nearest_idx"),
+    )
+
+
+@query(
+    "q55_dynamic_lookup",
+    oracle="""
+    SELECT event_id,
+           CASE event_type
+                WHEN 'click' THEN value * 1.0
+                WHEN 'view' THEN value * 2.0
+                WHEN 'purchase' THEN value * 3.0
+                WHEN 'signup' THEN value * 4.0
+                WHEN 'error' THEN value * -1.0
+           END AS routed_value
+    FROM events
+    """,
+)
+def q55_dynamic_lookup(spark, sf_dir):
+    """F13: dynamic column lookup by row value — `data[row,
+    paste0("prob_", cov)]` (`cover_threshold.R:26-35`) as a
+    literal-keyed map indexed per row."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        dynamic_lookup(
+            {
+                "click": v * 1.0,
+                "view": v * 2.0,
+                "purchase": v * 3.0,
+                "signup": v * 4.0,
+                "error": v * -1.0,
+            },
+            F.col("event_type"),
+        ).alias("routed_value"),
+    )
+
+
+@query(
+    "q56_region_recode",
+    oracle="""
+    SELECT n_nationkey,
+           CASE r_name WHEN 'AFRICA' THEN 'AF' WHEN 'AMERICA' THEN 'AM'
+                       WHEN 'ASIA' THEN 'AS' WHEN 'EUROPE' THEN 'EU'
+                       ELSE 'OT' END AS region_abbr
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q56_region_recode(spark, sf_dir):
+    """F15: dictionary recode — the 32-entry team-abbr → name map
+    (`Visualization.R:93-105`) as a literal create_map with default."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    return j.select(
+        "n_nationkey",
+        recode(
+            F.col("r_name"),
+            {"AFRICA": "AF", "AMERICA": "AM", "ASIA": "AS", "EUROPE": "EU"},
+            default=F.lit("OT"),
+        ).alias("region_abbr"),
+    )
+
+
+@query(
+    "q57_physics",
+    oracle="""
+    SELECT event_id,
+           ROUND(value*0.1 + 0.5*(value/10)*(0.1*0.1), 6) AS distance_step,
+           sqrt((value - 60.0)*(value - 60.0)
+                + (value/2 - 26.65)*(value/2 - 26.65)) AS dist_to_center,
+           ROUND(atan2(value/2 - 26.65, value - 60.0), 6) AS approach_angle,
+           ROUND(cos(value / 100.0), 6) AS cos_v,
+           ROUND(sin(value / 100.0), 6) AS sin_v
+    FROM events
+    """,
+)
+def q57_physics(spark, sf_dir):
+    """F1 physics step (`BuildingReadOrder.R:87`) + F2 math
+    (`radius_model.R:31,69,134,141`). sqrt is correctly rounded (exact
+    parity); sin/cos/atan2 are rounded to 6 on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    x, y = v, v / 2
+    return e.select(
+        "event_id",
+        # round-6: DuckDB may FMA-contract the a*b + c*d*e chain
+        F.round(physics_step(v, v / 10), 6).alias("distance_step"),
+        euclid(x, y, F.lit(60.0), F.lit(26.65)).alias("dist_to_center"),
+        F.round(F.atan2(y - 26.65, x - 60.0), 6).alias("approach_angle"),
+        F.round(F.cos(v / 100.0), 6).alias("cos_v"),
+        F.round(F.sin(v / 100.0), 6).alias("sin_v"),
+    )

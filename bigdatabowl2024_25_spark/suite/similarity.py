@@ -1,1 +1,114 @@
-"""Placeholder — populated incrementally."""
+"""Parity queries: similarity search over `embeddings`
+(array<float>, 64-dim).
+
+q80 (brute-force top-k) and q81 (near-dup pairs) are oracle-verified
+via the decimal-exact long-form dot product. q82 (LSH ANN) is the
+scale path — deterministic but not SQL-oracle-expressible in one
+readable statement; the driver records a rows-only check and
+tests/test_similarity.py asserts its recall against q80.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    lsh_topk,
+    pairwise_cosine,
+    topk_per_query,
+)
+from ..sources.io import load_table
+from .registry import query
+
+_Q = "CAST(FLOOR(CAST({v} AS DOUBLE) * 1000000.0) AS BIGINT)"
+
+_DOT = f"""
+    SELECT q.vec_id AS q_id, d.vec_id AS d_id,
+           CAST(CAST(SUM({_Q.format(v='q.embedding[i]')}
+                         * {_Q.format(v='d.embedding[i]')}) AS BIGINT)
+                AS DOUBLE) AS dot
+    FROM embeddings q
+    JOIN embeddings d ON {{pair_cond}}
+    CROSS JOIN unnest(range(1, 65)) AS t(i)
+    GROUP BY q.vec_id, d.vec_id
+"""
+
+_NORMS = f"""
+    SELECT vec_id,
+           SQRT(CAST(CAST(SUM({_Q.format(v='embedding[i]')}
+                              * {_Q.format(v='embedding[i]')}) AS BIGINT)
+                     AS DOUBLE)) AS nrm
+    FROM embeddings CROSS JOIN unnest(range(1, 65)) AS t(i)
+    GROUP BY vec_id
+"""
+
+
+@query(
+    "q80_cosine_topk",
+    oracle=f"""
+    WITH dots AS ({_DOT.format(pair_cond="q.vec_id < 8 AND d.vec_id <> q.vec_id")}),
+    norms AS ({_NORMS}),
+    scored AS (
+        SELECT dots.q_id, dots.d_id,
+               dots.dot / (qn.nrm * dn.nrm) AS cosine
+        FROM dots
+        JOIN norms qn ON qn.vec_id = dots.q_id
+        JOIN norms dn ON dn.vec_id = dots.d_id
+    )
+    SELECT q_id, d_id, cosine, rank FROM (
+        SELECT q_id, d_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, d_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q80_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 8 query vectors — the exact ANN
+    baseline. Dot products via posexplode + decimal sums: order-exact,
+    so cosines match DuckDB bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    scored = pairwise_cosine(q, e, "vec_id", "embedding").filter(
+        F.col("q_id") != F.col("d_id")
+    )
+    return topk_per_query(scored, k=5).select("q_id", "d_id", "cosine", "rank")
+
+
+@query(
+    "q81_embedding_near_dups",
+    oracle=f"""
+    WITH dots AS ({_DOT.format(pair_cond="q.vec_id < d.vec_id")}),
+    norms AS ({_NORMS})
+    SELECT dots.q_id AS id_a, dots.d_id AS id_b,
+           dots.dot / (qn.nrm * dn.nrm) AS cosine
+    FROM dots
+    JOIN norms qn ON qn.vec_id = dots.q_id
+    JOIN norms dn ON dn.vec_id = dots.d_id
+    WHERE dots.dot / (qn.nrm * dn.nrm) >= 0.2
+    """,
+)
+def q81_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup detection: all pairs with cosine ≥
+    0.2 (the synthetic vectors are near-orthogonal; 0.2 captures the
+    label-cluster structure without emitting the empty set)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = pairwise_cosine(e, e, "vec_id", "embedding").filter(
+        (F.col("q_id") < F.col("d_id")) & (F.col("cosine") >= 0.2)
+    )
+    return pairs.select(
+        F.col("q_id").alias("id_a"), F.col("d_id").alias("id_b"), "cosine"
+    )
+
+
+@query("q82_ann_lsh_topk")  # rows-only: engine-native ANN, no SQL oracle
+def q82_ann_lsh_topk(spark, sf_dir):
+    """Scale-path ANN: deterministic hyperplane-LSH buckets + exact
+    rescoring within buckets. Recall vs q80 is asserted in
+    tests/test_similarity.py (driver does a rows-only check here)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    out = lsh_topk(q, e, "vec_id", "embedding", k=5, planes=3, tables=4, dims=64)
+    return out.filter(F.col("q_id") != F.col("d_id")).select(
+        "q_id", "d_id", "cosine", "rank"
+    )

@@ -1,1 +1,155 @@
-"""Placeholder — populated incrementally."""
+"""Parity queries: text analysis over the `documents` table —
+language ID, quality scoring, token counting, fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    normalize_text,
+    portable_hash64,
+    predict_lang,
+    quality_features,
+    regex_token_count,
+    tokens,
+)
+from ..sources.io import load_table
+from .registry import query
+
+
+@query(
+    "q60_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_regex_tokens,
+           length(text) AS char_len
+    FROM documents
+    """,
+)
+def q60_token_stats(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex (words + standalone
+    punctuation)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.size(tokens(t)).cast("bigint").alias("n_tokens"),
+        regex_token_count(t).cast("bigint").alias("n_regex_tokens"),
+        F.length(t).cast("bigint").alias("char_len"),
+    )
+
+
+@query(
+    "q61_quality_scores",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(string_split(text,' '), w -> length(w)))
+                AS DOUBLE) / len(string_split(text,' ')) AS avg_word_len,
+           CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           CAST(len(list_filter(string_split(text,' '),
+                w -> w IN ('the','and','of','to','a','in','is'))) AS DOUBLE)
+             / len(string_split(text,' ')) AS stopword_ratio
+    FROM documents
+    """,
+)
+def q61_quality_scores(spark, sf_dir):
+    """Quality scoring: length/punctuation/stopword ratios. All ratios
+    are single double divisions of exact integer counts —
+    deterministic across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        q["avg_word_len"].alias("avg_word_len"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+_HITS = {
+    lang: (
+        f"len(list_filter(string_split(text,' '), w -> w IN "
+        f"({', '.join(repr(w) for w in sw)})))"
+    )
+    for lang, sw in LANG_STOPWORDS.items()
+}
+
+
+@query(
+    "q62_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_HITS['en']} >= {_HITS['es']}
+                 AND {_HITS['en']} >= {_HITS['de']} THEN 'en'
+                WHEN {_HITS['es']} >= {_HITS['de']} THEN 'es'
+                ELSE 'de' END AS predicted_lang,
+           CASE WHEN (CASE WHEN {_HITS['en']} >= {_HITS['es']}
+                 AND {_HITS['en']} >= {_HITS['de']} THEN 'en'
+                WHEN {_HITS['es']} >= {_HITS['de']} THEN 'es'
+                ELSE 'de' END) = lang THEN 1 ELSE 0 END AS is_match
+    FROM documents
+    """,
+)
+def q62_lang_id(spark, sf_dir):
+    """Language ID via stopword-hit argmax with fixed tie preference —
+    the n-gram-heuristic family, JVM-side only."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = predict_lang(tokens(F.col("text")))
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        F.when(pred == F.col("lang"), 1).otherwise(0).alias("is_match"),
+    )
+
+
+@query(
+    "q63_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+           CAST(concat('0x', substring(
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 15))
+             AS BIGINT) AS fp64
+    FROM documents
+    """,
+)
+def q63_fingerprints(spark, sf_dir):
+    """Document fingerprinting: md5 over normalized text, plus the
+    portable 60-bit numeric key used by the dedup layer."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        fingerprint(t).alias("fp"),
+        portable_hash64(normalize_text(t)).alias("fp64"),
+    )
+
+
+@query(
+    "q64_binary_plumbing",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS byte_len,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def q64_binary_plumbing(spark, sf_dir):
+    """Multimodal plumbing smoke: treat payloads as opaque binary with
+    typed metadata (byte length, content hash) — the schema pattern the
+    multimodal layer (operators/multimodal.py) builds on."""
+    d = load_table(spark, sf_dir, "documents")
+    b = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.length(b).cast("bigint").alias("byte_len"),
+        F.md5(b).alias("content_md5"),
+    )

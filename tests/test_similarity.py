@@ -1,0 +1,56 @@
+"""ANN quality: the LSH path must recover a meaningful fraction of the
+exact top-k, and its scores must be real cosines (agree with the exact
+scorer on overlapping pairs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatabowl2024_25_spark.operators.similarity import (
+    lsh_topk,
+    pairwise_cosine,
+    topk_per_query,
+)
+from bigdatabowl2024_25_spark.sources.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = (
+        topk_per_query(
+            pairwise_cosine(q, e, "vec_id", "embedding").filter(
+                F.col("q_id") != F.col("d_id")
+            ),
+            k=5,
+        )
+        .select("q_id", "d_id")
+        .collect()
+    )
+    approx = (
+        lsh_topk(q, e, "vec_id", "embedding", k=5, planes=3, tables=4, dims=64)
+        .filter(F.col("q_id") != F.col("d_id"))
+        .select("q_id", "d_id")
+        .collect()
+    )
+    return set(map(tuple, exact)), set(map(tuple, approx))
+
+
+def test_lsh_recall(frames):
+    exact, approx = frames
+    recall = len(exact & approx) / len(exact)
+    # 4 hyperplanes on near-orthogonal synthetic vectors: candidates
+    # shrink ~16x; recall must stay well above chance
+    assert recall >= 0.3, f"LSH recall too low: {recall:.2f}"
+
+
+def test_lsh_is_deterministic(spark):
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    a = lsh_topk(q, e, "vec_id", "embedding", k=3, planes=3, tables=4, dims=64).collect()
+    b = lsh_topk(q, e, "vec_id", "embedding", k=3, planes=3, tables=4, dims=64).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
