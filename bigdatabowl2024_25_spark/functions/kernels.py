@@ -1,0 +1,229 @@
+"""Numeric kernels X1/X2 (SURVEY.md §2.9): reachable-radius and
+Monte-Carlo openness.
+
+Reference semantics (re-derived, not ported):
+- X1 `partial_radius(player_speed, x, y, ball_speed, bx, by)`
+  (`radius_model.R:9-79`): for each of 360 headings, the largest
+  radius the player can cover before the ball arrives at that point.
+  The reference solves a 2-var L-BFGS-B problem per heading
+  (`radius_model.R:47-54`); the same boundary is the positive root of
+  a quadratic (Apollonius interception circle), solved here in closed
+  form — one numpy broadcast over rows × 360 headings, ~10⁴× cheaper
+  with identical semantics. (The optimizer path existed only because R
+  had no closed form at hand.)
+- X2 `overlap(...)` → `open_count` (`radius_model.R:97-199`): Monte
+  Carlo openness — bound a box by the max radius ∩ the field
+  (0-120 × 0-53.3, `radius_model.R:114-123`), sample `area×density`
+  uniform points (`:127-131`), per point: ball flight time (`:134`),
+  defender reachability (`:138-146`), offensive reachability via the
+  X1 radius indexed by angle (`:149-166`), +0.2 direction bonus within
+  π/8 of the player's heading (`:168-182`); score 1+0.2·dir if no
+  defender reaches, −0.2·count if >1, else 0 (`:186-192`); summed.
+
+Determinism: the reference used `future.seed=TRUE`
+(`radius_model.R:249`) — partition-layout-dependent. Here the RNG seed
+derives from row identity (gameId, playId, nflId, frameId), so results
+are identical under ANY partitioning/cluster size — a requirement for
+oracle replays at 100 TB.
+
+The public entry is `score_openness(df, ...)`: a mapInPandas operator
+taking defenders as an array<struct<x,y,s>> column (the idiomatic
+Spark signature; `wide_to_defender_array` adapts the reference's
+x_1…s_11 wide layout, `radius_model.R:226-230`).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+FIELD_X = 120.0
+FIELD_Y = 53.3
+N_ANGLES = 360
+#: radius cap when the player outruns the ball (bs <= s): field diagonal
+R_CAP = math.hypot(FIELD_X, FIELD_Y)
+
+
+def partial_radius(
+    player_speed: np.ndarray,
+    px: np.ndarray,
+    py: np.ndarray,
+    ball_speed: np.ndarray,
+    bx: np.ndarray,
+    by: np.ndarray,
+    n_angles: int = N_ANGLES,
+) -> np.ndarray:
+    """X1, closed form. Inputs are 1-D arrays of N rows; returns
+    (N, n_angles) reachable radii.
+
+    Boundary condition per heading u(θ): r/s = |p0 + r·u − b|/bs.
+    With w = p0 − b this is the positive root of
+    (bs² − s²)·r² − 2s²(u·w)·r − s²|w|² = 0.
+    """
+    s = np.asarray(player_speed, dtype=np.float64)[:, None]
+    bs = np.asarray(ball_speed, dtype=np.float64)[:, None]
+    wx = (np.asarray(px, dtype=np.float64) - np.asarray(bx, dtype=np.float64))[
+        :, None
+    ]
+    wy = (np.asarray(py, dtype=np.float64) - np.asarray(by, dtype=np.float64))[
+        :, None
+    ]
+    theta = np.linspace(0.0, 2.0 * np.pi, n_angles, endpoint=False)[None, :]
+    ux, uy = np.cos(theta), np.sin(theta)
+
+    a = bs * bs - s * s
+    b = -2.0 * s * s * (ux * wx + uy * wy)
+    c = -(s * s) * (wx * wx + wy * wy)
+
+    disc = np.maximum(b * b - 4.0 * a * c, 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = (-b + np.sqrt(disc)) / (2.0 * a)
+    # player at least as fast as the ball → every radius reachable
+    r = np.where(a <= 0.0, R_CAP, r)
+    return np.clip(r, 0.0, R_CAP)
+
+
+def row_seed(game_id: int, play_id: int, nfl_id: int, frame_id: int) -> int:
+    """Partition-independent RNG seed from row identity."""
+    h = (
+        (int(game_id) * 1_000_003 + int(play_id)) * 1_000_003
+        + int(nfl_id)
+    ) * 1_000_003 + int(frame_id)
+    return h % (2**63)
+
+
+def overlap(
+    o_speed: float,
+    o_dir_deg: float,
+    ox: float,
+    oy: float,
+    defenders: np.ndarray,  # (k, 3) columns x, y, s
+    ball_speed: float,
+    bx: float,
+    by: float,
+    density: float = 100.0,
+    seed: int = 0,
+) -> float:
+    """X2 for a single row. `density` = MC points per square yard
+    (reference: 100, `radius_model.R:127`)."""
+    radii = partial_radius(
+        np.array([o_speed]),
+        np.array([ox]),
+        np.array([oy]),
+        np.array([ball_speed]),
+        np.array([bx]),
+        np.array([by]),
+    )[0]
+    rmax = float(radii.max())
+    if rmax <= 0.0:
+        return 0.0
+    x0, x1 = max(ox - rmax, 0.0), min(ox + rmax, FIELD_X)
+    y0, y1 = max(oy - rmax, 0.0), min(oy + rmax, FIELD_Y)
+    area = max(x1 - x0, 0.0) * max(y1 - y0, 0.0)
+    n = int(area * density)
+    if n <= 0:
+        return 0.0
+
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform((x0, y0), (x1, y1), size=(n, 2))
+
+    dxb, dyb = pts[:, 0] - bx, pts[:, 1] - by
+    t_ball = np.hypot(dxb, dyb) / ball_speed
+
+    if defenders.size:
+        dx = pts[:, 0][:, None] - defenders[None, :, 0]
+        dy = pts[:, 1][:, None] - defenders[None, :, 1]
+        t_def = np.hypot(dx, dy) / np.maximum(defenders[None, :, 2], 1e-9)
+        n_reach = (t_def <= t_ball[:, None]).sum(axis=1)
+    else:
+        n_reach = np.zeros(n, dtype=np.int64)
+
+    ang = np.arctan2(pts[:, 1] - oy, pts[:, 0] - ox) % (2.0 * np.pi)
+    idx = np.floor(ang / (2.0 * np.pi / N_ANGLES)).astype(np.int64) % N_ANGLES
+    dist_o = np.hypot(pts[:, 0] - ox, pts[:, 1] - oy)
+    o_reach = dist_o <= radii[idx]
+
+    dir_rad = math.radians(o_dir_deg)
+    dang = np.abs((ang - dir_rad + np.pi) % (2.0 * np.pi) - np.pi)
+    dir_bonus = dang <= (np.pi / 8.0)
+
+    score = np.where(
+        n_reach == 0,
+        1.0 + 0.2 * dir_bonus,
+        np.where(n_reach > 1, -0.2 * n_reach, 0.0),
+    )
+    return float(score[o_reach].sum())
+
+
+def wide_to_defender_array(df, n_defenders: int = 11):
+    """Adapter: the reference's wide x_1…x_11/y_*/s_* defender layout
+    (`radius_model.R:226-230`) → array<struct<x,y,s>>."""
+    from pyspark.sql import functions as F
+
+    structs = [
+        F.struct(
+            F.col(f"x_{i}").alias("x"),
+            F.col(f"y_{i}").alias("y"),
+            F.col(f"s_{i}").alias("s"),
+        )
+        for i in range(1, n_defenders + 1)
+    ]
+    return df.withColumn(
+        "defenders",
+        F.filter(F.array(*structs), lambda d: d["x"].isNotNull()),
+    )
+
+
+OPENNESS_SCHEMA = (
+    "gameId long, playId long, nflId long, frameId long, open_count double"
+)
+
+
+def score_openness(df, density: float = 100.0):
+    """X2 as a distributed operator: mapInPandas over Arrow batches.
+
+    Expects columns: gameId, playId, nflId, frameId, s, dir, x, y,
+    ball_speed, fx, fy, defenders (array<struct<x,y,s>>). Replaces the
+    reference's manual 50k-row chunking + process pool
+    (`radius_model.R:210-255`) — Spark's task scheduler IS the chunker,
+    and Arrow replaces the worker serialization.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = np.empty(len(pdf), dtype=np.float64)
+            for i, row in enumerate(pdf.itertuples(index=False)):
+                defs_raw = row.defenders
+                if defs_raw is None or len(defs_raw) == 0:
+                    defs = np.empty((0, 3))
+                else:
+                    defs = np.array(
+                        [[d["x"], d["y"], d["s"]] for d in defs_raw],
+                        dtype=np.float64,
+                    )
+                out[i] = overlap(
+                    row.s,
+                    row.dir,
+                    row.x,
+                    row.y,
+                    defs,
+                    row.ball_speed,
+                    row.fx,
+                    row.fy,
+                    density=density,
+                    seed=row_seed(row.gameId, row.playId, row.nflId, row.frameId),
+                )
+            yield pd.DataFrame(
+                {
+                    "gameId": pdf["gameId"],
+                    "playId": pdf["playId"],
+                    "nflId": pdf["nflId"],
+                    "frameId": pdf["frameId"],
+                    "open_count": out,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=OPENNESS_SCHEMA)

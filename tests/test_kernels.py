@@ -1,0 +1,135 @@
+"""X1/X2 kernel tests: the reference's own smoke inputs
+(`radius_model copy.R:102,207-209`, `killer_plot_function.R:91`) as
+anchors, plus the properties that define the semantics (the reference
+has no stored expected outputs — SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from bigdatabowl2024_25_spark.functions.kernels import (
+    N_ANGLES,
+    R_CAP,
+    overlap,
+    partial_radius,
+    row_seed,
+)
+
+
+def _radii(s, x, y, bs, bx, by):
+    return partial_radius(
+        np.array([s], dtype=float),
+        np.array([x], dtype=float),
+        np.array([y], dtype=float),
+        np.array([bs], dtype=float),
+        np.array([bx], dtype=float),
+        np.array([by], dtype=float),
+    )[0]
+
+
+def test_partial_radius_reference_smoke():
+    # partial_radius(10, 15, 8, 20, 3, 5) — `radius_model copy.R:102`
+    r = _radii(10, 15, 8, 20, 3, 5)
+    assert r.shape == (N_ANGLES,)
+    assert np.all(np.isfinite(r)) and np.all(r > 0)
+    # killer_plot_function.R:91 variant
+    r2 = _radii(20, 110, 45, 20, 80, 40)
+    # player speed == ball speed → unbounded, capped at field diagonal
+    assert np.all(r2 == R_CAP)
+
+
+def test_partial_radius_boundary_condition():
+    """The closed form must satisfy the interception equation the
+    reference's optimizer solved: r/s == |p0 + r·u − b| / bs."""
+    s, x, y, bs, bx, by = 10.0, 15.0, 8.0, 20.0, 3.0, 5.0
+    r = _radii(s, x, y, bs, bx, by)
+    theta = np.linspace(0, 2 * np.pi, N_ANGLES, endpoint=False)
+    px = x + r * np.cos(theta)
+    py = y + r * np.sin(theta)
+    t_player = r / s
+    t_ball = np.hypot(px - bx, py - by) / bs
+    assert np.allclose(t_player, t_ball, rtol=1e-9, atol=1e-9)
+
+
+def test_partial_radius_monotone_in_speed():
+    slow = _radii(6, 15, 8, 20, 3, 5)
+    fast = _radii(12, 15, 8, 20, 3, 5)
+    assert np.all(fast >= slow)
+
+
+def test_partial_radius_away_beats_toward():
+    """Headings pointing away from the ball give the player more time
+    → larger radius than headings toward the ball."""
+    r = _radii(10, 15, 8, 20, 3, 5)
+    toward = math.atan2(5 - 8, 3 - 15) % (2 * math.pi)
+    away = (toward + math.pi) % (2 * math.pi)
+    it = int(toward / (2 * math.pi / N_ANGLES))
+    ia = int(away / (2 * math.pi / N_ANGLES))
+    assert r[ia] > r[it]
+
+
+_DEFENDERS = np.array(
+    [[0.0, 0.0, 7.0], [10.0, 12.0, 5.0], [16.0, 30.0, 8.0]]
+)  # `radius_model copy.R:207-209`
+
+
+def test_overlap_reference_smoke():
+    v = overlap(10, 0.0, 15, 8, _DEFENDERS, 20, 0, 0, density=20.0, seed=7)
+    assert math.isfinite(v)
+
+
+def test_overlap_defenders_reduce_openness():
+    no_def = overlap(
+        10, 0.0, 15, 8, np.empty((0, 3)), 20, 0, 0, density=20.0, seed=7
+    )
+    with_def = overlap(10, 0.0, 15, 8, _DEFENDERS, 20, 0, 0, density=20.0, seed=7)
+    assert no_def > with_def
+    assert no_def > 0
+
+
+def test_overlap_seed_determinism():
+    a = overlap(10, 45.0, 15, 8, _DEFENDERS, 20, 0, 0, density=20.0, seed=11)
+    b = overlap(10, 45.0, 15, 8, _DEFENDERS, 20, 0, 0, density=20.0, seed=11)
+    c = overlap(10, 45.0, 15, 8, _DEFENDERS, 20, 0, 0, density=20.0, seed=12)
+    assert a == b
+    assert a != c  # different seed, different MC draw
+
+
+def test_score_openness_partition_invariant(spark):
+    """The distributed operator must give identical results under any
+    partitioning (seed is keyed on row identity, not layout)."""
+    from pyspark.sql import functions as F
+
+    from bigdatabowl2024_25_spark.functions.kernels import score_openness
+
+    rows = [
+        (1, 1, 100 + i, i, 7.0 + i % 3, 30.0 * i, 20.0 + i, 10.0 + i, 18.0,
+         5.0, 5.0, [{"x": 25.0, "y": 12.0, "s": 6.0}, {"x": 30.0, "y": 20.0, "s": 7.5}])
+        for i in range(12)
+    ]
+    schema = (
+        "gameId long, playId long, nflId long, frameId long, s double,"
+        " dir double, x double, y double, ball_speed double, fx double,"
+        " fy double, defenders array<struct<x:double,y:double,s:double>>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    a = score_openness(df.repartition(1), density=5.0).collect()
+    b = score_openness(df.repartition(8), density=5.0).collect()
+    ka = {(r.gameId, r.playId, r.nflId, r.frameId): r.open_count for r in a}
+    kb = {(r.gameId, r.playId, r.nflId, r.frameId): r.open_count for r in b}
+    assert ka == kb
+    assert len(ka) == 12
+
+
+def test_row_seed_distinct():
+    seeds = {
+        row_seed(g, p, n, f)
+        for g in (1, 2)
+        for p in (1, 2)
+        for n in (10, 11)
+        for f in (1, 2, 3)
+    }
+    assert len(seeds) == 24
