@@ -1,0 +1,177 @@
+"""ML layer (SURVEY.md §2.9 X4-X9): the two notebook classifiers
+re-expressed with Spark MLlib.
+
+- DefCoverage.ipynb: play-level coverage classifier — features are
+  per-play defender aggregates (pivot + multi-stat, cells 2-4) +
+  situational play columns; 18-class RandomForest (cell 5).
+- DefPosModel.ipynb: per-defender assignment classifier — start/end
+  positions, distance aggregates in the pre-snap window (cell 1);
+  19-class RandomForest (cell 4).
+
+Feature building is the Spark-scale part (59M tracking rows); model
+fitting happens on the resulting ≤44k-row feature table, for which
+MLlib's RandomForest is plenty (the notebooks' sklearn/xgboost are not
+in this environment — metrics are tolerance bands per SURVEY.md §5,
+not hash targets).
+
+X4 LabelEncoder → StringIndexer; X5 train_test_split(seed=42) →
+randomSplit(seed=42); X7 StandardScaler → MLlib StandardScaler;
+X8 metrics → MulticlassClassificationEvaluator.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import RandomForestClassifier
+from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+from pyspark.ml.feature import StandardScaler, StringIndexer, VectorAssembler
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEED = 42
+
+
+def coverage_features(
+    tracking: DataFrame, plays: DataFrame, players: DataFrame
+) -> DataFrame:
+    """Play-level features (`DefCoverage.ipynb` cells 1-4): per-play
+    defender position/speed aggregates + situational columns; label =
+    pff_passCoverage."""
+    defenders = tracking.join(
+        F.broadcast(plays.select("gameId", "playId", "defensiveTeam")),
+        ["gameId", "playId"],
+    ).filter(F.col("club") == F.col("defensiveTeam"))
+    agg = defenders.groupBy("gameId", "playId").agg(
+        F.avg("x").alias("def_x_mean"),
+        F.stddev_samp("x").alias("def_x_std"),
+        F.avg("y").alias("def_y_mean"),
+        F.stddev_samp("y").alias("def_y_std"),
+        F.avg("s").alias("def_s_mean"),
+        F.stddev_samp("s").alias("def_s_std"),
+        F.countDistinct("nflId").alias("n_defenders"),
+    )
+    feats = agg.join(
+        plays.select(
+            "gameId", "playId", "down", "yardsToGo",
+            "absoluteYardlineNumber",
+            (F.col("preSnapHomeScore") - F.col("preSnapVisitorScore")).alias(
+                "score_diff"
+            ),
+            "pff_passCoverage",
+        ),
+        ["gameId", "playId"],
+    ).filter(F.col("pff_passCoverage").isNotNull())
+    return feats.na.fill(0)
+
+
+COVERAGE_FEATURE_COLS = [
+    "def_x_mean", "def_x_std", "def_y_mean", "def_y_std",
+    "def_s_mean", "def_s_std", "n_defenders",
+    "down", "yardsToGo", "absoluteYardlineNumber", "score_diff",
+]
+
+
+def assignment_features(
+    tracking: DataFrame, plays: DataFrame, player_play: DataFrame
+) -> DataFrame:
+    """Per-defender features (`DefPosModel.ipynb` cell 1): start/end
+    positions (A6 min_by/max_by — the notebook's per-group Python loop
+    eliminated) + motion aggregates; label =
+    pff_defensiveCoverageAssignment."""
+    defenders = tracking.join(
+        F.broadcast(plays.select("gameId", "playId", "defensiveTeam")),
+        ["gameId", "playId"],
+    ).filter(
+        (F.col("club") == F.col("defensiveTeam")) & F.col("nflId").isNotNull()
+    )
+    agg = defenders.groupBy("gameId", "playId", "nflId").agg(
+        F.min_by("x", "frameId").alias("start_x"),
+        F.max_by("x", "frameId").alias("end_x"),
+        F.min_by("y", "frameId").alias("start_y"),
+        F.max_by("y", "frameId").alias("end_y"),
+        F.avg("s").alias("s_mean"),
+        F.max("s").alias("s_max"),
+        F.avg("a").alias("a_mean"),
+    )
+    labels = player_play.select(
+        "gameId", "playId", "nflId", "pff_defensiveCoverageAssignment"
+    ).filter(F.col("pff_defensiveCoverageAssignment").isNotNull())
+    return agg.join(labels, ["gameId", "playId", "nflId"]).na.fill(0)
+
+
+ASSIGNMENT_FEATURE_COLS = [
+    "start_x", "end_x", "start_y", "end_y", "s_mean", "s_max", "a_mean",
+]
+
+
+def classifier_pipeline(
+    label_col: str,
+    feature_cols: list[str],
+    n_trees: int = 100,
+    max_depth: int = 10,
+    scale: bool = False,
+) -> Pipeline:
+    """StringIndexer (X4) → VectorAssembler [→ StandardScaler (X7)] →
+    RandomForest (X6), seed-pinned."""
+    stages = [
+        StringIndexer(
+            inputCol=label_col, outputCol="label", handleInvalid="skip"
+        ),
+        VectorAssembler(inputCols=feature_cols, outputCol="raw_features"),
+    ]
+    feat = "raw_features"
+    if scale:
+        stages.append(
+            StandardScaler(inputCol=feat, outputCol="features", withMean=True)
+        )
+        feat = "features"
+    stages.append(
+        RandomForestClassifier(
+            featuresCol=feat,
+            labelCol="label",
+            numTrees=n_trees,
+            maxDepth=max_depth,
+            seed=SEED,
+        )
+    )
+    return Pipeline(stages=stages)
+
+
+def train_eval(
+    features: DataFrame,
+    label_col: str,
+    feature_cols: list[str],
+    **kwargs,
+) -> tuple[PipelineModel, DataFrame, dict[str, float]]:
+    """X5 seed-42 80/20 split, fit, X8 metrics (accuracy + logloss)."""
+    train, test = features.randomSplit([0.8, 0.2], seed=SEED)
+    model = classifier_pipeline(label_col, feature_cols, **kwargs).fit(train)
+    pred = model.transform(test)
+    acc = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="accuracy"
+    ).evaluate(pred)
+    ll = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="logLoss"
+    ).evaluate(pred)
+    return model, pred, {"accuracy": acc, "log_loss": ll}
+
+
+def confusion_matrix(pred: DataFrame) -> DataFrame:
+    """X8: confusion matrix as a pivot (`DefCoverage.ipynb` cell 7)."""
+    return (
+        pred.groupBy("label")
+        .pivot("prediction")
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+def predict_for_play(
+    model: PipelineModel, features: DataFrame, game_id: int, play_id: int
+) -> DataFrame:
+    """X9: per-play inference (`DefPosModel.ipynb` cell 7) — filter
+    first so only the play's rows are scored."""
+    rows = features.filter(
+        (F.col("gameId") == game_id) & (F.col("playId") == play_id)
+    )
+    return model.transform(rows)

@@ -1,0 +1,83 @@
+"""Structured Streaming slice (SURVEY.md §2.10).
+
+The reference is pure batch; its closest streaming analogues are the
+per-play event-time window filter (W12) and the 1-second `secondId`
+bucketing (`BuildingReadOrder.R:32-36`) — a tumbling window. This
+module replays the frame/event stream through readStream so those two
+patterns run as real streaming queries with watermarked state.
+
+Batch-first design pays off here: the same event-time column feeds
+both paths, so streaming is additive, not a rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def stream_from_dir(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """File-replay source: one-file-per-trigger parquet stream — the
+    standard backfill/replay pattern (at scale: a Kafka source with the
+    same downstream query)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    width: str = "10 seconds",
+    watermark: str | None = "30 seconds",
+) -> DataFrame:
+    """Tumbling event-time window counts — the secondId bucketing
+    (1 s of frames) as a streaming aggregate.
+
+    `watermark` bounds state for append-mode production runs (late
+    rows beyond it are dropped — that IS the late-data policy); pass
+    None for complete-mode replays where the full history must equal
+    the batch aggregate exactly."""
+    if watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
+    return stream.groupBy(F.window(F.col(ts_col), width), F.col(key)).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def session_slices(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 seconds",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Session windows — the line_set→ball_snap per-play slice (W12) as
+    a gap-based session aggregate."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key))
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def run_to_memory(
+    query_df: DataFrame, name: str, mode: str = "append"
+) -> None:
+    """Execute a streaming query to completion over the replayed files
+    (availableNow) into an in-memory sink for verification."""
+    q = (
+        query_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

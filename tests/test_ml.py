@@ -1,0 +1,60 @@
+"""ML layer: feature builders produce the notebook-shaped tables and
+the seed-pinned MLlib pipeline trains/evaluates/scores (SURVEY.md §5:
+metrics are tolerance bands, never hashes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatabowl2024_25_spark import ml
+from tests.fixtures_bdb import build_fixtures
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    return build_fixtures(spark, n_games=3, plays_per_game=4)
+
+
+def test_coverage_features(t):
+    feats = ml.coverage_features(t["tracking"], t["plays"], t["players"])
+    rows = feats.collect()
+    assert len(rows) == 12  # one per play
+    for c in ml.COVERAGE_FEATURE_COLS + ["pff_passCoverage"]:
+        assert c in feats.columns
+    assert all(r.n_defenders == 11 for r in rows)
+
+
+def test_assignment_features(t):
+    feats = ml.assignment_features(t["tracking"], t["plays"], t["player_play"])
+    assert feats.count() == 12 * 11  # 11 defenders per play
+    for c in ml.ASSIGNMENT_FEATURE_COLS + ["pff_defensiveCoverageAssignment"]:
+        assert c in feats.columns
+    # end_x > start_x: defenders drift downfield in the fixture
+    r = feats.first()
+    assert r.end_x > r.start_x
+
+
+def test_train_eval_and_score(t):
+    feats = ml.coverage_features(t["tracking"], t["plays"], t["players"])
+    model, pred, metrics = ml.train_eval(
+        feats, "pff_passCoverage", ml.COVERAGE_FEATURE_COLS,
+        n_trees=10, max_depth=4,
+    )
+    assert 0.0 <= metrics["accuracy"] <= 1.0
+    assert metrics["log_loss"] >= 0.0
+    assert "probability" in pred.columns
+
+    cm = ml.confusion_matrix(pred)
+    assert cm.count() >= 1
+
+    one = ml.predict_for_play(model, feats, 2022090800, 100)
+    assert one.count() == 1
+    assert one.first().prediction is not None
+
+
+def test_split_is_seed_stable(t):
+    feats = ml.coverage_features(t["tracking"], t["plays"], t["players"])
+    a = feats.randomSplit([0.8, 0.2], seed=ml.SEED)[0].count()
+    b = feats.randomSplit([0.8, 0.2], seed=ml.SEED)[0].count()
+    assert a == b
