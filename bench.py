@@ -25,13 +25,21 @@ from bigdatabowl2024_25_spark import suite  # noqa: E402
 from bigdatabowl2024_25_spark.session import get_spark  # noqa: E402
 
 #: queries included in the headline benchmark (subset of the suite —
-#: the heavier, scale-representative ones)
+#: the heavier, scale-representative ones per operator family)
 HEADLINE = [
-    "q01_pricing_summary",
-    "q02_segment_revenue",
-    "q03_nation_revenue",
-    "q08_latest_order_per_customer",
-    "q09_top10_orders",
+    "q01_pricing_summary",        # scan + filter + hash agg
+    "q03_nation_revenue",         # snowflake broadcast joins
+    "q08_latest_order_per_customer",  # window keep-first
+    "q09_top10_orders",           # top-k
+    "q21_running_value",          # running-sum window
+    "q43_event_tree",             # sorted-inside string agg
+    "q45_event_entropy",          # two-phase entropy
+    "q61_quality_scores",         # text quality (array lambdas)
+    "q63_fingerprints",           # normalize + hash
+    "q72_near_dup_pairs",         # minhash→LSH→jaccard funnel
+    "q73_simhash",                # explode + 16-bit aggregate
+    "q80_cosine_topk",            # exact ANN baseline
+    "q82_ann_lsh_topk",           # LSH ANN scale path
 ]
 
 

@@ -43,28 +43,61 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def with_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingles array) — n-word shingles of the raw text."""
-    return df.select(
-        F.col(id_col), word_shingles(tokens(F.col(text_col)), n).alias("shingles")
+    """(id, shingles array) — n-word shingles of the raw text.
+
+    The words array is materialized as a column BEFORE shingling:
+    `word_shingles` indexes it 3× per shingle, and higher-order
+    functions don't get common-subexpression elimination, so an inline
+    split(text) would re-tokenize the document per element access
+    (O(words²) — measured ~4× slower on real documents)."""
+    words = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__words")
     )
+    return words.select(
+        F.col(id_col), word_shingles(F.col("__words"), n).alias("shingles")
+    )
+
+
+#: MinHash permutation domain: the Mersenne prime 2^31−1. Base hashes
+#: and permutation coefficients stay < 2^31, so a_i*h + b_i < 2^62 —
+#: safe int64 arithmetic in Spark's ANSI mode and DuckDB alike.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic permutation coefficients (a_i, b_i), identical in
+    the oracle SQL generator."""
+    return [
+        ((i + 1) * 2_654_435_761 % MINHASH_P, (i + 1) * 40_503 % MINHASH_P)
+        for i in range(k)
+    ]
+
+
+def shingle_hashes(shingled: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id, h) with ONE md5 per shingle, folded into the
+    MinHash domain. Shared by the signature and Jaccard stages — the
+    expensive string hashing happens exactly once, and every downstream
+    shuffle carries an 8-byte key instead of shingle text."""
+    ex = shingled.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    return ex.select(
+        F.col(id_col),
+        (portable_hash64(F.col("shingle")) % MINHASH_P).alias("h"),
+    ).distinct()
 
 
 def minhash_signatures(
     shingled: DataFrame, id_col: str, k: int = 8
 ) -> DataFrame:
-    """k-permutation MinHash signature per document.
-
-    One explode + ONE hash aggregate: sig_i = min over shingles of
-    H(i||shingle). Documents with no shingles drop out (standard
-    MinHash domain restriction)."""
-    ex = shingled.select(
-        F.col(id_col), F.explode("shingles").alias("shingle")
-    )
+    """k-permutation MinHash signature per document: ONE aggregate
+    computing sig_i = min((a_i·h + b_i) mod P) over the per-doc hash
+    set. Documents with no shingles drop out (standard MinHash domain
+    restriction)."""
+    hashes = shingle_hashes(shingled, id_col)
     mins = [
-        F.min(portable_hash64(F.col("shingle"), seed=i)).alias(f"mh_{i}")
-        for i in range(k)
+        F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(k))
     ]
-    return ex.groupBy(id_col).agg(*mins)
+    return hashes.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidates(
@@ -77,19 +110,22 @@ def lsh_candidates(
     fixed-width join key. Self-join happens per band key, so skew is
     bounded by the largest near-dup cluster, not by n."""
     r = k // bands
-    pieces = []
-    for b in range(bands):
-        key = F.md5(
+    keys = [
+        F.md5(
             F.concat_ws(
                 "_",
                 F.lit(str(b)),
                 *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)],
             ).cast("binary")
         )
-        pieces.append(
-            sigs.select(F.col(id_col).alias("doc"), key.alias("band_key"))
-        )
-    banded = reduce(lambda a, b: a.unionByName(b), pieces)
+        for b in range(bands)
+    ]
+    # explode one array instead of a `bands`-way union: the signature
+    # aggregate subtree appears ONCE in the plan, not `bands` times
+    banded = sigs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array(*keys)).alias("band_key"),
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -109,16 +145,15 @@ def jaccard_pairs(
     candidates: DataFrame, shingled: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs (the verify stage of the
-    minhash→band→verify funnel)."""
-    ex = shingled.select(
-        F.col(id_col).alias("doc"), F.explode("shingles").alias("shingle")
-    ).distinct()
+    minhash→band→verify funnel), joining on hashed shingles — 8-byte
+    keys, no text movement."""
+    ex = shingle_hashes(shingled, id_col).withColumnRenamed(id_col, "doc")
     sizes = ex.groupBy("doc").agg(F.count("*").alias("n"))
-    ea = ex.select(F.col("doc").alias("id_a"), "shingle")
-    eb = ex.select(F.col("doc").alias("id_b"), "shingle")
+    ea = ex.select(F.col("doc").alias("id_a"), "h")
+    eb = ex.select(F.col("doc").alias("id_b"), "h")
     inter = (
         candidates.join(ea, ["id_a"])
-        .join(eb, ["id_b", "shingle"])
+        .join(eb, ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )

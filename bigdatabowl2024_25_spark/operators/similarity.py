@@ -179,15 +179,19 @@ def lsh_topk(
     pytest-checked (tests/test_similarity.py)."""
 
     def banded(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        parts = [
-            df.select(
-                F.col(id_col).alias(out_id),
-                lsh_bucket(F.col(vec_col), planes, dims, table=t).alias("bucket"),
-                F.col(vec_col).alias(out_vec),
-            )
-            for t in range(tables)
-        ]
-        return reduce(lambda a, b: a.unionByName(b), parts)
+        # one exploded bucket array, not a `tables`-way union — the
+        # source subtree appears once in the plan
+        buckets = F.array(
+            *[
+                lsh_bucket(F.col(vec_col), planes, dims, table=t)
+                for t in range(tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(buckets).alias("bucket"),
+            F.col(vec_col).alias(out_vec),
+        )
 
     qe = banded(queries, "q_id", "q_vec")
     de = banded(data, "d_id", "d_vec")

@@ -16,9 +16,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    MINHASH_P,
     exact_dedup,
     jaccard_pairs,
     lsh_candidates,
+    minhash_coeffs,
     minhash_signatures,
     simhash,
     with_shingles,
@@ -87,9 +89,16 @@ _K = 8
 _BANDS = 4
 _ROWS = _K // _BANDS
 
+#: distinct folded shingle hashes — ONE md5 per shingle (mirrors
+#: operators.dedup.shingle_hashes)
+_HASHES = f"""
+        SELECT DISTINCT doc_id, {_h64('shingle')} % {MINHASH_P} AS h
+        FROM sh
+"""
+
 _SIG_MINS = ",\n           ".join(
-    "MIN({h}) AS mh_{i}".format(h=_h64(f"'{i}:' || shingle"), i=i)
-    for i in range(_K)
+    f"MIN((h * {a} + {b}) % {MINHASH_P}) AS mh_{i}"
+    for i, (a, b) in enumerate(minhash_coeffs(_K))
 )
 
 
@@ -98,16 +107,17 @@ _SIG_MINS = ",\n           ".join(
     oracle=f"""
     WITH sh AS (
         SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
-    )
+    ),
+    hashes AS ({_HASHES})
     SELECT doc_id,
            {_SIG_MINS}
-    FROM sh GROUP BY doc_id
+    FROM hashes GROUP BY doc_id
     """,
 )
 def q71_minhash_signatures(spark, sf_dir):
-    """MinHash signatures (k=8): explode shingles once, ONE aggregate
-    computing all k mins — not k passes. Docs with <3 words drop out
-    (no shingles)."""
+    """MinHash signatures (k=8): one md5 per shingle folded into the
+    2^31−1 domain, then ONE aggregate computing all k permutation mins
+    — not k hash passes. Docs with <3 words drop out (no shingles)."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_signatures(with_shingles(d, "text", "doc_id"), "doc_id", k=_K)
 
@@ -132,8 +142,9 @@ def _oracle_band_keys() -> str:
     sh AS (
         SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM corpus
     ),
+    hashes AS ({_HASHES}),
     sigs AS (
-        SELECT doc_id, {_SIG_MINS} FROM sh GROUP BY doc_id
+        SELECT doc_id, {_SIG_MINS} FROM hashes GROUP BY doc_id
     ),
     banded AS ({_oracle_band_keys()}),
     cand AS (
@@ -141,13 +152,12 @@ def _oracle_band_keys() -> str:
         FROM banded a JOIN banded b
           ON a.band_key = b.band_key AND a.doc < b.doc
     ),
-    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashes GROUP BY doc_id),
     inter AS (
         SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
         FROM cand c
-        JOIN dsh a ON a.doc_id = c.id_a
-        JOIN dsh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        JOIN hashes a ON a.doc_id = c.id_a
+        JOIN hashes b ON b.doc_id = c.id_b AND b.h = a.h
         GROUP BY c.id_a, c.id_b
     )
     SELECT i.id_a, i.id_b,

@@ -1,0 +1,110 @@
+"""Physical-plan assertions (the 100 TB design gate): predicates reach
+the parquet scan, projections prune columns, dim joins broadcast, and
+shuffle counts stay at the theoretical minimum. A query that merely
+returns correct rows but full-scans or sort-merge-joins a dim table
+fails HERE even though the oracle test passes."""
+
+from __future__ import annotations
+
+import re
+
+from bigdatabowl2024_25_spark import suite
+
+suite.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def shuffles(plan: str) -> int:
+    """Count shuffle Exchange nodes (excludes BroadcastExchange)."""
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def test_q01_pushdown_and_pruning(spark):
+    plan = plan_of(suite.QUERIES["q01_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 7 needed columns only — l_orderkey/l_partkey/
+    # l_suppkey/l_shipdate must NOT be in the read schema payload
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+    # partial aggregation (map-side combine) before the exchange
+    assert "HashAggregate" in plan
+    assert shuffles(plan) == 1  # the aggregation shuffle, nothing else
+
+
+def test_q02_broadcasts_dim(spark):
+    plan = plan_of(suite.QUERIES["q02_segment_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q03_all_dims_broadcast(spark):
+    plan = plan_of(suite.QUERIES["q03_nation_revenue"](spark, SF))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 4
+    assert "SortMergeJoin" not in plan
+    # lineitem, the fact side, is never exchanged before the joins:
+    # the only shuffle in the whole plan is the final aggregation
+    assert shuffles(plan) == 1
+
+
+def test_q04_semi_join_broadcast(spark):
+    plan = plan_of(suite.QUERIES["q04_customers_with_orders"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_q08_single_window_shuffle(spark):
+    plan = plan_of(suite.QUERIES["q08_latest_order_per_customer"](spark, SF))
+    # keep-first = one hash exchange for the window, nothing else
+    assert shuffles(plan) == 1
+    assert "Window" in plan
+
+
+def test_q09_topk_never_global_sorts(spark):
+    plan = plan_of(suite.QUERIES["q09_top10_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q21_window_chain_single_exchange(spark):
+    plan = plan_of(suite.QUERIES["q21_running_value"](spark, SF))
+    assert shuffles(plan) == 1
+
+
+def test_q22_reuses_window_exchange(spark):
+    """Running sum + first-crossing + read offsets partition the same
+    way — the plan must not re-shuffle per window."""
+    plan = plan_of(suite.QUERIES["q22_first_crossing_reads"](spark, SF))
+    assert shuffles(plan) <= 2  # window + final agg
+
+
+def test_q44_pivot_no_distinct_job(spark):
+    """Explicit pivot values: the plan is a single aggregate pass, no
+    extra distinct-values collection."""
+    df = suite.QUERIES["q44_status_pivot"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    # pivot = two-phase aggregate: (ids, pivot_col) partials, then the
+    # ids-level pivot agg — exactly two shuffles, and no third job for
+    # distinct pivot values (explicit values list)
+    assert shuffles(plan) == 2
+
+
+def test_no_python_udfs_in_relational_suite(spark):
+    """Everything outside the numeric kernels stays JVM-side: no
+    BatchEvalPython / ArrowEvalPython nodes anywhere in the
+    oracle-gated queries."""
+    for name, fn in suite.QUERIES.items():
+        if name.startswith("q9"):  # kernel queries are mapInPandas
+            continue
+        plan = plan_of(fn(spark, SF), mode="simple")
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
