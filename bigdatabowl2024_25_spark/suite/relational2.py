@@ -1,0 +1,184 @@
+"""Parity queries: remaining join/source variants (J3, J5, J6, J10,
+S5) not already covered by relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.relational import asym_join
+from ..sources.io import load_table, register_views
+from .registry import query
+from .stable import dsum, oracle_dsum
+
+
+@query(
+    "q14_asym_key_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def q14_asym_key_join(spark, sf_dir):
+    """J3: equi-join on differently-named keys — route runner ⋈
+    assigned defender via nflId = pff_primaryDefensiveCoverageMatchupNflId
+    (`Openness_Data_Frame_Prep.R:63`). The right-side key column is
+    dropped post-join (P2 `data[,-c(19,20)]`)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    out = asym_join(
+        e.select("event_id", "user_id"),
+        c.select("c_custkey", "c_name", "c_mktsegment"),
+        [("user_id", "c_custkey")],
+    )
+    return out.select("event_id", "user_id", "c_name", "c_mktsegment")
+
+
+@query(
+    "q15_left_join_cascade",
+    oracle="""
+    WITH urgent AS (SELECT o_custkey, COUNT(*) AS n_urgent FROM orders
+                    WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+    high AS (SELECT o_custkey, COUNT(*) AS n_high FROM orders
+             WHERE o_orderpriority = '2-HIGH' GROUP BY o_custkey),
+    fin AS (SELECT o_custkey, COUNT(*) AS n_finished FROM orders
+            WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+    open_o AS (SELECT o_custkey, COUNT(*) AS n_open FROM orders
+               WHERE o_orderstatus = 'O' GROUP BY o_custkey),
+    big AS (SELECT o_custkey, COUNT(*) AS n_big FROM orders
+            WHERE o_totalprice > 200000 GROUP BY o_custkey)
+    SELECT c.c_custkey,
+           COALESCE(u.n_urgent, 0) AS n_urgent,
+           COALESCE(h.n_high, 0) AS n_high,
+           COALESCE(f.n_finished, 0) AS n_finished,
+           COALESCE(op.n_open, 0) AS n_open,
+           COALESCE(b.n_big, 0) AS n_big
+    FROM customer c
+    LEFT JOIN urgent u ON u.o_custkey = c.c_custkey
+    LEFT JOIN high h ON h.o_custkey = c.c_custkey
+    LEFT JOIN fin f ON f.o_custkey = c.c_custkey
+    LEFT JOIN open_o op ON op.o_custkey = c.c_custkey
+    LEFT JOIN big b ON b.o_custkey = c.c_custkey
+    """,
+)
+def q15_left_join_cascade(spark, sf_dir):
+    """J5: five sequential left joins building first…fifth targets
+    (`BuildingReadOrder.R:174-178`) — here five per-customer order
+    aggregates, null-filled to 0 (J11 pattern)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+
+    def side(cond, name):
+        return (
+            o.filter(cond)
+            .groupBy(F.col("o_custkey").alias("c_custkey"))
+            .agg(F.count("*").alias(name))
+        )
+
+    out = c
+    slices = [
+        (F.col("o_orderpriority") == "1-URGENT", "n_urgent"),
+        (F.col("o_orderpriority") == "2-HIGH", "n_high"),
+        (F.col("o_orderstatus") == "F", "n_finished"),
+        (F.col("o_orderstatus") == "O", "n_open"),
+        (F.col("o_totalprice") > 200000, "n_big"),
+    ]
+    for cond, name in slices:
+        out = out.join(F.broadcast(side(cond, name)), ["c_custkey"], "left")
+    return out.select(
+        "c_custkey",
+        *[F.coalesce(F.col(n), F.lit(0)).alias(n) for _, n in slices],
+    )
+
+
+@query(
+    "q16_right_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey IS NULL OR o.o_orderpriority = '5-LOW'
+    """,
+)
+def q16_right_join(spark, sf_dir):
+    """J6: `merge(..., all.y=T)` (`QBReadStats.R:47`)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.lit(True)
+    )
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey, "right")
+    return j.filter(
+        F.col("o_orderkey").isNull() | (F.col("o_orderpriority") == "5-LOW")
+    ).select("c_custkey", "c_name", "o_orderkey")
+
+
+@query(
+    "q17_sql_text_entry",
+    oracle=f"""
+    SELECT n.n_name, o.o_orderstatus,
+           {oracle_dsum('o.o_totalprice', 'revenue')}
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, o.o_orderstatus
+    """,
+)
+def q17_sql_text_entry(spark, sf_dir):
+    """S5: the SQL-string entry point — `dbSendQuery(dcon, "SELECT …")`
+    (`Openness_Data_Frame_Prep.R:8-18`) → `spark.sql` over registered
+    views. Same Catalyst plan as the DataFrame API; lazy, never a
+    blocking full fetch."""
+    register_views(spark, sf_dir, ["orders", "customer", "nation"])
+    return spark.sql(
+        """
+        SELECT n.n_name, o.o_orderstatus,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                 AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, o.o_orderstatus
+        """
+    )
+
+
+@query(
+    "q18_fact_fact_join",
+    oracle="""
+    SELECT a.user_id,
+           epoch_us(a.ts) // 86400000000 AS day,
+           COUNT(*) AS n_pairs,
+           MIN(epoch_us(b.ts) - epoch_us(a.ts)) AS min_gap_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_us(a.ts) // 86400000000 = epoch_us(b.ts) // 86400000000
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND epoch_us(b.ts) > epoch_us(a.ts)
+    GROUP BY a.user_id, epoch_us(a.ts) // 86400000000
+    """,
+)
+def q18_fact_fact_join(spark, sf_dir):
+    """J10: the one genuinely large fact-to-fact join — defender ⋈
+    offense tracking on (gameId, playId, frameId)
+    (`DefPosModel.ipynb` cell 1, 12.9M-row output). Here: view→purchase
+    pairings per (user, day). Both sides are big at scale → shuffle
+    join on the composite key, skew-handled by AQE."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.expr("ts_us div 86400000000")
+    )
+    a = e.filter(F.col("event_type") == "view").select(
+        "user_id", "day", F.col("ts_us").alias("a_ts")
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "day", F.col("ts_us").alias("b_ts")
+    )
+    j = a.join(b, ["user_id", "day"]).filter(F.col("b_ts") > F.col("a_ts"))
+    return j.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_pairs"),
+        F.min(F.col("b_ts") - F.col("a_ts")).alias("min_gap_us"),
+    )
