@@ -45,11 +45,10 @@ def with_shingles(
 ) -> DataFrame:
     """(id, shingles array) — n-word shingles of the raw text.
 
-    The words array is materialized as a column BEFORE shingling:
-    `word_shingles` indexes it 3× per shingle, and higher-order
-    functions don't get common-subexpression elimination, so an inline
-    split(text) would re-tokenize the document per element access
-    (O(words²) — measured ~4× slower on real documents)."""
+    The words array is materialized as a column before shingling; even
+    if Catalyst collapses the projection and inlines split(text),
+    `word_shingles`' slice/zip_with formulation keeps evaluation O(len)
+    (see its docstring for why the indexed form is quadratic)."""
     words = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__words")
     )
@@ -86,13 +85,18 @@ def shingle_hashes(shingled: DataFrame, id_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    shingled: DataFrame, id_col: str, k: int = 8
+    shingled: DataFrame,
+    id_col: str,
+    k: int = 8,
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """k-permutation MinHash signature per document: ONE aggregate
     computing sig_i = min((a_i·h + b_i) mod P) over the per-doc hash
     set. Documents with no shingles drop out (standard MinHash domain
-    restriction)."""
-    hashes = shingle_hashes(shingled, id_col)
+    restriction). Pass a precomputed `hashes` relation to share the
+    explode+hash+distinct subtree with the Jaccard verify stage."""
+    if hashes is None:
+        hashes = shingle_hashes(shingled, id_col)
     mins = [
         F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_coeffs(k))
@@ -142,12 +146,19 @@ def lsh_candidates(
 
 
 def jaccard_pairs(
-    candidates: DataFrame, shingled: DataFrame, id_col: str, threshold: float
+    candidates: DataFrame,
+    shingled: DataFrame,
+    id_col: str,
+    threshold: float,
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs (the verify stage of the
     minhash→band→verify funnel), joining on hashed shingles — 8-byte
-    keys, no text movement."""
-    ex = shingle_hashes(shingled, id_col).withColumnRenamed(id_col, "doc")
+    keys, no text movement. Pass a precomputed `hashes` relation to
+    share the subtree with the signature stage."""
+    if hashes is None:
+        hashes = shingle_hashes(shingled, id_col)
+    ex = hashes.withColumnRenamed(id_col, "doc")
     sizes = ex.groupBy("doc").agg(F.count("*").alias("n"))
     ea = ex.select(F.col("doc").alias("id_a"), "h")
     eb = ex.select(F.col("doc").alias("id_b"), "h")

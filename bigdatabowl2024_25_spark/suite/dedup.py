@@ -22,6 +22,7 @@ from ..operators.dedup import (
     lsh_candidates,
     minhash_coeffs,
     minhash_signatures,
+    shingle_hashes,
     simhash,
     with_shingles,
 )
@@ -174,9 +175,13 @@ def q72_near_dup_pairs(spark, sf_dir):
     Never materializes the O(n²) pair space — candidates only."""
     corpus = _corpus_df(spark, sf_dir)
     shingled = with_shingles(corpus, "text", "doc_id")
-    sigs = minhash_signatures(shingled, "doc_id", k=_K)
+    # one shared explode+hash+distinct relation: the signature stage
+    # and all three verify-stage consumers hang off the same subtree,
+    # so Spark's ReuseExchange serves them from one shuffle write
+    hashes = shingle_hashes(shingled, "doc_id")
+    sigs = minhash_signatures(shingled, "doc_id", k=_K, hashes=hashes)
     cand = lsh_candidates(sigs, "doc_id", k=_K, bands=_BANDS)
-    return jaccard_pairs(cand, shingled, "doc_id", threshold=0.4)
+    return jaccard_pairs(cand, shingled, "doc_id", threshold=0.4, hashes=hashes)
 
 
 _BITS = 16
