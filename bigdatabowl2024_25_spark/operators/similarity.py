@@ -1,11 +1,13 @@
 """Similarity search over embedding columns (`array<float>`).
 
 Two paths:
-- `brute_force_topk`: exact cosine top-k. For oracle parity the dot
-  products are computed via posexplode + join + decimal-stabilized
-  sums (order-exact, engine-portable). For bench-speed there is also
-  the array-native `cosine_col` (zip_with/aggregate — single-pass JVM,
-  no explode) — same semantics, float-association-dependent low bits.
+- `brute_force_topk`: exact cosine top-k. Vectors are quantized to
+  micro-integers, so dot products and norms are pure int64 sums —
+  order-free, hence engine-exact AND computable array-natively
+  (zip_with + aggregate inside whole-stage codegen): a broadcast
+  nested-loop join with zero shuffles on the score side, instead of
+  the explode→join-on-pos→re-aggregate formulation that shuffles the
+  entire vector corpus twice.
 - `lsh_topk`: random-hyperplane LSH bucketing as the scale path —
   candidates share a bucket key; the expensive exact scoring runs only
   within buckets. Hyperplane signs are derived from the portable hash,
@@ -13,7 +15,8 @@ Two paths:
 
 Scale notes (100 TB / billions of vectors):
 - the brute-force path is the correctness baseline and the per-bucket
-  scorer; it is O(n·q) and must never run globally at scale.
+  scorer; it is O(n·q) and must never run globally at scale. The
+  query side is broadcast — callers keep it small (or pre-bucket).
 - the LSH path shuffles each vector once per table (`planes` bits →
   one bucket key), then joins query buckets to data buckets — the
   classic ANN partition-prune; recall is tunable via planes/tables.
@@ -38,23 +41,23 @@ from pyspark.sql import functions as F
 QUANT = 1_000_000.0
 
 
-def exploded(vecs: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
-    """(id, pos, micro-int val) long form of an embedding column."""
-    return vecs.select(
-        F.col(id_col).alias(f"{prefix}_id"),
-        F.posexplode(vec_col).alias("pos", f"{prefix}_val"),
-    ).withColumn(
-        f"{prefix}_val",
-        F.floor(F.col(f"{prefix}_val").cast("double") * QUANT).cast("bigint"),
+def quantized(vec_col: Column) -> Column:
+    """Micro-int form of a float vector: floor(v·1e6) per component.
+    floor on an exact double product is bit-deterministic in every
+    engine, so everything downstream is int64 arithmetic."""
+    return F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * QUANT).cast("bigint")
     )
 
 
-def norms(vecs: DataFrame, id_col: str, vec_col: str, out: str) -> DataFrame:
-    """Integer-exact L2 norms of the quantized vectors: sqrt(Σ q²)."""
-    ex = exploded(vecs, id_col, vec_col, "n")
-    return ex.groupBy("n_id").agg(
-        F.sqrt(F.sum(F.col("n_val") * F.col("n_val")).cast("double")).alias(out)
-    ).withColumnRenamed("n_id", id_col)
+def int_dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ over micro-int vectors — int64, order-free, exact.
+    (|v|≲10 ⇒ components <1e7, 64-dim dot <6.4e15 ≪ int64 max.)"""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 def pairwise_cosine(
@@ -63,32 +66,31 @@ def pairwise_cosine(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """Exact cosine for every (query, data) pair via the long-form join:
-    dot = Σ q·d over micro-int values — int64, order-free. Returns
-    (q_id, d_id, cosine)."""
-    qe = exploded(queries, id_col, vec_col, "q")
-    de = exploded(data, id_col, vec_col, "d")
-    dots = (
-        qe.join(de, ["pos"])
-        .groupBy("q_id", "d_id")
-        .agg(
-            F.sum(F.col("q_val") * F.col("d_val")).cast("double").alias("dot")
+    """Exact cosine for every (query, data) pair: broadcast the query
+    side, score each pair with a single array-native int64 dot —
+    no shuffle touches the data corpus. Returns (q_id, d_id, cosine).
+
+    Norms are projected per side BEFORE the join (O(n+q) norm work,
+    not O(n·q)), so the per-pair cost is exactly one zip_with."""
+
+    def prep(df: DataFrame, p: str) -> DataFrame:
+        iv = quantized(F.col(vec_col))
+        return df.select(
+            F.col(id_col).alias(f"{p}_id"), iv.alias(f"{p}_iv")
+        ).withColumn(
+            f"{p}_norm",
+            F.sqrt(int_dot(F.col(f"{p}_iv"), F.col(f"{p}_iv")).cast("double")),
         )
-    )
-    qn = norms(queries, id_col, vec_col, "q_norm").withColumnRenamed(
-        id_col, "q_id"
-    )
-    dn = norms(data, id_col, vec_col, "d_norm").withColumnRenamed(
-        id_col, "d_id"
-    )
-    return (
-        dots.join(F.broadcast(qn), ["q_id"])
-        .join(dn, ["d_id"])
-        .select(
-            "q_id",
-            "d_id",
-            (F.col("dot") / (F.col("q_norm") * F.col("d_norm"))).alias("cosine"),
-        )
+
+    qv = prep(queries, "q")
+    dv = prep(data, "d")
+    return dv.crossJoin(F.broadcast(qv)).select(
+        "q_id",
+        "d_id",
+        (
+            int_dot(F.col("q_iv"), F.col("d_iv")).cast("double")
+            / (F.col("q_norm") * F.col("d_norm"))
+        ).alias("cosine"),
     )
 
 
@@ -195,12 +197,18 @@ def lsh_topk(
 
     qe = banded(queries, "q_id", "q_vec")
     de = banded(data, "d_id", "d_vec")
-    cand = (
-        qe.join(de, ["bucket"])
-        .select("q_id", "d_id", "q_vec", "d_vec")
+    # score INSIDE the bucket join, then dedupe the scalar rows: a pair
+    # colliding in t tables re-scores t× (64 multiplies), which is far
+    # cheaper than shuffling both 64-float vectors through a
+    # dropDuplicates just to score once. Query side broadcast: the
+    # corpus never shuffles.
+    scored = (
+        de.join(F.broadcast(qe), ["bucket"])
+        .select(
+            "q_id",
+            "d_id",
+            cosine_col(F.col("q_vec"), F.col("d_vec")).alias("cosine"),
+        )
         .dropDuplicates(["q_id", "d_id"])
     )
-    pairs = cand.select(
-        "q_id", "d_id", cosine_col(F.col("q_vec"), F.col("d_vec")).alias("cosine")
-    )
-    return topk_per_query(pairs, k)
+    return topk_per_query(scored, k)
