@@ -27,6 +27,7 @@ def load_all() -> None:
     from . import scalars  # noqa: F401
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
+    from . import skew  # noqa: F401
     from . import text  # noqa: F401
     from . import bdb  # noqa: F401
 

@@ -108,3 +108,39 @@ def test_no_python_udfs_in_relational_suite(spark):
         plan = plan_of(fn(spark, SF), mode="simple")
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_q33_salted_agg_two_phase(spark):
+    """Salted aggregation: partial agg on (key, salt) under ONE
+    shuffle, final agg on key under a second — the hot key never
+    lands on a single reducer in phase 1."""
+    plan = plan_of(suite.QUERIES["q33_salted_hot_agg"](spark, SF))
+    assert plan.count("HashAggregate") >= 4  # 2 logical phases × partial/final
+    assert "__salt" in plan
+    assert shuffles(plan) == 2
+
+
+def test_q34_salted_join_partitions_on_salt(spark):
+    """Salted join: no broadcast assumed — the join key must include
+    the salt so the hot key spreads across reducers."""
+    from bigdatabowl2024_25_spark.operators.skew import salted_join
+    from bigdatabowl2024_25_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    hot = load_table(spark, SF, "events").select("event_id", "user_id")
+    dim = load_table(spark, SF, "nation").select(
+        F.col("n_nationkey").alias("user_id"), "n_name"
+    )
+    # disable auto-broadcast to force the shuffle path this operator
+    # exists for, then check the exchange hashes on (key, salt)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(
+            salted_join(hot, dim, ["user_id"], ["event_id"], buckets=8)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+    m = re.search(r"hashpartitioning\(user_id#\d+L?, __salt", plan)
+    assert m, plan[:2000]
