@@ -105,6 +105,30 @@ def write_table(
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffles ONCE at write time so every
+    later equi-join/aggregation on `bucket_by` is exchange-free.
+
+    This is the co-location strategy for repeatedly-joined 100 TB
+    facts — e.g. tracking ⋈ plays ⋈ player_play all bucket by
+    (gameId, playId); the per-frame fact⋈fact join (SURVEY §2.3 J10)
+    then needs no shuffle at all (verified in
+    tests/test_sources.py::test_bucketed_join_no_exchange). sort_by
+    additionally orders within buckets (frameId) so window functions
+    over the bucket key start from sorted runs."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.format("parquet").saveAsTable(table)
+
+
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     """S6: CSV sink (`QBReadStats.R:263`, `DefCoverage.ipynb` cell 9)."""
     out = df.coalesce(1) if single_file else df

@@ -67,3 +67,31 @@ def test_assert_unique_key_raises(spark):
     df = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
     with pytest.raises(ValueError):
         io.assert_unique_key(df, ["k"])
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Bucketed co-location: two facts bucketed on the same key join
+    with ZERO shuffle exchanges — the write-once pre-shuffle that makes
+    repeated 100 TB fact⋈fact joins (SURVEY §2.3 J10) affordable."""
+    import re
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    io.write_bucketed(a, "bkt_a", ["k"], 4)
+    io.write_bucketed(b, "bkt_b", ["k"], 4)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"Exchange hashpartitioning", plan), plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
