@@ -127,6 +127,100 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def ivf_index(
+    data: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: distributed KMeans partitions the corpus
+    into `n_lists` inverted lists. Returns (assigned corpus with
+    `__list`, centroid vectors).
+
+    Scale: the index is built ONCE and written out (ideally
+    `write_bucketed(..., bucket_by=["__list"])` so probes are
+    partition-pruned scans); at billions of vectors KMeans fits on a
+    sample — Spark's implementation already distributes the assignment
+    pass, which is the part proportional to corpus size."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fv = data.withColumn(
+        "__fv",
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+    )
+    model = KMeans(
+        k=n_lists, seed=seed, featuresCol="__fv", predictionCol="__list"
+    ).fit(fv)
+    assigned = model.transform(fv).select(
+        F.col(id_col), F.col(vec_col), F.col("__list")
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def nearest_lists(vec_col: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """Indices of the `nprobe` nearest centroids (squared-L2), as an
+    array column. Centroids are literals — evaluated per row inside
+    codegen, no join, no shuffle."""
+    packed = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec_col,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda v, cc: (v.cast("double") - cc)
+                        * (v.cast("double") - cc),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                F.lit(i).alias("list_id"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(packed), 1, nprobe), lambda s: s["list_id"]
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF probe: each query scans only its `nprobe` nearest inverted
+    lists (~nprobe/n_lists of the corpus), scored exactly within them.
+    The probe set is a broadcast join on `__list` — the corpus never
+    shuffles; with a `__list`-bucketed index the probe is a pruned
+    scan."""
+    qp = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(nearest_lists(F.col(vec_col), centroids, nprobe)).alias(
+            "__list"
+        ),
+    )
+    scored = (
+        assigned.withColumnRenamed(id_col, "d_id")
+        .withColumnRenamed(vec_col, "d_vec")
+        .join(F.broadcast(qp), ["__list"])
+        .select(
+            "q_id",
+            "d_id",
+            cosine_col(F.col("q_vec"), F.col("d_vec")).alias("cosine"),
+        )
+    )
+    return topk_per_query(scored, k)
+
+
 def _plane_signs(plane: int, dims: int) -> list[float]:
     """h_plane[d] ∈ {−1, +1} from md5 of (plane, d) — computed driver-
     side with the same math as `portable_hash64`, so the planes are

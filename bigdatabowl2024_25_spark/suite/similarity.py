@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
+    ivf_index,
+    ivf_topk,
     lsh_topk,
     pairwise_cosine,
     topk_per_query,
@@ -109,6 +111,21 @@ def q82_ann_lsh_topk(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     out = lsh_topk(q, e, "vec_id", "embedding", k=5, planes=3, tables=4, dims=64)
+    return out.filter(F.col("q_id") != F.col("d_id")).select(
+        "q_id", "d_id", "cosine", "rank"
+    )
+
+
+@query("q83_ann_ivf_topk")  # rows-only: KMeans index, no SQL oracle
+def q83_ann_ivf_topk(spark, sf_dir):
+    """Scale-path ANN #2: IVF — KMeans coarse quantizer (seeded,
+    deterministic), each query probes its 4 nearest of 16 inverted
+    lists (~25% of the corpus scanned instead of 100%). Recall vs q80
+    asserted in tests/test_similarity.py; driver does rows-only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    assigned, centroids = ivf_index(e, "vec_id", "embedding", n_lists=16)
+    out = ivf_topk(q, assigned, centroids, "vec_id", "embedding", k=5, nprobe=4)
     return out.filter(F.col("q_id") != F.col("d_id")).select(
         "q_id", "d_id", "cosine", "rank"
     )

@@ -54,3 +54,41 @@ def test_lsh_is_deterministic(spark):
     a = lsh_topk(q, e, "vec_id", "embedding", k=3, planes=3, tables=4, dims=64).collect()
     b = lsh_topk(q, e, "vec_id", "embedding", k=3, planes=3, tables=4, dims=64).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_recall_and_determinism(spark):
+    """IVF with nprobe=8 of 16 lists scans ~half the corpus; on the
+    near-orthogonal synthetic vectors recall vs exact top-5 must be
+    high, and the seeded KMeans index must reproduce exactly."""
+    from bigdatabowl2024_25_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = set(
+        map(
+            tuple,
+            topk_per_query(
+                pairwise_cosine(q, e, "vec_id", "embedding").filter(
+                    F.col("q_id") != F.col("d_id")
+                ),
+                k=5,
+            )
+            .select("q_id", "d_id")
+            .collect(),
+        )
+    )
+    assigned, cents = ivf_index(e, "vec_id", "embedding", n_lists=16)
+    out = (
+        ivf_topk(q, assigned, cents, "vec_id", "embedding", k=5, nprobe=8)
+        .filter(F.col("q_id") != F.col("d_id"))
+        .select("q_id", "d_id")
+    )
+    got = set(map(tuple, out.collect()))
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+    # determinism: rebuild index, same result
+    assigned2, cents2 = ivf_index(e, "vec_id", "embedding", n_lists=16)
+    assert cents == cents2
