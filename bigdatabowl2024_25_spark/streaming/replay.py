@@ -68,6 +68,51 @@ def session_slices(
     )
 
 
+def stateful_running_totals(
+    stream: DataFrame,
+    key: str = "user_id",
+    val: str = "value",
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-key
+    running (count, sum) maintained in explicit group state across
+    micro-batches — the streaming analogue of the per-play cumulative
+    tracking in `BuildingReadOrder.R:88-94` (W2), where the running
+    total must survive across frame batches.
+
+    Emits the updated running totals for every key touched by a batch
+    (update semantics). The final emission per key equals the batch
+    aggregate regardless of how rows were split into micro-batches —
+    count and sum are order-free — which is what the pytest pins.
+
+    Scale: state is per-key scalars (16 bytes), hash-partitioned by
+    key in the state store; throughput is Arrow-batched pandas, and
+    state never grows with event volume — only with key cardinality.
+    """
+    import pandas as pd  # local import: worker-side dependency
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key} long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key_tuple, pdfs, state):
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf[val].sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {key: [key_tuple[0]], "n_events": [n], "total_value": [tot]}
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     query_df: DataFrame, name: str, mode: str = "append"
 ) -> None:

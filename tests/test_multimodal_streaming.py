@@ -115,3 +115,36 @@ def test_session_windows(spark, tmp_path):
     out = spark.table("session_test").collect()
     assert len(out) > 0
     assert all(r.n_events >= 1 for r in out)
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: per-key state must accumulate across
+    micro-batches (3 files replayed one per trigger) and finish equal
+    to the batch aggregate — count/sum are order-free, so this holds
+    for ANY file arrival order."""
+    from bigdatabowl2024_25_spark.sources.io import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    path = str(tmp_path / "state_src")
+    events.repartition(3).write.parquet(path)
+    static = spark.read.parquet(path)
+    stream = replay.stream_from_dir(spark, path, static.schema)
+    replay.run_to_memory(
+        replay.stateful_running_totals(stream), "state_test", mode="update"
+    )
+    got = spark.table("state_test").collect()
+    # the memory sink holds one row per key per touching batch; the
+    # LAST (max n_events) per key is the final state
+    final = {}
+    for r in got:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, round(r.total_value, 6))
+    expected = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in static.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert final == expected and len(final) > 0
