@@ -163,3 +163,33 @@ def test_matchup_counts(t):
     assert len(out) > 0
     for r in out:
         assert r.total_matchups >= r.matchups
+
+
+def test_full_dag_materialized(spark, t, tmp_path):
+    """SURVEY §3: the five-stage DAG with parquet stage tables — every
+    stage persists, reads back, and feeds the next; stage keys hold."""
+    from bigdatabowl2024_25_spark.pipelines.dag import run_dag
+
+    out = run_dag(spark, t, str(tmp_path / "stages"), density=3.0)
+    expected = {
+        "cleaned_player_data",
+        "radius_data",
+        "reads_data",
+        "seconds_data",
+        "dropback_timing",
+        "press_data",
+        "matchups",
+    }
+    assert set(out) == expected
+    for name, df in out.items():
+        assert df.count() > 0, name
+    assert_unique_key(out["radius_data"], ["gameId", "playId", "nflId", "frameId"])
+    assert_unique_key(out["reads_data"], ["gameId", "playId"])
+    assert_unique_key(out["dropback_timing"], ["gameId", "playId"])
+    assert_unique_key(out["press_data"], ["nflId"])
+    # partition layout: gameId directories exist for the frame tables
+    import os
+    assert any(
+        d.startswith("gameId=")
+        for d in os.listdir(tmp_path / "stages" / "radius_data")
+    )
