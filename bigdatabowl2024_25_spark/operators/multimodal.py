@@ -110,6 +110,47 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "media_id long, payload binary, width int, height int"
+)
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, codec: str = "fake"
+) -> DataFrame:
+    """Resize stub: emits a transformed binary payload + target dims.
+    `codec='real'` is the PIL/ffmpeg integration point; the fake path
+    derives a deterministic payload of size ∝ width·height from the
+    content hash, so downstream byte-length/metadata plumbing behaves
+    like a real resize (output size independent of input size)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_len = max(width * height // 64, 16)
+        for pdf in it:
+            if codec == "real":
+                # ---- STUB: no codecs in this environment ----
+                raise NotImplementedError(
+                    "real media resize requires PIL/ffmpeg; not installed"
+                )
+            payloads = []
+            for payload in pdf["payload"]:
+                digest = hashlib.md5(bytes(payload)).digest()
+                reps = out_len // len(digest) + 1
+                payloads.append((digest * reps)[:out_len])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=RESIZE_SCHEMA
+    )
+
+
 def sample_frames(df: DataFrame, every_n: int = 10, n_frames_col: str = "n_frames") -> DataFrame:
     """Frame sampling for video payloads: explode every n-th frame
     index from metadata — pure JVM (sequence + explode), the decode of

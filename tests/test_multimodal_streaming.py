@@ -148,3 +148,18 @@ def test_stateful_running_totals(spark, tmp_path):
         .collect()
     }
     assert final == expected and len(final) > 0
+
+
+def test_resize_plumbing(media):
+    out = multimodal.resize_media(media, 32, 32).collect()
+    assert len(out) == 20
+    assert all(r.width == 32 and r.height == 32 for r in out)
+    # real resize: output size is target-determined, input-independent
+    sizes = {len(bytes(r.payload)) for r in out}
+    assert len(sizes) == 1
+    # deterministic: same content -> same resized bytes
+    again = {r.media_id: bytes(r.payload) for r in multimodal.resize_media(media, 32, 32).collect()}
+    assert {r.media_id: bytes(r.payload) for r in out} == again
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        multimodal.resize_media(media, 32, 32, codec="real").collect()
