@@ -144,3 +144,12 @@ def test_q34_salted_join_partitions_on_salt(spark):
         )
     m = re.search(r"hashpartitioning\(user_id#\d+L?, __salt", plan)
     assert m, plan[:2000]
+
+
+def test_q35_asof_single_shuffle_no_range_join(spark):
+    """As-of join must be union-then-window: ONE shuffle on the key,
+    never a range/cartesian join that explodes candidate pairs."""
+    plan = plan_of(suite.QUERIES["q35_asof_click_view"](spark, SF))
+    assert shuffles(plan) == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
