@@ -1,0 +1,53 @@
+"""Range (point-in-interval) join — banded, never a nested loop.
+
+Spark executes `l.ts BETWEEN r.lo AND r.hi` joins as
+BroadcastNestedLoopJoin / cartesian + filter: O(|l|·|r|) per key —
+unusable at 100 TB. The banded formulation turns it into an equi-join:
+
+- the point side gets band = floor(ts / W);
+- the interval side explodes into the bands it overlaps
+  (sequence(floor(lo/W), floor(hi/W)));
+- equi-join on (keys, band), then the exact containment filter.
+
+Each matching pair appears EXACTLY once — the only joining band is
+floor(point/W), so no post-join dedup is needed. Cost: one shuffle per
+side; interval replication = interval_width/W + 1 rows (pick W near
+the typical interval width). This is the standard interval-join
+strategy in Flink/AsterixDB-style engines, and the BDB analogue of
+"frames within [line_set, ball_snap − 2 s]" (SURVEY §2.5 W12) when
+the window bounds come from another table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    band_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join left rows (point_col) to right rows whose [lo_col, hi_col]
+    interval contains the point, sharing `keys`. band_width is in
+    point_col units (e.g. microseconds for epoch-us columns)."""
+    w = F.lit(band_width).cast("long")
+    band = lambda c: F.floor(F.col(c) / w).cast("long")  # noqa: E731
+    lb = left.withColumn("__band", band(point_col))
+    rb = right.withColumn(
+        "__band", F.explode(F.sequence(band(lo_col), band(hi_col)))
+    )
+    return (
+        lb.join(rb, [*keys, "__band"], how)
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("__band")
+    )

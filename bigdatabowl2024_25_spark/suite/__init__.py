@@ -21,6 +21,7 @@ from .registry import ORACLE, QUERIES, query
 def load_all() -> None:
     """Import every suite module so registration side-effects run."""
     from . import asof  # noqa: F401
+    from . import range_q  # noqa: F401
     from . import relational  # noqa: F401
     from . import relational2  # noqa: F401
     from . import windows  # noqa: F401

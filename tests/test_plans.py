@@ -153,3 +153,12 @@ def test_q35_asof_single_shuffle_no_range_join(spark):
     assert shuffles(plan) == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q36_range_join_is_equi_join(spark):
+    """Banded range join must plan as a hash equi-join on (key, band),
+    never a nested-loop/cartesian range join."""
+    plan = plan_of(suite.QUERIES["q36_range_join_signup_purchases"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
