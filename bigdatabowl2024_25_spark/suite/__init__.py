@@ -23,6 +23,7 @@ def load_all() -> None:
     from . import asof  # noqa: F401
     from . import range_q  # noqa: F401
     from . import rollup_q  # noqa: F401
+    from . import sketch_q  # noqa: F401
     from . import relational  # noqa: F401
     from . import relational2  # noqa: F401
     from . import windows  # noqa: F401
