@@ -182,3 +182,39 @@ def q18_fact_fact_join(spark, sf_dir):
         F.count("*").alias("n_pairs"),
         F.min(F.col("b_ts") - F.col("a_ts")).alias("min_gap_us"),
     )
+
+
+@query(
+    "q39_rollup_cube_totals",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+           COALESCE(l_linestatus, '<all>') AS l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q39_rollup_cube_totals(spark, sf_dir):
+    """OLAP grouping sets: df.rollup — subtotals per returnflag and a
+    grand total in one aggregate pass (Spark expands grouping sets in
+    a single shuffle; no N-pass union). Null grouping cells are
+    recoded '<all>' so the hash compare is unambiguous."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("l_quantity", "sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias(
+                "l_returnflag"
+            ),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias(
+                "l_linestatus"
+            ),
+            "n",
+            "sum_qty",
+        )
+    )
