@@ -156,6 +156,49 @@ def train_eval(
     return model, pred, {"accuracy": acc, "log_loss": ll}
 
 
+def tune(
+    features: DataFrame,
+    label_col: str,
+    feature_cols: list[str],
+    n_trees_grid: list[int] = (50, 100),
+    max_depth_grid: list[int] = (5, 10),
+    folds: int = 2,
+) -> tuple[PipelineModel, dict[str, float]]:
+    """X6's hyperparameter search (`DefPosModel.ipynb` cell 3,
+    RandomizedSearchCV — commented out in the reference) as a
+    seed-pinned CrossValidator grid. Fitting parallelism comes from
+    Spark tasks; each fold's fit is distributed, so the search scales
+    with the cluster rather than a joblib pool."""
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    pipe = classifier_pipeline(label_col, feature_cols)
+    rf = pipe.getStages()[-1]
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, list(n_trees_grid))
+        .addGrid(rf.maxDepth, list(max_depth_grid))
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName="accuracy"
+        ),
+        numFolds=folds,
+        seed=SEED,
+        parallelism=2,
+    )
+    model = cv.fit(features)
+    best = model.bestModel
+    best_rf = best.stages[-1]
+    return best, {
+        "best_num_trees": float(best_rf.getNumTrees),
+        "best_max_depth": float(best_rf.getMaxDepth()),
+        "best_avg_accuracy": float(max(model.avgMetrics)),
+    }
+
+
 def confusion_matrix(pred: DataFrame) -> DataFrame:
     """X8: confusion matrix as a pivot (`DefCoverage.ipynb` cell 7)."""
     return (

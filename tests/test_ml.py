@@ -58,3 +58,21 @@ def test_split_is_seed_stable(t):
     a = feats.randomSplit([0.8, 0.2], seed=ml.SEED)[0].count()
     b = feats.randomSplit([0.8, 0.2], seed=ml.SEED)[0].count()
     assert a == b
+
+
+def test_tune_cross_validator(t):
+    """X6 hyperparameter search: seed-pinned CV grid returns a fitted
+    best model with params from the grid."""
+    feats = ml.coverage_features(t["tracking"], t["plays"], t["players"])
+    model, info = ml.tune(
+        feats,
+        "pff_passCoverage",
+        ml.COVERAGE_FEATURE_COLS,
+        n_trees_grid=[5, 10],
+        max_depth_grid=[3],
+        folds=2,
+    )
+    assert info["best_num_trees"] in (5.0, 10.0)
+    assert info["best_max_depth"] == 3.0
+    assert 0.0 <= info["best_avg_accuracy"] <= 1.0
+    assert model.transform(feats).count() > 0
