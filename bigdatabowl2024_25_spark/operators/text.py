@@ -81,6 +81,62 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text).cast("binary"))
 
 
+#: winnowing domain (fits comfortably in int64 window minima)
+WINNOW_M = 2_147_483_647
+
+
+def char_kgrams(text: Column, k: int) -> Column:
+    """Every character k-gram of `text` as an array<string>: the
+    char array (split on '') shingled via shifted slices + zip_with —
+    the same O(len·k) construction as `word_shingles`. Never indexed
+    substring() in a lambda: UTF8String substring seeks from the
+    string start (O(i) per access → O(len²) total), and higher-order
+    lambdas evaluate interpreted, outside codegen — measured 88 s vs
+    0.9 s on sf0.01 documents for the winnowing query."""
+    chars = F.split(text, "")
+    m = F.greatest(F.size(chars) - (k - 1), F.lit(0))
+    out = F.slice(chars, 1, m)
+    for j in range(1, k):
+        out = F.zip_with(
+            out, F.slice(chars, j + 1, m), lambda a, b: F.concat(a, b)
+        )
+    return out
+
+
+def winnow_fingerprints(
+    df, text_col: str, id_col: str, k: int = 8, w: int = 4
+):
+    """Winnowing (the MOSS fingerprint selection): hash every char
+    k-gram, take the minimum hash of each w-length window, dedupe.
+    Any shared substring of length ≥ w+k−1 between two documents
+    shares a fingerprint; each doc keeps ~len/w fingerprints.
+
+    Shape: posexplode grams → hash in a codegen'd projection (NOT an
+    interpreted lambda) → per-doc window min over the [0, w−1] frame →
+    distinct. One shuffle on the doc key; hashing and window both stay
+    JVM-side. Returns (id_col, fp) rows."""
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(char_kgrams(F.col(text_col), k)).alias("pos", "gram"),
+    )
+    hashed = ex.select(
+        F.col(id_col),
+        "pos",
+        (portable_hash64(F.col("gram")) % WINNOW_M).alias("h"),
+    )
+    frame = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    windowed = hashed.select(
+        F.col(id_col),
+        F.min("h").over(frame).alias("fp"),
+        F.count("h").over(frame).alias("__n"),
+    )
+    return windowed.filter(F.col("__n") == w).select(id_col, "fp").distinct()
+
+
 def stopword_hits(words: Column, stopwords: tuple[str, ...]) -> Column:
     return F.size(F.filter(words, lambda w: w.isin(*stopwords)))
 

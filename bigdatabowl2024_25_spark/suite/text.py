@@ -153,3 +153,39 @@ def q64_binary_plumbing(spark, sf_dir):
         F.length(b).cast("bigint").alias("byte_len"),
         F.md5(b).alias("content_md5"),
     )
+
+
+_K, _WIN = 8, 4
+_H64 = "CAST(concat('0x', substring(md5({e}), 1, 15)) AS BIGINT)"
+_KGRAMS = (
+    f"list_transform(range(1, length(text) - {_K} + 2), "
+    f"i -> {_H64.format(e=f'substring(text, i, {_K})')} % 2147483647)"
+)
+
+
+@query(
+    "q65_winnowing_fingerprints",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, {_KGRAMS} AS hs FROM documents),
+    m AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, len(hs) - {_WIN} + 2),
+                   j -> list_aggregate(hs[j:j+{_WIN}-1], 'min')
+               )) AS fps
+        FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM m
+    """,
+)
+def q65_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints: char 8-gram hashes → min per
+    4-window → distinct. Any shared substring of length ≥ 11 between
+    two documents shares a fingerprint; each doc keeps ~len/4
+    fingerprints. posexplode → codegen hash → window-frame min: one
+    shuffle on doc_id (see operators.text.winnow_fingerprints for why
+    the array-lambda formulation is 100× slower)."""
+    from ..operators.text import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, "text", "doc_id", k=_K, w=_WIN)
