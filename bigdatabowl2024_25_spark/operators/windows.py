@@ -188,3 +188,31 @@ def event_time_window_filter(
         .filter(ts.between(F.col("__t0"), F.col("__t1")))
         .drop("__t0", "__t1")
     )
+
+
+def sessionize(
+    df: DataFrame,
+    partition: list[str],
+    ts_col: str,
+    gap: int,
+    order_by: list[Column | str] | None = None,
+    out: str = "session_id",
+) -> DataFrame:
+    """Batch sessionization: consecutive rows of a key belong to the
+    same session until a gap > `gap` (ts units); session ids are
+    0-based per key in time order. lag → boundary flag → running sum:
+    two window passes over ONE partitioning (a single shuffle), the
+    batch twin of streaming/replay.session_slices (same gap semantics
+    as `session_window`), and the generalized form of the reference's
+    line_set→ball_snap play slicing (W12). `order_by` (default
+    [ts_col]) should extend ts with a unique tiebreak for a total
+    order; the gap itself always compares `ts_col` (equal-ts rows are
+    gap 0 → same session under any tie order)."""
+    order = list(order_by) if order_by is not None else [ts_col]
+    w = Window.partitionBy(*partition).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    boundary = F.when(
+        prev.isNull() | ((F.col(ts_col) - prev) > gap), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out, F.sum(boundary).over(run) - 1)

@@ -287,3 +287,34 @@ def q49_price_stats_wide(spark, sf_dir):
             ["o_orderstatus"],
         )
     )
+
+
+@query(
+    "q32_unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+        UNPIVOT (
+            SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+            FROM lineitem WHERE l_orderkey < 100
+        )
+        ON l_quantity, l_discount, l_tax
+        INTO NAME measure VALUE value
+    )
+    """,
+)
+def q32_unpivot_measures(spark, sf_dir):
+    """Unpivot/melt — the inverse of the A8 wide pivot (the reference
+    melts via per-row dynamic column indexing, F13): three measure
+    columns to (measure, value) rows, pure narrow transform, no
+    shuffle."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 100
+    )
+    return l.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )

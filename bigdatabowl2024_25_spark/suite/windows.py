@@ -308,3 +308,44 @@ def q30_session_slice(spark, sf_dir):
         end_cond=F.col("event_type") == "purchase",
         end_shift=F.lit(-2_000_000),
     ).select("event_id", "user_id")
+
+
+@query(
+    "q31_sessionize",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY epoch_us(ts),
+                         event_id) IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY epoch_us(ts),
+                         event_id) > 1800000000
+                    THEN 1 ELSE 0 END AS b
+        FROM events
+    )
+    SELECT user_id, event_id, ts_us,
+           CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+               AS session_id
+    FROM g
+    """,
+)
+def q31_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gaps per user): lag →
+    boundary → running sum, one shuffle. The batch twin of the
+    streaming session_window path."""
+    from ..operators.windows import sessionize
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_us"
+    )
+    # event_id tiebreak keeps the order total (ts collisions exist)
+    out = sessionize(
+        e,
+        ["user_id"],
+        "ts_us",
+        gap=1_800_000_000,
+        order_by=["ts_us", "event_id"],
+    )
+    return out.select("user_id", "event_id", "ts_us", "session_id")
