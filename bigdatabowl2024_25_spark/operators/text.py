@@ -86,20 +86,38 @@ WINNOW_M = 2_147_483_647
 
 
 def char_kgrams(text: Column, k: int) -> Column:
-    """Every character k-gram of `text` as an array<string>: the
-    char array (split on '') shingled via shifted slices + zip_with —
-    the same O(len·k) construction as `word_shingles`. Never indexed
+    """Every character k-gram of `text` as an array<string>, built by
+    binary doubling: 1-grams → 2-grams → 4-grams → … (each pass zips
+    an array with itself shifted by its gram length), then the O(log k)
+    power arrays combine per k's binary decomposition — ⌈log₂k⌉+
+    popcount(k)−1 concat passes instead of k−1. Never indexed
     substring() in a lambda: UTF8String substring seeks from the
     string start (O(i) per access → O(len²) total), and higher-order
     lambdas evaluate interpreted, outside codegen — measured 88 s vs
     0.9 s on sf0.01 documents for the winnowing query."""
     chars = F.split(text, "")
-    m = F.greatest(F.size(chars) - (k - 1), F.lit(0))
-    out = F.slice(chars, 1, m)
-    for j in range(1, k):
-        out = F.zip_with(
-            out, F.slice(chars, j + 1, m), lambda a, b: F.concat(a, b)
+    n = F.size(chars)
+    m = F.greatest(n - (k - 1), F.lit(0))
+    powers = {1: chars}
+    p = 1
+    while p * 2 <= k:
+        a = powers[p]
+        cnt = F.greatest(n - (2 * p - 1), F.lit(0))
+        powers[2 * p] = F.zip_with(
+            F.slice(a, 1, cnt),
+            F.slice(a, p + 1, cnt),
+            lambda x, y: F.concat(x, y),
         )
+        p *= 2
+    out, off = None, 0
+    for p in sorted((q for q in powers if k & q), reverse=True):
+        piece = F.slice(powers[p], off + 1, m)
+        out = (
+            piece
+            if out is None
+            else F.zip_with(out, piece, lambda x, y: F.concat(x, y))
+        )
+        off += p
     return out
 
 
