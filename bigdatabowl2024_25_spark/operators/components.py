@@ -1,0 +1,66 @@
+"""Connected components by iterative min-label propagation — the
+clustering stage of the dedup pipeline (near-dup PAIRS from LSH/
+Jaccard become GROUPS; one keeper survives per group).
+
+Each round every node adopts the minimum label among itself and its
+neighbors; convergence takes O(component diameter) rounds — near-dup
+clusters are shallow (pairs all share a common origin), so a handful
+of rounds suffices at any corpus size. Each round is one join + one
+aggregate on the node key; intermediate labels are persisted so the
+lineage doesn't grow exponentially across iterations (the classic
+iterative-Spark footgun).
+
+This is the small-diameter regime of connected components; for
+general graphs with long chains use the large-star/small-star
+algorithm — same primitive operations, fewer rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node in `edges`, component = min
+    node id reachable. Converges early when a round changes nothing."""
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.distinct().persist()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .select(F.col("b").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
