@@ -268,3 +268,70 @@ def q74_near_dup_clusters(spark, sf_dir):
 
     pairs = q72_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
     return connected_components(pairs)
+
+
+@query(
+    "q75_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_CORPUS}),
+    sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM corpus
+    ),
+    hashes AS ({_HASHES}),
+    sigs AS (
+        SELECT doc_id, {_SIG_MINS} FROM hashes GROUP BY doc_id
+    ),
+    banded AS ({_oracle_band_keys()}),
+    cand AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_key = b.band_key AND a.doc < b.doc
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashes GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN hashes a ON a.doc_id = c.id_a
+        JOIN hashes b ON b.doc_id = c.id_b AND b.h = a.h
+        GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.4
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT c.doc_id FROM corpus c
+    LEFT JOIN comp ON comp.node = c.doc_id
+    WHERE comp.node IS NULL OR comp.component = c.doc_id
+    """,
+)
+def q75_dedup_survivors(spark, sf_dir):
+    """The pipeline's final artifact: the deduplicated corpus. A doc
+    survives iff it is in no near-dup cluster, or it is its cluster's
+    keeper (the min id = the component label). Left join against the
+    tiny components relation — the corpus never shuffles."""
+    from ..operators.components import connected_components
+
+    corpus = _corpus_df(spark, sf_dir).select("doc_id")
+    comp = connected_components(
+        q72_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    )
+    return (
+        corpus.join(
+            F.broadcast(comp), corpus["doc_id"] == comp["node"], "left"
+        )
+        .filter(F.col("node").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id")
+    )
