@@ -1,6 +1,16 @@
 """Parity queries: aggregations (SURVEY.md §2.4, A2-A12).
 
 A1/A4 are exercised by q01-q03 in relational.py.
+
+Consolidation note (round 2): the driver records at most 50 parity
+queries, so round 1's one-operator-per-query layout is folded into
+multi-operator queries (COVERAGE.md has the operator→query map):
+- q41 now carries A5 multi-stat + A4/A12 conditional-ratio + A9 global
+  aggregates in ONE rollup pass (the global row comes free from the
+  grouping-set expansion — strictly less work than round 1's three
+  separate scans).
+- q42 joins the per-user A6 first/last profile with the A11 entropy
+  profile on user_id (both branches shuffle once on user_id).
 """
 
 from __future__ import annotations
@@ -14,12 +24,10 @@ from ..operators.aggregates import (
     group_median,
     multi_stat,
     pivot_wide,
-    row_sum,
 )
 from ..sources.io import load_table
 from .registry import query
 from .stable import (
-    DEC12,
     davg,
     dstddev_samp,
     oracle_davg,
@@ -43,47 +51,111 @@ def q40_median_quantity(spark, sf_dir):
 
 
 @query(
-    "q41_price_stats",
+    "q41_priority_price_profile",
     oracle=f"""
-    SELECT o_orderpriority,
+    SELECT COALESCE(o_orderpriority, '<all>') AS o_orderpriority,
            {oracle_davg('o_totalprice', 'price_mean')},
            {oracle_dstddev_samp('o_totalprice', 'price_std')},
            MIN(o_totalprice) AS price_min,
            MAX(o_totalprice) AS price_max,
-           COUNT(DISTINCT o_custkey) AS n_customers
-    FROM orders GROUP BY o_orderpriority
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(COUNT(CASE WHEN o_totalprice > 150000 THEN 1 END) AS BIGINT)
+             AS n_high,
+           COUNT(*) AS n,
+           CAST(COUNT(CASE WHEN o_totalprice > 150000 THEN 1 END) AS DOUBLE)
+             / COUNT(*) AS high_rate
+    FROM orders GROUP BY ROLLUP (o_orderpriority)
     """,
 )
-def q41_price_stats(spark, sf_dir):
-    """A5: pandas multi-stat agg mean/std/nunique/min/max
-    (`DefCoverage.ipynb` cell 2; `DefPosModel.ipynb` cell 1). pandas
-    std = sample stddev; computed from exact decimal moment sums for
-    engine parity."""
+def q41_priority_price_profile(spark, sf_dir):
+    """A5 pandas-style multi-stat agg mean/std/nunique/min/max
+    (`DefCoverage.ipynb` cell 2) + A4/A12 conditional-count ratio
+    `sum(is_expected_receiver)/n()` (`QBReadStats.R:142-144`) + A9
+    global aggregates (`QBReadStats.R:157,344-345`) — one
+    ROLLUP(o_orderpriority) pass: the '<all>' row IS the global
+    aggregate, expanded from the same shuffle (no second scan). pandas
+    std = sample stddev, computed from exact decimal moment sums."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        davg("o_totalprice", "price_mean"),
-        dstddev_samp("o_totalprice", "price_std"),
-        F.min("o_totalprice").alias("price_min"),
-        F.max("o_totalprice").alias("price_max"),
-        F.countDistinct("o_custkey").alias("n_customers"),
+    return (
+        o.rollup("o_orderpriority")
+        .agg(
+            davg("o_totalprice", "price_mean"),
+            dstddev_samp("o_totalprice", "price_std"),
+            F.min("o_totalprice").alias("price_min"),
+            F.max("o_totalprice").alias("price_max"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            conditional_count(F.col("o_totalprice") > 150000, "n_high"),
+            F.count("*").alias("n"),
+            (
+                F.sum(
+                    F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)
+                ).cast("double")
+                / F.count("*")
+            ).alias("high_rate"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias(
+                "o_orderpriority"
+            ),
+            "price_mean",
+            "price_std",
+            "price_min",
+            "price_max",
+            "n_customers",
+            "n_high",
+            "n",
+            "high_rate",
+        )
     )
 
 
 @query(
-    "q42_start_end_value",
-    oracle="""
-    SELECT user_id,
-           MIN_BY(value, epoch_us(ts)) AS start_value,
-           MAX_BY(value, epoch_us(ts)) AS end_value
-    FROM events GROUP BY user_id
+    "q42_user_value_profile",
+    oracle=f"""
+    WITH se AS (
+        SELECT user_id,
+               MIN_BY(value, epoch_us(ts)) AS start_value,
+               MAX_BY(value, epoch_us(ts)) AS end_value
+        FROM events GROUP BY user_id
+    ),
+    counts AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ), probs AS (
+        SELECT user_id,
+               CAST(n AS DOUBLE) /
+                 SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY user_id) AS p
+        FROM counts
+    ), ent AS (
+        SELECT user_id, ROUND(-SUM(p * LOG2(p)), 6) AS entropy
+        FROM probs GROUP BY user_id
+    )
+    SELECT se.user_id, se.start_value, se.end_value, ent.entropy
+    FROM se JOIN ent ON ent.user_id = se.user_id
     """,
 )
-def q42_start_end_value(spark, sf_dir):
-    """A6: `.agg(start_x=('x','first'), end_x=('x','last'))` after frame
-    sort (`DefPosModel.ipynb` cell 1 defender_start_end) — min_by/max_by:
-    one hash aggregate with map-side partials, no window, no sort."""
+def q42_user_value_profile(spark, sf_dir):
+    """A6 first/last in frame order via min_by/max_by
+    (`DefPosModel.ipynb` cell 1 defender_start_end — one hash aggregate
+    with map-side partials, no window, no sort) joined with A11
+    normalized-count Shannon entropy (`QBReadStats.R:330-341`).
+
+    Entropy determinism: log2 is transcendental — Spark (JVM) and
+    DuckDB (libm) can disagree in the last ulp, so the FINAL entropy is
+    rounded to 6 decimals on both sides; the per-user totals are
+    integer-valued doubles, so their window sum is exact regardless of
+    association order."""
     e = load_table(spark, sf_dir, "events")
-    return first_last_by(e, ["user_id"], "ts_us", "value")
+    se = first_last_by(e, ["user_id"], "ts_us", "value")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id")
+    p = F.col("n").cast("double") / F.sum(F.col("n").cast("double")).over(w)
+    ent = (
+        counts.withColumn("p", p)
+        .groupBy("user_id")
+        .agg(F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy"))
+    )
+    return se.join(ent, ["user_id"])
 
 
 @query(
@@ -150,112 +222,6 @@ def q44_status_pivot(spark, sf_dir):
         pivot_values=["F", "O", "P"],
         aggs=[F.count(F.lit(1))],
         fill=0,
-    )
-
-
-@query(
-    "q45_event_entropy",
-    oracle=f"""
-    WITH counts AS (
-        SELECT user_id, event_type, COUNT(*) AS n
-        FROM events GROUP BY user_id, event_type
-    ), probs AS (
-        SELECT user_id,
-               CAST(n AS DOUBLE) /
-                 SUM(CAST(n AS DOUBLE)) OVER (PARTITION BY user_id) AS p
-        FROM counts
-    )
-    SELECT user_id, ROUND(-SUM(p * LOG2(p)), 6) AS entropy
-    FROM probs GROUP BY user_id
-    """,
-)
-def q45_event_entropy(spark, sf_dir):
-    """A11: normalized-count Shannon entropy (`QBReadStats.R:330-341`).
-
-    Determinism note: log2 is transcendental — Spark (JVM) and DuckDB
-    (libm) can disagree in the last ulp, so decimal-casting the addends
-    would just move the coin-flip to the decimal rounding boundary.
-    Instead the FINAL entropy is rounded to 6 decimals on both sides:
-    a 1-ulp input wiggle flips that rounding with probability ~1e-9.
-    (The per-user totals are integer-valued doubles, so their window
-    sum is exact regardless of association order.)"""
-    e = load_table(spark, sf_dir, "events")
-    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
-    w = Window.partitionBy("user_id")
-    p = F.col("n").cast("double") / F.sum(F.col("n").cast("double")).over(w)
-    return (
-        counts.withColumn("p", p)
-        .groupBy("user_id")
-        .agg(F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy"))
-    )
-
-
-@query(
-    "q46_high_value_rate",
-    oracle="""
-    SELECT o_orderpriority,
-           CAST(COUNT(CASE WHEN o_totalprice > 150000 THEN 1 END) AS BIGINT)
-             AS n_high,
-           COUNT(*) AS n,
-           CAST(COUNT(CASE WHEN o_totalprice > 150000 THEN 1 END) AS DOUBLE)
-             / COUNT(*) AS high_rate
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def q46_high_value_rate(spark, sf_dir):
-    """A4/A12: ratio-of-aggregates per group —
-    `sum(is_expected_receiver)/n()` (`QBReadStats.R:142-144`)."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        conditional_count(F.col("o_totalprice") > 150000, "n_high"),
-        F.count("*").alias("n"),
-        (
-            F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)).cast(
-                "double"
-            )
-            / F.count("*")
-        ).alias("high_rate"),
-    )
-
-
-@query(
-    "q47_row_sum",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           COALESCE(l_quantity, 0) + COALESCE(l_discount, 0)
-             + COALESCE(l_tax, 0) AS parts_sum
-    FROM lineitem
-    """,
-)
-def q47_row_sum(spark, sf_dir):
-    """A10: horizontal `rowSums(data[, 5:22])` (`cover_threshold.R:11`)
-    — a fixed left-to-right chain of per-row double adds, deterministic
-    on both engines."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return l.select(
-        "l_orderkey",
-        "l_linenumber",
-        row_sum(["l_quantity", "l_discount", "l_tax"], "parts_sum"),
-    )
-
-
-@query(
-    "q48_global_stats",
-    oracle=f"""
-    SELECT {oracle_davg('o_totalprice', 'price_mean')},
-           {oracle_dstddev_samp('o_totalprice', 'price_std')},
-           COUNT(*) AS n
-    FROM orders
-    """,
-)
-def q48_global_stats(spark, sf_dir):
-    """A9: global aggregates + coefficient-of-variation inputs
-    (`QBReadStats.R:157,220,344-345`)."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.agg(
-        davg("o_totalprice", "price_mean"),
-        dstddev_samp("o_totalprice", "price_std"),
-        F.count("*").alias("n"),
     )
 
 

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.relational import (
     anti_join,
-    dim_join,
+    asym_join,
     keep_first,
     mirror_self_join,
     semi_join,
@@ -76,12 +76,17 @@ def q01_pricing_summary(spark, sf_dir):
 )
 def q02_segment_revenue(spark, sf_dir):
     """J1: fact ⋈ broadcast dim left join, the tracking⋈plays pattern
-    (`Openness_Data_Frame_Prep.R:8-15`). customer is dim-sized →
-    broadcast hash join, no shuffle of orders."""
+    (`Openness_Data_Frame_Prep.R:8-15`), joined J3-style on
+    differently-named keys (o_custkey = c_custkey — the route-runner ⋈
+    assigned-defender pattern of `Openness_Data_Frame_Prep.R:63`) with
+    the right key dropped post-join (P2 `data[,-c(19,20)]`). customer
+    is dim-sized → broadcast hash join, no shuffle of orders."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    cdim = c.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
-    joined = dim_join(o, cdim, on=["o_custkey"], how="left")
+    cdim = c.select("c_custkey", "c_mktsegment")
+    joined = asym_join(
+        o, F.broadcast(cdim), [("o_custkey", "c_custkey")], how="left"
+    )
     return joined.groupBy("c_mktsegment", "o_orderstatus").agg(
         dsum("o_totalprice", "revenue"), F.count("*").alias("n_orders")
     )
@@ -128,46 +133,37 @@ def q03_nation_revenue(spark, sf_dir):
 
 
 @query(
-    "q04_customers_with_orders",
+    "q04_semi_anti_customers",
     oracle="""
-    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    SELECT 'semi' AS kind, c_custkey, c_name FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderpriority = '1-URGENT')
-    """,
-)
-def q04_customers_with_orders(spark, sf_dir):
-    """J7 left-semi: `semi_join(tracking, cleaned_player_data)`
-    (`Visualization.R:22`). Semi join never duplicates or widens the
-    left side — at scale it is a broadcast of the (distinct) right
-    keys."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
-    return semi_join(
-        c.select("c_custkey", "c_name", "c_mktsegment"),
-        o.withColumnRenamed("o_custkey", "c_custkey"),
-        ["c_custkey"],
-    )
-
-
-@query(
-    "q05_customers_without_orders",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer c
+    UNION ALL
+    SELECT 'anti' AS kind, c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
-def q05_customers_without_orders(spark, sf_dir):
-    """J11 as a true anti join — the reference fakes it with left join +
-    `is.na` (`Matchup Information.R:86`)."""
+def q04_semi_anti_customers(spark, sf_dir):
+    """J7 left-semi (`semi_join(tracking, cleaned_player_data)`,
+    `Visualization.R:22`) unioned with J11 as a true anti join (the
+    reference fakes anti with left join + `is.na`, `Matchup
+    Information.R:86`); a `kind` tag keeps the branches apart in the
+    hash compare. Semi/anti joins never duplicate or widen the left
+    side — at scale each is a broadcast of the (distinct) right keys."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return anti_join(
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = semi_join(
+        c.select("c_custkey", "c_name"),
+        urgent.withColumnRenamed("o_custkey", "c_custkey"),
+        ["c_custkey"],
+    ).select(F.lit("semi").alias("kind"), "c_custkey", "c_name")
+    anti = anti_join(
         c.select("c_custkey", "c_name"),
         o.withColumnRenamed("o_custkey", "c_custkey"),
         ["c_custkey"],
-    )
+    ).select(F.lit("anti").alias("kind"), "c_custkey", "c_name")
+    return semi.unionByName(anti)
 
 
 @query(
@@ -281,36 +277,32 @@ def q10_union_priority_slices(spark, sf_dir):
 
 
 @query(
-    "q11_urgent_customer_intersect",
+    "q11_priority_set_ops",
     oracle="""
-    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    SELECT 'intersect' AS kind, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    UNION ALL
+    SELECT 'except' AS kind, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
     """,
 )
-def q11_urgent_customer_intersect(spark, sf_dir):
-    """§2.7 exposure: intersect (not used by the reference but part of
-    the engine surface)."""
+def q11_priority_set_ops(spark, sf_dir):
+    """§2.7 exposure: intersect + except-distinct (not used by the
+    reference but part of the engine surface), tagged and unioned."""
     o = load_table(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     b = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
-    return a.intersect(b)
-
-
-@query(
-    "q12_urgent_customer_except",
-    oracle="""
-    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-    EXCEPT
-    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
-    """,
-)
-def q12_urgent_customer_except(spark, sf_dir):
-    """§2.7 exposure: except-distinct."""
-    o = load_table(spark, sf_dir, "orders")
-    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    b = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
-    return a.subtract(b)
+    inter = a.intersect(b).select(
+        F.lit("intersect").alias("kind"), "o_custkey"
+    )
+    exc = a.subtract(b).select(F.lit("except").alias("kind"), "o_custkey")
+    return inter.unionByName(exc)
 
 
 @query(

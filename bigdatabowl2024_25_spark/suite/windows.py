@@ -6,6 +6,15 @@ time. `events.ts` exits only as epoch micros (`ts_us`), never as a raw
 timestamp; all orderings are made total with the unique event_id so
 window results are deterministic under any partitioning.
 
+Consolidation note (round 2): the driver records at most 50 parity
+queries, so the one-operator-per-query layout of round 1 is folded
+into multi-operator queries. Every Wn operator keeps its own column
+(or join branch) inside a merged query; COVERAGE.md maps operators to
+the query+column exercising them. Merging W1/W2/W4/W8/+sessionize into
+one select is also the better scale shape: five round-1 queries each
+shuffled events on user_id once; the merged query computes all five
+window families off a SINGLE exchange (plan-pinned in test_plans.py).
+
 Float note: running sums go through decimal casts (see stable.py) —
 DuckDB evaluates window sums with a segment tree whose association
 order differs from Spark's running fold, so double sums would drift.
@@ -17,6 +26,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.windows import (
+    argmax_row,
     dense_rank_id,
     event_anchored_range,
     event_time_window_filter,
@@ -24,6 +34,7 @@ from ..operators.windows import (
     filter_to_group_min,
     group_min_offset,
     row_number_by,
+    sessionize,
     stable_label,
 )
 from ..sources.io import load_table
@@ -37,52 +48,83 @@ def _events(spark, sf_dir):
 
 
 @query(
-    "q20_event_second_id",
-    oracle="""
-    SELECT event_id, user_id,
-           DENSE_RANK() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) - 1
-             AS second_id
-    FROM events
-    """,
-)
-def q20_event_second_id(spark, sf_dir):
-    """W1: `mutate(secondId = dense_rank(frameId) - 1)` per play
-    (`radius_model.R:257-261`)."""
-    e = _events(spark, sf_dir)
-    return dense_rank_id(
-        e, ["user_id"], ["ts_us"], "second_id"
-    ).select("event_id", "user_id", "second_id")
-
-
-@query(
-    "q21_running_value",
+    "q20_event_windows",
     oracle=f"""
+    WITH g AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+               CASE WHEN lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY epoch_us(ts),
+                         event_id) IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY epoch_us(ts),
+                         event_id) > 1800000000
+                    THEN 1 ELSE 0 END AS b
+        FROM events
+    )
     SELECT event_id, user_id,
+           DENSE_RANK() OVER (PARTITION BY user_id ORDER BY ts_us) - 1
+             AS second_id,
            CAST(SUM(CAST(value AS {DEC})) OVER (
-               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               PARTITION BY user_id ORDER BY ts_us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS cum_value
-    FROM events
+           ) AS DOUBLE) AS cum_value,
+           ts_us - MIN(ts_us) OVER (PARTITION BY user_id) AS adj_time_us,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY CASE WHEN user_id % 2 = 0 THEN -value ELSE value END,
+                        event_id) AS read_order,
+           CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+               AS session_id
+    FROM g
     """,
 )
-def q21_running_value(spark, sf_dir):
-    """W2: per-play cumulative distance (`BuildingReadOrder.R:88-94`).
-    Decimal-stabilized so the running fold is order-exact."""
+def q20_event_windows(spark, sf_dir):
+    """W1 dense_rank secondId (`radius_model.R:257-261`), W2 running
+    sum (`BuildingReadOrder.R:88-94`), W4 group-min offset
+    (`BuildingReadOrder.R:108-111`), W8 conditional-sort-key
+    row_number (`BuildingReadOrder.R:151-157`), and gap
+    sessionization — all per-user windows computed off ONE exchange on
+    user_id (different orderings re-sort within the partition; they
+    never re-shuffle). The round-1 versions were five separate queries
+    scanning and shuffling events five times."""
     e = _events(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return e.select(
+    base = dense_rank_id(e, ["user_id"], ["ts_us"], "second_id")
+    base = base.withColumn(
+        "cum_value",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double"),
+    )
+    base = group_min_offset(base, ["user_id"], "ts_us", "ts_us", "adj_time_us")
+    key = F.when(F.col("user_id") % 2 == 0, -F.col("value")).otherwise(
+        F.col("value")
+    )
+    base = row_number_by(
+        base, ["user_id"], [key, F.col("event_id")], "read_order"
+    )
+    base = sessionize(
+        base,
+        ["user_id"],
+        "ts_us",
+        gap=1_800_000_000,
+        order_by=["ts_us", "event_id"],
+    )
+    return base.select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("cum_value"),
+        "second_id",
+        "cum_value",
+        "adj_time_us",
+        "read_order",
+        "session_id",
     )
 
 
 @query(
-    "q22_first_crossing_reads",
+    "q22_user_read_profile",
     oracle=f"""
     WITH cum AS (
         SELECT user_id, epoch_us(ts) AS ts_us,
@@ -91,21 +133,62 @@ def q21_running_value(spark, sf_dir):
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS DOUBLE) AS cum_value
         FROM events
+    ),
+    reads AS (
+        SELECT user_id,
+               MIN(CASE WHEN cum_value >= 1000.0 THEN ts_us END)
+                 AS first_read_us,
+               MIN(CASE WHEN cum_value >= 1000.0 THEN ts_us END) + 5000000
+                 AS second_read_us,
+               MIN(CASE WHEN cum_value >= 1000.0 THEN ts_us END) + 20000000
+                 AS fifth_read_us
+        FROM cum GROUP BY user_id
+    ),
+    first_evt AS (
+        SELECT user_id, event_id AS first_event_id,
+               event_type AS first_event_type FROM (
+            SELECT user_id, event_id, event_type,
+                   epoch_us(ts) AS t,
+                   MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS mn
+            FROM events
+        ) WHERE t = mn
+    ),
+    top_evt AS (
+        SELECT user_id, event_id AS top_event_id, value AS top_value FROM (
+            SELECT user_id, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id ASC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    extremes AS (
+        SELECT user_id, event_id AS extreme_event_id, value AS extreme_value,
+               CASE WHEN value = mn THEN 'L' ELSE 'R' END AS side
+        FROM (
+            SELECT event_id, user_id, value,
+                   MIN(value) OVER (PARTITION BY user_id) AS mn,
+                   MAX(value) OVER (PARTITION BY user_id) AS mx
+            FROM events
+        ) WHERE value = mn OR value = mx
     )
-    SELECT user_id,
-           MIN(CASE WHEN cum_value >= 1000.0 THEN ts_us END) AS first_read_us,
-           MIN(CASE WHEN cum_value >= 1000.0 THEN ts_us END) + 5000000
-             AS second_read_us,
-           MIN(CASE WHEN cum_value >= 1000.0 THEN ts_us END) + 20000000
-             AS fifth_read_us
-    FROM cum GROUP BY user_id
+    SELECT r.user_id, r.first_read_us, r.second_read_us, r.fifth_read_us,
+           f.first_event_id, f.first_event_type,
+           t.top_event_id, t.top_value,
+           x.extreme_event_id, x.extreme_value, x.side
+    FROM reads r
+    JOIN first_evt f ON f.user_id = r.user_id
+    JOIN top_evt t ON t.user_id = r.user_id
+    JOIN extremes x ON x.user_id = r.user_id
     """,
 )
-def q22_first_crossing_reads(spark, sf_dir):
-    """W3 + W11: first frame where cumulative distance crosses the
-    dropback target (`BuildingReadOrder.R:97-106`), then fixed 0.5 s
-    read-cadence offsets (`BuildingReadOrder.R:116-122`) — here 5 s
-    steps in micros."""
+def q22_user_read_profile(spark, sf_dir):
+    """Per-user read profile merging four round-1 queries: W3
+    first-crossing + W11 fixed read cadence
+    (`BuildingReadOrder.R:97-106,116-122`), W5 filter-to-group-min snap
+    frame (`BuildingReadOrder.R:128-130`), W7/O3 deterministic argmax
+    (`QBReadStats.R:182-184`), W6 filter-to-group-extremes + side label
+    (`BuildingReadOrder.R:133-137`). All four branches shuffle on
+    user_id once and join on it — no extra exchange families."""
     e = _events(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
@@ -118,118 +201,42 @@ def q22_first_crossing_reads(spark, sf_dir):
         F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("cum_value"),
     )
     first = F.min(F.when(F.col("cum_value") >= 1000.0, F.col("ts_us")))
-    return cum.groupBy("user_id").agg(
+    reads = cum.groupBy("user_id").agg(
         first.alias("first_read_us"),
         (first + 5_000_000).alias("second_read_us"),
         (first + 20_000_000).alias("fifth_read_us"),
     )
-
-
-@query(
-    "q23_time_offset",
-    oracle="""
-    SELECT event_id,
-           epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id)
-             AS adj_time_us
-    FROM events
-    """,
-)
-def q23_time_offset(spark, sf_dir):
-    """W4: `adj_time = x - min(frameId)` per play
-    (`BuildingReadOrder.R:108-111`)."""
-    e = _events(spark, sf_dir)
-    return group_min_offset(
-        e, ["user_id"], "ts_us", "ts_us", "adj_time_us"
-    ).select("event_id", "adj_time_us")
-
-
-@query(
-    "q24_first_event_per_user",
-    oracle="""
-    SELECT event_id, user_id, event_type FROM (
-        SELECT event_id, user_id, event_type,
-               epoch_us(ts) AS t,
-               MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS mn
-        FROM events
-    ) WHERE t = mn
-    """,
-)
-def q24_first_event_per_user(spark, sf_dir):
-    """W5: `filter(frameId == min(frameId))` per play — the snap frame
-    (`BuildingReadOrder.R:128-130`)."""
-    e = _events(spark, sf_dir)
-    return filter_to_group_min(e, ["user_id"], "ts_us").select(
-        "event_id", "user_id", "event_type"
+    first_evt = filter_to_group_min(e, ["user_id"], "ts_us").select(
+        "user_id",
+        F.col("event_id").alias("first_event_id"),
+        F.col("event_type").alias("first_event_type"),
     )
-
-
-@query(
-    "q25_extreme_value_events",
-    oracle="""
-    SELECT event_id, user_id, value,
-           CASE WHEN value = mn THEN 'L' ELSE 'R' END AS side
-    FROM (
-        SELECT event_id, user_id, value,
-               MIN(value) OVER (PARTITION BY user_id) AS mn,
-               MAX(value) OVER (PARTITION BY user_id) AS mx
-        FROM events
-    ) WHERE value = mn OR value = mx
-    """,
-)
-def q25_extreme_value_events(spark, sf_dir):
-    """W6: `filter(y == min(y) | y == max(y))` → outside receivers, then
-    `firstSide = ifelse(y==min(y),"L","R")` (`BuildingReadOrder.R:133-137`)."""
-    e = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id")
-    out = filter_to_group_extremes(e, ["user_id"], "value")
-    return out.withColumn(
-        "side",
-        F.when(F.col("value") == F.min("value").over(w), "L").otherwise("R"),
-    ).select("event_id", "user_id", "value", "side")
-
-
-@query(
-    "q26_top_event_per_user",
-    oracle="""
-    SELECT user_id, event_id, value FROM (
-        SELECT user_id, event_id, value,
-               ROW_NUMBER() OVER (PARTITION BY user_id
-                   ORDER BY value DESC, event_id ASC) AS rn
-        FROM events
-    ) WHERE rn = 1
-    """,
-)
-def q26_top_event_per_user(spark, sf_dir):
-    """W7/O3: per-group argmax with ties broken deterministically —
-    `slice_max(open_count, n=1, with_ties=FALSE)` (`QBReadStats.R:182-184`)."""
-    from ..operators.windows import argmax_row
-
-    e = _events(spark, sf_dir)
-    return argmax_row(
+    top_evt = argmax_row(
         e, ["user_id"], [F.col("value").desc(), F.col("event_id").asc()]
-    ).select("user_id", "event_id", "value")
-
-
-@query(
-    "q27_conditional_read_order",
-    oracle="""
-    SELECT user_id, event_id,
-           ROW_NUMBER() OVER (PARTITION BY user_id
-               ORDER BY CASE WHEN user_id % 2 = 0 THEN -value ELSE value END,
-                        event_id) AS read_order
-    FROM events
-    """,
-)
-def q27_conditional_read_order(spark, sf_dir):
-    """W8: row_number over a conditional sort key — `arrange(...,
-    if_else(firstSide=="R", -y, y))` (`BuildingReadOrder.R:151-157`)."""
-    e = _events(spark, sf_dir)
-    key = F.when(F.col("user_id") % 2 == 0, -F.col("value")).otherwise(
-        F.col("value")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("top_event_id"),
+        F.col("value").alias("top_value"),
     )
-    return row_number_by(
-        e, ["user_id"], [key, F.col("event_id")], "read_order"
-    ).select("user_id", "event_id", "read_order")
+    wu = Window.partitionBy("user_id")
+    extremes = (
+        filter_to_group_extremes(e, ["user_id"], "value")
+        .withColumn(
+            "side",
+            F.when(F.col("value") == F.min("value").over(wu), "L").otherwise("R"),
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("extreme_event_id"),
+            F.col("value").alias("extreme_value"),
+            "side",
+        )
+    )
+    return (
+        reads.join(first_evt, ["user_id"])
+        .join(top_evt, ["user_id"])
+        .join(extremes, ["user_id"])
+    )
 
 
 @query(
@@ -246,7 +253,10 @@ def q28_daily_label(spark, sf_dir):
     """W9: stable positional labeling — the reference recycles physical
     row order for defender labels 1..11
     (`Openness_Data_Frame_Prep.R:34-36`); we label per (user, day) by
-    an explicit key. Day boundary via integer epoch math: timezone-free."""
+    an explicit key. Day boundary via integer epoch math: timezone-free.
+    Kept separate from q20_event_windows because its partitioning is
+    (user_id, day) — folding it in would force a second exchange into
+    the single-shuffle plan."""
     e = _events(spark, sf_dir).withColumn(
         "day", F.expr("ts_us div 86400000000")
     )
@@ -256,37 +266,17 @@ def q28_daily_label(spark, sf_dir):
 
 
 @query(
-    "q29_post_signup_window",
+    "q29_anchored_windows",
     oracle="""
-    SELECT event_id, user_id, event_type FROM (
+    SELECT 'anchored' AS kind, event_id, user_id, event_type FROM (
         SELECT event_id, user_id, event_type, epoch_us(ts) AS t,
                MAX(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
                    OVER (PARTITION BY user_id) AS anchor
         FROM events
     ) WHERE t BETWEEN anchor + 2000000 AND anchor + 7000000
-    """,
-)
-def q29_post_signup_window(spark, sf_dir):
-    """W10: event-anchored offsets — ball rows x+2..x+7 after
-    `pass_forward` (`Openness_Data_Frame_Prep.R:70-74`), as within-group
-    time offsets (2-7 s after last signup)."""
-    e = _events(spark, sf_dir)
-    return event_anchored_range(
-        e,
-        ["user_id"],
-        event_col="event_type",
-        event_value="signup",
-        frame_col="ts_us",
-        lo_offset=2_000_000,
-        hi_offset=7_000_000,
-    ).select("event_id", "user_id", "event_type")
-
-
-@query(
-    "q30_session_slice",
-    oracle="""
-    SELECT event_id, user_id FROM (
-        SELECT event_id, user_id, epoch_us(ts) AS t,
+    UNION ALL
+    SELECT 'slice' AS kind, event_id, user_id, event_type FROM (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS t,
                MAX(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
                    OVER (PARTITION BY user_id) AS t0,
                MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
@@ -295,57 +285,34 @@ def q29_post_signup_window(spark, sf_dir):
     ) WHERE t BETWEEN t0 AND t1
     """,
 )
-def q30_session_slice(spark, sf_dir):
-    """W12: the line_set ≤ t ≤ ball_snap − 2 s per-play filter that the
+def q29_anchored_windows(spark, sf_dir):
+    """W10 event-anchored offsets — ball rows x+2..x+7 after
+    `pass_forward` (`Openness_Data_Frame_Prep.R:70-74`) — unioned with
+    W12, the line_set ≤ t ≤ ball_snap − 2 s per-play filter the
     reference runs as a per-group Python loop (`DefPosModel.ipynb`
-    cell 1) — pure window expression, zero driver round-trips."""
+    cell 1). Both are pure window expressions (zero driver
+    round-trips); a `kind` tag keeps the branches distinguishable in
+    the hash compare."""
     e = _events(spark, sf_dir)
-    return event_time_window_filter(
+    anchored = event_anchored_range(
+        e,
+        ["user_id"],
+        event_col="event_type",
+        event_value="signup",
+        frame_col="ts_us",
+        lo_offset=2_000_000,
+        hi_offset=7_000_000,
+    ).select(
+        F.lit("anchored").alias("kind"), "event_id", "user_id", "event_type"
+    )
+    sliced = event_time_window_filter(
         e,
         ["user_id"],
         ts_col="ts_us",
         start_cond=F.col("event_type") == "signup",
         end_cond=F.col("event_type") == "purchase",
         end_shift=F.lit(-2_000_000),
-    ).select("event_id", "user_id")
-
-
-@query(
-    "q31_sessionize",
-    oracle="""
-    WITH g AS (
-        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-               CASE WHEN lag(epoch_us(ts)) OVER
-                        (PARTITION BY user_id ORDER BY epoch_us(ts),
-                         event_id) IS NULL
-                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER
-                        (PARTITION BY user_id ORDER BY epoch_us(ts),
-                         event_id) > 1800000000
-                    THEN 1 ELSE 0 END AS b
-        FROM events
+    ).select(
+        F.lit("slice").alias("kind"), "event_id", "user_id", "event_type"
     )
-    SELECT user_id, event_id, ts_us,
-           CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                             ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
-               AS session_id
-    FROM g
-    """,
-)
-def q31_sessionize(spark, sf_dir):
-    """Gap-based sessionization (30-min gaps per user): lag →
-    boundary → running sum, one shuffle. The batch twin of the
-    streaming session_window path."""
-    from ..operators.windows import sessionize
-
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts_us"
-    )
-    # event_id tiebreak keeps the order total (ts collisions exist)
-    out = sessionize(
-        e,
-        ["user_id"],
-        "ts_us",
-        gap=1_800_000_000,
-        order_by=["ts_us", "event_id"],
-    )
-    return out.select("user_id", "event_id", "ts_us", "session_id")
+    return anchored.unionByName(sliced)
