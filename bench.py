@@ -31,14 +31,16 @@ HEADLINE = [
     "q03_nation_revenue",         # snowflake broadcast joins
     "q08_latest_order_per_customer",  # window keep-first
     "q09_top10_orders",           # top-k
-    "q21_running_value",          # running-sum window
+    "q20_event_windows",          # 5 window families, single exchange
     "q43_event_tree",             # sorted-inside string agg
-    "q45_event_entropy",          # two-phase entropy
-    "q61_quality_scores",         # text quality (array lambdas)
-    "q63_fingerprints",           # normalize + hash
+    "q42_user_value_profile",     # min_by/max_by + two-phase entropy
+    "q60_text_profile",           # one-pass text features (array lambdas + hash)
+    "q65_winnowing_fingerprints", # char-kgram winnowing (slowest text query)
     "q72_near_dup_pairs",         # minhash→LSH→jaccard funnel
     "q73_simhash",                # explode + 16-bit aggregate
-    "q80_cosine_topk",            # exact ANN baseline
+    "q74_near_dup_clusters",      # iterative-join connected components
+    "q75_dedup_survivors",        # cluster keeper anti-filter
+    "q80_cosine_search",          # exact ANN baseline + near-dup pairs
     "q82_ann_lsh_topk",           # LSH ANN scale path
 ]
 
@@ -49,7 +51,10 @@ def main() -> None:
     suite.load_all()
     spark = get_spark(app_name="bdb-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    names = [n for n in HEADLINE if n in suite.QUERIES]
+    unknown = [n for n in HEADLINE if n not in suite.QUERIES]
+    if unknown:  # fail loudly: a stale name would silently shrink the gate
+        raise SystemExit(f"bench HEADLINE references unknown queries: {unknown}")
+    names = list(HEADLINE)
     timings: dict[str, float] = {}
     for name in names:
         fn = suite.QUERIES[name]

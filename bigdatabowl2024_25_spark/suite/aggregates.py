@@ -24,6 +24,7 @@ from ..operators.aggregates import (
     group_median,
     multi_stat,
     pivot_wide,
+    row_sum,
 )
 from ..sources.io import load_table
 from .registry import query
@@ -258,9 +259,13 @@ def q49_price_stats_wide(spark, sf_dir):
 @query(
     "q32_unpivot_measures",
     oracle="""
-    SELECT l_orderkey, l_linenumber, measure, value FROM (
+    SELECT l_orderkey, l_linenumber, row_total, measure, value FROM (
         UNPIVOT (
-            SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+            SELECT l_orderkey, l_linenumber,
+                   0.0 + COALESCE(l_quantity, 0.0)
+                       + COALESCE(l_discount, 0.0)
+                       + COALESCE(l_tax, 0.0) AS row_total,
+                   l_quantity, l_discount, l_tax
             FROM lineitem WHERE l_orderkey < 100
         )
         ON l_quantity, l_discount, l_tax
@@ -272,14 +277,21 @@ def q32_unpivot_measures(spark, sf_dir):
     """Unpivot/melt — the inverse of the A8 wide pivot (the reference
     melts via per-row dynamic column indexing, F13): three measure
     columns to (measure, value) rows, pure narrow transform, no
-    shuffle."""
+    shuffle. Carries A10's horizontal row sum (`rowSums(data[, 5:22])`,
+    `cover_threshold.R:11`) as the row_total id column — the natural
+    pairing, since both operate across a row's measure columns."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey") < 100
     )
     return l.select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+        "l_orderkey",
+        "l_linenumber",
+        row_sum(["l_quantity", "l_discount", "l_tax"], "row_total"),
+        "l_quantity",
+        "l_discount",
+        "l_tax",
     ).unpivot(
-        ["l_orderkey", "l_linenumber"],
+        ["l_orderkey", "l_linenumber", "row_total"],
         ["l_quantity", "l_discount", "l_tax"],
         "measure",
         "value",

@@ -167,43 +167,72 @@ def q04_semi_anti_customers(spark, sf_dir):
 
 
 @query(
-    "q06_nation_pairs",
+    "q06_mirror_self_joins",
     oracle="""
-    SELECT a.n_name AS nation_a, b.n_name AS nation_b,
-           a.n_regionkey AS n_regionkey
+    SELECT 'pairs' AS kind, a.n_name AS a, b.n_name AS b,
+           CAST(a.n_regionkey AS BIGINT) AS n, CAST(NULL AS BIGINT) AS n_m
     FROM nation a JOIN nation b
       ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+    UNION ALL
+    SELECT 'mirror' AS kind, m.o_orderpriority AS a, m.o_orderstatus AS b,
+           m.n_orders AS n, COALESCE(mb.n_orders, 0) AS n_m
+    FROM (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+          FROM orders GROUP BY o_orderpriority, o_orderstatus) m
+    LEFT JOIN (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+          FROM orders GROUP BY o_orderpriority, o_orderstatus) mb
+      ON m.o_orderpriority = mb.o_orderpriority
+     AND mb.o_orderstatus = (CASE WHEN m.o_orderstatus = 'F' THEN 'O'
+                                  WHEN m.o_orderstatus = 'O' THEN 'F'
+                                  ELSE m.o_orderstatus END)
     """,
 )
-def q06_nation_pairs(spark, sf_dir):
-    """J8 self join: matchups ⋈ itself on reversed route within same
-    coverage (`Matchup Information.R:79-84`), here nation pairs within
-    a region."""
+def q06_mirror_self_joins(spark, sf_dir):
+    """J8 mirror self joins, both shapes the reference uses (round 3
+    merge of two round-1 queries, COVERAGE.md): the 'pairs' branch is
+    the raw self join — matchups ⋈ itself on reversed route within the
+    same coverage (`Matchup Information.R:79-84`), here nation pairs
+    within a region; the 'mirror' branch is J8+J11 composed —
+    aggregate, self-join each group to its mirrored twin, null-fill
+    misses with 0 (`Matchup Information.R:79-86`)."""
     n = load_table(spark, sf_dir, "nation")
     a, b = n.alias("a"), n.alias("b")
-    return a.join(
-        b,
-        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
-        & (F.col("a.n_name") < F.col("b.n_name")),
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_name") < F.col("b.n_name")),
+        )
+        .select(
+            F.lit("pairs").alias("kind"),
+            F.col("a.n_name").alias("a"),
+            F.col("b.n_name").alias("b"),
+            F.col("a.n_regionkey").cast("bigint").alias("n"),
+            F.lit(None).cast("bigint").alias("n_m"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders")
+    )
+    mirror = mirror_self_join(
+        m.withColumn(
+            "mirror_of",
+            F.when(F.col("o_orderstatus") == "F", "O")
+            .when(F.col("o_orderstatus") == "O", "F")
+            .otherwise(F.col("o_orderstatus")),
+        ),
+        left_col="mirror_of",
+        right_col="o_orderstatus",
+        extra_keys=["o_orderpriority"],
+        payload=["n_orders"],
     ).select(
-        F.col("a.n_name").alias("nation_a"),
-        F.col("b.n_name").alias("nation_b"),
-        F.col("a.n_regionkey").alias("n_regionkey"),
+        F.lit("mirror").alias("kind"),
+        F.col("o_orderpriority").alias("a"),
+        F.col("o_orderstatus").alias("b"),
+        F.col("n_orders").alias("n"),
+        F.coalesce(F.col("n_orders_m"), F.lit(0)).cast("bigint").alias("n_m"),
     )
-
-
-@query(
-    "q07_distinct_segments",
-    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
-)
-def q07_distinct_segments(spark, sf_dir):
-    """P8: `distinct()` / `unique()` / `drop_duplicates()`
-    (`Openness_Data_Frame_Prep.R:83,95,98`)."""
-    return (
-        load_table(spark, sf_dir, "customer")
-        .select("c_mktsegment", "c_nationkey")
-        .distinct()
-    )
+    return pairs.unionByName(mirror)
 
 
 @query(
@@ -290,11 +319,18 @@ def q10_union_priority_slices(spark, sf_dir):
         EXCEPT
         SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
     )
+    UNION ALL
+    SELECT 'distinct' AS kind, o_custkey FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    )
     """,
 )
 def q11_priority_set_ops(spark, sf_dir):
     """§2.7 exposure: intersect + except-distinct (not used by the
-    reference but part of the engine surface), tagged and unioned."""
+    reference but part of the engine surface) + P8 `distinct()` /
+    `unique()` / `drop_duplicates()`
+    (`Openness_Data_Frame_Prep.R:83,95,98`) — all set-flavored ops,
+    tagged and unioned (the distinct branch absorbed round 1's q07)."""
     o = load_table(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     b = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
@@ -302,54 +338,12 @@ def q11_priority_set_ops(spark, sf_dir):
         F.lit("intersect").alias("kind"), "o_custkey"
     )
     exc = a.subtract(b).select(F.lit("except").alias("kind"), "o_custkey")
-    return inter.unionByName(exc)
+    dis = (
+        o.filter(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+        .distinct()
+        .select(F.lit("distinct").alias("kind"), "o_custkey")
+    )
+    return inter.unionByName(exc).unionByName(dis)
 
 
-@query(
-    "q13_mirror_match",
-    oracle="""
-    WITH m AS (
-        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
-        FROM orders GROUP BY o_orderpriority, o_orderstatus
-    )
-    SELECT m.o_orderpriority, m.o_orderstatus, m.n_orders,
-           COALESCE(b.n_orders, 0) AS n_orders_m
-    FROM m LEFT JOIN m b
-      ON m.o_orderpriority = b.o_orderpriority
-     AND b.o_orderstatus = (CASE WHEN m.o_orderstatus = 'F' THEN 'O'
-                                 WHEN m.o_orderstatus = 'O' THEN 'F'
-                                 ELSE m.o_orderstatus END)
-    """,
-)
-def q13_mirror_match(spark, sf_dir):
-    """J8+J11 composed, shaped like the route-mirror lookup: aggregate,
-    self-join each group to its 'mirrored' twin, null-fill misses with 0
-    (`Matchup Information.R:79-86`)."""
-    o = load_table(spark, sf_dir, "orders")
-    m = o.groupBy("o_orderpriority", "o_orderstatus").agg(
-        F.count("*").alias("n_orders")
-    )
-    mirrored = m.withColumn(
-        "mirror_status",
-        F.when(F.col("o_orderstatus") == "F", "O")
-        .when(F.col("o_orderstatus") == "O", "F")
-        .otherwise(F.col("o_orderstatus")),
-    )
-    out = mirror_self_join(
-        mirrored.drop("mirror_status").withColumn(
-            "mirror_of",
-            F.when(F.col("o_orderstatus") == "F", "O")
-            .when(F.col("o_orderstatus") == "O", "F")
-            .otherwise(F.col("o_orderstatus")),
-        ),
-        left_col="mirror_of",
-        right_col="o_orderstatus",
-        extra_keys=["o_orderpriority"],
-        payload=["n_orders"],
-    )
-    return out.select(
-        "o_orderpriority",
-        "o_orderstatus",
-        "n_orders",
-        F.coalesce(F.col("n_orders_m"), F.lit(0)).alias("n_orders_m"),
-    )

@@ -1,8 +1,18 @@
 """Parity queries: scalar functions (SURVEY.md §2.8, F1-F15).
 
+Consolidation note (round 3): the driver records at most 50 parity
+queries, so the per-function queries are folded into per-scan queries
+(COVERAGE.md maps functions to query+column): q51 carries F3/F7/F8/F9
+over one events scan, q53 carries F10/F11/F12 over one lineitem scan,
+q57 carries F1/F2/F13 over one events scan. Merging is also the right
+scale shape — all these are narrow per-row transforms, so one scan
+computing six columns strictly beats six scans computing one.
+
 F7 (timestamp pad+parse) has no string-timestamp column in the
-synthetic tables; it is covered by the BDB fixture tests
-(tests/test_scalar_functions.py), not an oracle query.
+synthetic tables, so q51 manufactures the strings in-query (modular
+epoch arithmetic, both engines) and the oracle checks the parse
+round-trip against closed-form arithmetic — the same pattern
+suite/dedup.py uses to manufacture its corpus.
 
 Transcendental functions (sin/cos/atan2, log) differ by ulps between
 the JVM and libm — their outputs are rounded to 6 decimals on both
@@ -21,6 +31,7 @@ from ..functions.scalar import (
     dynamic_lookup,
     euclid,
     join_label,
+    pad_time_fraction,
     physics_step,
     recode,
     reverse_words,
@@ -57,7 +68,7 @@ def q50_string_functions(spark, sf_dir):
 
 
 @query(
-    "q51_clock_arithmetic",
+    "q51_time_scalars",
     oracle="""
     SELECT event_id,
            printf('%d:%02d',
@@ -65,44 +76,35 @@ def q50_string_functions(spark, sf_dir):
                   CAST((epoch_us(ts) // 1000000) % 60 AS INT)) AS clock,
            CAST(((epoch_us(ts) // 1000000) % 3600) // 60 AS INT) * 60
              + CAST((epoch_us(ts) // 1000000) % 60 AS INT) AS clock_seconds,
-           epoch_us(ts) - 2000000 AS ts_minus_2s_us
+           epoch_us(ts) - 2000000 AS ts_minus_2s_us,
+           CASE WHEN value < 50 THEN 1 WHEN value < 100 THEN 2
+                WHEN value < 150 THEN 3 WHEN value < 200 THEN 4
+                WHEN value < 250 THEN 5 ELSE 6 END AS bucket_case,
+           LEAST(CAST(FLOOR(value / 50) AS BIGINT) + 1, 6) AS bucket_formula,
+           CASE WHEN event_type = 'error' THEN NULL
+                ELSE ((epoch_us(ts) // 1000000) % 86400) * 1000000
+                     + epoch_us(ts) % 1000000 END AS parsed_us
     FROM events
     """,
 )
-def q51_clock_arithmetic(spark, sf_dir):
-    """F9 clock string ↔ seconds (`Visualization.R:111-125`) + F8
+def q51_time_scalars(spark, sf_dir):
+    """F9 clock string ↔ seconds (`Visualization.R:111-125`), F8
     interval arithmetic (`DefPosModel.ipynb` cell 1) in pure epoch
-    micros (timezone-free)."""
+    micros (timezone-free), F3 the 6-way nested ifelse time bucket
+    (`BuildingReadOrder.R:32-36`) and its closed-form equivalent, and
+    F7 pad_time_fraction + to_datetime(errors='coerce')
+    (`DefPosModel.ipynb` cell 1): string timestamps are manufactured
+    in-query ('1970-01-01 HH:mm:ss' + variable-width fraction;
+    event_type='error' rows get an unparseable string), then padded and
+    parsed — the oracle's parsed_us is the CLOSED-FORM in-day micros,
+    so the whole build→pad→parse→micros chain is checked against
+    independent arithmetic, including the coerce-to-null path."""
     e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
     total_sec = F.expr("ts_us div 1000000")
     mins = ((total_sec % 3600) / 60).cast("int")
     secs = (total_sec % 60).cast("int")
     clock = seconds_to_clock(mins * 60 + secs)
-    return e.select(
-        "event_id",
-        clock.alias("clock"),
-        clock_to_seconds(clock).alias("clock_seconds"),
-        (F.col("ts_us") - 2_000_000).alias("ts_minus_2s_us"),
-    )
-
-
-@query(
-    "q52_time_buckets",
-    oracle="""
-    SELECT event_id,
-           CASE WHEN value < 50 THEN 1 WHEN value < 100 THEN 2
-                WHEN value < 150 THEN 3 WHEN value < 200 THEN 4
-                WHEN value < 250 THEN 5 ELSE 6 END AS bucket_case,
-           LEAST(CAST(FLOOR(value / 50) AS BIGINT) + 1, 6) AS bucket_formula
-    FROM events
-    """,
-)
-def q52_time_buckets(spark, sf_dir):
-    """F3: the 6-way nested ifelse time bucket
-    (`BuildingReadOrder.R:32-36`) and its closed-form equivalent
-    `least(floor(x/10)+1, 6)` — both emitted to prove equivalence."""
-    e = load_table(spark, sf_dir, "events")
-    v = F.col("value")
     bucket_case = (
         F.when(v < 50, 1)
         .when(v < 100, 2)
@@ -111,12 +113,33 @@ def q52_time_buckets(spark, sf_dir):
         .when(v < 250, 5)
         .otherwise(6)
     )
+    # F7 input manufacture: naive timestamp string with a trailing-zero-
+    # trimmed fraction (exercises the rpad), unparseable for 'error' rows
+    base = F.format_string(
+        "1970-01-01 %02d:%02d:%02d",
+        F.expr("(ts_us div 1000000) % 86400 div 3600").cast("int"),
+        F.expr("(ts_us div 1000000) % 3600 div 60").cast("int"),
+        F.expr("(ts_us div 1000000) % 60").cast("int"),
+    )
+    fracs = F.regexp_replace(
+        F.lpad(F.expr("ts_us % 1000000").cast("string"), 6, "0"), "0+$", ""
+    )
+    ts_str = (
+        F.when(F.col("event_type") == "error", F.lit("not a time"))
+        .when(fracs == "", base)
+        .otherwise(F.concat(base, F.lit("."), fracs))
+    )
+    parsed = pad_time_fraction(ts_str)
     return e.select(
         "event_id",
+        clock.alias("clock"),
+        clock_to_seconds(clock).alias("clock_seconds"),
+        (F.col("ts_us") - 2_000_000).alias("ts_minus_2s_us"),
         bucket_case.alias("bucket_case"),
         F.least(F.floor(v / 50).cast("bigint") + 1, F.lit(6).cast("bigint")).alias(
             "bucket_formula"
         ),
+        F.unix_micros(parsed.cast("timestamp")).alias("parsed_us"),
     )
 
 
@@ -125,28 +148,7 @@ def q52_time_buckets(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, l_linenumber,
            COALESCE(NULLIF(l_discount, 0.0), l_tax, 0.5) AS disc_or_tax,
-           COALESCE(NULLIF(l_discount, 0.0), 0.0) AS disc_filled
-    FROM lineitem WHERE l_discount IS NOT NULL
-    """,
-)
-def q53_null_cascade(spark, sf_dir):
-    """F10 constant null-fill (`DefCoverage.ipynb` cells 4-5), F11
-    nearest-column coalesce cascade (`QBReadStats.R:70-93`), P6 null
-    filter."""
-    l = load_table(spark, sf_dir, "lineitem")
-    d = F.nullif(F.col("l_discount"), F.lit(0.0))
-    return l.filter(F.col("l_discount").isNotNull()).select(
-        "l_orderkey",
-        "l_linenumber",
-        coalesce_nearest([d, F.col("l_tax"), F.lit(0.5)], 0).alias("disc_or_tax"),
-        F.coalesce(d, F.lit(0.0)).alias("disc_filled"),
-    )
-
-
-@query(
-    "q54_nearest_column",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_discount, 0.0), 0.0) AS disc_filled,
            list_position(
              [abs(l_quantity*10 - 50.0), abs(l_extendedprice/1000 - 50.0),
               abs(l_discount*100 - 50.0), abs(l_tax*100 - 50.0)],
@@ -154,58 +156,29 @@ def q53_null_cascade(spark, sf_dir):
              [abs(l_quantity*10 - 50.0), abs(l_extendedprice/1000 - 50.0),
               abs(l_discount*100 - 50.0), abs(l_tax*100 - 50.0)])
            ) AS nearest_idx
-    FROM lineitem
+    FROM lineitem WHERE l_discount IS NOT NULL
     """,
 )
-def q54_nearest_column(spark, sf_dir):
-    """F12: argmin across columns — which read window the throw falls
-    into, `max.col(-diffs)` (`QBReadStats.R:102-114`)."""
+def q53_null_cascade(spark, sf_dir):
+    """F10 constant null-fill (`DefCoverage.ipynb` cells 4-5), F11
+    nearest-column coalesce cascade (`QBReadStats.R:70-93`), P6 null
+    filter, and F12 argmin-across-columns — which read window the throw
+    falls into, `max.col(-diffs)` (`QBReadStats.R:102-114`) — all per-row
+    over ONE lineitem scan."""
     l = load_table(spark, sf_dir, "lineitem")
+    d = F.nullif(F.col("l_discount"), F.lit(0.0))
     cols = [
         F.col("l_quantity") * 10,
         F.col("l_extendedprice") / 1000,
         F.col("l_discount") * 100,
         F.col("l_tax") * 100,
     ]
-    return l.select(
+    return l.filter(F.col("l_discount").isNotNull()).select(
         "l_orderkey",
         "l_linenumber",
+        coalesce_nearest([d, F.col("l_tax"), F.lit(0.5)], 0).alias("disc_or_tax"),
+        F.coalesce(d, F.lit(0.0)).alias("disc_filled"),
         argmin_across(cols, F.lit(50.0)).cast("int").alias("nearest_idx"),
-    )
-
-
-@query(
-    "q55_dynamic_lookup",
-    oracle="""
-    SELECT event_id,
-           CASE event_type
-                WHEN 'click' THEN value * 1.0
-                WHEN 'view' THEN value * 2.0
-                WHEN 'purchase' THEN value * 3.0
-                WHEN 'signup' THEN value * 4.0
-                WHEN 'error' THEN value * -1.0
-           END AS routed_value
-    FROM events
-    """,
-)
-def q55_dynamic_lookup(spark, sf_dir):
-    """F13: dynamic column lookup by row value — `data[row,
-    paste0("prob_", cov)]` (`cover_threshold.R:26-35`) as a
-    literal-keyed map indexed per row."""
-    e = load_table(spark, sf_dir, "events")
-    v = F.col("value")
-    return e.select(
-        "event_id",
-        dynamic_lookup(
-            {
-                "click": v * 1.0,
-                "view": v * 2.0,
-                "purchase": v * 3.0,
-                "signup": v * 4.0,
-                "error": v * -1.0,
-            },
-            F.col("event_type"),
-        ).alias("routed_value"),
     )
 
 
@@ -244,14 +217,24 @@ def q56_region_recode(spark, sf_dir):
                 + (value/2 - 26.65)*(value/2 - 26.65)) AS dist_to_center,
            ROUND(atan2(value/2 - 26.65, value - 60.0), 6) AS approach_angle,
            ROUND(cos(value / 100.0), 6) AS cos_v,
-           ROUND(sin(value / 100.0), 6) AS sin_v
+           ROUND(sin(value / 100.0), 6) AS sin_v,
+           CASE event_type
+                WHEN 'click' THEN value * 1.0
+                WHEN 'view' THEN value * 2.0
+                WHEN 'purchase' THEN value * 3.0
+                WHEN 'signup' THEN value * 4.0
+                WHEN 'error' THEN value * -1.0
+           END AS routed_value
     FROM events
     """,
 )
 def q57_physics(spark, sf_dir):
     """F1 physics step (`BuildingReadOrder.R:87`) + F2 math
-    (`radius_model.R:31,69,134,141`). sqrt is correctly rounded (exact
-    parity); sin/cos/atan2 are rounded to 6 on both engines."""
+    (`radius_model.R:31,69,134,141`) + F13 dynamic column lookup by row
+    value — `data[row, paste0("prob_", cov)]` (`cover_threshold.R:26-35`)
+    as a literal-keyed map indexed per row — one events scan. sqrt is
+    correctly rounded (exact parity); sin/cos/atan2 are rounded to 6 on
+    both engines."""
     e = load_table(spark, sf_dir, "events")
     v = F.col("value")
     x, y = v, v / 2
@@ -263,4 +246,14 @@ def q57_physics(spark, sf_dir):
         F.round(F.atan2(y - 26.65, x - 60.0), 6).alias("approach_angle"),
         F.round(F.cos(v / 100.0), 6).alias("cos_v"),
         F.round(F.sin(v / 100.0), 6).alias("sin_v"),
+        dynamic_lookup(
+            {
+                "click": v * 1.0,
+                "view": v * 2.0,
+                "purchase": v * 3.0,
+                "signup": v * 4.0,
+                "error": v * -1.0,
+            },
+            F.col("event_type"),
+        ).alias("routed_value"),
     )

@@ -46,7 +46,7 @@ _NORMS = f"""
 
 
 @query(
-    "q80_cosine_topk",
+    "q80_cosine_search",
     oracle=f"""
     WITH dots AS ({_DOT.format(pair_cond="q.vec_id < 8 AND d.vec_id <> q.vec_id")}),
     norms AS ({_NORMS}),
@@ -56,51 +56,51 @@ _NORMS = f"""
         FROM dots
         JOIN norms qn ON qn.vec_id = dots.q_id
         JOIN norms dn ON dn.vec_id = dots.d_id
-    )
-    SELECT q_id, d_id, cosine, rank FROM (
+    ),
+    alldots AS ({_DOT.format(pair_cond="q.vec_id < d.vec_id")})
+    SELECT 'topk' AS kind, q_id, d_id, cosine, rank FROM (
         SELECT q_id, d_id, cosine,
                ROW_NUMBER() OVER (PARTITION BY q_id
                    ORDER BY cosine DESC, d_id ASC) AS rank
         FROM scored
     ) WHERE rank <= 5
+    UNION ALL
+    SELECT 'neardup' AS kind, alldots.q_id, alldots.d_id,
+           alldots.dot / (qn.nrm * dn.nrm) AS cosine,
+           CAST(NULL AS BIGINT) AS rank
+    FROM alldots
+    JOIN norms qn ON qn.vec_id = alldots.q_id
+    JOIN norms dn ON dn.vec_id = alldots.d_id
+    WHERE alldots.dot / (qn.nrm * dn.nrm) >= 0.2
     """,
 )
-def q80_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-5 for 8 query vectors — the exact ANN
-    baseline. Dot products via posexplode + decimal sums: order-exact,
-    so cosines match DuckDB bit-for-bit."""
+def q80_cosine_search(spark, sf_dir):
+    """Exact cosine similarity search, both consumer shapes (round 3
+    merge of two round-1 queries, COVERAGE.md): the 'topk' branch is
+    brute-force cosine top-5 for 8 query vectors — the exact ANN
+    baseline, O(n·q), broadcast query side; the 'neardup' branch is
+    embedding-cosine near-dup detection — all pairs with cosine ≥ 0.2
+    (the synthetic vectors are near-orthogonal; 0.2 captures the
+    label-cluster structure without emitting the empty set). Dot
+    products via posexplode + decimal sums: order-exact, so cosines
+    match DuckDB bit-for-bit."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     scored = pairwise_cosine(q, e, "vec_id", "embedding").filter(
         F.col("q_id") != F.col("d_id")
     )
-    return topk_per_query(scored, k=5).select("q_id", "d_id", "cosine", "rank")
-
-
-@query(
-    "q81_embedding_near_dups",
-    oracle=f"""
-    WITH dots AS ({_DOT.format(pair_cond="q.vec_id < d.vec_id")}),
-    norms AS ({_NORMS})
-    SELECT dots.q_id AS id_a, dots.d_id AS id_b,
-           dots.dot / (qn.nrm * dn.nrm) AS cosine
-    FROM dots
-    JOIN norms qn ON qn.vec_id = dots.q_id
-    JOIN norms dn ON dn.vec_id = dots.d_id
-    WHERE dots.dot / (qn.nrm * dn.nrm) >= 0.2
-    """,
-)
-def q81_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup detection: all pairs with cosine ≥
-    0.2 (the synthetic vectors are near-orthogonal; 0.2 captures the
-    label-cluster structure without emitting the empty set)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    topk = topk_per_query(scored, k=5).select(
+        F.lit("topk").alias("kind"), "q_id", "d_id", "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
     pairs = pairwise_cosine(e, e, "vec_id", "embedding").filter(
         (F.col("q_id") < F.col("d_id")) & (F.col("cosine") >= 0.2)
     )
-    return pairs.select(
-        F.col("q_id").alias("id_a"), F.col("d_id").alias("id_b"), "cosine"
+    neardup = pairs.select(
+        F.lit("neardup").alias("kind"), "q_id", "d_id", "cosine",
+        F.lit(None).cast("bigint").alias("rank"),
     )
+    return topk.unionByName(neardup)
 
 
 @query("q82_ann_lsh_topk")  # rows-only: engine-native ANN, no SQL oracle

@@ -30,28 +30,38 @@ def _hot_events(spark, sf_dir):
 
 
 @query(
-    "q33_salted_hot_agg",
+    "q33_skew_salting",
     oracle=f"""
-    SELECT {_HOT} AS hot_key,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
-           COUNT(event_id) AS n_events,
-           MIN(event_id) AS first_event,
-           MAX(event_id) AS last_event
-    FROM events GROUP BY 1
+    WITH hot AS (SELECT {_HOT} AS hot_key, event_id, value FROM events),
+    dim AS (SELECT n_nationkey AS hot_key, n_name FROM nation)
+    SELECT h.hot_key, d.n_name,
+           CAST(SUM(CAST(h.value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+           COUNT(h.event_id) AS n_events,
+           MIN(h.event_id) AS first_event,
+           MAX(h.event_id) AS last_event
+    FROM hot h JOIN dim d ON d.hot_key = h.hot_key
+    GROUP BY h.hot_key, d.n_name
     """,
 )
-def q33_salted_hot_agg(spark, sf_dir):
-    """Two-phase salted aggregation over a manufactured hot key
-    (~2/3 of rows on one key). Phase 1 spreads the hot key over 16
-    salt buckets with map-side combine; phase 2 merges 16 tiny
-    partials. The oracle is the PLAIN group-by — bit-identical because
-    sum(decimal)/count/min/max are associative."""
-    e = _hot_events(spark, sf_dir).withColumn(
-        "dvalue", F.col("value").cast(DEC)
+def q33_skew_salting(spark, sf_dir):
+    """Salted join feeding salted aggregation over a manufactured hot
+    key (~2/3 of rows on one key) — round 3 merge of the two round-1
+    skew queries (COVERAGE.md). The fact side is salted on event_id and
+    the 25-row dim replicated 8×, joined on (key, salt) — the path for
+    dims too big to broadcast; then the two-phase salted agg spreads
+    the hot key over 16 salt buckets with map-side combine before
+    merging 16 tiny partials. The oracle is the PLAIN join + group-by —
+    bit-identical because sum(decimal)/count/min/max are associative."""
+    hot = _hot_events(spark, sf_dir).select("hot_key", "event_id", "value")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("hot_key"), "n_name"
     )
+    joined = salted_join(
+        hot, n, keys=["hot_key"], disambig=["event_id"], buckets=8
+    ).withColumn("dvalue", F.col("value").cast(DEC))
     out = salted_agg(
-        e,
-        keys=["hot_key"],
+        joined,
+        keys=["hot_key", "n_name"],
         aggs={
             "total_value": ("sum", "dvalue"),
             "n_events": ("count", "event_id"),
@@ -62,28 +72,3 @@ def q33_salted_hot_agg(spark, sf_dir):
         buckets=16,
     )
     return out.withColumn("total_value", F.col("total_value").cast("double"))
-
-
-@query(
-    "q34_salted_hot_join",
-    oracle=f"""
-    WITH hot AS (SELECT {_HOT} AS hot_key, event_id, value FROM events),
-    dim AS (SELECT n_nationkey AS hot_key, n_name FROM nation)
-    SELECT h.hot_key, d.n_name, h.event_id
-    FROM hot h JOIN dim d ON d.hot_key = h.hot_key
-    """,
-)
-def q34_salted_hot_join(spark, sf_dir):
-    """Salted fact⋈dim join on the manufactured hot key: the fact side
-    is salted on event_id, the 25-row dim replicated 8×, joined on
-    (key, salt). Row-identical to the plain join (the oracle). In
-    production this path is for dims too big to broadcast; the dim here
-    is small only because the testdata is."""
-    hot = _hot_events(spark, sf_dir).select("hot_key", "event_id", "value")
-    n = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("hot_key"), "n_name"
-    )
-    out = salted_join(
-        hot, n, keys=["hot_key"], disambig=["event_id"], buckets=8
-    )
-    return out.select("hot_key", "n_name", "event_id")

@@ -20,57 +20,6 @@ from ..sources.io import load_table
 from .registry import query
 
 
-@query(
-    "q60_token_stats",
-    oracle=r"""
-    SELECT doc_id,
-           len(string_split(text, ' ')) AS n_tokens,
-           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_regex_tokens,
-           length(text) AS char_len
-    FROM documents
-    """,
-)
-def q60_token_stats(spark, sf_dir):
-    """Token counting: whitespace + BPE-ish regex (words + standalone
-    punctuation)."""
-    d = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        F.size(tokens(t)).cast("bigint").alias("n_tokens"),
-        regex_token_count(t).cast("bigint").alias("n_regex_tokens"),
-        F.length(t).cast("bigint").alias("char_len"),
-    )
-
-
-@query(
-    "q61_quality_scores",
-    oracle="""
-    SELECT doc_id,
-           CAST(list_sum(list_transform(string_split(text,' '), w -> length(w)))
-                AS DOUBLE) / len(string_split(text,' ')) AS avg_word_len,
-           CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
-             / length(text) AS punct_ratio,
-           CAST(len(list_filter(string_split(text,' '),
-                w -> w IN ('the','and','of','to','a','in','is'))) AS DOUBLE)
-             / len(string_split(text,' ')) AS stopword_ratio
-    FROM documents
-    """,
-)
-def q61_quality_scores(spark, sf_dir):
-    """Quality scoring: length/punctuation/stopword ratios. All ratios
-    are single double divisions of exact integer counts —
-    deterministic across engines."""
-    d = load_table(spark, sf_dir, "documents")
-    q = quality_features(F.col("text"))
-    return d.select(
-        "doc_id",
-        q["avg_word_len"].alias("avg_word_len"),
-        q["punct_ratio"].alias("punct_ratio"),
-        q["stopword_ratio"].alias("stopword_ratio"),
-    )
-
-
 _HITS = {
     lang: (
         f"len(list_filter(string_split(text,' '), w -> w IN "
@@ -79,39 +28,30 @@ _HITS = {
     for lang, sw in LANG_STOPWORDS.items()
 }
 
-
-@query(
-    "q62_lang_id",
-    oracle=f"""
-    SELECT doc_id, lang,
-           CASE WHEN {_HITS['en']} >= {_HITS['es']}
-                 AND {_HITS['en']} >= {_HITS['de']} THEN 'en'
-                WHEN {_HITS['es']} >= {_HITS['de']} THEN 'es'
-                ELSE 'de' END AS predicted_lang,
-           CASE WHEN (CASE WHEN {_HITS['en']} >= {_HITS['es']}
-                 AND {_HITS['en']} >= {_HITS['de']} THEN 'en'
-                WHEN {_HITS['es']} >= {_HITS['de']} THEN 'es'
-                ELSE 'de' END) = lang THEN 1 ELSE 0 END AS is_match
-    FROM documents
-    """,
+_PRED = (
+    f"CASE WHEN {_HITS['en']} >= {_HITS['es']}"
+    f" AND {_HITS['en']} >= {_HITS['de']} THEN 'en'"
+    f" WHEN {_HITS['es']} >= {_HITS['de']} THEN 'es'"
+    f" ELSE 'de' END"
 )
-def q62_lang_id(spark, sf_dir):
-    """Language ID via stopword-hit argmax with fixed tie preference —
-    the n-gram-heuristic family, JVM-side only."""
-    d = load_table(spark, sf_dir, "documents")
-    pred = predict_lang(tokens(F.col("text")))
-    return d.select(
-        "doc_id",
-        "lang",
-        pred.alias("predicted_lang"),
-        F.when(pred == F.col("lang"), 1).otherwise(0).alias("is_match"),
-    )
 
 
 @query(
-    "q63_fingerprints",
-    oracle="""
-    SELECT doc_id,
+    "q60_text_profile",
+    oracle=rf"""
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_regex_tokens,
+           length(text) AS char_len,
+           CAST(list_sum(list_transform(string_split(text,' '), w -> length(w)))
+                AS DOUBLE) / len(string_split(text,' ')) AS avg_word_len,
+           CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           CAST(len(list_filter(string_split(text,' '),
+                w -> w IN ('the','and','of','to','a','in','is'))) AS DOUBLE)
+             / len(string_split(text,' ')) AS stopword_ratio,
+           {_PRED} AS predicted_lang,
+           CASE WHEN ({_PRED}) = lang THEN 1 ELSE 0 END AS is_match,
            md5(trim(regexp_replace(regexp_replace(lower(text),
                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
            CAST(concat('0x', substring(
@@ -121,13 +61,31 @@ def q62_lang_id(spark, sf_dir):
     FROM documents
     """,
 )
-def q63_fingerprints(spark, sf_dir):
-    """Document fingerprinting: md5 over normalized text, plus the
-    portable 60-bit numeric key used by the dedup layer."""
+def q60_text_profile(spark, sf_dir):
+    """Per-document text profile — round 3 merge of four round-1
+    queries (COVERAGE.md: q60-q63), all narrow per-row transforms, so
+    ONE documents scan computes all of: token counting (whitespace +
+    BPE-ish regex), quality scoring (length/punct/stopword ratios —
+    single double divisions of exact integer counts), language ID via
+    stopword-hit argmax with fixed tie preference, and md5 + portable
+    60-bit fingerprints (the dedup layer's numeric key). At 100 TB this
+    is THE text-feature extraction pass: every column codegen'd
+    JVM-side, zero shuffles, zero Python."""
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
+    q = quality_features(t)
+    pred = predict_lang(tokens(t))
     return d.select(
         "doc_id",
+        "lang",
+        F.size(tokens(t)).cast("bigint").alias("n_tokens"),
+        regex_token_count(t).cast("bigint").alias("n_regex_tokens"),
+        F.length(t).cast("bigint").alias("char_len"),
+        q["avg_word_len"].alias("avg_word_len"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        pred.alias("predicted_lang"),
+        F.when(pred == F.col("lang"), 1).otherwise(0).alias("is_match"),
         fingerprint(t).alias("fp"),
         portable_hash64(normalize_text(t)).alias("fp64"),
     )

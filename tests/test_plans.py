@@ -57,8 +57,10 @@ def test_q03_all_dims_broadcast(spark):
 
 
 def test_q04_semi_join_broadcast(spark):
-    plan = plan_of(suite.QUERIES["q04_customers_with_orders"](spark, SF))
+    plan = plan_of(suite.QUERIES["q04_semi_anti_customers"](spark, SF))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # semi + anti both broadcast the orders side: zero shuffle exchanges
+    assert shuffles(plan) == 0
 
 
 def test_q08_single_window_shuffle(spark):
@@ -74,16 +76,21 @@ def test_q09_topk_never_global_sorts(spark):
     assert "Exchange rangepartitioning" not in plan
 
 
-def test_q21_window_chain_single_exchange(spark):
-    plan = plan_of(suite.QUERIES["q21_running_value"](spark, SF))
+def test_q20_window_chain_single_exchange(spark):
+    """Five window families (dense_rank, running sum, group-min offset,
+    conditional row_number, sessionize) off ONE exchange on user_id —
+    the consolidation's stated plan shape."""
+    plan = plan_of(suite.QUERIES["q20_event_windows"](spark, SF))
     assert shuffles(plan) == 1
 
 
-def test_q22_reuses_window_exchange(spark):
-    """Running sum + first-crossing + read offsets partition the same
-    way — the plan must not re-shuffle per window."""
-    plan = plan_of(suite.QUERIES["q22_first_crossing_reads"](spark, SF))
-    assert shuffles(plan) <= 2  # window + final agg
+def test_q22_branches_broadcast_join(spark):
+    """Four per-user branches (crossing reads, first event, argmax,
+    extremes) each exchange on user_id exactly once, then join via
+    broadcast — no SortMergeJoin, no fifth exchange for the joins."""
+    plan = plan_of(suite.QUERIES["q22_user_read_profile"](spark, SF))
+    assert shuffles(plan) <= 4  # one per branch
+    assert "SortMergeJoin" not in plan
 
 
 def test_q44_pivot_no_distinct_job(spark):
@@ -111,13 +118,13 @@ def test_no_python_udfs_in_relational_suite(spark):
 
 
 def test_q33_salted_agg_two_phase(spark):
-    """Salted aggregation: partial agg on (key, salt) under ONE
-    shuffle, final agg on key under a second — the hot key never
-    lands on a single reducer in phase 1."""
-    plan = plan_of(suite.QUERIES["q33_salted_hot_agg"](spark, SF))
+    """Salted join + salted aggregation: partial agg on (key, salt)
+    under ONE shuffle, final agg on key under a second — the hot key
+    never lands on a single reducer in phase 1."""
+    plan = plan_of(suite.QUERIES["q33_skew_salting"](spark, SF))
     assert plan.count("HashAggregate") >= 4  # 2 logical phases × partial/final
     assert "__salt" in plan
-    assert shuffles(plan) == 2
+    assert shuffles(plan) == 2  # agg phases; the tiny dim join broadcasts
 
 
 def test_q34_salted_join_partitions_on_salt(spark):
