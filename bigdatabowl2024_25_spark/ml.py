@@ -22,13 +22,26 @@ X8 metrics → MulticlassClassificationEvaluator.
 from __future__ import annotations
 
 from pyspark.ml import Pipeline, PipelineModel
-from pyspark.ml.classification import RandomForestClassifier
+from pyspark.ml.classification import (
+    GBTClassifier,
+    LogisticRegression,
+    OneVsRest,
+    RandomForestClassifier,
+)
 from pyspark.ml.evaluation import MulticlassClassificationEvaluator
 from pyspark.ml.feature import StandardScaler, StringIndexer, VectorAssembler
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SEED = 42
+
+#: X6 model families available in MLlib, mirroring the reference's
+#: comparison set (`DefPosModel.ipynb` cell 16 trains RF / XGBoost /
+#: CatBoost / LightGBM / LogReg / Keras; xgboost & friends are not in
+#: this environment, so the boosted entry is MLlib GBT via OneVsRest —
+#: GBTClassifier is binary-only — and the linear entry is multinomial
+#: LogisticRegression).
+MODEL_FAMILIES = ("rf", "logreg", "gbt_ovr")
 
 
 def coverage_features(
@@ -110,9 +123,13 @@ def classifier_pipeline(
     n_trees: int = 100,
     max_depth: int = 10,
     scale: bool = False,
+    model: str = "rf",
 ) -> Pipeline:
     """StringIndexer (X4) → VectorAssembler [→ StandardScaler (X7)] →
-    RandomForest (X6), seed-pinned."""
+    classifier (X6), seed-pinned. `model` picks the family: 'rf'
+    (RandomForest, the notebooks' winner), 'logreg' (multinomial
+    LogisticRegression), 'gbt_ovr' (gradient-boosted trees lifted to
+    multiclass via OneVsRest)."""
     stages = [
         StringIndexer(
             inputCol=label_col, outputCol="label", handleInvalid="skip"
@@ -125,15 +142,34 @@ def classifier_pipeline(
             StandardScaler(inputCol=feat, outputCol="features", withMean=True)
         )
         feat = "features"
-    stages.append(
-        RandomForestClassifier(
+    if model == "rf":
+        clf = RandomForestClassifier(
             featuresCol=feat,
             labelCol="label",
             numTrees=n_trees,
             maxDepth=max_depth,
             seed=SEED,
         )
-    )
+    elif model == "logreg":
+        clf = LogisticRegression(
+            featuresCol=feat, labelCol="label", maxIter=50, regParam=0.01
+        )
+    elif model == "gbt_ovr":
+        clf = OneVsRest(
+            classifier=GBTClassifier(
+                featuresCol=feat,
+                labelCol="label",
+                maxIter=max(10, n_trees // 5),
+                maxDepth=min(max_depth, 5),
+                seed=SEED,
+            ),
+            featuresCol=feat,
+            labelCol="label",
+            parallelism=4,
+        )
+    else:
+        raise ValueError(f"unknown model family {model!r}; use {MODEL_FAMILIES}")
+    stages.append(clf)
     return Pipeline(stages=stages)
 
 
@@ -150,10 +186,29 @@ def train_eval(
     acc = MulticlassClassificationEvaluator(
         labelCol="label", predictionCol="prediction", metricName="accuracy"
     ).evaluate(pred)
-    ll = MulticlassClassificationEvaluator(
-        labelCol="label", predictionCol="prediction", metricName="logLoss"
-    ).evaluate(pred)
-    return model, pred, {"accuracy": acc, "log_loss": ll}
+    metrics = {"accuracy": acc}
+    if "probability" in pred.columns:  # OneVsRest emits prediction only
+        metrics["log_loss"] = MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName="logLoss"
+        ).evaluate(pred)
+    return model, pred, metrics
+
+
+def compare_models(
+    features: DataFrame,
+    label_col: str,
+    feature_cols: list[str],
+    models: tuple[str, ...] = MODEL_FAMILIES,
+    **kwargs,
+) -> dict[str, dict[str, float]]:
+    """The reference's model-comparison table (`DefPosModel.ipynb`
+    cell 16, `DefCoverage.ipynb` cell 6): train every available family
+    on the same seed-42 split, report per-family metrics. Returns
+    {family: {metric: value}}."""
+    return {
+        m: train_eval(features, label_col, feature_cols, model=m, **kwargs)[2]
+        for m in models
+    }
 
 
 def tune(

@@ -1,17 +1,30 @@
-"""Parity queries: the BDB numeric kernels exercised over synthetic
-inputs derived deterministically from the driver's tables.
+"""Parity queries: the BDB numeric kernels and the full five-stage
+pipeline DAG.
 
-The openness kernel (X1/X2) is irreducibly procedural — no SQL
-equivalent — so the driver records rows-only checks here; the real
+q90: the MC openness kernel (X1/X2) is irreducibly procedural — no SQL
+equivalent — so the driver records a rows-only check; the real
 correctness evidence is tests/test_kernels.py (reference smoke inputs,
 interception-equation property, partition-invariance).
+
+q91: the END-TO-END pipeline — openness-prep → closed-form radius →
+read-order → PRESS — over a deterministic synthetic BDB world built
+identically in both engines (the manufacture-inputs-in-query pattern
+of suite/dedup.py). The closed-form radius stage
+(pipelines/radius_stage.build_radius_data_closed_form) replaces the MC
+kernel with the toward-ball Apollonius boundary, field-clamped
+(`killer_plot_function.R:58-70`), so every stage is IEEE-deterministic
+and the whole DAG is hash-checked: a regression in the pipeline WIRING
+(not just its operators) now hits CORRECTNESS.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from ..functions.kernels import score_openness
+from ..pipelines import openness_prep, qb_stats, radius_stage, read_order
 from ..sources.io import load_table
 from .registry import query
 
@@ -58,3 +71,431 @@ def q90_openness_kernel(spark, sf_dir):
         )
     )
     return score_openness(base, density=5.0)
+
+
+# --- q91: the five-stage DAG, end to end -----------------------------------
+
+#: world dimensions: 6 games x 4 plays x 30 frames x 15 roster slots.
+#: lid (local id): 0 football, 1 QB, 2-6 route runners, 7-13 defenders,
+#: 14 extra offensive player (blocks, runs no route).
+_G, _P, _FR, _IDS = 6, 4, 30, 15
+
+#: constants inlined into BOTH engines via repr() so the literals are
+#: bit-identical (math.hypot != sqrt(x^2+y^2) in the last ulp).
+_R_CAP = repr(math.hypot(120.0, 53.3))
+_DT2 = repr(0.1 * 0.1)
+
+_ROLLOUTS = (
+    "'DESIGNED_ROLLOUT_RIGHT','DESIGNED_ROLLOUT_LEFT','QB_SNEAK','DESIGNED_RUN'"
+)
+
+
+def _world(spark):
+    """The synthetic BDB star schema, derived from spark.range with the
+    same modular-arithmetic formulas the oracle CTEs use. All doubles
+    are dyadic (k + .25, k/4) so cross-engine sums are exact."""
+    g, p, f, lid = F.col("g"), F.col("p"), F.col("f"), F.col("lid")
+    nfl = (g * 100 + lid).cast("long")
+    base = spark.range(_G * _P * _FR * _IDS).select(
+        F.expr(f"id div {_P * _FR * _IDS}").alias("g"),
+        F.expr(f"(id div {_FR * _IDS}) % {_P}").alias("p"),
+        (F.expr(f"(id div {_IDS}) % {_FR}") + 1).alias("f"),
+        (F.col("id") % _IDS).alias("lid"),
+    )
+    tracking = base.select(
+        g.alias("gameId"),
+        p.alias("playId"),
+        nfl.alias("nflId"),
+        f.alias("frameId"),
+        F.when(f >= 3, "AFTER_SNAP").otherwise("BEFORE_SNAP").alias("frameType"),
+        F.when(f == 10 + (g + p) % 5, "pass_forward").alias("event"),
+        F.when(lid == 0, "BALL")
+        .when(lid.isin(1, 2, 3, 4, 5, 6, 14), "OFF")
+        .otherwise("DEF")
+        .alias("club"),
+        F.when(lid == 0, "football")
+        .otherwise(F.concat(F.lit("P"), nfl.cast("string")))
+        .alias("displayName"),
+        (((lid * 7 + f * 2 + g + p * 5) % 110) + 0.25).alias("x"),
+        (((lid * 11 + f * 3 + g * 2 + p) % 50) + 0.25).alias("y"),
+        (((lid * 13 + f * 7 + g * 3 + p) % 32) / 4.0 + 0.25).alias("s"),
+        (((lid * 5 + f) % 8) / 4.0).alias("a"),
+        (((lid * 29 + f * 11) % 360) * 1.0).alias("dir"),
+    )
+    gp = spark.range(_G * _P).select(
+        F.expr(f"id div {_P}").alias("gameId"), (F.col("id") % _P).alias("playId")
+    )
+    plays = gp.select(
+        "gameId",
+        "playId",
+        F.lit("DEF").alias("defensiveTeam"),
+        F.lit("OFF").alias("possessionTeam"),
+        (~((F.col("gameId") == 1) & (F.col("playId") == 2))).alias("isDropback"),
+        ((F.col("playId") + 1) * 0.5 + F.col("gameId") * 0.25 + 0.03).alias(
+            "dropbackDistance"
+        ),
+        F.when(F.col("playId") == 3, "QB_SNEAK")
+        .otherwise("TRADITIONAL")
+        .alias("dropbackType"),
+    )
+    gl = spark.range(_G * (_IDS - 1)).select(
+        F.expr(f"id div {_IDS - 1}").alias("g"),
+        (F.col("id") % (_IDS - 1) + 1).alias("lid"),
+    )
+    nfl2 = (F.col("g") * 100 + F.col("lid")).cast("long")
+    players = gl.select(
+        nfl2.alias("nflId"),
+        F.when(F.col("lid") == 1, "QB")
+        .when(F.col("lid").isin(2, 3, 4, 5, 6, 14), "WR")
+        .otherwise("CB")
+        .alias("position"),
+        F.concat(F.lit("P"), nfl2.cast("string")).alias("displayName"),
+    )
+    gpl = spark.range(_G * _P * (_IDS - 1)).select(
+        F.expr(f"id div {_P * (_IDS - 1)}").alias("g"),
+        F.expr(f"(id div {_IDS - 1}) % {_P}").alias("p"),
+        (F.col("id") % (_IDS - 1) + 1).alias("lid"),
+    )
+    g3, p3, l3 = F.col("g"), F.col("p"), F.col("lid")
+    player_play = gpl.select(
+        g3.alias("gameId"),
+        p3.alias("playId"),
+        (g3 * 100 + l3).cast("long").alias("nflId"),
+        l3.between(2, 6).alias("wasRunningRoute"),
+        F.when(l3 == 2, "GO")
+        .when(l3 == 3, "SLANT")
+        .when(l3 == 4, "OUT")
+        .when(l3 == 5, "POST")
+        .when(l3 == 6, "CROSS")
+        .alias("routeRan"),
+        F.when(l3.between(2, 6), (g3 * 100 + l3 + 5).cast("long")).alias(
+            "pff_primaryDefensiveCoverageMatchupNflId"
+        ),
+        F.when(
+            l3.between(7, 13),
+            F.when((l3 + g3) % 2 == 0, "MAN").otherwise("ZONE"),
+        ).alias("pff_defensiveCoverageAssignment"),
+        (l3 == 2 + (g3 + p3) % 5).alias("wasTargettedReceiver"),
+    )
+    return tracking, plays, players, player_play
+
+
+_WORLD_SQL = f"""
+    trk AS (
+        SELECT i // {_P * _FR * _IDS} AS g, (i // {_FR * _IDS}) % {_P} AS p,
+               (i // {_IDS}) % {_FR} + 1 AS f, i % {_IDS} AS lid
+        FROM range(0, {_G * _P * _FR * _IDS}) t(i)
+    ),
+    trackingw AS (
+        SELECT g AS gameId, p AS playId, g*100 + lid AS nflId, f AS frameId,
+               CASE WHEN f >= 3 THEN 'AFTER_SNAP' ELSE 'BEFORE_SNAP' END AS frameType,
+               CASE WHEN f = 10 + (g+p) % 5 THEN 'pass_forward' END AS event,
+               CASE WHEN lid = 0 THEN 'BALL'
+                    WHEN lid IN (1,2,3,4,5,6,14) THEN 'OFF'
+                    ELSE 'DEF' END AS club,
+               CASE WHEN lid = 0 THEN 'football'
+                    ELSE 'P' || CAST(g*100+lid AS VARCHAR) END AS displayName,
+               ((lid*7 + f*2 + g + p*5) % 110) + 0.25 AS x,
+               ((lid*11 + f*3 + g*2 + p) % 50) + 0.25 AS y,
+               ((lid*13 + f*7 + g*3 + p) % 32)/4.0 + 0.25 AS s,
+               ((lid*5 + f) % 8)/4.0 AS a
+        FROM trk
+    ),
+    playsw AS (
+        SELECT DISTINCT g AS gameId, p AS playId,
+               NOT (g = 1 AND p = 2) AS isDropback,
+               (p+1)*0.5 + g*0.25 + 0.03 AS dropbackDistance,
+               CASE WHEN p = 3 THEN 'QB_SNEAK' ELSE 'TRADITIONAL' END AS dropbackType
+        FROM trk
+    ),
+    playersw AS (
+        SELECT DISTINCT g*100 + lid AS nflId,
+               CASE WHEN lid = 1 THEN 'QB'
+                    WHEN lid IN (2,3,4,5,6,14) THEN 'WR' ELSE 'CB' END AS position,
+               'P' || CAST(g*100+lid AS VARCHAR) AS displayName
+        FROM trk WHERE lid >= 1
+    ),
+    ppw AS (
+        SELECT DISTINCT g AS gameId, p AS playId, g*100 + lid AS nflId,
+               lid BETWEEN 2 AND 6 AS wasRunningRoute,
+               CASE lid WHEN 2 THEN 'GO' WHEN 3 THEN 'SLANT' WHEN 4 THEN 'OUT'
+                        WHEN 5 THEN 'POST' WHEN 6 THEN 'CROSS' END AS routeRan,
+               CASE WHEN lid BETWEEN 2 AND 6 THEN g*100 + lid + 5 END AS matchupId,
+               lid = 2 + (g+p) % 5 AS wasTargettedReceiver
+        FROM trk WHERE lid >= 1
+    )
+"""
+
+
+@query(
+    "q91_bdb_pipeline",
+    oracle=f"""
+    WITH {_WORLD_SQL},
+    base AS (
+        SELECT t.*, p.dropbackDistance
+        FROM trackingw t JOIN playsw p USING (gameId, playId)
+        WHERE t.frameType = 'AFTER_SNAP' AND p.isDropback
+    ),
+    runners AS (
+        SELECT r.gameId, r.playId, r.nflId, r.routeRan
+        FROM ppw r WHERE r.wasRunningRoute
+    ),
+    runner_frames AS (
+        SELECT b.gameId, b.playId, b.frameId, b.nflId, b.x, b.y, b.s
+        FROM base b JOIN runners r USING (gameId, playId, nflId)
+    ),
+    defs AS (
+        SELECT gameId, playId, frameId, x AS dx, y AS dy
+        FROM base WHERE club = 'DEF'
+    ),
+    ball AS (SELECT * FROM base WHERE displayName = 'football'),
+    pass_evt AS (
+        SELECT gameId, playId,
+               MAX(CASE WHEN event = 'pass_forward' THEN frameId END) AS fe
+        FROM ball GROUP BY 1, 2
+    ),
+    release AS (
+        SELECT b.gameId, b.playId, AVG(b.x) AS fx, AVG(b.y) AS fy
+        FROM ball b JOIN pass_evt e USING (gameId, playId)
+        WHERE b.frameId BETWEEN e.fe + 2 AND e.fe + 7
+        GROUP BY 1, 2
+    ),
+    qbsw AS (
+        SELECT DISTINCT pp.gameId, pp.playId, pl.displayName AS qb,
+               pp.nflId AS qbId
+        FROM ppw pp JOIN playersw pl ON pl.nflId = pp.nflId
+        WHERE pl.position = 'QB'
+    ),
+    speeds AS (
+        SELECT q.qb, MEDIAN(b.s) AS throw_speed
+        FROM ball b
+        JOIN pass_evt e USING (gameId, playId)
+        JOIN qbsw q USING (gameId, playId)
+        WHERE b.frameId BETWEEN e.fe + 2 AND e.fe + 7
+        GROUP BY q.qb
+    ),
+    play_speed AS (
+        SELECT q.gameId, q.playId, s.throw_speed
+        FROM qbsw q JOIN speeds s USING (qb)
+    ),
+    rad1 AS (
+        SELECT rf.*,
+               COALESCE(ps.throw_speed, 18.0) AS bs,
+               COALESCE(rl.fx, rf.x) AS bx,
+               COALESCE(rl.fy, rf.y) AS byy
+        FROM runner_frames rf
+        LEFT JOIN release rl USING (gameId, playId)
+        LEFT JOIN play_speed ps USING (gameId, playId)
+    ),
+    rad2 AS (
+        SELECT *, sqrt((bx-x)*(bx-x) + (byy-y)*(byy-y)) AS wd FROM rad1
+    ),
+    rad3 AS (
+        SELECT *, CASE WHEN bs <= s THEN {_R_CAP}
+                       ELSE s*wd/(s+bs) END AS fr0
+        FROM rad2
+    ),
+    rad4 AS (
+        SELECT *,
+               CASE WHEN wd = 0 THEN x ELSE x + fr0*((bx-x)/wd) END AS ix,
+               CASE WHEN wd = 0 THEN y ELSE y + fr0*((byy-y)/wd) END AS iy
+        FROM rad3
+    ),
+    rad5 AS (
+        SELECT *, LEAST(GREATEST(ix, 0.0), 120.0) AS ccx,
+                  LEAST(GREATEST(iy, 0.0), 53.3) AS ccy
+        FROM rad4
+    ),
+    rad6 AS (
+        SELECT *, sqrt((ccx-x)*(ccx-x) + (ccy-y)*(ccy-y)) AS frc FROM rad5
+    ),
+    radius AS (
+        SELECT r.gameId, r.playId, r.nflId, r.frameId, r.y,
+               CAST(COUNT(CASE WHEN
+                   sqrt((d.dx-r.x)*(d.dx-r.x) + (d.dy-r.y)*(d.dy-r.y)) > r.frc
+                   THEN 1 END) AS DOUBLE) AS open_count
+        FROM rad6 r JOIN defs d USING (gameId, playId, frameId)
+        GROUP BY r.gameId, r.playId, r.nflId, r.frameId, r.y
+    ),
+    snap AS (
+        SELECT gameId, playId, nflId, y FROM (
+            SELECT r.*, MIN(frameId) OVER (PARTITION BY gameId, playId) AS mnf
+            FROM radius r
+        ) WHERE frameId = mnf
+    ),
+    avg_open AS (
+        SELECT gameId, playId, nflId, AVG(open_count) AS avg_openness
+        FROM radius GROUP BY 1, 2, 3
+    ),
+    snap2 AS (
+        SELECT s.gameId, s.playId, s.nflId, s.y, a.avg_openness
+        FROM snap s JOIN avg_open a USING (gameId, playId, nflId)
+    ),
+    outside AS (
+        SELECT * FROM (
+            SELECT s.*, MIN(y) OVER (PARTITION BY gameId, playId) AS mny,
+                   MAX(y) OVER (PARTITION BY gameId, playId) AS mxy
+            FROM snap2 s
+        ) WHERE y = mny OR y = mxy
+    ),
+    firstside AS (
+        SELECT gameId, playId,
+               CASE WHEN y = mny THEN 'L' ELSE 'R' END AS firstSide
+        FROM (
+            SELECT o.*, ROW_NUMBER() OVER (PARTITION BY gameId, playId
+                       ORDER BY avg_openness DESC, nflId ASC) AS rn
+            FROM outside o
+        ) WHERE rn = 1
+    ),
+    ordered AS (
+        SELECT s.gameId, s.playId, s.nflId,
+               ROW_NUMBER() OVER (PARTITION BY s.gameId, s.playId
+                   ORDER BY CASE WHEN f.firstSide = 'R' THEN -s.y ELSE s.y END,
+                            s.nflId) AS read_order
+        FROM snap2 s JOIN firstside f USING (gameId, playId)
+    ),
+    targets AS (
+        SELECT gameId, playId,
+               MAX(CASE WHEN read_order = 1 THEN nflId END) AS t1,
+               MAX(CASE WHEN read_order = 2 THEN nflId END) AS t2,
+               MAX(CASE WHEN read_order = 3 THEN nflId END) AS t3,
+               MAX(CASE WHEN read_order = 4 THEN nflId END) AS t4,
+               MAX(CASE WHEN read_order = 5 THEN nflId END) AS t5
+        FROM ordered GROUP BY 1, 2
+    ),
+    qbtrk AS (
+        SELECT t.gameId, t.playId, t.frameId, t.s, t.a, p.dropbackDistance
+        FROM trackingw t
+        JOIN playersw pl ON pl.nflId = t.nflId AND pl.position = 'QB'
+        JOIN playsw p USING (gameId, playId)
+        WHERE t.frameType = 'AFTER_SNAP'
+          AND p.dropbackType NOT IN ({_ROLLOUTS})
+    ),
+    cum AS (
+        SELECT *, SUM(s*0.1 + 0.5*a*{_DT2}) OVER (
+                   PARTITION BY gameId, playId
+                   ORDER BY frameId ROWS UNBOUNDED PRECEDING)
+                   AS cumulative_distance
+        FROM qbtrk
+    ),
+    timing AS (
+        SELECT DISTINCT gameId, playId, dcf - mnf AS tdf FROM (
+            SELECT gameId, playId,
+                   MIN(CASE WHEN cumulative_distance >= dropbackDistance
+                            THEN frameId END)
+                       OVER (PARTITION BY gameId, playId) AS dcf,
+                   MIN(frameId) OVER (PARTITION BY gameId, playId) AS mnf
+            FROM cum
+        )
+    ),
+    reads AS (
+        SELECT gameId, playId, tdf AS r1, tdf+5 AS r2, tdf+10 AS r3,
+               tdf+15 AS r4, tdf+20 AS r5
+        FROM timing
+    ),
+    tf AS (
+        SELECT gameId, playId,
+               MAX(CASE WHEN event = 'pass_forward' THEN frameId END)
+                 - MIN(frameId) AS throw_offset
+        FROM trackingw WHERE frameType = 'AFTER_SNAP' GROUP BY 1, 2
+    ),
+    assigned AS (
+        SELECT t.gameId, t.playId, r.r1, g.t1, g.t2, g.t3, g.t4, g.t5,
+               list_position(
+                 [abs(CAST(r.r1 AS DOUBLE) - t.throw_offset),
+                  abs(CAST(r.r2 AS DOUBLE) - t.throw_offset),
+                  abs(CAST(r.r3 AS DOUBLE) - t.throw_offset),
+                  abs(CAST(r.r4 AS DOUBLE) - t.throw_offset),
+                  abs(CAST(r.r5 AS DOUBLE) - t.throw_offset)],
+                 list_min(
+                 [abs(CAST(r.r1 AS DOUBLE) - t.throw_offset),
+                  abs(CAST(r.r2 AS DOUBLE) - t.throw_offset),
+                  abs(CAST(r.r3 AS DOUBLE) - t.throw_offset),
+                  abs(CAST(r.r4 AS DOUBLE) - t.throw_offset),
+                  abs(CAST(r.r5 AS DOUBLE) - t.throw_offset)])
+               ) AS read_index
+        FROM tf t JOIN reads r USING (gameId, playId)
+        JOIN targets g USING (gameId, playId)
+    ),
+    expected AS (
+        SELECT *, CASE read_index WHEN 1 THEN t1 WHEN 2 THEN t2
+                       WHEN 3 THEN t3 WHEN 4 THEN t4 WHEN 5 THEN t5
+                  END AS expected_receiver
+        FROM assigned
+    ),
+    targeted AS (
+        SELECT gameId, playId, nflId AS targeted_receiver
+        FROM ppw WHERE wasTargettedReceiver
+    ),
+    pr AS (
+        SELECT e.gameId, e.playId, q.qbId, q.qb,
+               CASE WHEN tg.targeted_receiver = e.expected_receiver
+                    THEN 1 ELSE 0 END AS is_exp,
+               CASE WHEN e.read_index = 1 THEN 1 ELSE 0 END AS stuck,
+               CASE WHEN tg.targeted_receiver = e.t1 THEN 1 ELSE 0 END AS threw1
+        FROM expected e
+        LEFT JOIN targeted tg USING (gameId, playId)
+        JOIN qbsw q USING (gameId, playId)
+    ),
+    perqb AS (
+        SELECT qbId AS nflId, qb,
+               CAST(SUM(is_exp) AS DOUBLE)/COUNT(*) AS effective_read_percentage,
+               CAST(SUM(stuck) AS DOUBLE)/COUNT(*) AS stuck_to_pre_rate,
+               CAST(SUM(threw1) AS DOUBLE)/COUNT(*) AS throw_to_pre_rate,
+               COUNT(*) AS snaps
+        FROM pr GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT AVG(effective_read_percentage) AS mu_eff,
+               COALESCE(STDDEV_SAMP(effective_read_percentage), 1.0) AS sd_eff,
+               AVG(throw_to_pre_rate) AS mu_pre,
+               COALESCE(STDDEV_SAMP(throw_to_pre_rate), 1.0) AS sd_pre
+        FROM perqb
+    )
+    SELECT p.nflId, p.qb, p.effective_read_percentage, p.stuck_to_pre_rate,
+           p.throw_to_pre_rate, p.snaps,
+           ROUND((p.effective_read_percentage - s.mu_eff)
+                 / (CASE WHEN s.sd_eff = 0 THEN 1.0 ELSE s.sd_eff END)
+               - (p.throw_to_pre_rate - s.mu_pre)
+                 / (CASE WHEN s.sd_pre = 0 THEN 1.0 ELSE s.sd_pre END), 6)
+             AS press,
+           ROUND(CASE WHEN p.snaps >= 1 THEN
+                 (p.effective_read_percentage - s.mu_eff)
+                 / (CASE WHEN s.sd_eff = 0 THEN 1.0 ELSE s.sd_eff END)
+               - (p.throw_to_pre_rate - s.mu_pre)
+                 / (CASE WHEN s.sd_pre = 0 THEN 1.0 ELSE s.sd_pre END) END, 6)
+             AS qualified_press
+    FROM perqb p CROSS JOIN stats s
+    """,
+)
+def q91_bdb_pipeline(spark, sf_dir):
+    """The reference's whole pipeline, hash-checked end to end:
+    `Openness_Data_Frame_Prep.R` → `radius_model.R` (closed-form
+    field-clamped variant) → `BuildingReadOrder.R` → `QBReadStats.R`
+    PRESS — executed through the REAL pipeline functions (the same ones
+    run_dag wires), not reimplemented inline, so any wiring regression
+    fails this oracle. PRESS/qualified_press are rounded to 6 decimals
+    on both sides (stddev_samp association order differs between
+    engines; the rates are exact int/int divisions and ship unrounded).
+    """
+    tracking, plays, players, player_play = _world(spark)
+    cpd = openness_prep.build_cleaned_player_data(
+        tracking, plays, players, player_play
+    )
+    radius = radius_stage.build_radius_data_closed_form(cpd)
+    rd = read_order.reads_data(radius)
+    timing = read_order.dropback_timing(tracking, plays, players)
+    reads = qb_stats.play_reads(
+        tracking, plays, player_play, players, timing, rd
+    )
+    press = qb_stats.press_data(reads)
+    return press.select(
+        "nflId",
+        "qb",
+        "effective_read_percentage",
+        "stuck_to_pre_rate",
+        "throw_to_pre_rate",
+        "snaps",
+        F.round(F.col("PRESS"), 6).alias("press"),
+        F.round(F.col("qualified_press"), 6).alias("qualified_press"),
+    )

@@ -129,8 +129,15 @@ def q51_time_scalars(spark, sf_dir):
         .when(fracs == "", base)
         .otherwise(F.concat(base, F.lit("."), fracs))
     )
-    parsed = pad_time_fraction(ts_str)
-    return e.select(
+    # timezone-free micros: the driver's session tz is unknown, so never
+    # cast NTZ→TZ; hour/minute/extract(second) read the NTZ fields directly
+    withp = e.withColumn("__parsed", pad_time_fraction(ts_str))
+    parsed_us = (
+        (F.hour("__parsed") * 3600 + F.minute("__parsed") * 60).cast("bigint")
+        * 1_000_000
+        + F.expr("CAST(extract(SECOND FROM __parsed) * 1000000 AS BIGINT)")
+    )
+    return withp.select(
         "event_id",
         clock.alias("clock"),
         clock_to_seconds(clock).alias("clock_seconds"),
@@ -139,7 +146,7 @@ def q51_time_scalars(spark, sf_dir):
         F.least(F.floor(v / 50).cast("bigint") + 1, F.lit(6).cast("bigint")).alias(
             "bucket_formula"
         ),
-        F.unix_micros(parsed.cast("timestamp")).alias("parsed_us"),
+        parsed_us.alias("parsed_us"),
     )
 
 

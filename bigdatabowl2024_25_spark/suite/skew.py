@@ -18,14 +18,19 @@ from ..sources.io import load_table
 from .registry import query
 from .stable import DEC
 
-_HOT = "CASE WHEN user_id < 100 THEN 0 ELSE user_id END"
+_HOT = "CASE WHEN user_id < 100 THEN 0 ELSE user_id % 25 END"
 
 
 def _hot_events(spark, sf_dir):
+    # hot key 0 absorbs every user_id < 100 (~two-thirds of rows); the
+    # rest fold onto the 25 nation keys so the join/agg output spans
+    # all dim groups, not just the hot one
     e = load_table(spark, sf_dir, "events")
     return e.withColumn(
         "hot_key",
-        F.when(F.col("user_id") < 100, F.lit(0)).otherwise(F.col("user_id")),
+        F.when(F.col("user_id") < 100, F.lit(0)).otherwise(
+            F.col("user_id") % 25
+        ),
     )
 
 

@@ -76,3 +76,28 @@ def test_tune_cross_validator(t):
     assert info["best_max_depth"] == 3.0
     assert 0.0 <= info["best_avg_accuracy"] <= 1.0
     assert model.transform(feats).count() > 0
+
+
+def test_compare_model_families(t):
+    """X6 model breadth: the reference compares RF/XGBoost/LogReg/...
+    (`DefPosModel.ipynb` cell 16); here every MLlib-available family
+    trains and evaluates on the same seed-42 split with seed-stable
+    metrics."""
+    feats = ml.assignment_features(t["tracking"], t["plays"], t["player_play"])
+    table = ml.compare_models(
+        feats,
+        "pff_defensiveCoverageAssignment",
+        ml.ASSIGNMENT_FEATURE_COLS,
+        n_trees=10,
+        max_depth=4,
+    )
+    assert set(table) == set(ml.MODEL_FAMILIES)
+    for fam, metrics in table.items():
+        assert 0.0 <= metrics["accuracy"] <= 1.0, fam
+    assert "log_loss" in table["rf"] and "log_loss" in table["logreg"]
+    # seed stability: same split + seeds → same RF accuracy
+    again = ml.train_eval(
+        feats, "pff_defensiveCoverageAssignment", ml.ASSIGNMENT_FEATURE_COLS,
+        n_trees=10, max_depth=4, model="rf",
+    )[2]
+    assert again["accuracy"] == table["rf"]["accuracy"]
