@@ -26,9 +26,16 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(node, component) for every node in `edges`, component = min
-    node id reachable. Converges early when a round changes nothing."""
+    node id reachable. Converges early when a round changes nothing.
+
+    persist() keeps each round's DATA from recomputing, but the logical
+    plan still deepens linearly with rounds — on a long-chain graph
+    (diameter ≈ max_iter) the planner cost itself becomes the
+    bottleneck, so every `checkpoint_every` rounds the labels are
+    localCheckpoint()ed, truncating lineage to a leaf."""
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(
@@ -41,7 +48,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .persist()
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         msgs = (
             sym.join(labels, sym["a"] == labels["node"])
             .select(F.col("b").alias("node"), "component")
@@ -50,8 +57,12 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .persist()
         )
+        if (i + 1) % checkpoint_every == 0:
+            # eager: truncates the logical plan AND materializes
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "node")
             .filter(F.col("component") != F.col("old"))

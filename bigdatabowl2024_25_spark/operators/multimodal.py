@@ -2,12 +2,16 @@
 with typed metadata, processed by Arrow-batched pandas functions over
 mapInPandas.
 
-The decode step is STUBBED (no image/audio codecs in this container):
-`decode_media(..., codec="real")` raises NotImplementedError at the
-single clearly-marked point, while `codec="fake"` produces a
-deterministic pseudo-decode so every piece of Spark-side plumbing —
-schema, batch shape, partitioning, UDF signatures — is real and
-tested. Swapping in PIL/ffmpeg later changes ONE function body.
+Codec support:
+- `codec="png"` is REAL: a pure-stdlib (zlib/struct) PNG decoder and
+  encoder — 8-bit gray/gray+alpha/RGB/RGBA, all five scanline filters,
+  CRC-checked chunks — so decode/resize run genuine pixel work with no
+  external library.
+- `codec="real"` (JPEG/audio/video) remains STUBBED (no PIL/ffmpeg in
+  this container): it raises NotImplementedError at the single
+  clearly-marked point.
+- `codec="fake"` produces a deterministic pseudo-decode so plumbing
+  tests run without constructing payloads.
 
 Scale notes: payloads stay binary end-to-end (no base64 inflation);
 metadata extraction is a narrow projection so Parquet scans can prune
@@ -19,12 +23,122 @@ memory against large blobs.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# --- pure-stdlib PNG codec -------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → sample channels (8-bit only; no palette)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_COLOR = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def _png_chunks(data: bytes):
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + chunk) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        yield ctype, chunk
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise ValueError("truncated PNG")
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to a (h, w, channels) uint8
+    array: parse + CRC-check chunks, inflate IDAT, reverse the per-row
+    filter (None/Sub/Up/Average/Paeth)."""
+    w = h = channels = None
+    idat = b""
+    for ctype, chunk in _png_chunks(bytes(payload)):
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                raise ValueError("unsupported PNG variant")
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += chunk
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad pixel-stream length")
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _row in range(h):
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad filter type {ft}")
+        out += line
+        prev = line
+    return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, channels)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode a (h, w, channels) uint8 array as a PNG (filter 0 rows,
+    one zlib-compressed IDAT)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, channels = a.shape
+    raw = b"".join(b"\x00" + a[r].tobytes() for r in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR[channels], 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
 
 MEDIA_SCHEMA = (
     "media_id long, media_type string, payload binary, "
@@ -50,30 +164,47 @@ DECODE_SCHEMA = (
 
 
 def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
-    """Decode stub. `codec='real'` is the single integration point for
-    an actual codec library."""
+    """Decode: `codec='png'` runs the real pure-stdlib decoder
+    (unparseable payloads coerce to ok=False, the errors='coerce'
+    pattern); `codec='real'` is the integration point for JPEG/ffmpeg
+    formats this container lacks; `codec='fake'` is the plumbing
+    pseudo-decode."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if codec == "real":
-                # ---- STUB: no codecs in this environment ----
+                # ---- STUB: non-PNG codecs not in this environment ----
                 raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg; not installed"
+                    "JPEG/audio/video decode requires PIL/ffmpeg; "
+                    "not installed — use codec='png' or 'fake'"
                 )
             w, h, c, ok = [], [], [], []
             for payload in pdf["payload"]:
-                digest = hashlib.md5(bytes(payload)).digest()
-                # deterministic fake dimensions from the content hash
-                w.append(64 + digest[0] % 192)
-                h.append(64 + digest[1] % 192)
-                c.append(3)
-                ok.append(True)
+                if codec == "png":
+                    try:
+                        arr = decode_png(bytes(payload))
+                        w.append(arr.shape[1])
+                        h.append(arr.shape[0])
+                        c.append(arr.shape[2])
+                        ok.append(True)
+                    except (ValueError, zlib.error, struct.error):
+                        w.append(None)
+                        h.append(None)
+                        c.append(None)
+                        ok.append(False)
+                else:
+                    digest = hashlib.md5(bytes(payload)).digest()
+                    # deterministic fake dimensions from the content hash
+                    w.append(64 + digest[0] % 192)
+                    h.append(64 + digest[1] % 192)
+                    c.append(3)
+                    ok.append(True)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": w,
-                    "height": h,
-                    "n_channels": c,
+                    "width": pd.array(w, dtype="Int32"),
+                    "height": pd.array(h, dtype="Int32"),
+                    "n_channels": pd.array(c, dtype="Int32"),
                     "ok": ok,
                 }
             )
@@ -118,25 +249,35 @@ RESIZE_SCHEMA = (
 def resize_media(
     df: DataFrame, width: int, height: int, codec: str = "fake"
 ) -> DataFrame:
-    """Resize stub: emits a transformed binary payload + target dims.
-    `codec='real'` is the PIL/ffmpeg integration point; the fake path
-    derives a deterministic payload of size ∝ width·height from the
-    content hash, so downstream byte-length/metadata plumbing behaves
-    like a real resize (output size independent of input size)."""
+    """Resize: emits a transformed binary payload + target dims.
+    `codec='png'` does a real nearest-neighbor resample through the
+    stdlib codec; `codec='real'` is the PIL/ffmpeg integration point
+    for other formats; the fake path derives a deterministic payload of
+    size ∝ width·height from the content hash, so downstream
+    byte-length/metadata plumbing behaves like a real resize (output
+    size independent of input size)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_len = max(width * height // 64, 16)
         for pdf in it:
             if codec == "real":
-                # ---- STUB: no codecs in this environment ----
+                # ---- STUB: non-PNG codecs not in this environment ----
                 raise NotImplementedError(
-                    "real media resize requires PIL/ffmpeg; not installed"
+                    "JPEG/video resize requires PIL/ffmpeg; "
+                    "not installed — use codec='png' or 'fake'"
                 )
             payloads = []
             for payload in pdf["payload"]:
-                digest = hashlib.md5(bytes(payload)).digest()
-                reps = out_len // len(digest) + 1
-                payloads.append((digest * reps)[:out_len])
+                if codec == "png":
+                    # real resample: decode → nearest-neighbor → encode
+                    arr = decode_png(bytes(payload))
+                    ys = (np.arange(height) * arr.shape[0]) // height
+                    xs = (np.arange(width) * arr.shape[1]) // width
+                    payloads.append(encode_png(arr[ys][:, xs]))
+                else:
+                    digest = hashlib.md5(bytes(payload)).digest()
+                    reps = out_len // len(digest) + 1
+                    payloads.append((digest * reps)[:out_len])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
