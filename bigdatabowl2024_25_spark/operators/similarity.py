@@ -221,6 +221,77 @@ def ivf_topk(
     return topk_per_query(scored, k)
 
 
+def ivf_assign_exact(
+    data: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """IVF assignment against an explicit centroid table (`cents`:
+    (__list, centroid-vector) — e.g. a deterministic subset of the
+    corpus, or persisted KMeans centers): each vector joins the
+    broadcast centroid table, takes the argmin QUANTIZED squared-L2
+    (int64, order-free, engine-exact), ties to the lower list id.
+
+    This is the oracle-comparable sibling of `ivf_index` (whose KMeans
+    centers are MLlib-internal floats): same output shape, same probe
+    path downstream, exact parity semantics."""
+    c = cents.select(
+        F.col("__list"), quantized(F.col(vec_col)).alias("__civ")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            quantized(F.col(vec_col)),
+            F.col("__civ"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = data.crossJoin(F.broadcast(c)).withColumn("__d2", d2)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__d2").asc(), F.col("__list").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("__list"))
+    )
+
+
+def nearest_lists_exact(
+    queries: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """The `nprobe` nearest centroid lists per query vector, by the
+    same quantized squared-L2 as `ivf_assign_exact` — one exploded
+    (query, __list) row per probe."""
+    c = cents.select(
+        F.col("__list"), quantized(F.col(vec_col)).alias("__civ")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            quantized(F.col(vec_col)),
+            F.col("__civ"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = queries.crossJoin(F.broadcast(c)).withColumn("__d2", d2)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__d2").asc(), F.col("__list").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(F.col(id_col), F.col(vec_col), F.col("__list"))
+    )
+
+
 def _plane_signs(plane: int, dims: int) -> list[float]:
     """h_plane[d] ∈ {−1, +1} from md5 of (plane, d) — computed driver-
     side with the same math as `portable_hash64`, so the planes are
@@ -235,13 +306,19 @@ def _plane_signs(plane: int, dims: int) -> list[float]:
 
 
 def hyperplane_sign(vec_col: Column, plane: int, dims: int) -> Column:
-    """Sign bit of <v, h_plane>. The plane is a literal array, the dot
-    a single zip_with/aggregate — O(1) expression nodes instead of a
-    64-term tree (keeps codegen small when planes × tables grows)."""
-    h = F.array(*[F.lit(v) for v in _plane_signs(plane, dims)])
+    """Sign bit of <quantize(v), h_plane>. The plane is a literal ±1
+    array, the dot a single zip_with/aggregate — O(1) expression nodes
+    instead of a 64-term tree (keeps codegen small when planes × tables
+    grows). The dot runs over QUANTIZED micro-ints, not floats: integer
+    addition is associative, so the sign — and therefore every bucket
+    key — is bit-identical under any partitioning AND any engine
+    (float folds could flip a near-zero sign by reassociation)."""
+    h = F.array(
+        *[F.lit(int(v)).cast("bigint") for v in _plane_signs(plane, dims)]
+    )
     dot = F.aggregate(
-        F.zip_with(vec_col, h, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
+        F.zip_with(quantized(vec_col), h, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
     return (dot > 0).cast("int")
@@ -295,14 +372,22 @@ def lsh_topk(
     # colliding in t tables re-scores t× (64 multiplies), which is far
     # cheaper than shuffling both 64-float vectors through a
     # dropDuplicates just to score once. Query side broadcast: the
-    # corpus never shuffles.
+    # corpus never shuffles. Scoring uses the quantized-exact cosine
+    # (same int64 dot as the brute-force path) so results are
+    # engine-exact and oracle-comparable.
+    def iv(c: Column) -> Column:
+        return quantized(c)
+
+    cos = (
+        int_dot(iv(F.col("q_vec")), iv(F.col("d_vec"))).cast("double")
+        / (
+            F.sqrt(int_dot(iv(F.col("q_vec")), iv(F.col("q_vec"))).cast("double"))
+            * F.sqrt(int_dot(iv(F.col("d_vec")), iv(F.col("d_vec"))).cast("double"))
+        )
+    )
     scored = (
         de.join(F.broadcast(qe), ["bucket"])
-        .select(
-            "q_id",
-            "d_id",
-            cosine_col(F.col("q_vec"), F.col("d_vec")).alias("cosine"),
-        )
+        .select("q_id", "d_id", cos.alias("cosine"))
         .dropDuplicates(["q_id", "d_id"])
     )
     return topk_per_query(scored, k)

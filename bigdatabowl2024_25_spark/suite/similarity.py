@@ -13,10 +13,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
-    ivf_index,
-    ivf_topk,
+    int_dot,
+    ivf_assign_exact,
     lsh_topk,
+    nearest_lists_exact,
     pairwise_cosine,
+    quantized,
     topk_per_query,
 )
 from ..sources.io import load_table
@@ -103,11 +105,94 @@ def q80_cosine_search(spark, sf_dir):
     return topk.unionByName(neardup)
 
 
-@query("q82_ann_lsh_topk")  # rows-only: engine-native ANN, no SQL oracle
+# The LSH hyperplane signs are md5-derived literals (no RNG) and all
+# dots/norms are quantized int64 — so the ENTIRE ANN funnel is
+# reproducible in DuckDB SQL and q82/q83 get full value-hash oracles
+# (round-1 VERDICT item 2; they were rows-only before).
+
+_IV = (
+    "list_transform(embedding, "
+    "x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000.0) AS BIGINT))"
+)
+
+
+def _bit_sql(table: int, plane: int) -> str:
+    from ..operators.similarity import _plane_signs
+
+    lit = "[" + ",".join(str(int(v)) for v in _plane_signs(table * 1000 + plane, 64)) + "]"
+    return (
+        f"CASE WHEN CAST(list_sum(list_transform(range(1,65), "
+        f"i -> iv[i] * ({lit})[i])) AS BIGINT) > 0 THEN '1' ELSE '0' END"
+    )
+
+
+def _bucket_sql(table: int, planes: int) -> str:
+    bits = " || ".join(_bit_sql(table, p) for p in range(planes))
+    return f"'{table}' || {bits}"
+
+
+_LSH_BUCKETS = "\n        UNION ALL\n".join(
+    f"        SELECT vec_id, iv, {_bucket_sql(t, 3)} AS bucket FROM emb"
+    for t in range(4)
+)
+
+_ANN_SCORE = """
+    norms AS (
+        SELECT vec_id,
+               SQRT(CAST(CAST(list_sum(list_transform(range(1,65),
+                    i -> iv[i]*iv[i])) AS BIGINT) AS DOUBLE)) AS nrm
+        FROM emb
+    ),
+    scored AS (
+        SELECT c.q_id, c.d_id,
+               CAST(CAST(list_sum(list_transform(range(1,65),
+                    i -> a.iv[i]*b.iv[i])) AS BIGINT) AS DOUBLE)
+                 / (qn.nrm * dn.nrm) AS cosine
+        FROM cand c
+        JOIN emb a ON a.vec_id = c.q_id
+        JOIN emb b ON b.vec_id = c.d_id
+        JOIN norms qn ON qn.vec_id = c.q_id
+        JOIN norms dn ON dn.vec_id = c.d_id
+    ),
+    ranked AS (
+        SELECT q_id, d_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, d_id ASC) AS rank
+        FROM scored
+    )
+    SELECT q_id, d_id, cosine, rank FROM ranked
+    WHERE rank <= 5 AND q_id <> d_id
+"""
+
+_D2 = (
+    "CAST(list_sum(list_transform(range(1,65), "
+    "i -> (e.iv[i]-c.civ[i])*(e.iv[i]-c.civ[i]))) AS BIGINT)"
+)
+
+
+@query(
+    "q82_ann_lsh_topk",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, {_IV} AS iv FROM embeddings),
+    buckets AS (
+{_LSH_BUCKETS}
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, d.vec_id AS d_id
+        FROM buckets q JOIN buckets d USING (bucket)
+        WHERE q.vec_id < 8
+    ),
+    {_ANN_SCORE}
+    """,
+)
 def q82_ann_lsh_topk(spark, sf_dir):
     """Scale-path ANN: deterministic hyperplane-LSH buckets + exact
-    rescoring within buckets. Recall vs q80 is asserted in
-    tests/test_similarity.py (driver does a rows-only check here)."""
+    quantized rescoring within buckets. Bucket signs are int64 dots
+    against md5-derived ±1 planes — order-free, so the oracle rebuilds
+    the identical buckets in SQL and the result is value-hash-checked
+    (self-match holds rank 1 and is filtered after, like the Spark
+    side). Recall vs the exact baseline asserted in
+    tests/test_similarity.py."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     out = lsh_topk(q, e, "vec_id", "embedding", k=5, planes=3, tables=4, dims=64)
@@ -116,16 +201,67 @@ def q82_ann_lsh_topk(spark, sf_dir):
     )
 
 
-@query("q83_ann_ivf_topk")  # rows-only: KMeans index, no SQL oracle
+@query(
+    "q83_ann_ivf_topk",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, {_IV} AS iv FROM embeddings),
+    cents AS (SELECT vec_id AS list_id, iv AS civ FROM emb WHERE vec_id < 16),
+    assign AS (
+        SELECT vec_id, list_id FROM (
+            SELECT e.vec_id, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_D2} ASC, c.list_id ASC) AS rn
+            FROM emb e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS q_id, list_id FROM (
+            SELECT e.vec_id, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_D2} ASC, c.list_id ASC) AS rn
+            FROM emb e CROSS JOIN cents c WHERE e.vec_id < 8
+        ) WHERE rn <= 4
+    ),
+    cand AS (
+        SELECT p.q_id, a.vec_id AS d_id
+        FROM probes p JOIN assign a ON a.list_id = p.list_id
+    ),
+    {_ANN_SCORE}
+    """,
+)
 def q83_ann_ivf_topk(spark, sf_dir):
-    """Scale-path ANN #2: IVF — KMeans coarse quantizer (seeded,
-    deterministic), each query probes its 4 nearest of 16 inverted
-    lists (~25% of the corpus scanned instead of 100%). Recall vs q80
-    asserted in tests/test_similarity.py; driver does rows-only."""
+    """Scale-path ANN #2: IVF probe — each query scans only its 4
+    nearest of 16 inverted lists (~25% of the corpus instead of 100%).
+    This parity query uses `ivf_assign_exact` with deterministic
+    centroids (the first 16 corpus vectors) and quantized int64
+    distances, so assignment, probing, and scoring are all
+    value-hash-checked against SQL; the KMeans quantizer (`ivf_index`)
+    shares the identical probe path and keeps its recall/determinism
+    pytest (tests/test_similarity.py)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
-    assigned, centroids = ivf_index(e, "vec_id", "embedding", n_lists=16)
-    out = ivf_topk(q, assigned, centroids, "vec_id", "embedding", k=5, nprobe=4)
+    cents = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("__list"), "embedding"
+    )
+    assigned = ivf_assign_exact(e, cents, "vec_id", "embedding")
+    qp = nearest_lists_exact(q, cents, "vec_id", "embedding", nprobe=4).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        "__list",
+    )
+    qiv = quantized(F.col("q_vec"))
+    div = quantized(F.col("d_vec"))
+    cos = int_dot(qiv, div).cast("double") / (
+        F.sqrt(int_dot(qiv, qiv).cast("double"))
+        * F.sqrt(int_dot(div, div).cast("double"))
+    )
+    scored = (
+        assigned.withColumnRenamed("vec_id", "d_id")
+        .withColumnRenamed("embedding", "d_vec")
+        .join(F.broadcast(qp), ["__list"])
+        .select("q_id", "d_id", cos.alias("cosine"))
+    )
+    out = topk_per_query(scored, k=5)
     return out.filter(F.col("q_id") != F.col("d_id")).select(
         "q_id", "d_id", "cosine", "rank"
     )
