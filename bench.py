@@ -56,26 +56,32 @@ def main() -> None:
         raise SystemExit(f"bench HEADLINE references unknown queries: {unknown}")
     names = list(HEADLINE)
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
+        # per-query isolation: one broken query must never zero the
+        # round's entire perf signal (the round-4 lesson — a loader
+        # error in q20 produced BENCH_r04 rc=1 / parsed:null)
         fn = suite.QUERIES[name]
-        if warmup:
+        try:
+            if warmup:
+                fn(spark, sf_dir).collect()
+            t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — record and keep timing the rest
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

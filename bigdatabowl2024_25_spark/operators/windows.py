@@ -29,7 +29,9 @@ def dense_rank_id(
     """W1: `mutate(secondId = dense_rank(frameId) - 1)` per play
     (`radius_model.R:257-261`)."""
     w = Window.partitionBy(*partition).orderBy(*order_by)
-    return df.withColumn(out, F.dense_rank().over(w) - 1)
+    # long, not int: DuckDB/ANSI rank functions are BIGINT, and parity
+    # hashing is cleanest when both sides agree on width
+    return df.withColumn(out, (F.dense_rank().over(w) - 1).cast("long"))
 
 
 def running_sum(
@@ -127,7 +129,7 @@ def row_number_by(
     (`BuildingReadOrder.R:151-157`). Pass the conditional expression as
     an order_by Column."""
     w = Window.partitionBy(*partition).orderBy(*order_by)
-    return df.withColumn(out, F.row_number().over(w))
+    return df.withColumn(out, F.row_number().over(w).cast("long"))
 
 
 def stable_label(
@@ -139,7 +141,7 @@ def stable_label(
     labeling satisfies downstream use, so we label by an explicit key
     (nflId)."""
     w = Window.partitionBy(*partition).orderBy(*order_by)
-    return df.withColumn(out, F.row_number().over(w))
+    return df.withColumn(out, F.row_number().over(w).cast("long"))
 
 
 def event_anchored_range(

@@ -42,28 +42,79 @@ TESTDATA_TABLES = (
 )
 
 
+#: epoch anchor for tz-free NTZ → microsecond conversion
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Schema-drift-tolerant ``ts`` normalization for the events table.
+
+    The reference infers schemas at every ingestion boundary
+    (`DatabaseCreation.R:14-56` read_csv + dbWriteTable affinities,
+    SURVEY §1.4) and so survives upstream type changes; this is the
+    Spark analog. Whatever physical encoding the parquet carries, we
+    derive the same two canonical columns:
+
+    - ``ts_us``: epoch microseconds (long). Exact integer arithmetic
+      on every branch — never a double divide (nanos exceed 2^53 and
+      would round). Equals DuckDB's ``epoch_us(ts)`` bit-for-bit and
+      is timezone-independent, so parity queries project it, never raw
+      ``ts``.
+    - ``ts``: TIMESTAMP via timestamp_micros, for event-time /
+      streaming use.
+
+    Branches by the *loaded* Spark dtype of ``ts``:
+
+    - ``bigint`` — legacy INT64 TIMESTAMP(NANOS) read via
+      ``nanosAsLong``: integer ``div 1000``.
+    - ``timestamp_ntz`` — parquet ``timestamp[us]`` (isAdjustedToUTC =
+      false): ``timestampdiff(MICROSECOND, epoch, ts)``, computed
+      wholly in the NTZ domain, never touches the session timezone.
+    - ``timestamp`` (LTZ) — parquet ``timestamp[us, tz=UTC]``:
+      ``unix_micros(ts)``, which is epoch micros by definition and
+      likewise session-tz-free.
+    """
+    t = dict(df.dtypes)["ts"]
+    if t == "bigint":
+        ts_us = F.expr("ts div 1000")
+    elif t == "timestamp_ntz":
+        ts_us = F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, ts)")
+    elif t == "timestamp":
+        ts_us = F.unix_micros(F.col("ts"))
+    else:
+        raise TypeError(
+            f"events.ts loaded as unsupported dtype {t!r}; expected "
+            "bigint (legacy nanos), timestamp_ntz, or timestamp"
+        )
+    return df.withColumn("ts_us", ts_us).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one synthetic table (S1).
 
-    `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark rejects
-    by default; we read it as long nanos (legacy conf) and derive
-
-    - ``ts_us``: epoch microseconds (long) — exact integer `div`, never
-      a double divide (nanos exceed 2^53 and would round);
-    - ``ts``: TIMESTAMP via timestamp_micros for event-time/streaming
-      use.
-
-    ``ts_us`` equals DuckDB's ``epoch_us(ts)`` bit-for-bit and is
-    timezone-independent, so parity queries project it, never raw ts.
+    ``events`` gets drift-tolerant timestamp normalization (see
+    `_normalize_events_ts`): the loader works unchanged whether the
+    generator wrote ``ts`` as timestamp[us] (NTZ or UTC-adjusted) or as
+    legacy INT64 TIMESTAMP(NANOS). The ``nanosAsLong`` legacy conf is
+    set only when the nanos encoding is actually present (plain reads
+    of nanos parquet raise at schema-inference time), so non-events
+    reads in the session are never affected by a side-effected conf.
     """
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return (
-            df.withColumn("ts_us", F.expr("ts div 1000"))
-            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-        )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            # Schema inference rejects INT64 TIMESTAMP(NANOS) unless the
+            # legacy conf is on. Left set for the session on this branch
+            # only: execution re-reads it from session state, so
+            # restoring it here would break the scan at action time.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+        return _normalize_events_ts(df)
+    return spark.read.parquet(path)
 
 
 def load_tables(

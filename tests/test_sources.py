@@ -95,3 +95,51 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_events_ts_drift_tolerance(spark, tmp_path):
+    """Schema-drift-proof events ingestion (the round-4 lesson): the
+    loader must yield bit-identical ``ts_us`` whether the generator
+    wrote ``ts`` as parquet timestamp[us] (NTZ), timestamp[us, tz=UTC]
+    (LTZ), or legacy INT64 TIMESTAMP(NANOS) — and independently of the
+    Spark session timezone. Mirrors the reference's
+    infer-at-every-boundary resilience (SURVEY §1.4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = [1704067798778549, 1706657176220708, 0, 1234567890123456]
+    ids = list(range(len(micros)))
+
+    def write(dirname, arr):
+        d = tmp_path / dirname
+        d.mkdir()
+        pq.write_table(
+            pa.table({"event_id": pa.array(ids, pa.int64()), "ts": arr}),
+            str(d / "events.parquet"),
+            version="2.6",
+        )
+        return str(d)
+
+    ntz = write("ntz", pa.array(micros, pa.timestamp("us")))
+    ltz = write("ltz", pa.array(micros, pa.timestamp("us", tz="UTC")))
+    nanos = write(
+        "nanos", pa.array([m * 1000 for m in micros], pa.timestamp("ns"))
+    )
+
+    prior_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        # a non-UTC session tz must not perturb ts_us on any branch
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        results = {}
+        for label, path in [("ntz", ntz), ("ltz", ltz), ("nanos", nanos)]:
+            df = io.load_table(spark, path, "events")
+            assert dict(df.dtypes)["ts_us"] == "bigint"
+            assert dict(df.dtypes)["ts"] == "timestamp"
+            results[label] = [
+                r.ts_us for r in df.orderBy("event_id").select("ts_us").collect()
+            ]
+        assert results["ntz"] == micros
+        assert results["ltz"] == micros
+        assert results["nanos"] == micros
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior_tz)
