@@ -99,8 +99,10 @@ def topk_per_query(pairs: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("d_id").asc()
     )
+    # long, not int: SQL-engine ROW_NUMBER is BIGINT and parity
+    # hashing wants both sides at the same width
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -305,33 +307,58 @@ def _plane_signs(plane: int, dims: int) -> list[float]:
     return out
 
 
-def hyperplane_sign(vec_col: Column, plane: int, dims: int) -> Column:
-    """Sign bit of <quantize(v), h_plane>. The plane is a literal ±1
-    array, the dot a single zip_with/aggregate — O(1) expression nodes
-    instead of a 64-term tree (keeps codegen small when planes × tables
-    grows). The dot runs over QUANTIZED micro-ints, not floats: integer
-    addition is associative, so the sign — and therefore every bucket
-    key — is bit-identical under any partitioning AND any engine
-    (float folds could flip a near-zero sign by reassociation)."""
-    h = F.array(
-        *[F.lit(int(v)).cast("bigint") for v in _plane_signs(plane, dims)]
-    )
-    dot = F.aggregate(
-        F.zip_with(quantized(vec_col), h, lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    return (dot > 0).cast("int")
-
-
-def lsh_bucket(vec_col: Column, planes: int, dims: int, table: int = 0) -> Column:
-    """Bucket key: concatenated sign bits of `planes` hyperplanes.
-    `table` offsets the plane indices so each hash table draws an
+def _bucket_array_sql(iv_name: str, planes: int, tables: int, dims: int) -> str:
+    """SQL text for `array(bucket_t0, ..., bucket_t{tables-1})` over a
+    pre-quantized micro-int column `iv_name`: each bucket is the table
+    index concatenated with `planes` hyperplane sign bits. Each plane
+    is an inline ±1 array literal; the dot is one zip_with/aggregate —
+    and, crucially, the WHOLE thing is one `F.expr` string, not a
+    literal-by-literal Column tree. The Column form cost ~3000 py4j
+    round trips per side (24 planes × 64 `F.lit`s ×2) ≈ 8 s of
+    driver-side plan build PER QUERY CALL — measured round 5; the
+    string form parses in milliseconds. Sign bits come from int64 dots
+    (integer addition is associative), so every bucket key is
+    bit-identical under any partitioning AND any engine; `table`
+    offsets the md5 plane indices so each hash table draws an
     independent set of hyperplanes."""
-    bits = [
-        hyperplane_sign(vec_col, table * 1000 + p, dims) for p in range(planes)
-    ]
-    return F.concat_ws("", F.lit(str(table)), *[b.cast("string") for b in bits])
+    tbl_parts = []
+    for t in range(tables):
+        bits = []
+        for p in range(planes):
+            signs = _plane_signs(t * 1000 + p, dims)
+            lit = "array(" + ",".join(f"{int(v)}L" for v in signs) + ")"
+            bits.append(
+                f"(case when aggregate(zip_with({iv_name}, {lit}, "
+                "(x, y) -> x * y), 0L, (acc, x) -> acc + x) > 0 "
+                "then '1' else '0' end)"
+            )
+        tbl_parts.append(f"concat('{t}', {', '.join(bits)})")
+    return "array(" + ", ".join(tbl_parts) + ")"
+
+
+def _banded(
+    df: DataFrame, id_col: str, vec_col: str, p: str,
+    planes: int, tables: int, dims: int,
+) -> DataFrame:
+    """(id, iv, nrm, bucket)-exploded side for a bucket join, prefixed
+    `p`. Quantization and the norm are computed ONCE per vector before
+    the explode; downstream scoring reads the iv/nrm columns, so the
+    per-candidate cost is exactly one zip_with dot."""
+    pre = df.select(
+        F.col(id_col).alias(f"{p}_id"),
+        quantized(F.col(vec_col)).alias(f"{p}_iv"),
+    ).withColumn(
+        f"{p}_nrm",
+        F.sqrt(int_dot(F.col(f"{p}_iv"), F.col(f"{p}_iv")).cast("double")),
+    )
+    return pre.select(
+        f"{p}_id",
+        f"{p}_iv",
+        f"{p}_nrm",
+        F.explode(
+            F.expr(_bucket_array_sql(f"{p}_iv", planes, tables, dims))
+        ).alias("bucket"),
+    )
 
 
 def lsh_topk(
@@ -350,40 +377,19 @@ def lsh_topk(
     table); `planes` AND-amplifies precision (candidate volume shrinks
     ~2^planes per table). Recall vs the exact baseline is
     pytest-checked (tests/test_similarity.py)."""
-
-    def banded(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        # one exploded bucket array, not a `tables`-way union — the
-        # source subtree appears once in the plan
-        buckets = F.array(
-            *[
-                lsh_bucket(F.col(vec_col), planes, dims, table=t)
-                for t in range(tables)
-            ]
-        )
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.explode(buckets).alias("bucket"),
-            F.col(vec_col).alias(out_vec),
-        )
-
-    qe = banded(queries, "q_id", "q_vec")
-    de = banded(data, "d_id", "d_vec")
-    # score INSIDE the bucket join, then dedupe the scalar rows: a pair
-    # colliding in t tables re-scores t× (64 multiplies), which is far
-    # cheaper than shuffling both 64-float vectors through a
-    # dropDuplicates just to score once. Query side broadcast: the
-    # corpus never shuffles. Scoring uses the quantized-exact cosine
-    # (same int64 dot as the brute-force path) so results are
-    # engine-exact and oracle-comparable.
-    def iv(c: Column) -> Column:
-        return quantized(c)
-
-    cos = (
-        int_dot(iv(F.col("q_vec")), iv(F.col("d_vec"))).cast("double")
-        / (
-            F.sqrt(int_dot(iv(F.col("q_vec")), iv(F.col("q_vec"))).cast("double"))
-            * F.sqrt(int_dot(iv(F.col("d_vec")), iv(F.col("d_vec"))).cast("double"))
-        )
+    # one exploded bucket array per side, not a `tables`-way union —
+    # the source subtree appears once in the plan. Score INSIDE the
+    # bucket join, then dedupe the scalar rows: a pair colliding in t
+    # tables re-scores t× (64 multiplies), which is far cheaper than
+    # shuffling both 64-int vectors through a dropDuplicates just to
+    # score once. Query side broadcast: the corpus never shuffles.
+    # Scoring uses the quantized-exact cosine (same int64 dot as the
+    # brute-force path) so results are engine-exact and
+    # oracle-comparable.
+    qe = _banded(queries, id_col, vec_col, "q", planes, tables, dims)
+    de = _banded(data, id_col, vec_col, "d", planes, tables, dims)
+    cos = int_dot(F.col("q_iv"), F.col("d_iv")).cast("double") / (
+        F.col("q_nrm") * F.col("d_nrm")
     )
     scored = (
         de.join(F.broadcast(qe), ["bucket"])
@@ -391,3 +397,45 @@ def lsh_topk(
         .dropDuplicates(["q_id", "d_id"])
     )
     return topk_per_query(scored, k)
+
+
+def lsh_near_dup(
+    data: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    planes: int = 6,
+    tables: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs via the LSH candidate funnel: pairs
+    that collide in ANY hash table are exactly rescored (quantized
+    int64 cosine) and kept at ``cosine >= threshold``. Returns
+    (q_id, d_id, cosine) with q_id < d_id.
+
+    This is the corpus×corpus analog of `lsh_topk` — and the reason it
+    exists: an all-pairs `pairwise_cosine(e, e)` is O(n²) pair
+    generation, a scale-killer at 100× data. Here each vector is
+    exploded once per table (bucket key = `planes` sign bits), both
+    sides shuffle ON THE BUCKET KEY only, and the exact scorer runs
+    inside bucket-local joins — candidate volume ~ tables·n²/2^planes
+    in expectation, tunable. Default 6 planes × 4 tables ⇒ ~n²/16
+    pairs scored. Per-bucket skew is bounded by the sign-bit split; at
+    extreme skew, raise `planes` (more, smaller buckets) before
+    salting. Buckets are md5-derived (no RNG), so results are
+    deterministic across runs AND reproducible in SQL engines —
+    recall vs the exact all-pairs baseline is the documented LSH
+    trade (tests/test_similarity.py pins it on the test corpus).
+    Norms are computed once per vector BEFORE the explode; the
+    per-candidate cost is exactly one zip_with dot."""
+    cos = int_dot(F.col("q_iv"), F.col("d_iv")).cast("double") / (
+        F.col("q_nrm") * F.col("d_nrm")
+    )
+    return (
+        _banded(data, id_col, vec_col, "q", planes, tables, dims)
+        .join(_banded(data, id_col, vec_col, "d", planes, tables, dims), ["bucket"])
+        .filter(F.col("q_id") < F.col("d_id"))
+        .select("q_id", "d_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["q_id", "d_id"])
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     int_dot,
     ivf_assign_exact,
+    lsh_near_dup,
     lsh_topk,
     nearest_lists_exact,
     pairwise_cosine,
@@ -46,69 +47,10 @@ _NORMS = f"""
     GROUP BY vec_id
 """
 
-
-@query(
-    "q80_cosine_search",
-    oracle=f"""
-    WITH dots AS ({_DOT.format(pair_cond="q.vec_id < 8 AND d.vec_id <> q.vec_id")}),
-    norms AS ({_NORMS}),
-    scored AS (
-        SELECT dots.q_id, dots.d_id,
-               dots.dot / (qn.nrm * dn.nrm) AS cosine
-        FROM dots
-        JOIN norms qn ON qn.vec_id = dots.q_id
-        JOIN norms dn ON dn.vec_id = dots.d_id
-    ),
-    alldots AS ({_DOT.format(pair_cond="q.vec_id < d.vec_id")})
-    SELECT 'topk' AS kind, q_id, d_id, cosine, rank FROM (
-        SELECT q_id, d_id, cosine,
-               ROW_NUMBER() OVER (PARTITION BY q_id
-                   ORDER BY cosine DESC, d_id ASC) AS rank
-        FROM scored
-    ) WHERE rank <= 5
-    UNION ALL
-    SELECT 'neardup' AS kind, alldots.q_id, alldots.d_id,
-           alldots.dot / (qn.nrm * dn.nrm) AS cosine,
-           CAST(NULL AS BIGINT) AS rank
-    FROM alldots
-    JOIN norms qn ON qn.vec_id = alldots.q_id
-    JOIN norms dn ON dn.vec_id = alldots.d_id
-    WHERE alldots.dot / (qn.nrm * dn.nrm) >= 0.2
-    """,
-)
-def q80_cosine_search(spark, sf_dir):
-    """Exact cosine similarity search, both consumer shapes (round 3
-    merge of two round-1 queries, COVERAGE.md): the 'topk' branch is
-    brute-force cosine top-5 for 8 query vectors — the exact ANN
-    baseline, O(n·q), broadcast query side; the 'neardup' branch is
-    embedding-cosine near-dup detection — all pairs with cosine ≥ 0.2
-    (the synthetic vectors are near-orthogonal; 0.2 captures the
-    label-cluster structure without emitting the empty set). Dot
-    products via posexplode + decimal sums: order-exact, so cosines
-    match DuckDB bit-for-bit."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 8)
-    scored = pairwise_cosine(q, e, "vec_id", "embedding").filter(
-        F.col("q_id") != F.col("d_id")
-    )
-    topk = topk_per_query(scored, k=5).select(
-        F.lit("topk").alias("kind"), "q_id", "d_id", "cosine",
-        F.col("rank").cast("bigint").alias("rank"),
-    )
-    pairs = pairwise_cosine(e, e, "vec_id", "embedding").filter(
-        (F.col("q_id") < F.col("d_id")) & (F.col("cosine") >= 0.2)
-    )
-    neardup = pairs.select(
-        F.lit("neardup").alias("kind"), "q_id", "d_id", "cosine",
-        F.lit(None).cast("bigint").alias("rank"),
-    )
-    return topk.unionByName(neardup)
-
-
 # The LSH hyperplane signs are md5-derived literals (no RNG) and all
 # dots/norms are quantized int64 — so the ENTIRE ANN funnel is
-# reproducible in DuckDB SQL and q82/q83 get full value-hash oracles
-# (round-1 VERDICT item 2; they were rows-only before).
+# reproducible in DuckDB SQL and q80's neardup branch plus q82/q83 get
+# full value-hash oracles (round-1 VERDICT item 2).
 
 _IV = (
     "list_transform(embedding, "
@@ -129,6 +71,100 @@ def _bit_sql(table: int, plane: int) -> str:
 def _bucket_sql(table: int, planes: int) -> str:
     bits = " || ".join(_bit_sql(table, p) for p in range(planes))
     return f"'{table}' || {bits}"
+
+
+#: near-dup funnel buckets: 6 planes × 4 tables (vs 3 planes for the
+#: q82 query-side funnel) — corpus×corpus candidate volume needs the
+#: deeper AND-amplification (~n²/16 expected pairs, not ~n²/2)
+_ND_BUCKETS = "\n        UNION ALL\n".join(
+    f"        SELECT vec_id, {_bucket_sql(t, 6)} AS bucket FROM emb"
+    for t in range(4)
+)
+
+_INORMS = (
+    "SELECT vec_id, SQRT(CAST(CAST(list_sum(list_transform(range(1,65), "
+    "i -> iv[i]*iv[i])) AS BIGINT) AS DOUBLE)) AS nrm FROM emb"
+)
+
+
+@query(
+    "q80_cosine_search",
+    oracle=f"""
+    WITH dots AS ({_DOT.format(pair_cond="q.vec_id < 8 AND d.vec_id <> q.vec_id")}),
+    norms AS ({_NORMS}),
+    scored AS (
+        SELECT dots.q_id, dots.d_id,
+               dots.dot / (qn.nrm * dn.nrm) AS cosine
+        FROM dots
+        JOIN norms qn ON qn.vec_id = dots.q_id
+        JOIN norms dn ON dn.vec_id = dots.d_id
+    ),
+    emb AS (SELECT vec_id, {_IV} AS iv FROM embeddings),
+    ndbuckets AS (
+{_ND_BUCKETS}
+    ),
+    ndcand AS (
+        SELECT DISTINCT q.vec_id AS q_id, d.vec_id AS d_id
+        FROM ndbuckets q JOIN ndbuckets d USING (bucket)
+        WHERE q.vec_id < d.vec_id
+    ),
+    inorms AS ({_INORMS}),
+    nd AS (
+        SELECT c.q_id, c.d_id,
+               CAST(CAST(list_sum(list_transform(range(1,65),
+                    i -> a.iv[i]*b.iv[i])) AS BIGINT) AS DOUBLE)
+                 / (qn.nrm * dn.nrm) AS cosine
+        FROM ndcand c
+        JOIN emb a ON a.vec_id = c.q_id
+        JOIN emb b ON b.vec_id = c.d_id
+        JOIN inorms qn ON qn.vec_id = c.q_id
+        JOIN inorms dn ON dn.vec_id = c.d_id
+    )
+    SELECT 'topk' AS kind, q_id, d_id, cosine, rank FROM (
+        SELECT q_id, d_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, d_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    UNION ALL
+    SELECT 'neardup' AS kind, q_id, d_id, cosine,
+           CAST(NULL AS BIGINT) AS rank
+    FROM nd WHERE cosine >= 0.2
+    """,
+)
+def q80_cosine_search(spark, sf_dir):
+    """Exact cosine similarity search, both consumer shapes (round 3
+    merge of two round-1 queries, COVERAGE.md): the 'topk' branch is
+    brute-force cosine top-5 for 8 query vectors — the exact ANN
+    baseline, O(n·q), broadcast query side; the 'neardup' branch is
+    embedding-cosine near-dup detection at cosine ≥ 0.2 routed through
+    the LSH candidate funnel (`lsh_near_dup`): bucket-collide →
+    exact-verify, the same funnel shape as the q72 MinHash dedup.
+    Round-4 VERDICT item 4: the previous all-pairs
+    `pairwise_cosine(e, e)` broadcast cross join was O(n²) pair
+    generation — 19 s of the 61 s bench and a scale-killer by
+    construction. The funnel is md5-deterministic, so the oracle
+    reproduces the IDENTICAL candidate set + quantized-exact cosines
+    in SQL and the branch keeps a full value-hash check (recall vs
+    all-pairs is the documented LSH trade, pinned in
+    tests/test_similarity.py). Dots/norms are quantized int64:
+    order-exact, so cosines match DuckDB bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    scored = pairwise_cosine(q, e, "vec_id", "embedding").filter(
+        F.col("q_id") != F.col("d_id")
+    )
+    topk = topk_per_query(scored, k=5).select(
+        F.lit("topk").alias("kind"), "q_id", "d_id", "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+    neardup = lsh_near_dup(
+        e, "vec_id", "embedding", threshold=0.2, planes=6, tables=4, dims=64
+    ).select(
+        F.lit("neardup").alias("kind"), "q_id", "d_id", "cosine",
+        F.lit(None).cast("bigint").alias("rank"),
+    )
+    return topk.unionByName(neardup)
 
 
 _LSH_BUCKETS = "\n        UNION ALL\n".join(

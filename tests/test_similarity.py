@@ -92,3 +92,35 @@ def test_ivf_recall_and_determinism(spark):
     # determinism: rebuild index, same result
     assigned2, cents2 = ivf_index(e, "vec_id", "embedding", n_lists=16)
     assert cents == cents2
+
+
+def test_lsh_near_dup_funnel(spark):
+    """Near-dup funnel (q80 neardup branch): every emitted pair must be
+    a true >= threshold pair (precision 1.0 — the exact verify), pairs
+    are canonical (q_id < d_id) and deduped across tables, recall vs
+    the all-pairs baseline is pinned, and the whole thing is
+    deterministic across runs (md5 planes, no RNG)."""
+    from bigdatabowl2024_25_spark.operators.similarity import lsh_near_dup
+
+    e = load_table(spark, SF, "embeddings")
+    exact_pairs = {
+        (r.q_id, r.d_id): r.cosine
+        for r in pairwise_cosine(e, e, "vec_id", "embedding")
+        .filter((F.col("q_id") < F.col("d_id")) & (F.col("cosine") >= 0.2))
+        .collect()
+    }
+    got = lsh_near_dup(e, "vec_id", "embedding", threshold=0.2).collect()
+    got_pairs = {(r.q_id, r.d_id): r.cosine for r in got}
+    assert len(got_pairs) == len(got), "pairs not deduped"
+    assert all(q < d for q, d in got_pairs), "pairs not canonical"
+    # exact verify => precision 1.0 and bit-identical cosines
+    for k, v in got_pairs.items():
+        assert k in exact_pairs and v == exact_pairs[k]
+    recall = len(got_pairs) / len(exact_pairs)
+    assert recall >= 0.05, f"funnel recall collapsed: {recall:.3f}"
+    # determinism
+    rerun = {
+        (r.q_id, r.d_id): r.cosine
+        for r in lsh_near_dup(e, "vec_id", "embedding", threshold=0.2).collect()
+    }
+    assert rerun == got_pairs
