@@ -21,6 +21,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a superseded localCheckpoint's executor-storage blocks.
+    `DataFrame.unpersist()` doesn't reach them (the plan is a
+    LogicalRDD leaf, not a cached plan), so this goes through the
+    leaf's underlying RDD. Best-effort across Spark minor versions:
+    on any internal-API drift the blocks are instead reclaimed by the
+    ContextCleaner when the driver GCs the reference — later, but
+    still bounded."""
+    try:
+        df._jdf.queryExecution().optimizedPlan().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -35,7 +49,22 @@ def connected_components(
     plan still deepens linearly with rounds — on a long-chain graph
     (diameter ≈ max_iter) the planner cost itself becomes the
     bottleneck, so every `checkpoint_every` rounds the labels are
-    localCheckpoint()ed, truncating lineage to a leaf."""
+    localCheckpoint()ed, truncating lineage to a leaf.
+
+    Checkpoint lifecycle: `unpersist()` is a NO-OP on a checkpointed
+    DataFrame, so superseded checkpoint blocks would pile up in
+    executor storage across long runs; each eager checkpoint therefore
+    explicitly releases the previous one (safe: eager ⇒ the new
+    blocks are fully materialized before the old lineage anchor is
+    dropped). The newest checkpoint backs the RETURNED DataFrame and
+    is left alive — its blocks are freed when the caller drops the
+    result and the ContextCleaner collects it. Trade-off (vs reliable
+    `checkpoint()` to a checkpoint dir): localCheckpoint blocks live
+    in executor storage, so losing an executor mid-run loses them
+    unrecoverably — lineage was truncated, there is nothing to
+    recompute from. Fine on local[n] and for restartable batch jobs;
+    a 1000-executor production run should call
+    `sc.setCheckpointDir(...)` and swap in `.checkpoint()`."""
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(
@@ -48,6 +77,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .persist()
     )
+    last_cp: DataFrame | None = None
     for i in range(max_iter):
         msgs = (
             sym.join(labels, sym["a"] == labels["node"])
@@ -58,9 +88,16 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
+        release_at_round_end = None
         if (i + 1) % checkpoint_every == 0:
             # eager: truncates the logical plan AND materializes
             new_labels = new_labels.localCheckpoint()
+            # the old checkpoint can only be released AFTER this
+            # round's changed-count: that count still reads the
+            # previous round's labels, whose (possibly
+            # partially-cached) lineage anchors on the old checkpoint
+            release_at_round_end = last_cp
+            last_cp = new_labels
         else:
             new_labels = new_labels.persist()
         changed = (
@@ -71,6 +108,8 @@ def connected_components(
         )
         labels.unpersist()
         labels = new_labels
+        if release_at_round_end is not None:
+            _release_checkpoint(release_at_round_end)
         if changed == 0:
             break
     sym.unpersist()

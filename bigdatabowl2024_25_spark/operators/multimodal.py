@@ -82,37 +82,50 @@ def decode_png(payload: bytes) -> np.ndarray:
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("bad pixel-stream length")
-    out = bytearray()
-    prev = bytearray(stride)
-    pos = 0
-    for _row in range(h):
-        ft = raw[pos]
-        line = bytearray(raw[pos + 1 : pos + 1 + stride])
-        pos += 1 + stride
-        if ft == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif ft == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ft == 3:  # Average
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
-        elif ft == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                line[i] = (line[i] + pr) & 0xFF
-        elif ft != 0:
+    # Filter reversal is per-row numpy where the recurrence allows it:
+    # Up is a whole-row wrap-add against the prior reconstructed row,
+    # Sub is a per-channel prefix sum mod 256. Average/Paeth recurse on
+    # the already-reconstructed LEFT byte, so they stay scalar — real
+    # encoders (including ours) rarely emit them, and per-byte Python
+    # across every row was the hot cost for non-toy images.
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ft = int(rows[r, 0])
+        line = rows[r, 1:]
+        if ft == 0:
+            rec = line.copy()
+        elif ft == 1:  # Sub: recon[i] = Σ raw mod 256 within channel
+            rec = (
+                (line.reshape(-1, channels).astype(np.uint32).cumsum(axis=0) & 0xFF)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif ft == 2:  # Up: uint8 addition wraps mod 256 by itself
+            rec = line + prev
+        elif ft in (3, 4):
+            lb = bytearray(line.tobytes())
+            pb = bytearray(prev.tobytes())
+            if ft == 3:  # Average
+                for i in range(stride):
+                    a = lb[i - channels] if i >= channels else 0
+                    lb[i] = (lb[i] + (a + pb[i]) // 2) & 0xFF
+            else:  # Paeth
+                for i in range(stride):
+                    a = lb[i - channels] if i >= channels else 0
+                    b = pb[i]
+                    c = pb[i - channels] if i >= channels else 0
+                    p = a + b - c
+                    pa, pb_, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb_ and pa <= pc else (b if pb_ <= pc else c)
+                    lb[i] = (lb[i] + pr) & 0xFF
+            rec = np.frombuffer(bytes(lb), dtype=np.uint8)
+        else:
             raise ValueError(f"bad filter type {ft}")
-        out += line
-        prev = line
-    return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, channels)
+        out[r] = rec
+        prev = rec
+    return out.reshape(h, w, channels)
 
 
 def encode_png(arr: np.ndarray) -> bytes:
@@ -269,11 +282,17 @@ def resize_media(
             payloads = []
             for payload in pdf["payload"]:
                 if codec == "png":
-                    # real resample: decode → nearest-neighbor → encode
-                    arr = decode_png(bytes(payload))
-                    ys = (np.arange(height) * arr.shape[0]) // height
-                    xs = (np.arange(width) * arr.shape[1]) // width
-                    payloads.append(encode_png(arr[ys][:, xs]))
+                    # real resample: decode → nearest-neighbor → encode;
+                    # corrupt payloads coerce to a null row (same
+                    # errors='coerce' contract as decode_media) instead
+                    # of failing the whole Arrow batch/job
+                    try:
+                        arr = decode_png(bytes(payload))
+                        ys = (np.arange(height) * arr.shape[0]) // height
+                        xs = (np.arange(width) * arr.shape[1]) // width
+                        payloads.append(encode_png(arr[ys][:, xs]))
+                    except (ValueError, zlib.error, struct.error):
+                        payloads.append(None)
                 else:
                     digest = hashlib.md5(bytes(payload)).digest()
                     reps = out_len // len(digest) + 1

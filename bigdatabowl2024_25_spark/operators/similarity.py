@@ -231,34 +231,14 @@ def ivf_assign_exact(
 ) -> DataFrame:
     """IVF assignment against an explicit centroid table (`cents`:
     (__list, centroid-vector) — e.g. a deterministic subset of the
-    corpus, or persisted KMeans centers): each vector joins the
-    broadcast centroid table, takes the argmin QUANTIZED squared-L2
-    (int64, order-free, engine-exact), ties to the lower list id.
+    corpus, or persisted KMeans centers): each vector's single nearest
+    list by quantized squared-L2, i.e. `nearest_lists_exact` with
+    nprobe=1 (same scorer, same tie-break to the lower list id).
 
     This is the oracle-comparable sibling of `ivf_index` (whose KMeans
     centers are MLlib-internal floats): same output shape, same probe
     path downstream, exact parity semantics."""
-    c = cents.select(
-        F.col("__list"), quantized(F.col(vec_col)).alias("__civ")
-    )
-    d2 = F.aggregate(
-        F.zip_with(
-            quantized(F.col(vec_col)),
-            F.col("__civ"),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    scored = data.crossJoin(F.broadcast(c)).withColumn("__d2", d2)
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__d2").asc(), F.col("__list").asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col(vec_col), F.col("__list"))
-    )
+    return nearest_lists_exact(data, cents, id_col, vec_col, nprobe=1)
 
 
 def nearest_lists_exact(
