@@ -44,6 +44,23 @@ SEED = 42
 MODEL_FAMILIES = ("rf", "logreg", "gbt_ovr")
 
 
+def _stddev_exact(c: str):
+    """Sample stddev via explicit moment sums:
+    sqrt((Σx² − (Σx)²/n) / (n−1)). Semantically stddev_samp, but
+    cross-engine-EXACT on dyadic inputs: the built-in's streaming
+    central-moment updates divide at every step and round differently
+    between engines, while here every addend is exactly representable
+    (tracking coords are ¼-multiples), the sums are order-free, and
+    the remaining ops are single IEEE roundings identical in any
+    engine — which is what lets the q92 feature-table parity query be
+    value-hash-checked instead of tolerance-banded. Numerically fine
+    at field scale (|x| ≤ 120 ⇒ no catastrophic cancellation)."""
+    n = F.count(F.col(c))
+    sx = F.sum(F.col(c))
+    sxx = F.sum(F.col(c) * F.col(c))
+    return F.sqrt((sxx - sx * sx / n) / (n - F.lit(1)))
+
+
 def coverage_features(
     tracking: DataFrame, plays: DataFrame, players: DataFrame
 ) -> DataFrame:
@@ -56,11 +73,11 @@ def coverage_features(
     ).filter(F.col("club") == F.col("defensiveTeam"))
     agg = defenders.groupBy("gameId", "playId").agg(
         F.avg("x").alias("def_x_mean"),
-        F.stddev_samp("x").alias("def_x_std"),
+        _stddev_exact("x").alias("def_x_std"),
         F.avg("y").alias("def_y_mean"),
-        F.stddev_samp("y").alias("def_y_std"),
+        _stddev_exact("y").alias("def_y_std"),
         F.avg("s").alias("def_s_mean"),
-        F.stddev_samp("s").alias("def_s_std"),
+        _stddev_exact("s").alias("def_s_std"),
         F.countDistinct("nflId").alias("n_defenders"),
     )
     feats = agg.join(

@@ -125,6 +125,7 @@ def _world(spark):
     gp = spark.range(_G * _P).select(
         F.expr(f"id div {_P}").alias("gameId"), (F.col("id") % _P).alias("playId")
     )
+    gg, pp = F.col("gameId"), F.col("playId")
     plays = gp.select(
         "gameId",
         "playId",
@@ -137,6 +138,25 @@ def _world(spark):
         F.when(F.col("playId") == 3, "QB_SNEAK")
         .otherwise("TRADITIONAL")
         .alias("dropbackType"),
+        # situational columns for the ML feature stage (q92):
+        # modular-arithmetic ints + one NULL coverage label (g=5,p=3)
+        # to exercise the label filter
+        (pp % 4 + 1).alias("down"),
+        ((gg * 3 + pp * 2) % 15 + 1).alias("yardsToGo"),
+        ((gg * 7 + pp * 11) % 99 + 1).alias("absoluteYardlineNumber"),
+        ((gg * 2 + pp) % 35).alias("preSnapHomeScore"),
+        ((gg + pp * 3) % 28).alias("preSnapVisitorScore"),
+        F.when((gg + pp) % 9 == 8, F.lit(None).cast("string"))
+        .otherwise(
+            F.element_at(
+                F.array(
+                    F.lit("Cover-1"), F.lit("Cover-2"),
+                    F.lit("Cover-3"), F.lit("Quarters"),
+                ),
+                ((gg + pp) % 4 + 1).cast("int"),
+            )
+        )
+        .alias("pff_passCoverage"),
     )
     gl = spark.range(_G * (_IDS - 1)).select(
         F.expr(f"id div {_IDS - 1}").alias("g"),
@@ -205,7 +225,15 @@ _WORLD_SQL = f"""
         SELECT DISTINCT g AS gameId, p AS playId,
                NOT (g = 1 AND p = 2) AS isDropback,
                (p+1)*0.5 + g*0.25 + 0.03 AS dropbackDistance,
-               CASE WHEN p = 3 THEN 'QB_SNEAK' ELSE 'TRADITIONAL' END AS dropbackType
+               CASE WHEN p = 3 THEN 'QB_SNEAK' ELSE 'TRADITIONAL' END AS dropbackType,
+               p % 4 + 1 AS down,
+               (g*3 + p*2) % 15 + 1 AS yardsToGo,
+               (g*7 + p*11) % 99 + 1 AS absoluteYardlineNumber,
+               (g*2 + p) % 35 AS preSnapHomeScore,
+               (g + p*3) % 28 AS preSnapVisitorScore,
+               CASE WHEN (g + p) % 9 = 8 THEN NULL
+                    ELSE ['Cover-1','Cover-2','Cover-3','Quarters'][(g + p) % 4 + 1]
+               END AS pff_passCoverage
         FROM trk
     ),
     playersw AS (
@@ -498,4 +526,81 @@ def q91_bdb_pipeline(spark, sf_dir):
         "snaps",
         F.round(F.col("PRESS"), 6).alias("press"),
         F.round(F.col("qualified_press"), 6).alias("qualified_press"),
+    )
+
+
+# --- q92: the ML feature stage (X4 + feature engineering), hash-checked ----
+
+_STD_SQL = (
+    "SQRT((SUM({c}*{c}) - SUM({c})*SUM({c})/COUNT({c}))"
+    "/(COUNT({c})-1))"
+)
+
+
+@query(
+    "q92_ml_features",
+    oracle=f"""
+    WITH {_WORLD_SQL},
+    defs AS (
+        SELECT gameId, playId, nflId, x, y, s
+        FROM trackingw WHERE club = 'DEF'
+    ),
+    agg AS (
+        SELECT gameId, playId,
+               AVG(x) AS def_x_mean, {_STD_SQL.format(c='x')} AS def_x_std,
+               AVG(y) AS def_y_mean, {_STD_SQL.format(c='y')} AS def_y_std,
+               AVG(s) AS def_s_mean, {_STD_SQL.format(c='s')} AS def_s_std,
+               COUNT(DISTINCT nflId) AS n_defenders
+        FROM defs GROUP BY 1, 2
+    ),
+    feats AS (
+        SELECT a.*, p.down, p.yardsToGo, p.absoluteYardlineNumber,
+               p.preSnapHomeScore - p.preSnapVisitorScore AS score_diff,
+               p.pff_passCoverage
+        FROM agg a JOIN playsw p USING (gameId, playId)
+        WHERE p.pff_passCoverage IS NOT NULL
+    ),
+    counts AS (
+        SELECT pff_passCoverage, COUNT(*) AS c FROM feats GROUP BY 1
+    ),
+    lidx AS (
+        SELECT pff_passCoverage,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY c DESC, pff_passCoverage ASC) - 1 AS DOUBLE)
+                 AS label_index
+        FROM counts
+    )
+    SELECT f.*, l.label_index
+    FROM feats f JOIN lidx l USING (pff_passCoverage)
+    """,
+)
+def q92_ml_features(spark, sf_dir):
+    """X4 + the ML feature stage, driver-verified (round-4 VERDICT
+    item 6: the ML layer had only local tests): `coverage_features`
+    (`ml.py`; `DefCoverage.ipynb` cells 1-4) over the q91 synthetic
+    world, plus a REAL `StringIndexer` fit (X4, `DefCoverage.ipynb`
+    cell 5's LabelEncoder) whose frequencyDesc/alphabetical-tie
+    semantics the oracle reproduces as a SQL window. Every feature is
+    exact dyadic arithmetic (see `_stddev_exact`), so the whole table
+    value-hash-matches — no tolerance bands. Model FITTING stays
+    pytest-side (tests/test_ml.py tolerance bands): training is
+    iterative/FP-order-dependent, not SQL-expressible; this query
+    pins everything deterministic that feeds it."""
+    from pyspark.ml.feature import StringIndexer
+
+    tracking, plays, players, _pp = _world(spark)
+    from ..ml import coverage_features
+
+    feats = coverage_features(tracking, plays, players)
+    idx = StringIndexer(
+        inputCol="pff_passCoverage",
+        outputCol="label_index",
+        stringOrderType="frequencyDesc",
+    ).fit(feats)
+    return idx.transform(feats).select(
+        "gameId", "playId",
+        "def_x_mean", "def_x_std", "def_y_mean", "def_y_std",
+        "def_s_mean", "def_s_std", "n_defenders",
+        "down", "yardsToGo", "absoluteYardlineNumber", "score_diff",
+        "pff_passCoverage", "label_index",
     )
