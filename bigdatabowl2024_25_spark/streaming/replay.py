@@ -36,6 +36,7 @@ def tumbling_counts(
     key: str = "user_id",
     width: str = "10 seconds",
     watermark: str | None = "30 seconds",
+    sum_cast: str | None = None,
 ) -> DataFrame:
     """Tumbling event-time window counts — the secondId bucketing
     (1 s of frames) as a streaming aggregate.
@@ -43,12 +44,21 @@ def tumbling_counts(
     `watermark` bounds state for append-mode production runs (late
     rows beyond it are dropped — that IS the late-data policy); pass
     None for complete-mode replays where the full history must equal
-    the batch aggregate exactly."""
+    the batch aggregate exactly.
+
+    `sum_cast` (e.g. ``"decimal(25,6)"``) makes the value sum
+    order-independent — double sums depend on micro-batch arrival
+    order, so hash-compared replays (q93) need the exact decimal
+    reduction; throughput-only pipelines can leave it None."""
     if watermark is not None:
         stream = stream.withWatermark(ts_col, watermark)
+    val = F.col("value")
+    total = (
+        F.sum(val.cast(sum_cast)).cast("double") if sum_cast else F.sum(val)
+    )
     return stream.groupBy(F.window(F.col(ts_col), width), F.col(key)).agg(
         F.count("*").alias("n_events"),
-        F.sum("value").alias("sum_value"),
+        total.alias("sum_value"),
     )
 
 

@@ -34,6 +34,7 @@ def load_all() -> None:
     from . import skew  # noqa: F401
     from . import text  # noqa: F401
     from . import bdb  # noqa: F401
+    from . import streaming_q  # noqa: F401
 
 
 __all__ = ["QUERIES", "ORACLE", "query", "load_all"]
