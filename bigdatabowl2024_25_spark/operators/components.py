@@ -83,34 +83,50 @@ def connected_components(
             sym.join(labels, sym["a"] == labels["node"])
             .select(F.col("b").alias("node"), "component")
         )
-        new_labels = (
-            labels.unionByName(msgs)
+        # the node's own (old) label rides through the min-agg as a
+        # second column, so convergence is a filter on the aggregated
+        # table — NOT an extra new⋈old join per round. In an
+        # all-scheduling-overhead loop (labels are tiny next to the
+        # cluster) that join was ~a third of every round's wall time.
+        new_full = (
+            labels.select(
+                "node", "component", F.col("component").alias("old")
+            )
+            .unionByName(
+                msgs.select(
+                    "node", "component", F.lit(None).cast("long").alias("old")
+                )
+            )
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("old").alias("old"),
+            )
         )
         release_at_round_end = None
         if (i + 1) % checkpoint_every == 0:
             # eager: truncates the logical plan AND materializes
-            new_labels = new_labels.localCheckpoint()
-            # the old checkpoint can only be released AFTER this
-            # round's changed-count: that count still reads the
-            # previous round's labels, whose (possibly
-            # partially-cached) lineage anchors on the old checkpoint
+            new_full = new_full.localCheckpoint()
+            # the old checkpoint can only be released at round end:
+            # this round's changed-count reads the previous round's
+            # labels, whose (possibly partially-cached) lineage
+            # anchors on the old checkpoint
             release_at_round_end = last_cp
-            last_cp = new_labels
+            last_cp = new_full
         else:
-            new_labels = new_labels.persist()
+            new_full = new_full.persist()
         changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
-            .filter(F.col("component") != F.col("old"))
+            new_full.filter(F.col("component") < F.col("old"))
             .limit(1)
             .count()
         )
+        # unpersist the cached frame itself, not a projection of it
+        # (unpersist on a derived DataFrame is a no-op)
         labels.unpersist()
-        labels = new_labels
+        labels = new_full
         if release_at_round_end is not None:
             _release_checkpoint(release_at_round_end)
         if changed == 0:
             break
     sym.unpersist()
-    return labels
+    return labels.select("node", "component")
