@@ -130,3 +130,133 @@ def connected_components(
             break
     sym.unpersist()
     return labels.select("node", "component")
+
+
+def _symmetric(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    return sym.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple:
+    """Cheap deterministic edge-set fingerprint for convergence:
+    (count, sum of per-edge xxhash64). Used only to detect 'no change
+    between rounds' — both rounds' sets are produced by the same
+    deterministic transform, so equality of fingerprints across
+    consecutive rounds means equality of sets up to a 64-bit-collision
+    of SUMS of distinct sets, negligible against the cost of an
+    exceptAll anti-join every round."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal sum: a plain long sum of 64-bit hashes overflows
+        # under ANSI mode
+        F.sum(
+            F.xxhash64(F.col("a"), F.col("b")).cast("decimal(38,0)")
+        ).alias("h"),
+    ).collect()[0]
+    return (row.n, row.h)
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") — the deep-graph complement to `connected_components`:
+    min-label propagation needs O(diameter) rounds, this needs
+    O(log n) regardless of diameter, at the cost of two grouped
+    passes per round.
+
+    - large-star: every node points its LARGER neighbors at the
+      minimum of its closed neighborhood;
+    - small-star: every node and its SMALLER neighbors contract onto
+      their minimum.
+
+    Each pass is one groupBy(min) + one broadcast-free equi-join on
+    the node key — the same shuffle primitives as min-label, so the
+    100 TB posture is identical (hash-partition on node id, AQE skew
+    split on hot hubs). Converges when the edge set is a star forest
+    (fixed point of both passes), detected by an edge-set
+    fingerprint; labels are then child→root plus root→root.
+
+    Use this for general/deep graphs (web link graphs, long chains);
+    `connected_components` stays the default for the shallow
+    clusters of the dedup funnel, where its single pass per round
+    wins on constant factors.
+
+    checkpoint_every defaults to 1 (every round), unlike min-label's
+    5: a star round references the previous edge set ~16 times
+    (sym×2 → mins/join ×2 → oriented/smins ×2 each), so the LOGICAL
+    plan multiplies ~16× per round — persist() truncates recompute
+    but not the analyzer's tree, and two un-checkpointed rounds
+    already push Catalyst's clone into heap exhaustion (measured).
+    The eager checkpoint costs nothing extra here: the fingerprint
+    action would materialize the round anyway.
+    """
+    cur = _symmetric(edges, src, dst).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).persist()
+    all_nodes = (
+        cur.select(F.col("a").alias("node")).distinct().persist()
+    )
+    all_nodes.count()
+    last_cp: DataFrame | None = None
+    fp = _fingerprint(cur)
+    for i in range(max_iter):
+        # --- large-star: (v, m) for v ∈ Γ(u), v > u; m = min(Γ⁺(u)) --
+        sym = cur.unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        m = F.least(F.col("a"), F.col("mn"))
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), m.alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # --- small-star over (u, v<u): contract {u} ∪ N₋(u) onto min --
+        oriented = large.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).distinct()
+        smins = oriented.groupBy("a").agg(F.min("b").alias("mn"))
+        small = (
+            oriented.join(smins, "a")
+            .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+            .unionByName(
+                smins.select(F.col("a"), F.col("mn").alias("b"))
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        release_at_round_end = None
+        if (i + 1) % checkpoint_every == 0:
+            small = small.localCheckpoint()
+            release_at_round_end = last_cp
+            last_cp = small
+        else:
+            small = small.persist()
+        new_fp = _fingerprint(small)
+        cur.unpersist()
+        cur = small
+        if release_at_round_end is not None:
+            _release_checkpoint(release_at_round_end)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    # star forest → labels: children point at roots; roots (and any
+    # node whose component stayed itself) label themselves
+    children = cur.select(
+        F.col("a").alias("node"), F.col("b").alias("component")
+    )
+    labels = all_nodes.join(children, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+    all_nodes.unpersist()
+    return labels

@@ -69,3 +69,55 @@ def test_checkpoint_cadence_is_semantics_free(spark):
     b = _labels(connected_components(edges, max_iter=8, checkpoint_every=2))
     c = _labels(connected_components(edges, max_iter=8, checkpoint_every=5))
     assert a == b == c == {i: 0 for i in range(7)}
+
+
+def test_star_matches_minlabel_on_random_graph(spark):
+    """large-star/small-star must produce the identical labeling as
+    min-label propagation on an arbitrary graph (deterministic
+    LCG-generated edges, mixed component shapes)."""
+    from bigdatabowl2024_25_spark.operators.components import (
+        connected_components_star,
+    )
+
+    seed, edges_py = 1234567, []
+    for _ in range(300):
+        seed = (seed * 1103515245 + 12345) % (2**31)
+        a = seed % 120
+        seed = (seed * 1103515245 + 12345) % (2**31)
+        b = seed % 120
+        if a != b:
+            edges_py.append((a, b))
+    edges = spark.createDataFrame(edges_py, "id_a long, id_b long")
+    want = _labels(connected_components(edges, max_iter=50))
+    got = _labels(connected_components_star(edges))
+    assert got == want
+
+
+def test_star_deep_chain_few_rounds(spark):
+    """A 0-1-...-63 path: diameter 63. Min-label would need 64 rounds;
+    large-star/small-star must finish well inside max_iter=12
+    (O(log n)) and still label every node 0."""
+    from bigdatabowl2024_25_spark.operators.components import (
+        connected_components_star,
+    )
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = _labels(connected_components_star(edges, max_iter=12))
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_star_isolated_pair_and_clique(spark):
+    from bigdatabowl2024_25_spark.operators.components import (
+        connected_components_star,
+    )
+
+    clique = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    edges = spark.createDataFrame(
+        [(0, 1)] + clique, "id_a long, id_b long"
+    )
+    out = _labels(connected_components_star(edges))
+    assert out[0] == 0 and out[1] == 0
+    assert all(out[i] == 10 for i in range(10, 15))
