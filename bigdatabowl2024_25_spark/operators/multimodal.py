@@ -177,25 +177,28 @@ DECODE_SCHEMA = (
 
 
 def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
-    """Decode: `codec='png'` runs the real pure-stdlib decoder
-    (unparseable payloads coerce to ok=False, the errors='coerce'
-    pattern); `codec='real'` is the integration point for JPEG/ffmpeg
-    formats this container lacks; `codec='fake'` is the plumbing
-    pseudo-decode."""
+    """Decode: `codec='png'` / `codec='jpeg'` run the real pure-
+    stdlib+numpy decoders (unparseable payloads coerce to ok=False,
+    the errors='coerce' pattern); `codec='real'` is the integration
+    point for the audio/video formats this container lacks;
+    `codec='fake'` is the plumbing pseudo-decode."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg
+
+        decoders = {"png": decode_png, "jpeg": decode_jpeg}
         for pdf in it:
             if codec == "real":
-                # ---- STUB: non-PNG codecs not in this environment ----
+                # ---- STUB: audio/video codecs not in this environment ----
                 raise NotImplementedError(
-                    "JPEG/audio/video decode requires PIL/ffmpeg; "
-                    "not installed — use codec='png' or 'fake'"
+                    "audio/video decode requires ffmpeg; not installed "
+                    "— use codec='png', 'jpeg', or 'fake'"
                 )
             w, h, c, ok = [], [], [], []
             for payload in pdf["payload"]:
-                if codec == "png":
+                if codec in decoders:
                     try:
-                        arr = decode_png(bytes(payload))
+                        arr = decoders[codec](bytes(payload))
                         w.append(arr.shape[1])
                         h.append(arr.shape[0])
                         c.append(arr.shape[2])
@@ -263,34 +266,41 @@ def resize_media(
     df: DataFrame, width: int, height: int, codec: str = "fake"
 ) -> DataFrame:
     """Resize: emits a transformed binary payload + target dims.
-    `codec='png'` does a real nearest-neighbor resample through the
-    stdlib codec; `codec='real'` is the PIL/ffmpeg integration point
-    for other formats; the fake path derives a deterministic payload of
-    size ∝ width·height from the content hash, so downstream
-    byte-length/metadata plumbing behaves like a real resize (output
-    size independent of input size)."""
+    `codec='png'` / `codec='jpeg'` do a real nearest-neighbor resample
+    through the pure-stdlib codecs; `codec='real'` is the ffmpeg
+    integration point for audio/video; the fake path derives a
+    deterministic payload of size ∝ width·height from the content
+    hash, so downstream byte-length/metadata plumbing behaves like a
+    real resize (output size independent of input size)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg, encode_jpeg
+
+        codecs = {
+            "png": (decode_png, encode_png),
+            "jpeg": (decode_jpeg, encode_jpeg),
+        }
         out_len = max(width * height // 64, 16)
         for pdf in it:
             if codec == "real":
-                # ---- STUB: non-PNG codecs not in this environment ----
+                # ---- STUB: audio/video codecs not in this environment ----
                 raise NotImplementedError(
-                    "JPEG/video resize requires PIL/ffmpeg; "
-                    "not installed — use codec='png' or 'fake'"
+                    "audio/video resize requires ffmpeg; not installed "
+                    "— use codec='png', 'jpeg', or 'fake'"
                 )
             payloads = []
             for payload in pdf["payload"]:
-                if codec == "png":
+                if codec in codecs:
                     # real resample: decode → nearest-neighbor → encode;
                     # corrupt payloads coerce to a null row (same
                     # errors='coerce' contract as decode_media) instead
                     # of failing the whole Arrow batch/job
+                    dec, enc = codecs[codec]
                     try:
-                        arr = decode_png(bytes(payload))
+                        arr = dec(bytes(payload))
                         ys = (np.arange(height) * arr.shape[0]) // height
                         xs = (np.arange(width) * arr.shape[1]) // width
-                        payloads.append(encode_png(arr[ys][:, xs]))
+                        payloads.append(enc(arr[ys][:, xs]))
                     except (ValueError, zlib.error, struct.error):
                         payloads.append(None)
                 else:

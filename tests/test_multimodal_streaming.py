@@ -273,3 +273,76 @@ def test_png_resize_real_codec(spark):
     arr = multimodal.decode_png(bytes(out.payload))
     assert arr.shape == (2, 2, 3)
     assert np.array_equal(arr, img[::2, ::2])  # block-constant → exact
+
+
+def test_jpeg_roundtrip():
+    """Baseline JPEG codec: valid marker structure, near-lossless on
+    smooth content, exact on flat blocks, deterministic, grayscale +
+    RGB, corrupt payloads raise (→ coerce upstream)."""
+    import numpy as np
+
+    from bigdatabowl2024_25_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack(
+        [xx * 255 // 55, yy * 255 // 39, (xx + yy) * 255 // 94], axis=-1
+    ).astype(np.uint8)
+    enc = encode_jpeg(img, quality=90)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    dec = decode_jpeg(enc)
+    assert dec.shape == (40, 56, 3)
+    assert int(np.max(np.abs(dec.astype(int) - img.astype(int)))) <= 6
+    # flat color is exact after quantization
+    flat = np.full((16, 24, 3), 120, np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(flat, 90)), flat
+    )
+    # grayscale single-component scan
+    g = (yy * 255 // 39).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg(g, 90))
+    assert dg.shape == (40, 56, 1)
+    assert int(np.max(np.abs(dg[:, :, 0].astype(int) - g.astype(int)))) <= 2
+    # bit-determinism of the encoder
+    assert encode_jpeg(img, quality=90) == enc
+    # non-8-multiple dims exercised above (40x56 is, use 13x9 too)
+    odd = img[:13, :9]
+    assert decode_jpeg(encode_jpeg(odd, 85)).shape == (13, 9, 3)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(enc[:40])
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"garbage bytes")
+
+
+def test_jpeg_decode_and_resize_media(spark):
+    """Spark-side jpeg codec paths: decode_media dims + coerce,
+    resize_media emits decodable JPEGs at target dims."""
+    import numpy as np
+
+    from bigdatabowl2024_25_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = np.stack([xx * 15, yy * 15, xx * 0 + 99], axis=-1).astype(np.uint8)
+    rows = [
+        (0, "image", encode_jpeg(img, 90), "fixture"),
+        (1, "image", b"not a jpeg", "fixture"),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in multimodal.decode_media(df, codec="jpeg").collect()
+    }
+    assert (out[0].width, out[0].height, out[0].ok) == (16, 16, True)
+    assert out[1].ok is False
+    res = multimodal.resize_media(df, width=8, height=8, codec="jpeg").collect()
+    by_id = {r.media_id: r for r in res}
+    arr = decode_jpeg(bytes(by_id[0].payload))
+    assert arr.shape == (8, 8, 3)
+    assert by_id[1].payload is None  # corrupt → coerced null
