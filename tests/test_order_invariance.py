@@ -118,3 +118,63 @@ def test_w9_stable_label(events):
         ).select("event_id", "lbl"),
         events,
     )
+
+
+def test_lsh_near_dup_layout_invariant(spark):
+    """The near-dup funnel (q80 'neardup') must emit identical
+    (pair, cosine) rows under any partitioning/row order: bucket
+    signs and cosines are int64 arithmetic, so no layout may flip
+    a near-zero sign or perturb a score."""
+    from bigdatabowl2024_25_spark.operators.similarity import lsh_near_dup
+    from bigdatabowl2024_25_spark.sources.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = None
+    for layout in (
+        e.coalesce(1),
+        e.repartition(13),
+        e.repartition(7, "label"),
+        e.orderBy(F.col("vec_id").desc()),
+    ):
+        got = sorted(
+            map(
+                tuple,
+                lsh_near_dup(
+                    layout, "vec_id", "embedding", threshold=0.2
+                ).collect(),
+            )
+        )
+        if base is None:
+            base = got
+        else:
+            assert got == base
+    assert base
+
+
+def test_star_cc_layout_invariant(spark):
+    """large-star/small-star labels are min-reductions — layout-free
+    by construction; pin it (the fingerprint-based convergence check
+    must not be perturbed by partitioning either)."""
+    from bigdatabowl2024_25_spark.operators.components import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)]
+        + [(100 + i, 100 + (i + 1) % 6) for i in range(6)],
+        "id_a long, id_b long",
+    )
+    base = None
+    for layout in (
+        edges.coalesce(1),
+        edges.repartition(13),
+        edges.orderBy(F.col("id_b").desc()),
+    ):
+        got = sorted(
+            map(tuple, connected_components_star(layout).collect())
+        )
+        if base is None:
+            base = got
+        else:
+            assert got == base
+    assert base
