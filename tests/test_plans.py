@@ -169,3 +169,22 @@ def test_q36_range_join_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_q80_neardup_is_bucket_join_not_all_pairs(spark):
+    """The near-dup branch must plan as a hash equi-join on the LSH
+    bucket key. The only nested-loop allowed in q80 is the topk
+    branch's deliberate 8-query broadcast baseline; a second one (or
+    a cartesian) means the corpus×corpus all-pairs scorer came back —
+    the round-4 scale-killer."""
+    import re
+
+    plan = plan_of(suite.QUERIES["q80_cosine_search"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # formatted mode lists each node twice (tree + details): count
+    # numbered tree entries
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    # the funnel's bucket equi-join must exist as a HASH join keyed
+    # on the bucket column
+    assert re.search(r"\(\d+\) (Broadcast|SortMerge|ShuffledHash)?HashJoin", plan)
+    assert re.search(r"Left keys \[1\]: \[bucket#\d+\]", plan), plan[:2000]
