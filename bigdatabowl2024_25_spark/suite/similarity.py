@@ -1,11 +1,17 @@
 """Parity queries: similarity search over `embeddings`
-(array<float>, 64-dim).
+(array<float>, 64-dim). All FULL value-hash oracles:
 
-q80 (brute-force top-k) and q81 (near-dup pairs) are oracle-verified
-via the decimal-exact long-form dot product. q82 (LSH ANN) is the
-scale path — deterministic but not SQL-oracle-expressible in one
-readable statement; the driver records a rows-only check and
-tests/test_similarity.py asserts its recall against q80.
+- q80 'topk': brute-force cosine top-5 (the exact ANN baseline),
+  quantized int64 dots vs the long-form SQL dot product;
+- q80 'neardup': embedding near-dup via the `lsh_near_dup` funnel —
+  the md5-derived hyperplane buckets are reproduced in DuckDB SQL, so
+  candidate generation AND exact verify are both hash-checked;
+- q82 (hyperplane LSH ANN) and q83 (IVF ANN): the entire funnels run
+  in SQL too (plane-literal CASE signs, exact quantized centroids).
+
+Recall of the approximate paths vs the exact baseline is pinned in
+tests/test_similarity.py; layout invariance in
+tests/test_order_invariance.py.
 """
 
 from __future__ import annotations
