@@ -25,7 +25,7 @@ def test_long_chain_through_checkpoints(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    out = _labels(connected_components(edges, max_iter=n))
+    out = _labels(connected_components(edges, max_iter=n, small_graph_threshold=0))
     assert out == {i: 0 for i in range(n)}
 
 
@@ -38,7 +38,7 @@ def test_two_chains_and_a_clique(spark):
     edges = spark.createDataFrame(
         chain_a + chain_b + clique, "id_a long, id_b long"
     )
-    out = _labels(connected_components(edges, max_iter=15))
+    out = _labels(connected_components(edges, max_iter=15, small_graph_threshold=0))
     assert all(out[i] == 0 for i in range(10))
     assert all(out[i] == 100 for i in range(100, 110))
     assert all(out[i] == 200 for i in range(200, 205))
@@ -50,7 +50,7 @@ def test_early_convergence_star(spark):
     edges = spark.createDataFrame(
         [(0, i) for i in range(1, 40)], "id_a long, id_b long"
     )
-    out = _labels(connected_components(edges, max_iter=20))
+    out = _labels(connected_components(edges, max_iter=20, small_graph_threshold=0))
     assert set(out.values()) == {0}
 
 
@@ -65,9 +65,9 @@ def test_checkpoint_cadence_is_semantics_free(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], "id_a long, id_b long"
     )
-    a = _labels(connected_components(edges, max_iter=8, checkpoint_every=1))
-    b = _labels(connected_components(edges, max_iter=8, checkpoint_every=2))
-    c = _labels(connected_components(edges, max_iter=8, checkpoint_every=5))
+    a = _labels(connected_components(edges, max_iter=8, checkpoint_every=1, small_graph_threshold=0))
+    b = _labels(connected_components(edges, max_iter=8, checkpoint_every=2, small_graph_threshold=0))
+    c = _labels(connected_components(edges, max_iter=8, checkpoint_every=5, small_graph_threshold=0))
     assert a == b == c == {i: 0 for i in range(7)}
 
 
@@ -88,7 +88,7 @@ def test_star_matches_minlabel_on_random_graph(spark):
         if a != b:
             edges_py.append((a, b))
     edges = spark.createDataFrame(edges_py, "id_a long, id_b long")
-    want = _labels(connected_components(edges, max_iter=50))
+    want = _labels(connected_components(edges, max_iter=50, small_graph_threshold=0))
     got = _labels(connected_components_star(edges))
     assert got == want
 
@@ -121,3 +121,22 @@ def test_star_isolated_pair_and_clique(spark):
     out = _labels(connected_components_star(edges))
     assert out[0] == 0 and out[1] == 0
     assert all(out[i] == 10 for i in range(10, 15))
+
+
+def test_small_graph_fast_path_equals_iterative(spark):
+    """The single-task union-find fast path (default for small edge
+    sets) must label identically to the iterative min-label loop."""
+    seed, edges_py = 424242, []
+    for _ in range(400):
+        seed = (seed * 1103515245 + 12345) % (2**31)
+        a = seed % 150
+        seed = (seed * 1103515245 + 12345) % (2**31)
+        b = seed % 150
+        if a != b:
+            edges_py.append((a, b))
+    edges = spark.createDataFrame(edges_py, "id_a long, id_b long")
+    fast = _labels(connected_components(edges))  # default: fast path
+    slow = _labels(
+        connected_components(edges, max_iter=60, small_graph_threshold=0)
+    )
+    assert fast == slow
