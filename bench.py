@@ -40,8 +40,12 @@ HEADLINE = [
     "q73_simhash",                # explode + 16-bit aggregate
     "q74_near_dup_clusters",      # iterative-join connected components
     "q75_dedup_survivors",        # cluster keeper anti-filter
-    "q80_cosine_search",          # exact ANN baseline + near-dup pairs
+    "q80_cosine_search",          # exact ANN baseline + near-dup funnel
     "q82_ann_lsh_topk",           # LSH ANN scale path
+    # q91 (five-stage DAG) deliberately NOT here: it runs on a
+    # fixed-size synthetic parity world, so its wall time is pure DAG
+    # scheduling overhead and never scales with sf — including it
+    # would pollute the sf-scaling signal the headline measures.
 ]
 
 
