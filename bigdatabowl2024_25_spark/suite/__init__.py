@@ -36,6 +36,7 @@ def load_all() -> None:
     from . import bdb  # noqa: F401
     from . import streaming_q  # noqa: F401
     from . import multimodal_q  # noqa: F401
+    from . import sources_q  # noqa: F401
 
 
 __all__ = ["QUERIES", "ORACLE", "query", "load_all"]

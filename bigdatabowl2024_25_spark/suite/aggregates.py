@@ -22,7 +22,6 @@ from ..operators.aggregates import (
     conditional_count,
     first_last_by,
     group_median,
-    multi_stat,
     pivot_wide,
     row_sum,
 )
@@ -75,7 +74,9 @@ def q41_priority_price_profile(spark, sf_dir):
     global aggregates (`QBReadStats.R:157,344-345`) — one
     ROLLUP(o_orderpriority) pass: the '<all>' row IS the global
     aggregate, expanded from the same shuffle (no second scan). pandas
-    std = sample stddev, computed from exact decimal moment sums."""
+    std = sample stddev, computed from exact decimal moment sums.
+    Round 6: absorbed q49 (same A5 stats via the `multi_stat`
+    operator, which stays pytest-covered in test_aggregates)."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.rollup("o_orderpriority")
@@ -195,71 +196,11 @@ def q43_event_tree(spark, sf_dir):
 
 
 @query(
-    "q44_status_pivot",
-    oracle="""
-    SELECT c_nationkey,
-           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
-           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
-           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    GROUP BY c_nationkey
-    """,
-)
-def q44_status_pivot(spark, sf_dir):
-    """A8: long→wide pivot with explicit values + zero-fill —
-    `pivot_wider(names_from=defLabel, values_from=(x,y,s))`
-    (`Openness_Data_Frame_Prep.R:38-43`), pandas `pivot_table(...,
-    fill_value=0)` (`DefCoverage.ipynb` cell 3). Explicit pivot values
-    skip Spark's distinct-values pre-job — a full extra scan at scale."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
-    )
-    j = o.join(F.broadcast(c), ["o_custkey"])
-    return pivot_wide(
-        j,
-        ids=["c_nationkey"],
-        pivot_col="o_orderstatus",
-        pivot_values=["F", "O", "P"],
-        aggs=[F.count(F.lit(1))],
-        fill=0,
-    )
-
-
-@query(
-    "q49_price_stats_wide",
-    oracle=f"""
-    SELECT o_orderstatus,
-           {oracle_davg('o_totalprice', 'totalprice_mean')},
-           {oracle_dstddev_samp('o_totalprice', 'totalprice_std')},
-           MIN(o_totalprice) AS totalprice_min,
-           MAX(o_totalprice) AS totalprice_max,
-           COUNT(o_totalprice) AS totalprice_count
-    FROM orders GROUP BY o_orderstatus
-    """,
-)
-def q49_price_stats_wide(spark, sf_dir):
-    """A5 via the reusable multi_stat operator (decimal-stable variant
-    of mean/std wired in below for parity)."""
-    o = load_table(spark, sf_dir, "orders")
-    out = multi_stat(o, ["o_orderstatus"], "o_totalprice", prefix="totalprice")
-    # swap the double mean/std for the decimal-stable versions
-    return (
-        out.drop("totalprice_mean", "totalprice_std")
-        .join(
-            o.groupBy("o_orderstatus").agg(
-                davg("o_totalprice", "totalprice_mean"),
-                dstddev_samp("o_totalprice", "totalprice_std"),
-            ),
-            ["o_orderstatus"],
-        )
-    )
-
-
-@query(
     "q32_unpivot_measures",
     oracle="""
-    SELECT l_orderkey, l_linenumber, row_total, measure, value FROM (
+    SELECT 'melt' AS kind, l_orderkey AS k1,
+           CAST(l_linenumber AS BIGINT) AS k2, row_total, measure, value
+    FROM (
         UNPIVOT (
             SELECT l_orderkey, l_linenumber,
                    0.0 + COALESCE(l_quantity, 0.0)
@@ -271,28 +212,85 @@ def q49_price_stats_wide(spark, sf_dir):
         ON l_quantity, l_discount, l_tax
         INTO NAME measure VALUE value
     )
+    UNION ALL
+    SELECT 'pivot' AS kind, CAST(k.c_nationkey AS BIGINT) AS k1,
+           CAST(NULL AS BIGINT) AS k2, CAST(NULL AS DOUBLE) AS row_total,
+           v.measure, CAST(COALESCE(cnt.n, 0) AS DOUBLE) AS value
+    FROM (SELECT DISTINCT c_nationkey
+          FROM orders JOIN customer ON o_custkey = c_custkey) k
+    CROSS JOIN (VALUES ('F'), ('O'), ('P')) v(measure)
+    LEFT JOIN (SELECT c_nationkey, o_orderstatus, COUNT(*) AS n
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY c_nationkey, o_orderstatus) cnt
+      ON cnt.c_nationkey = k.c_nationkey AND cnt.o_orderstatus = v.measure
     """,
 )
 def q32_unpivot_measures(spark, sf_dir):
-    """Unpivot/melt — the inverse of the A8 wide pivot (the reference
-    melts via per-row dynamic column indexing, F13): three measure
-    columns to (measure, value) rows, pure narrow transform, no
-    shuffle. Carries A10's horizontal row sum (`rowSums(data[, 5:22])`,
-    `cover_threshold.R:11`) as the row_total id column — the natural
-    pairing, since both operate across a row's measure columns."""
+    """Pivot/unpivot pair in one query.
+
+    'melt' branch — unpivot/melt, the inverse of the A8 wide pivot
+    (the reference melts via per-row dynamic column indexing, F13):
+    three measure columns to (measure, value) rows, pure narrow
+    transform, no shuffle. Carries A10's horizontal row sum
+    (`rowSums(data[, 5:22])`, `cover_threshold.R:11`) as the
+    row_total id column.
+
+    'pivot' branch (absorbed q44, round 6) — A8 long→wide pivot with
+    explicit values + zero-fill — `pivot_wider(names_from=defLabel,
+    values_from=(x,y,s))` (`Openness_Data_Frame_Prep.R:38-43`), pandas
+    `pivot_table(..., fill_value=0)` (`DefCoverage.ipynb` cell 3).
+    Explicit pivot values skip Spark's distinct-values pre-job — a
+    full extra scan at scale. The wide result is melted back to the
+    shared (kind,k1,k2,row_total,measure,value) schema, so the driver
+    hash checks the pivot's zero-filled cells exactly."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey") < 100
     )
-    return l.select(
-        "l_orderkey",
-        "l_linenumber",
-        row_sum(["l_quantity", "l_discount", "l_tax"], "row_total"),
-        "l_quantity",
-        "l_discount",
-        "l_tax",
-    ).unpivot(
-        ["l_orderkey", "l_linenumber", "row_total"],
-        ["l_quantity", "l_discount", "l_tax"],
-        "measure",
-        "value",
+    melt = (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            row_sum(["l_quantity", "l_discount", "l_tax"], "row_total"),
+            "l_quantity",
+            "l_discount",
+            "l_tax",
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber", "row_total"],
+            ["l_quantity", "l_discount", "l_tax"],
+            "measure",
+            "value",
+        )
+        .select(
+            F.lit("melt").alias("kind"),
+            F.col("l_orderkey").alias("k1"),
+            F.col("l_linenumber").cast("bigint").alias("k2"),
+            "row_total",
+            "measure",
+            "value",
+        )
     )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    j = o.join(F.broadcast(c), ["o_custkey"])
+    wide = pivot_wide(
+        j,
+        ids=["c_nationkey"],
+        pivot_col="o_orderstatus",
+        pivot_values=["F", "O", "P"],
+        aggs=[F.count(F.lit(1))],
+        fill=0,
+    )
+    pivot = wide.unpivot(
+        ["c_nationkey"], ["F", "O", "P"], "measure", "value"
+    ).select(
+        F.lit("pivot").alias("kind"),
+        F.col("c_nationkey").cast("bigint").alias("k1"),
+        F.lit(None).cast("bigint").alias("k2"),
+        F.lit(None).cast("double").alias("row_total"),
+        "measure",
+        F.col("value").cast("double").alias("value"),
+    )
+    return melt.unionByName(pivot)

@@ -282,68 +282,79 @@ def q09_top10_orders(spark, sf_dir):
 
 
 @query(
-    "q10_union_priority_slices",
+    "q11_priority_set_ops",
     oracle="""
-    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM (
+    SELECT 'intersect' AS kind, o_custkey,
+           CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+           CAST(NULL AS BIGINT) AS n
+    FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    UNION ALL
+    SELECT 'except' AS kind, o_custkey, NULL, NULL, NULL FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    UNION ALL
+    SELECT 'distinct' AS kind, o_custkey, NULL, NULL, NULL FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    )
+    UNION ALL
+    SELECT 'unionall' AS kind, CAST(NULL AS BIGINT) AS o_custkey,
+           o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS n
+    FROM (
         SELECT * FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
         UNION ALL
         SELECT * FROM orders WHERE o_orderstatus = 'F'
     ) GROUP BY o_orderpriority, o_orderstatus
     """,
 )
-def q10_union_priority_slices(spark, sf_dir):
-    """U1 union-all (`DataCleaning.R:20`) + P5 set-membership filter
-    (`BuildingReadOrder.R:56-57`). Overlapping slices keep duplicate
-    rows — union-all, not union-distinct."""
-    o = load_table(spark, sf_dir, "orders")
-    a = o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-    b = o.filter(F.col("o_orderstatus") == "F")
-    return (
-        union_all(a, b)
-        .groupBy("o_orderpriority", "o_orderstatus")
-        .agg(F.count("*").alias("n"))
-    )
-
-
-@query(
-    "q11_priority_set_ops",
-    oracle="""
-    SELECT 'intersect' AS kind, o_custkey FROM (
-        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-        INTERSECT
-        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
-    )
-    UNION ALL
-    SELECT 'except' AS kind, o_custkey FROM (
-        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-        EXCEPT
-        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
-    )
-    UNION ALL
-    SELECT 'distinct' AS kind, o_custkey FROM (
-        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
-    )
-    """,
-)
 def q11_priority_set_ops(spark, sf_dir):
-    """§2.7 exposure: intersect + except-distinct (not used by the
-    reference but part of the engine surface) + P8 `distinct()` /
-    `unique()` / `drop_duplicates()`
-    (`Openness_Data_Frame_Prep.R:83,95,98`) — all set-flavored ops,
-    tagged and unioned (the distinct branch absorbed round 1's q07)."""
+    """§2.7 set-flavored ops, tagged and unioned: intersect +
+    except-distinct (engine surface beyond the reference) + P8
+    `distinct()` / `unique()` / `drop_duplicates()`
+    (`Openness_Data_Frame_Prep.R:83,95,98`) — the distinct branch
+    absorbed round 1's q07. Round 6 absorbed q10 as the 'unionall'
+    branch: U1 union-all (`DataCleaning.R:20`) + P5 set-membership
+    filter (`BuildingReadOrder.R:56-57`); overlapping slices keep
+    duplicate rows — union-all, not union-distinct."""
     o = load_table(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     b = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    null_tail = [
+        F.lit(None).cast("string").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        F.lit(None).cast("bigint").alias("n"),
+    ]
     inter = a.intersect(b).select(
-        F.lit("intersect").alias("kind"), "o_custkey"
+        F.lit("intersect").alias("kind"), "o_custkey", *null_tail
     )
-    exc = a.subtract(b).select(F.lit("except").alias("kind"), "o_custkey")
+    exc = a.subtract(b).select(
+        F.lit("except").alias("kind"), "o_custkey", *null_tail
+    )
     dis = (
         o.filter(F.col("o_orderstatus") == "P")
         .select("o_custkey")
         .distinct()
-        .select(F.lit("distinct").alias("kind"), "o_custkey")
+        .select(F.lit("distinct").alias("kind"), "o_custkey", *null_tail)
     )
-    return inter.unionByName(exc).unionByName(dis)
+    ua = o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    ub = o.filter(F.col("o_orderstatus") == "F")
+    uni = (
+        union_all(ua, ub)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("unionall").alias("kind"),
+            F.lit(None).cast("bigint").alias("o_custkey"),
+            F.col("o_orderpriority").alias("a"),
+            F.col("o_orderstatus").alias("b"),
+            "n",
+        )
+    )
+    return inter.unionByName(exc).unionByName(dis).unionByName(uni)
 
 

@@ -50,24 +50,32 @@ def q14_asym_key_join(spark, sf_dir):
                WHERE o_orderstatus = 'O' GROUP BY o_custkey),
     big AS (SELECT o_custkey, COUNT(*) AS n_big FROM orders
             WHERE o_totalprice > 200000 GROUP BY o_custkey)
-    SELECT c.c_custkey,
+    SELECT 'cascade' AS kind, c.c_custkey, CAST(NULL AS VARCHAR) AS c_name,
            COALESCE(u.n_urgent, 0) AS n_urgent,
            COALESCE(h.n_high, 0) AS n_high,
            COALESCE(f.n_finished, 0) AS n_finished,
            COALESCE(op.n_open, 0) AS n_open,
-           COALESCE(b.n_big, 0) AS n_big
+           COALESCE(b.n_big, 0) AS n_big,
+           CAST(NULL AS BIGINT) AS o_orderkey
     FROM customer c
     LEFT JOIN urgent u ON u.o_custkey = c.c_custkey
     LEFT JOIN high h ON h.o_custkey = c.c_custkey
     LEFT JOIN fin f ON f.o_custkey = c.c_custkey
     LEFT JOIN open_o op ON op.o_custkey = c.c_custkey
     LEFT JOIN big b ON b.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'right' AS kind, c.c_custkey, c.c_name,
+           NULL, NULL, NULL, NULL, NULL, o.o_orderkey
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey IS NULL OR o.o_orderpriority = '5-LOW'
     """,
 )
 def q15_left_join_cascade(spark, sf_dir):
     """J5: five sequential left joins building first…fifth targets
     (`BuildingReadOrder.R:174-178`) — here five per-customer order
-    aggregates, null-filled to 0 (J11 pattern)."""
+    aggregates, null-filled to 0 (J11 pattern). Round 6 absorbed q16
+    as the 'right' branch: J6 `merge(..., all.y=T)` (`QBReadStats.R:47`)
+    — an explicit right outer join keeping unmatched customers."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey")
     )
@@ -90,30 +98,29 @@ def q15_left_join_cascade(spark, sf_dir):
     ]
     for cond, name in slices:
         out = out.join(F.broadcast(side(cond, name)), ["c_custkey"], "left")
-    return out.select(
+    cascade = out.select(
+        F.lit("cascade").alias("kind"),
         "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
         *[F.coalesce(F.col(n), F.lit(0)).alias(n) for _, n in slices],
+        F.lit(None).cast("bigint").alias("o_orderkey"),
     )
-
-
-@query(
-    "q16_right_join",
-    oracle="""
-    SELECT c.c_custkey, c.c_name, o.o_orderkey
-    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
-    WHERE o.o_orderkey IS NULL OR o.o_orderpriority = '5-LOW'
-    """,
-)
-def q16_right_join(spark, sf_dir):
-    """J6: `merge(..., all.y=T)` (`QBReadStats.R:47`)."""
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.lit(True)
+    cfull = load_table(spark, sf_dir, "customer")
+    j = o.join(cfull, o.o_custkey == cfull.c_custkey, "right")
+    right = (
+        j.filter(
+            F.col("o_orderkey").isNull()
+            | (F.col("o_orderpriority") == "5-LOW")
+        )
+        .select(
+            F.lit("right").alias("kind"),
+            "c_custkey",
+            "c_name",
+            *[F.lit(None).cast("bigint").alias(n) for _, n in slices],
+            "o_orderkey",
+        )
     )
-    c = load_table(spark, sf_dir, "customer")
-    j = o.join(c, o.o_custkey == c.c_custkey, "right")
-    return j.filter(
-        F.col("o_orderkey").isNull() | (F.col("o_orderpriority") == "5-LOW")
-    ).select("c_custkey", "c_name", "o_orderkey")
+    return cascade.unionByName(right)
 
 
 @query(

@@ -93,15 +93,17 @@ def test_q22_branches_broadcast_join(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_q44_pivot_no_distinct_job(spark):
-    """Explicit pivot values: the plan is a single aggregate pass, no
-    extra distinct-values collection."""
-    df = suite.QUERIES["q44_status_pivot"](spark, SF)
+def test_q32_pivot_no_distinct_job(spark):
+    """The pivot branch of q32 (absorbed q44): explicit pivot values
+    keep the plan a single aggregate pass — no extra distinct-values
+    collection job."""
+    df = suite.QUERIES["q32_unpivot_measures"](spark, SF)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     # pivot = two-phase aggregate: (ids, pivot_col) partials, then the
     # ids-level pivot agg — exactly two shuffles, and no third job for
-    # distinct pivot values (explicit values list)
+    # distinct pivot values (explicit values list). The melt branch
+    # contributes zero shuffles (narrow transform).
     assert shuffles(plan) == 2
 
 
