@@ -29,48 +29,105 @@ from ..sources.io import load_table
 from .registry import query
 
 
-@query("q90_openness_kernel")  # rows-only: no SQL equivalent (X1/X2)
-def q90_openness_kernel(spark, sf_dir):
-    """X1+X2 end-to-end: pseudo-tracking rows derived from `events`
-    (fully deterministic column transforms), scored by the
-    mapInPandas openness kernel at reduced MC density."""
-    e = load_table(spark, sf_dir, "events")
-    v = F.col("value")
-    base = (
-        e.orderBy("event_id")
-        .limit(24)
-        .select(
-            F.col("user_id").cast("long").alias("gameId"),
-            (F.col("event_id") % 10).cast("long").alias("playId"),
-            F.col("event_id").cast("long").alias("nflId"),
-            (F.col("event_id") % 100).cast("long").alias("frameId"),
-            (v % 8 + 2).alias("s"),
-            ((v * 7) % 360).alias("dir"),
-            (v % 100 + 5).alias("x"),
-            (v % 45 + 3).alias("y"),
-            F.lit(18.0).alias("ball_speed"),
-            (v % 110).alias("fx"),
-            (v % 50).alias("fy"),
-            F.array(
-                F.struct(
-                    ((v * 3) % 110).alias("x"),
-                    ((v * 3) % 50).alias("y"),
-                    F.lit(6.0).alias("s"),
-                ),
-                F.struct(
-                    ((v * 5) % 110).alias("x"),
-                    ((v * 5) % 50).alias("y"),
-                    F.lit(7.0).alias("s"),
-                ),
-                F.struct(
-                    ((v * 11) % 110).alias("x"),
-                    ((v * 11) % 50).alias("y"),
-                    F.lit(5.5).alias("s"),
-                ),
-            ).alias("defenders"),
-        )
+#: The 24-row constant output of q90, pinned as a literal VALUES
+#: oracle (repr()-exact doubles; regenerate by running the query and
+#: re-pasting if the kernel intentionally changes). See q90's
+#: docstring for why a literal oracle is sound here.
+_Q90_ORACLE = """
+    SELECT CAST(gameId AS BIGINT) AS gameId,
+           CAST(playId AS BIGINT) AS playId,
+           CAST(nflId AS BIGINT) AS nflId,
+           CAST(frameId AS BIGINT) AS frameId,
+           CAST(open_count AS DOUBLE) AS open_count
+    FROM (VALUES
+        (100, 0, 1000, 0, 7.2),
+        (100, 2, 1012, 12, 79.0),
+        (100, 6, 1006, 6, 21.0),
+        (100, 8, 1018, 18, 214.4),
+        (200, 1, 1001, 1, 273.59999999999997),
+        (200, 3, 1013, 13, 52.2),
+        (200, 7, 1007, 7, 24.8),
+        (200, 9, 1019, 19, 145.2),
+        (300, 0, 1020, 20, 76.6),
+        (300, 2, 1002, 2, 188.8),
+        (300, 4, 1014, 14, 36.0),
+        (300, 8, 1008, 8, 8.4),
+        (400, 1, 1021, 21, 51.8),
+        (400, 3, 1003, 3, 169.2),
+        (400, 5, 1015, 15, 29.0),
+        (400, 9, 1009, 9, 279.0),
+        (500, 0, 1010, 10, 184.6),
+        (500, 2, 1022, 22, 32.4),
+        (500, 4, 1004, 4, 85.0),
+        (500, 6, 1016, 16, 7.0),
+        (600, 1, 1011, 11, 148.2),
+        (600, 3, 1023, 23, 9.8),
+        (600, 5, 1005, 5, 47.6),
+        (600, 7, 1017, 17, 260.0)
+    ) AS t(gameId, playId, nflId, frameId, open_count)
+"""
+
+
+def _q90_base(spark):
+    """The 24-row parity fixture, derived from spark.range — NOT from
+    the sf tables, so the kernel inputs (and therefore the output) are
+    byte-identical regardless of scale factor or testdata
+    regeneration. All inputs are dyadic doubles (k*0.25 steps), so the
+    column arithmetic below is exact in IEEE double."""
+    v = (F.col("id") * 7 % 40 + (F.col("id") % 4) * 0.25).alias("v")
+    base = spark.range(24).select("id", v)
+    v = F.col("v")
+    return base.select(
+        (F.col("id") % 6 * 100 + 100).cast("long").alias("gameId"),
+        (F.col("id") % 10).cast("long").alias("playId"),
+        (F.col("id") + 1000).cast("long").alias("nflId"),
+        (F.col("id") % 100).cast("long").alias("frameId"),
+        (v % 8 + 2).alias("s"),
+        ((v * 7) % 360).alias("dir"),
+        (v % 100 + 5).alias("x"),
+        (v % 45 + 3).alias("y"),
+        F.lit(18.0).alias("ball_speed"),
+        (v % 110).alias("fx"),
+        (v % 50).alias("fy"),
+        F.array(
+            F.struct(
+                ((v * 3) % 110).alias("x"),
+                ((v * 3) % 50).alias("y"),
+                F.lit(6.0).alias("s"),
+            ),
+            F.struct(
+                ((v * 5) % 110).alias("x"),
+                ((v * 5) % 50).alias("y"),
+                F.lit(7.0).alias("s"),
+            ),
+            F.struct(
+                ((v * 11) % 110).alias("x"),
+                ((v * 11) % 50).alias("y"),
+                F.lit(5.5).alias("s"),
+            ),
+        ).alias("defenders"),
     )
-    return score_openness(base, density=5.0)
+
+
+@query("q90_openness_kernel", oracle=_Q90_ORACLE)
+def q90_openness_kernel(spark, sf_dir):
+    """X1+X2 end-to-end: synthetic tracking rows scored by the
+    mapInPandas openness kernel at reduced MC density.
+
+    Oracle design (round 6, VERDICT item 2): the MC kernel is not
+    SQL-expressible, but it IS a pure function of row identity — the
+    RNG seed is derived from (gameId, playId, nflId, frameId)
+    (`functions/kernels.py` row_seed), pinned by determinism and
+    partition-invariance tests, and since round 6 the fixture comes
+    from spark.range, not the regenerating sf tables. Its 24-row
+    output is therefore a compile-time constant, emitted as a literal
+    VALUES oracle with repr()-exact doubles (shortest-roundtrip
+    literals parse to identical bits in DuckDB). The parity test and
+    the driver's hash gate recompute the kernel and compare against
+    the literal, so ANY kernel drift — numpy stream change, seed
+    change, scoring change — flips q90 red instead of hiding behind a
+    rows-only check."""
+    return score_openness(_q90_base(spark), density=5.0)
 
 
 # --- q91: the five-stage DAG, end to end -----------------------------------
