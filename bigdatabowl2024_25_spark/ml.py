@@ -58,7 +58,13 @@ def _stddev_exact(c: str):
     n = F.count(F.col(c))
     sx = F.sum(F.col(c))
     sxx = F.sum(F.col(c) * F.col(c))
-    return F.sqrt((sxx - sx * sx / n) / (n - F.lit(1)))
+    # n=1 guard: (n-1)=0 would NULL-divide (or raise under ANSI mode)
+    # on any play with a single tracked defender; explicit NULL keeps
+    # the semantics ANSI-safe and unambiguous (stddev of one sample is
+    # undefined — downstream imputers treat NULL, not NaN)
+    return F.when(
+        n > 1, F.sqrt((sxx - sx * sx / n) / (n - F.lit(1)))
+    ).otherwise(F.lit(None).cast("double"))
 
 
 def coverage_features(

@@ -217,6 +217,29 @@ class _BitReader:
         self.pos += 2
         self.marker = None
 
+    def align_restart(self) -> None:
+        """At an expected restart boundary: discard the ≤7 padding bits
+        of the current byte and consume the RSTn marker.
+
+        Explicit alignment (not waiting for `_fill` to trip over the
+        marker mid-MCU) matters because JPEG padding bits are arbitrary:
+        an external encoder padding with non-1 bits could otherwise
+        decode as a phantom MCU (DC size-0 + EOB fits in 6 bits) and
+        desync the rest of the image."""
+        self.acc = 0
+        self.nbits = 0
+        if self.marker is None:
+            if (
+                self.pos + 1 < len(self.data)
+                and self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+            ):
+                self.marker = self.data[self.pos + 1]
+            else:
+                raise ValueError("expected RSTn at restart interval")
+        self.pos += 2
+        self.marker = None
+
 
 class _Restart(Exception):
     pass
@@ -268,8 +291,15 @@ def _extend(bits: int, size: int) -> int:
 # ----------------------------------------------------------------- encoder
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
-    """Encode (h, w) or (h, w, 1|3) uint8 → baseline 4:4:4 JFIF."""
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
+    """Encode (h, w) or (h, w, 1|3) uint8 → baseline 4:4:4 JFIF.
+
+    `restart_interval` > 0 emits a DRI segment and an RSTn marker
+    (byte-aligned, 1-padded, DC predictors reset) after every that
+    many MCUs — the error-resilience feature large-scale ingest
+    pipelines rely on to localize corruption to one restart segment."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ncomp = arr.shape
@@ -299,6 +329,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     zz = quant[:, _ZZ_ROWS, _ZZ_COLS, :]  # (nblocks, 64, ncomp)
 
     bwr = _BitWriter()
+    entropy = bytearray()
+    rst = 0
     pred = [0] * ncomp
     for n in range(bh * bw):
         for c in range(ncomp):
@@ -330,6 +362,19 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
             if last < 63:
                 code, ln = _AC_ENC[0x00]  # EOB
                 bwr.write(code, ln)
+        if (
+            restart_interval
+            and (n + 1) % restart_interval == 0
+            and n + 1 < bh * bw
+        ):
+            # close the restart segment: byte-align (1-padding), emit
+            # RST0..RST7 cyclically, reset DC prediction
+            entropy += bwr.flush()
+            entropy += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            bwr = _BitWriter()
+            pred = [0] * ncomp
+    entropy += bwr.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
@@ -357,11 +402,13 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
             (1, _AC_BITS, _AC_SYMBOLS),
         ):
             out += seg(0xC4, bytes([(cls << 4) | 1]) + bytes(bits) + bytes(syms))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     scan_spec = b"".join(
         struct.pack("BB", i + 1, 0 if i == 0 else 0x11) for i in range(ncomp)
     )
     out += seg(0xDA, bytes([ncomp]) + scan_spec + b"\x00\x3f\x00")
-    out += bwr.flush()
+    out += entropy
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -370,8 +417,23 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline 4:4:4 (1×1-sampled) JPEG → (h, w, c) uint8."""
-    data = bytes(payload)
+    """Decode a baseline 4:4:4 (1×1-sampled) JPEG → (h, w, c) uint8.
+
+    Error contract: ANY parse failure — including index/key/overflow
+    errors raised deep in marker or entropy parsing on corrupt bytes —
+    surfaces as ValueError, so the multimodal `errors='coerce'` path
+    (`multimodal.py` decode_media/resize_media) can null the row
+    instead of killing the whole Arrow batch (fuzz-pinned in
+    tests/test_multimodal_streaming.py)."""
+    try:
+        return _decode_jpeg_impl(bytes(payload))
+    except (IndexError, KeyError, OverflowError, struct.error) as exc:
+        raise ValueError(
+            f"corrupt JPEG: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -436,6 +498,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("missing SOF/SOS")
 
     ncomp = len(comps)
+    if len(scan_comps) != ncomp:
+        raise ValueError("SOS component count differs from SOF")
     bh, bw = (h + 7) // 8, (w + 7) // 8
     nblocks = bh * bw
     zz = np.zeros((nblocks, 64, ncomp), dtype=np.int32)
@@ -469,18 +533,27 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     k += 1
             n += 1
             if restart_interval and n % restart_interval == 0 and n < nblocks:
-                if br.marker is not None:
-                    pred = [0] * ncomp
-                    br.sync_restart()
+                # explicit byte-align + consume the expected RSTn;
+                # never decode the next MCU out of padding bits
+                pred = [0] * ncomp
+                br.align_restart()
         except _Restart:
+            # restart marker hit MID-MCU: corrupt segment; resync and
+            # restart the interrupted MCU from scratch
             pred = [0] * ncomp
             br.sync_restart()
-            # the interrupted MCU restarts from scratch
             zz[n, :, :] = 0
 
-    qtab = np.stack(
-        [qtabs[tq] for _cid, tq, _ in comps], axis=-1
-    )  # (8,8,ncomp)
+    # decoded coefficient channels follow SOS scan order; dequantize
+    # each channel with ITS component's table (matched by component
+    # id), not by SOF position — the two orders can legally differ
+    cid_to_tq = {cid: tq for cid, tq, _ in comps}
+    try:
+        qtab = np.stack(
+            [qtabs[cid_to_tq[cid]] for cid, _, _ in scan_comps], axis=-1
+        )  # (8,8,ncomp) in scan order
+    except KeyError as exc:
+        raise ValueError(f"SOS references unknown component {exc}") from exc
     coef = np.zeros((nblocks, 8, 8, ncomp), dtype=np.float64)
     coef[:, _ZZ_ROWS, _ZZ_COLS, :] = zz
     coef *= qtab[None]
@@ -490,6 +563,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         .transpose(0, 2, 1, 3, 4)
         .reshape(bh * 8, bw * 8, ncomp)[:h, :w]
     )
+    scan_ids = [cid for cid, _, _ in scan_comps]
+    if scan_ids != [cid for cid, _, _ in comps]:
+        # reorder channels back to SOF declaration order (JFIF: Y,Cb,Cr)
+        img = img[:, :, [scan_ids.index(cid) for cid, _, _ in comps]]
     if ncomp == 3:
         img = _ycbcr_to_rgb(img)
     return np.clip(np.round(img), 0, 255).astype(np.uint8)

@@ -203,7 +203,8 @@ def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
                         h.append(arr.shape[0])
                         c.append(arr.shape[2])
                         ok.append(True)
-                    except (ValueError, zlib.error, struct.error):
+                    except (ValueError, zlib.error, struct.error,
+                            IndexError, KeyError, OverflowError):
                         w.append(None)
                         h.append(None)
                         c.append(None)
@@ -301,7 +302,8 @@ def resize_media(
                         ys = (np.arange(height) * arr.shape[0]) // height
                         xs = (np.arange(width) * arr.shape[1]) // width
                         payloads.append(enc(arr[ys][:, xs]))
-                    except (ValueError, zlib.error, struct.error):
+                    except (ValueError, zlib.error, struct.error,
+                            IndexError, KeyError, OverflowError):
                         payloads.append(None)
                 else:
                     digest = hashlib.md5(bytes(payload)).digest()

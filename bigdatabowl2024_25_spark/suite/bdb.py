@@ -588,9 +588,11 @@ def q91_bdb_pipeline(spark, sf_dir):
 
 # --- q92: the ML feature stage (X4 + feature engineering), hash-checked ----
 
+#: mirrors ml._stddev_exact including its n=1 NULL guard (ANSI-safe)
 _STD_SQL = (
+    "CASE WHEN COUNT({c}) > 1 THEN "
     "SQRT((SUM({c}*{c}) - SUM({c})*SUM({c})/COUNT({c}))"
-    "/(COUNT({c})-1))"
+    "/(COUNT({c})-1)) END"
 )
 
 

@@ -346,3 +346,135 @@ def test_jpeg_decode_and_resize_media(spark):
     arr = decode_jpeg(bytes(by_id[0].payload))
     assert arr.shape == (8, 8, 3)
     assert by_id[1].payload is None  # corrupt → coerced null
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI/RSTn path: encoder emits restart segments, decoder realigns
+    at every boundary; output identical to the no-restart encode."""
+    import numpy as np
+
+    from bigdatabowl2024_25_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack(
+        [xx * 6, yy * 10, (xx * yy) % 256], axis=-1
+    ).astype(np.uint8)
+    plain = encode_jpeg(img, quality=85)
+    restarted = encode_jpeg(img, quality=85, restart_interval=3)
+    assert restarted != plain  # DRI + RSTn markers present
+    assert b"\xff\xdd" in restarted
+    # decoded pixels identical: restart markers are transparent
+    assert np.array_equal(decode_jpeg(restarted), decode_jpeg(plain))
+    # grayscale too (single-component MCUs)
+    g = ((xx + yy) % 256).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, 85, restart_interval=2)),
+        decode_jpeg(encode_jpeg(g, 85)),
+    )
+
+
+def test_jpeg_restart_padding_bits_are_ignored():
+    """Adversarial padding: an external encoder may pad the byte before
+    RSTn with ANY bits (spec says padding is arbitrary). Zeroed padding
+    must not decode as a phantom MCU — the decoder byte-aligns and
+    consumes the marker explicitly."""
+    import numpy as np
+
+    from bigdatabowl2024_25_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:32]
+    img = np.stack([xx * 8, yy * 16, xx + yy], axis=-1).astype(np.uint8)
+    enc = bytearray(encode_jpeg(img, quality=85, restart_interval=1))
+    ref = decode_jpeg(bytes(enc))
+    # find each RSTn and clear the low bits of the preceding byte
+    # (the 1-padding) — unless that byte is part of a stuffed FF00 or
+    # itself a marker byte
+    sos = enc.find(b"\xff\xda")
+    mutated = bytearray(enc)
+    n_mut = 0
+    for i in range(sos, len(enc) - 1):
+        if enc[i] == 0xFF and 0xD0 <= enc[i + 1] <= 0xD7:
+            prev = enc[i - 1]
+            if prev not in (0x00, 0xFF) and prev & 1:
+                mutated[i - 1] = prev & 0xFE  # flip lowest padding bit
+                n_mut += 1
+    assert n_mut > 0, "fixture produced no mutable padding bytes"
+    # NOTE: flipping the LAST padding bit may touch a data bit if the
+    # MCU ended exactly one bit short of the boundary; tolerate either
+    # a bit-identical decode or a tiny local diff, but never a shape
+    # change or an exception (phantom-MCU desync would give both)
+    out = decode_jpeg(bytes(mutated))
+    assert out.shape == ref.shape
+    same = np.mean(out == ref)
+    assert same > 0.95, f"restart desync: only {same:.2%} pixels match"
+
+
+def test_jpeg_fuzz_corruption_coerces():
+    """Fuzz the error contract (ADVICE r05): truncations and byte
+    flips of a valid JPEG must either decode or raise ValueError —
+    never IndexError/KeyError/OverflowError — and the Spark
+    decode_media/resize_media coerce paths must survive them."""
+    import numpy as np
+
+    from bigdatabowl2024_25_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    img = np.stack([xx * 10, yy * 15, xx + yy], axis=-1).astype(np.uint8)
+    enc = encode_jpeg(img, quality=80, restart_interval=2)
+
+    rng = np.random.default_rng(20260814)
+    payloads = []
+    # truncations at every region boundary + random cuts
+    for cut in [2, 4, 10, 20, len(enc) // 2, len(enc) - 3, len(enc) - 1]:
+        payloads.append(enc[:cut])
+    # single-byte flips across the file, deterministic positions
+    for pos in rng.integers(2, len(enc), size=150):
+        for val in (0x00, 0xFF, enc[pos] ^ 0x40):
+            m = bytearray(enc)
+            m[pos] = val
+            payloads.append(bytes(m))
+    for p in payloads:
+        try:
+            out = decode_jpeg(p)
+            assert out.dtype == np.uint8
+        except ValueError:
+            pass  # the one permitted failure mode
+
+
+def test_jpeg_fuzz_spark_coerce(spark):
+    """The same fuzz corpus through the Arrow batch path: corrupt rows
+    coerce to null/ok=False; valid rows still decode. One bad payload
+    must never fail the batch."""
+    import numpy as np
+
+    from bigdatabowl2024_25_spark.operators import multimodal
+    from bigdatabowl2024_25_spark.operators.jpeg import encode_jpeg
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    img = np.stack([xx * 10, yy * 15, xx + yy], axis=-1).astype(np.uint8)
+    enc = encode_jpeg(img, quality=80)
+    rng = np.random.default_rng(7)
+    rows = [(0, "image", enc, "good")]
+    for i, pos in enumerate(rng.integers(2, len(enc), size=40), start=1):
+        m = bytearray(enc)
+        m[pos] ^= 0xFF
+        rows.append((i, "image", bytes(m), "fuzzed"))
+    rows.append((99, "image", enc[: len(enc) // 3], "truncated"))
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    dec = multimodal.decode_media(df, codec="jpeg").collect()
+    assert len(dec) == len(rows)  # no batch died
+    by_id = {r.media_id: r for r in dec}
+    assert by_id[0].ok is True and by_id[0].width == 24
+    assert by_id[99].ok is False
+    res = multimodal.resize_media(df, width=4, height=4, codec="jpeg").collect()
+    assert len(res) == len(rows)
+    assert {r.media_id: r.payload is not None for r in res}[0] is True
