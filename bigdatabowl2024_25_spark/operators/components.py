@@ -17,8 +17,13 @@ algorithm — same primitive operations, fewer rounds.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
+_release_failed_once = False
 
 
 def _release_checkpoint(df: DataFrame) -> None:
@@ -28,11 +33,48 @@ def _release_checkpoint(df: DataFrame) -> None:
     leaf's underlying RDD. Best-effort across Spark minor versions:
     on any internal-API drift the blocks are instead reclaimed by the
     ContextCleaner when the driver GCs the reference — later, but
-    still bounded."""
+    still bounded. The drift is WARN-logged once per process (not
+    swallowed silently: a Spark upgrade reverting this to
+    accumulate-until-GC is worth knowing about)."""
+    global _release_failed_once
     try:
         df._jdf.queryExecution().optimizedPlan().rdd().unpersist(False)
-    except Exception:
-        pass
+    except Exception as exc:
+        if not _release_failed_once:
+            _release_failed_once = True
+            _log.warning(
+                "superseded-checkpoint release failed (%s: %s); falling "
+                "back to ContextCleaner GC reclamation — executor "
+                "storage will grow until the driver collects old label "
+                "frames. Probably a private-Spark-API drift in "
+                "_release_checkpoint.",
+                type(exc).__name__,
+                exc,
+            )
+
+
+def _checkpoint(df: DataFrame, mode: str) -> DataFrame:
+    """Eager lineage-truncating checkpoint in the selected mode.
+
+    - ``local``: `localCheckpoint` — executor-storage blocks, no extra
+      I/O, but unrecoverable if an executor dies (lineage is gone).
+      Right for local[n] and restartable batch jobs.
+    - ``reliable``: `checkpoint` to the SparkContext's checkpoint dir
+      (caller must `sc.setCheckpointDir(...)` first — typically HDFS/
+      object storage on a real cluster) — survives executor loss,
+      which a 1000-executor multi-hour CC run needs.
+    """
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint_mode='reliable' requires "
+                "sc.setCheckpointDir(<fault-tolerant path>) first"
+            )
+        return df.checkpoint(eager=True)
+    if mode != "local":
+        raise ValueError(f"unknown checkpoint_mode {mode!r}")
+    return df.localCheckpoint()
 
 
 def _components_single_task(sym: DataFrame) -> DataFrame:
@@ -88,6 +130,7 @@ def connected_components(
     max_iter: int = 20,
     checkpoint_every: int = 5,
     small_graph_threshold: int = 5_000_000,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """(node, component) for every node in `edges`, component = min
     node id reachable. Converges early when a round changes nothing.
@@ -116,13 +159,15 @@ def connected_components(
     blocks are fully materialized before the old lineage anchor is
     dropped). The newest checkpoint backs the RETURNED DataFrame and
     is left alive — its blocks are freed when the caller drops the
-    result and the ContextCleaner collects it. Trade-off (vs reliable
-    `checkpoint()` to a checkpoint dir): localCheckpoint blocks live
-    in executor storage, so losing an executor mid-run loses them
-    unrecoverably — lineage was truncated, there is nothing to
-    recompute from. Fine on local[n] and for restartable batch jobs;
-    a 1000-executor production run should call
-    `sc.setCheckpointDir(...)` and swap in `.checkpoint()`."""
+    result and the ContextCleaner collects it.
+
+    `checkpoint_mode` selects the durability trade-off (see
+    `_checkpoint`): the default ``local`` keeps blocks in executor
+    storage — fast, but losing an executor mid-run loses them
+    unrecoverably (lineage was truncated; nothing to recompute from),
+    fine on local[n] and restartable batch jobs; ``reliable`` writes
+    each checkpoint to `sc.setCheckpointDir`'s fault-tolerant path,
+    which a 1000-executor multi-hour run should use."""
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(
@@ -132,7 +177,7 @@ def connected_components(
     if sym.count() <= small_graph_threshold:
         out = _components_single_task(sym)
         # materialize before dropping the cached edges it reads
-        out = out.localCheckpoint()
+        out = _checkpoint(out, checkpoint_mode)
         sym.unpersist()
         return out
     labels = (
@@ -170,12 +215,15 @@ def connected_components(
         release_at_round_end = None
         if (i + 1) % checkpoint_every == 0:
             # eager: truncates the logical plan AND materializes
-            new_full = new_full.localCheckpoint()
+            new_full = _checkpoint(new_full, checkpoint_mode)
             # the old checkpoint can only be released at round end:
             # this round's changed-count reads the previous round's
             # labels, whose (possibly partially-cached) lineage
-            # anchors on the old checkpoint
-            release_at_round_end = last_cp
+            # anchors on the old checkpoint. (Release applies to
+            # local mode's executor blocks; reliable-mode files are
+            # cleaned with the checkpoint dir.)
+            if checkpoint_mode == "local":
+                release_at_round_end = last_cp
             last_cp = new_full
         else:
             new_full = new_full.persist()
@@ -228,6 +276,7 @@ def connected_components_star(
     dst: str = "id_b",
     max_iter: int = 30,
     checkpoint_every: int = 1,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """(node, component) via alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce
@@ -301,8 +350,9 @@ def connected_components_star(
         )
         release_at_round_end = None
         if (i + 1) % checkpoint_every == 0:
-            small = small.localCheckpoint()
-            release_at_round_end = last_cp
+            small = _checkpoint(small, checkpoint_mode)
+            if checkpoint_mode == "local":
+                release_at_round_end = last_cp
             last_cp = small
         else:
             small = small.persist()

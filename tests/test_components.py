@@ -8,6 +8,7 @@ checkpoint boundaries."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bigdatabowl2024_25_spark.operators.components import connected_components
@@ -140,3 +141,69 @@ def test_small_graph_fast_path_equals_iterative(spark):
         connected_components(edges, max_iter=60, small_graph_threshold=0)
     )
     assert fast == slow
+
+
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_mode='reliable': labels identical to local mode, and
+    checkpoint files actually land in the checkpoint dir (executor-loss
+    survivability at cluster scale). Also: reliable without a
+    checkpoint dir fails fast with a clear error."""
+    import os
+
+    from bigdatabowl2024_25_spark.operators.components import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)] + [(20, 21), (21, 22)],
+        ["id_a", "id_b"],
+    )
+    sc = spark.sparkContext
+    old_dir = sc.getCheckpointDir()
+    assert old_dir is None  # nothing else in the suite sets one
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        connected_components(
+            edges, small_graph_threshold=0, checkpoint_every=1,
+            checkpoint_mode="reliable",
+        ).collect()
+    cp = str(tmp_path / "cc_checkpoints")
+    sc.setCheckpointDir(cp)
+    try:
+        a = _labels(
+            connected_components(
+                edges, max_iter=20, checkpoint_every=2,
+                small_graph_threshold=0, checkpoint_mode="reliable",
+            )
+        )
+        b = _labels(
+            connected_components(
+                edges, max_iter=20, checkpoint_every=2,
+                small_graph_threshold=0, checkpoint_mode="local",
+            )
+        )
+        assert a == b
+        # the small-graph fast path and star variant honor it too
+        c = _labels(
+            connected_components(edges, checkpoint_mode="reliable")
+        )
+        d = _labels(
+            connected_components_star(edges, checkpoint_mode="reliable")
+        )
+        assert c == a and d == a
+        walked = [
+            f for _, _, fs in os.walk(cp) for f in fs if not f.startswith(".")
+        ]
+        assert walked, "no reliable checkpoint files written"
+    finally:
+        # tmp_path vanishes after the test; later localCheckpoint users
+        # are unaffected, but reset state for suite hygiene anyway
+        # (the Scala var setter name contains '$', hence getattr)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+
+
+def test_unknown_checkpoint_mode_rejected(spark):
+    edges = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="checkpoint_mode"):
+        connected_components(edges, checkpoint_mode="s3-magic").collect()
