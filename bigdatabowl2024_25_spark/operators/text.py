@@ -81,44 +81,13 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text).cast("binary"))
 
 
-#: winnowing domain (fits comfortably in int64 window minima)
+#: winnowing domain (fits comfortably in int64 window minima); prime
+#: (2³¹−1), so the polynomial rolling hash below is over a field
 WINNOW_M = 2_147_483_647
 
-
-def char_kgrams(text: Column, k: int) -> Column:
-    """Every character k-gram of `text` as an array<string>, built by
-    binary doubling: 1-grams → 2-grams → 4-grams → … (each pass zips
-    an array with itself shifted by its gram length), then the O(log k)
-    power arrays combine per k's binary decomposition — ⌈log₂k⌉+
-    popcount(k)−1 concat passes instead of k−1. Never indexed
-    substring() in a lambda: UTF8String substring seeks from the
-    string start (O(i) per access → O(len²) total), and higher-order
-    lambdas evaluate interpreted, outside codegen — measured 88 s vs
-    0.9 s on sf0.01 documents for the winnowing query."""
-    chars = F.split(text, "")
-    n = F.size(chars)
-    m = F.greatest(n - (k - 1), F.lit(0))
-    powers = {1: chars}
-    p = 1
-    while p * 2 <= k:
-        a = powers[p]
-        cnt = F.greatest(n - (2 * p - 1), F.lit(0))
-        powers[2 * p] = F.zip_with(
-            F.slice(a, 1, cnt),
-            F.slice(a, p + 1, cnt),
-            lambda x, y: F.concat(x, y),
-        )
-        p *= 2
-    out, off = None, 0
-    for p in sorted((q for q in powers if k & q), reverse=True):
-        piece = F.slice(powers[p], off + 1, m)
-        out = (
-            piece
-            if out is None
-            else F.zip_with(out, piece, lambda x, y: F.concat(x, y))
-        )
-        off += p
-    return out
+#: rolling-hash base: big enough to spread char codes, small enough
+#: that (h < M) · B + code never leaves int64 (ANSI mode would raise)
+WINNOW_B = 1_000_003
 
 
 def winnow_fingerprints(
@@ -129,27 +98,52 @@ def winnow_fingerprints(
     Any shared substring of length ≥ w+k−1 between two documents
     shares a fingerprint; each doc keeps ~len/w fingerprints.
 
-    Shape: posexplode grams → hash in a codegen'd projection (NOT an
-    interpreted lambda) → per-doc window min over the [0, w−1] frame →
-    per-doc collect_set dedupe. ONE shuffle total: the dedupe groups
-    by the window's own partition key, so it reuses the window
-    exchange instead of re-shuffling the whole fingerprint stream on
-    (doc, fp) as a global distinct() did (locally identical wall time
-    — compute-bound — but at 100× data the removed shuffle moves
-    100× less). Per-doc state is ~len/w fingerprints; for adversarial
-    multi-GB single documents swap the last two lines back to
-    `.select(id_col, "fp").distinct()`. Returns (id_col, fp) rows."""
+    Shape (round-6 rewrite, VERDICT r05 item 6): posexplode the CHARS,
+    then compute the k-gram polynomial hash
+    h(c_i…c_{i+k−1}) = Σⱼ code(c_{i+j})·B^(k−1−j) mod M
+    with k−1 `lead()`s folded Horner-style — all on the one window
+    (doc, pos-ordered) the min-frame pass needs anyway. Both window
+    passes share a single exchange + sort, every expression is plain
+    int64 arithmetic in JVM projections, and no per-gram string is
+    ever materialized.
+
+    Measured at sf0.1 (same 550 227 output rows):
+    - r05 shipped: build k-char strings by zip_with doubling, md5 each
+      → 8.8 s;
+    - array-domain rolling hash (zip_with doubling over int hashes —
+      VERDICT's literal suggestion): 7.1 s — dropping md5 helps less
+      than expected because interpreted zip_with lambdas dominate;
+    - this window/lead formulation: **1.1 s warm**. The earlier 40×
+      array-vs-explode result generalizes: escaping interpreted
+      higher-order lambdas beats minimizing bytes hashed.
+
+    Trade-off vs md5: 31-bit polynomial fingerprints collide more
+    often, but winnowing's contract (shared substring ⇒ shared
+    fingerprint) needs collisions RARE, not cryptographic; both
+    engines compute identical values (DuckDB: nested Horner in
+    suite/text.py _KGRAMS), so parity stays bit-exact.
+
+    One shuffle total: the final dedupe groups by the window's own
+    partition key, reusing its exchange. Per-doc state is ~len/w
+    fingerprints; for adversarial multi-GB single documents swap the
+    last two lines back to `.select(id_col, "fp").distinct()`.
+    Returns (id_col, fp) rows."""
     from pyspark.sql import Window
 
-    ex = df.select(
+    chars = df.select(
         F.col(id_col),
-        F.posexplode(char_kgrams(F.col(text_col), k)).alias("pos", "gram"),
+        F.posexplode(F.split(F.col(text_col), "")).alias("pos", "c"),
     )
-    hashed = ex.select(
-        F.col(id_col),
-        "pos",
-        (portable_hash64(F.col("gram")) % WINNOW_M).alias("h"),
-    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    code = F.ascii("c").cast("bigint")
+    h = code
+    for j in range(1, k):
+        h = (h * WINNOW_B + F.lead(code, j).over(win)) % WINNOW_M
+    # trailing positions (fewer than k chars left) have a NULL lead →
+    # NULL hash; dropping them leaves exactly len−k+1 gram hashes
+    hashed = chars.select(
+        F.col(id_col), "pos", h.alias("h")
+    ).filter(F.col("h").isNotNull())
     frame = (
         Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
     )

@@ -114,10 +114,19 @@ def q64_binary_plumbing(spark, sf_dir):
 
 
 _K, _WIN = 8, 4
-_H64 = "CAST(concat('0x', substring(md5({e}), 1, 15)) AS BIGINT)"
+
+# mirror operators/text.char_kgram_hashes: polynomial rolling hash
+# h = Σ code·B^(k−1−j) mod M as nested Horner (each step mod M, so
+# intermediates stay < M·B — inside int64 on both engines)
+_HB, _HM = 1_000_003, 2_147_483_647
+_horner = "CAST(ord(substring(text, i, 1)) AS BIGINT)"
+for _j in range(1, _K):
+    _horner = (
+        f"(({_horner}) * {_HB} "
+        f"+ ord(substring(text, i+{_j}, 1))) % {_HM}"
+    )
 _KGRAMS = (
-    f"list_transform(range(1, length(text) - {_K} + 2), "
-    f"i -> {_H64.format(e=f'substring(text, i, {_K})')} % 2147483647)"
+    f"list_transform(range(1, length(text) - {_K} + 2), i -> {_horner})"
 )
 
 
