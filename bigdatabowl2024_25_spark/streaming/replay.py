@@ -67,14 +67,29 @@ def session_slices(
     ts_col: str = "ts",
     key: str = "user_id",
     gap: str = "30 seconds",
-    watermark: str = "1 minute",
+    watermark: str | None = "1 minute",
+    sum_cast: str | None = None,
 ) -> DataFrame:
     """Session windows — the line_set→ball_snap per-play slice (W12) as
-    a gap-based session aggregate."""
-    return (
-        stream.withWatermark(ts_col, watermark)
-        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key))
-        .agg(F.count("*").alias("n_events"))
+    a gap-based session aggregate: events within `gap` of the session's
+    end extend it; a quiet period longer than `gap` starts a new one.
+
+    `watermark`/`sum_cast` follow `tumbling_counts`: watermark bounds
+    state (and enables append mode) for production; None keeps every
+    session in state for complete-mode replays that must equal the
+    batch sessionization exactly (q93's 'session' branch). sum_cast
+    makes the value sum independent of micro-batch arrival order."""
+    if watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
+    val = F.col("value")
+    total = (
+        F.sum(val.cast(sum_cast)).cast("double") if sum_cast else F.sum(val)
+    )
+    return stream.groupBy(
+        F.session_window(F.col(ts_col), gap), F.col(key)
+    ).agg(
+        F.count("*").alias("n_events"),
+        total.alias("sum_value"),
     )
 
 

@@ -27,26 +27,81 @@ import uuid
 from pyspark.sql import functions as F
 
 from ..sources.io import load_table
-from ..streaming.replay import stream_from_dir, tumbling_counts
+from ..streaming.replay import (
+    session_slices,
+    stream_from_dir,
+    tumbling_counts,
+)
 from .registry import query
 from .stable import DEC
 
-#: tumbling width: 10 s of event time, expressed in both engines
+#: tumbling width: 10 s of event time; session gap: 30 s — both
+#: expressed in micros for the DuckDB side
 _W_US = 10_000_000
+_GAP_US = 30_000_000
+
+
+def _drain(agg, prefix):
+    """Run a streaming aggregate to completion (availableNow) into a
+    memory sink and return its driver-resident table."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = agg.sparkSession
+    out = spark.table(name)
+    return out, q
 
 
 @query(
-    "q93_streaming_tumbling",
+    "q93_streaming_windows",
     oracle=f"""
-    SELECT user_id,
+    SELECT 'tumbling' AS kind, user_id,
            (epoch_us(ts) // {_W_US}) * {_W_US} AS win_start_us,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'session' AS kind, user_id, MIN(tu) AS win_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM (
+        SELECT user_id, tu, v,
+               SUM(CASE WHEN prev IS NULL OR tu - prev > {_GAP_US}
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY tu, rid
+                       ROWS UNBOUNDED PRECEDING) AS sid
+        FROM (
+            SELECT user_id, epoch_us(ts) AS tu, value AS v,
+                   ROW_NUMBER() OVER () AS rid,
+                   LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_us(ts)) AS prev
+            FROM events)
+    ) GROUP BY user_id, sid
     """,
 )
-def q93_streaming_tumbling(spark, sf_dir):
+def q93_streaming_windows(spark, sf_dir):
+    """§2.10 both window families through REAL streams: the events
+    table replayed file-per-micro-batch, aggregated as (a) tumbling
+    10 s windows (`tumbling_counts`, the secondId bucketing of
+    `BuildingReadOrder.R:32-36`) and (b) 30 s-gap session windows
+    (`session_slices`, the line_set→ball_snap per-play slice, W12),
+    each drained complete-mode via availableNow and union-tagged.
+
+    Complete mode + no watermark ⇒ a fully-drained stream equals the
+    batch aggregate BY CONSTRUCTION (count/decimal-sum are order-free
+    and no state is evicted), so the DuckDB oracle is plain batch SQL;
+    for sessions, the oracle sessionizes with the classic
+    LAG-gap/running-sum idiom — gap-split semantics are tie-order
+    insensitive (equal timestamps always co-session), so the two
+    engines' session ids agree. Window starts exit as epoch micros,
+    immune to the driver's session timezone."""
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "value"
     )
@@ -55,34 +110,42 @@ def q93_streaming_tumbling(spark, sf_dir):
         # batch boundaries, which is what makes the equivalence worth
         # checking (a 1-batch replay would be batch mode in disguise)
         events.repartition(4).write.parquet(f"{tmp}/in")
-        stream = stream_from_dir(
-            spark, f"{tmp}/in", spark.read.parquet(f"{tmp}/in").schema
-        )
-        agg = tumbling_counts(
-            stream, ts_col="ts", key="user_id", width="10 seconds",
+        schema = spark.read.parquet(f"{tmp}/in").schema
+
+        tumb_agg = tumbling_counts(
+            stream_from_dir(spark, f"{tmp}/in", schema),
+            ts_col="ts", key="user_id", width="10 seconds",
             watermark=None, sum_cast=DEC,
         )
-        name = f"q93_mem_{uuid.uuid4().hex[:8]}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
+        tumb_tbl, q1 = _drain(tumb_agg, "q93_tumb")
+        tumb = tumb_tbl.select(
+            F.lit("tumbling").alias("kind"),
+            "user_id",
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            "n_events",
+            "sum_value",
         )
-        q.awaitTermination()
-        out = (
-            spark.table(name)
-            .select(
-                "user_id",
-                F.unix_micros(F.col("window.start")).alias("win_start_us"),
-                "n_events",
-                "sum_value",
-            )
-            # the memory sink table is driver-resident and tiny (one
-            # row per user×window); localCheckpoint pins the rows so
-            # the temp dir and memory sink can be torn down
-            .localCheckpoint()
+
+        sess_agg = session_slices(
+            stream_from_dir(spark, f"{tmp}/in", schema),
+            ts_col="ts", key="user_id", gap="30 seconds",
+            watermark=None, sum_cast=DEC,
         )
-        q.stop()
+        sess_tbl, q2 = _drain(sess_agg, "q93_sess")
+        sess = sess_tbl.select(
+            F.lit("session").alias("kind"),
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias(
+                "win_start_us"
+            ),
+            "n_events",
+            "sum_value",
+        )
+
+        # the memory sink tables are driver-resident and tiny (one row
+        # per user×window); localCheckpoint pins the rows so the temp
+        # dir and memory sinks can be torn down
+        out = tumb.unionByName(sess).localCheckpoint()
+        q1.stop()
+        q2.stop()
     return out
