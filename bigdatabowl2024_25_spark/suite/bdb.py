@@ -629,8 +629,22 @@ _STD_SQL = (
                  AS label_index
         FROM counts
     )
-    SELECT f.*, l.label_index
-    FROM feats f JOIN lidx l USING (pff_passCoverage)
+    ,
+    labeled AS (
+        SELECT f.*, l.label_index,
+               CASE WHEN f.def_s_mean > 5.0 THEN 1.0 ELSE 0.0 END AS pred
+        FROM feats f JOIN lidx l USING (pff_passCoverage)
+    )
+    SELECT *,
+           ROUND((def_x_mean - AVG(def_x_mean) OVER ())
+                 / STDDEV_SAMP(def_x_mean) OVER (), 6) AS def_x_mean_scaled,
+           ROUND((yardsToGo - AVG(yardsToGo) OVER ())
+                 / STDDEV_SAMP(yardsToGo) OVER (), 6) AS yards_to_go_scaled,
+           COUNT(*) OVER (PARTITION BY label_index, pred) AS confusion_n,
+           ROUND(CAST(SUM(CASE WHEN pred = label_index THEN 1 ELSE 0 END)
+                          OVER () AS DOUBLE)
+                 / COUNT(*) OVER (), 6) AS accuracy
+    FROM labeled
     """,
 )
 def q92_ml_features(spark, sf_dir):
@@ -641,14 +655,31 @@ def q92_ml_features(spark, sf_dir):
     cell 5's LabelEncoder) whose frequencyDesc/alphabetical-tie
     semantics the oracle reproduces as a SQL window. Every feature is
     exact dyadic arithmetic (see `_stddev_exact`), so the whole table
-    value-hash-matches — no tolerance bands. Model FITTING stays
-    pytest-side (tests/test_ml.py tolerance bands): training is
-    iterative/FP-order-dependent, not SQL-expressible; this query
-    pins everything deterministic that feeds it."""
-    from pyspark.ml.feature import StringIndexer
+    value-hash-matches — no tolerance bands.
+
+    Round 6 widens the same rows with the REST of the deterministic ML
+    slab (VERDICT r05: X7/X8 were driver-untested):
+
+    - X7: a real MLlib `StandardScaler` (withMean) fit over the
+      assembled feature vector; two scaled components are projected
+      back out, rounded to 6 dp on both sides (the q91 precedent:
+      Summarizer's tree-aggregated mean/std and the oracle's window
+      AVG/STDDEV_SAMP agree to well under 1e-6).
+    - X8: a real `MulticlassClassificationEvaluator` accuracy and the
+      real `ml.confusion_matrix` pivot, computed over a DETERMINISTIC
+      rule prediction (def_s_mean threshold) — the metrics CODE gets
+      a hash-checked driver row; model fitting itself stays
+      pytest-side (tests/test_ml.py tolerance bands): training is
+      iterative/FP-order-dependent, not SQL-expressible. The pivoted
+      confusion matrix is melted back to a per-row `confusion_n`
+      (this row's (label, pred) cell count) so granularity still
+      matches the feature table."""
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.feature import StandardScaler, StringIndexer, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
 
     tracking, plays, players, _pp = _world(spark)
-    from ..ml import coverage_features
+    from ..ml import confusion_matrix, coverage_features
 
     feats = coverage_features(tracking, plays, players)
     idx = StringIndexer(
@@ -656,10 +687,60 @@ def q92_ml_features(spark, sf_dir):
         outputCol="label_index",
         stringOrderType="frequencyDesc",
     ).fit(feats)
-    return idx.transform(feats).select(
+    base = idx.transform(feats).select(
         "gameId", "playId",
         "def_x_mean", "def_x_std", "def_y_mean", "def_y_std",
         "def_s_mean", "def_s_std", "n_defenders",
         "down", "yardsToGo", "absoluteYardlineNumber", "score_diff",
         "pff_passCoverage", "label_index",
+    ).withColumn(
+        "pred",
+        F.when(F.col("def_s_mean") > 5.0, 1.0).otherwise(0.0),
+    )
+
+    # X7: real scaler over (def_x_mean, yardsToGo); components back out
+    assembled = VectorAssembler(
+        inputCols=["def_x_mean", "yardsToGo"], outputCol="__raw"
+    ).transform(base)
+    scaler = StandardScaler(
+        inputCol="__raw", outputCol="__scaled", withMean=True
+    ).fit(assembled)
+    scaled = scaler.transform(assembled).withColumn(
+        "__arr", vector_to_array("__scaled")
+    ).select(
+        *base.columns,
+        F.round(F.col("__arr")[0], 6).alias("def_x_mean_scaled"),
+        F.round(F.col("__arr")[1], 6).alias("yards_to_go_scaled"),
+    )
+
+    # X8: evaluator accuracy (a scalar: same value on every row) and
+    # the confusion-matrix pivot, melted back onto the rows
+    acc = MulticlassClassificationEvaluator(
+        labelCol="label_index", predictionCol="pred",
+        metricName="accuracy",
+    ).evaluate(base)
+    cm = confusion_matrix(
+        base.select(
+            F.col("label_index").alias("label"),
+            F.col("pred").alias("prediction"),
+        )
+    )
+    # pivot names columns after the prediction VALUES ("0.0", "1.0");
+    # backticks keep unpivot from parsing the dot as struct nesting
+    pred_cols = [f"`{c}`" for c in cm.columns if c != "label"]
+    cm_long = cm.unpivot(
+        ["label"], pred_cols, "__pred_s", "confusion_n"
+    ).select(
+        F.col("label").alias("label_index"),
+        F.col("__pred_s").cast("double").alias("pred"),
+        "confusion_n",
+    )
+    return scaled.join(
+        F.broadcast(cm_long), ["label_index", "pred"]
+    ).select(
+        *[c for c in scaled.columns],
+        F.col("confusion_n").cast("bigint").alias("confusion_n"),
+        # F.round (HALF_UP) matches DuckDB ROUND; Python's round would
+        # bankers-round ties differently
+        F.round(F.lit(acc), 6).alias("accuracy"),
     )

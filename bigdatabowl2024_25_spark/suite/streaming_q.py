@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..sources.io import load_table
 from ..streaming.replay import (
     session_slices,
+    stateful_running_totals,
     stream_from_dir,
     tumbling_counts,
 )
@@ -84,15 +85,30 @@ def _drain(agg, prefix):
                                            ORDER BY epoch_us(ts)) AS prev
             FROM events)
     ) GROUP BY user_id, sid
+    UNION ALL
+    SELECT 'stateful' AS kind, user_id,
+           CAST(NULL AS BIGINT) AS win_start_us,
+           COUNT(*) AS n_events, CAST(NULL AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
     """,
 )
 def q93_streaming_windows(spark, sf_dir):
-    """§2.10 both window families through REAL streams: the events
-    table replayed file-per-micro-batch, aggregated as (a) tumbling
-    10 s windows (`tumbling_counts`, the secondId bucketing of
-    `BuildingReadOrder.R:32-36`) and (b) 30 s-gap session windows
-    (`session_slices`, the line_set→ball_snap per-play slice, W12),
-    each drained complete-mode via availableNow and union-tagged.
+    """§2.10 all three stateful-streaming families through REAL
+    streams: the events table replayed file-per-micro-batch,
+    aggregated as (a) tumbling 10 s windows (`tumbling_counts`, the
+    secondId bucketing of `BuildingReadOrder.R:32-36`), (b) 30 s-gap
+    session windows (`session_slices`, the line_set→ball_snap
+    per-play slice, W12), and (c) the custom
+    `applyInPandasWithState` operator (`stateful_running_totals`,
+    W2's cross-batch running totals), each drained via availableNow
+    and union-tagged.
+
+    The stateful branch keeps only its COUNTS: per-key event counts
+    grow monotonically across update-mode emissions, so max(n_events)
+    per key is the final state and equals the batch COUNT(*) for any
+    file arrival order; the state's float running sum is
+    arrival-order-dependent in the last ulp, so it stays pytest-side
+    (test_stateful_running_totals) and the hash row carries NULL.
 
     Complete mode + no watermark ⇒ a fully-drained stream equals the
     batch aggregate BY CONSTRUCTION (count/decimal-sum are order-free
@@ -142,10 +158,39 @@ def q93_streaming_windows(spark, sf_dir):
             "sum_value",
         )
 
+        state_agg = stateful_running_totals(
+            stream_from_dir(spark, f"{tmp}/in", schema),
+            key="user_id", val="value",
+        )
+        name = f"q93_state_{uuid.uuid4().hex[:8]}"
+        q3 = (
+            state_agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q3.awaitTermination()
+        state = (
+            spark.table(name)
+            # update mode emits one row per key per touching batch;
+            # counts are monotone, so the max IS the final state
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"))
+            .select(
+                F.lit("stateful").alias("kind"),
+                "user_id",
+                F.lit(None).cast("bigint").alias("win_start_us"),
+                "n_events",
+                F.lit(None).cast("double").alias("sum_value"),
+            )
+        )
+
         # the memory sink tables are driver-resident and tiny (one row
         # per user×window); localCheckpoint pins the rows so the temp
         # dir and memory sinks can be torn down
-        out = tumb.unionByName(sess).localCheckpoint()
+        out = tumb.unionByName(sess).unionByName(state).localCheckpoint()
         q1.stop()
         q2.stop()
+        q3.stop()
     return out
