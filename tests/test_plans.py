@@ -190,3 +190,16 @@ def test_q80_neardup_is_bucket_join_not_all_pairs(spark):
     # on the bucket column
     assert re.search(r"\(\d+\) (Broadcast|SortMerge|ShuffledHash)?HashJoin", plan)
     assert re.search(r"Left keys \[1\]: \[bucket#\d+\]", plan), plan[:2000]
+
+
+def test_registry_exactly_at_driver_cap():
+    """The driver's correctness snapshot records the FIRST 50
+    registered queries (observed r01: 73→50, r05: 53→50). The registry
+    raises past 50; this pins that we also USE the whole budget — a
+    shrinking registry silently narrows driver coverage."""
+    from bigdatabowl2024_25_spark.suite.registry import DRIVER_QUERY_CAP
+
+    assert len(suite.QUERIES) == DRIVER_QUERY_CAP == 50
+    # every registered query now carries a full value-hash oracle
+    missing = set(suite.QUERIES) - set(suite.ORACLE)
+    assert not missing, f"queries without oracles: {sorted(missing)}"
