@@ -116,6 +116,84 @@ def brute_force_topk(
     )
 
 
+def sq8_scales(data: DataFrame, vec_col: str, dims: int) -> DataFrame:
+    """One-row frame with the per-dimension symmetric-quantization
+    scale: sv[j] = max(|v_j|) over the corpus. MAX is comparison-only
+    (no rounding), so Spark and any SQL engine agree bit-for-bit —
+    which is what lets the SQ8 path keep a full value-hash oracle.
+    One aggregation pass (dims max-expressions), broadcast to
+    consumers; at 100 TB this is the classic train-the-quantizer
+    scan, amortized by persisting the row."""
+    maxes = [
+        F.max(F.abs(F.col(vec_col)[i].cast("double"))).alias(f"__s{i}")
+        for i in range(dims)
+    ]
+    return data.agg(*maxes).select(
+        F.array(*[F.col(f"__s{i}") for i in range(dims)]).alias("__sv")
+    )
+
+
+def sq8_quantized(vec_col: Column, scales_col: Column) -> Column:
+    """int8-range vector: q_j = floor(v_j·127/sv_j) ∈ [−127, 127]
+    (0 where the dimension is constant-zero). Two correctly-rounded
+    IEEE ops per component — bit-identical in every engine."""
+    return F.zip_with(
+        vec_col,
+        scales_col,
+        lambda v, s: F.when(s == 0.0, F.lit(0).cast("bigint")).otherwise(
+            F.floor(v.cast("double") * 127.0 / s).cast("bigint")
+        ),
+    )
+
+
+def sq8_topk(
+    queries: DataFrame,
+    data: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dims: int = 64,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Scalar-quantized (SQ8) exact cosine top-k: search runs entirely
+    in the int8-quantized domain — 8× less memory traffic than float32
+    and pure int64 dot products, the standard compressed-domain rescore
+    tier between brute force and IVF/LSH pruning. Same O(n·q) pair
+    shape as `brute_force_topk` (broadcast query side, corpus never
+    shuffles); recall vs the float baseline is pinned in
+    tests/test_similarity.py. Everything (scales, quantization, dots)
+    is order-free exact arithmetic → full DuckDB value-hash oracle."""
+    scales = sq8_scales(data, vec_col, dims)
+
+    def prep(df: DataFrame, p: str) -> DataFrame:
+        qv = sq8_quantized(F.col(vec_col), F.col("__sv"))
+        out = df.crossJoin(F.broadcast(scales)).select(
+            F.col(id_col).alias(f"{p}_id"), qv.alias(f"{p}_qv")
+        )
+        return out.withColumn(
+            f"{p}_norm",
+            F.sqrt(
+                int_dot(F.col(f"{p}_qv"), F.col(f"{p}_qv")).cast("double")
+            ),
+        )
+
+    qv = prep(queries, "q")
+    dv = prep(data, "d")
+    pairs = dv.crossJoin(F.broadcast(qv)).select(
+        "q_id",
+        "d_id",
+        (
+            int_dot(F.col("q_qv"), F.col("d_qv")).cast("double")
+            / (F.col("q_norm") * F.col("d_norm"))
+        ).alias("cosine"),
+    )
+    if exclude_self:
+        # when queries ⊆ corpus, drop the trivial self pair BEFORE
+        # ranking so the k-th real neighbor isn't pushed out
+        pairs = pairs.filter(F.col("q_id") != F.col("d_id"))
+    return topk_per_query(pairs, k)
+
+
 def cosine_col(a: Column, b: Column) -> Column:
     """Array-native single-pass cosine (bench path; float association
     order is Spark's own — do not oracle-compare)."""

@@ -26,6 +26,7 @@ from ..operators.similarity import (
     nearest_lists_exact,
     pairwise_cosine,
     quantized,
+    sq8_topk,
     topk_per_query,
 )
 from ..sources.io import load_table
@@ -126,6 +127,38 @@ _INORMS = (
         JOIN inorms qn ON qn.vec_id = c.q_id
         JOIN inorms dn ON dn.vec_id = c.d_id
     )
+    ,
+    scales AS (
+        SELECT i, MAX(ABS(CAST(embedding[i] AS DOUBLE))) AS s
+        FROM embeddings CROSS JOIN unnest(range(1, 65)) AS t(i)
+        GROUP BY i
+    ),
+    sarr AS (SELECT list(s ORDER BY i) AS sv FROM scales),
+    q8 AS (
+        SELECT vec_id,
+               list_transform(range(1, 65),
+                   i -> CASE WHEN sv[i] = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                                        * 127.0 / sv[i]) AS BIGINT)
+                        END) AS qv
+        FROM embeddings CROSS JOIN sarr
+    ),
+    q8n AS (
+        SELECT vec_id,
+               SQRT(CAST(CAST(list_sum(list_transform(range(1,65),
+                    i -> qv[i]*qv[i])) AS BIGINT) AS DOUBLE)) AS nrm
+        FROM q8
+    ),
+    sq8 AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS d_id,
+               CAST(CAST(list_sum(list_transform(range(1,65),
+                    i -> a.qv[i]*b.qv[i])) AS BIGINT) AS DOUBLE)
+                 / (qn.nrm * dn.nrm) AS cosine
+        FROM q8 a
+        JOIN q8 b ON a.vec_id < 8 AND b.vec_id <> a.vec_id
+        JOIN q8n qn ON qn.vec_id = a.vec_id
+        JOIN q8n dn ON dn.vec_id = b.vec_id
+    )
     SELECT 'topk' AS kind, q_id, d_id, cosine, rank FROM (
         SELECT q_id, d_id, cosine,
                ROW_NUMBER() OVER (PARTITION BY q_id
@@ -136,6 +169,13 @@ _INORMS = (
     SELECT 'neardup' AS kind, q_id, d_id, cosine,
            CAST(NULL AS BIGINT) AS rank
     FROM nd WHERE cosine >= 0.2
+    UNION ALL
+    SELECT 'sq8' AS kind, q_id, d_id, cosine, rank FROM (
+        SELECT q_id, d_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, d_id ASC) AS rank
+        FROM sq8
+    ) WHERE rank <= 5
     """,
 )
 def q80_cosine_search(spark, sf_dir):
@@ -170,7 +210,13 @@ def q80_cosine_search(spark, sf_dir):
         F.lit("neardup").alias("kind"), "q_id", "d_id", "cosine",
         F.lit(None).cast("bigint").alias("rank"),
     )
-    return topk.unionByName(neardup)
+    sq8 = sq8_topk(
+        q, e, "vec_id", "embedding", k=5, exclude_self=True
+    ).select(
+        F.lit("sq8").alias("kind"), "q_id", "d_id", "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+    return topk.unionByName(neardup).unionByName(sq8)
 
 
 _LSH_BUCKETS = "\n        UNION ALL\n".join(

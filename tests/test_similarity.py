@@ -124,3 +124,46 @@ def test_lsh_near_dup_funnel(spark):
         for r in lsh_near_dup(e, "vec_id", "embedding", threshold=0.2).collect()
     }
     assert rerun == got_pairs
+
+
+def test_sq8_recall_and_exactness(spark):
+    """SQ8 compressed-domain search: top-5 in the int8-quantized
+    domain must nearly coincide with the float-exact top-5 (the
+    quantization error is ~1/127 relative — ranking flips only for
+    near-ties), its cosines must track the exact ones closely, and
+    the quantized vectors must stay inside the int8 envelope."""
+    from bigdatabowl2024_25_spark.operators.similarity import (
+        sq8_quantized,
+        sq8_scales,
+        sq8_topk,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = topk_per_query(
+        pairwise_cosine(q, e, "vec_id", "embedding").filter(
+            F.col("q_id") != F.col("d_id")
+        ),
+        k=5,
+    )
+    sq8 = sq8_topk(q, e, "vec_id", "embedding", k=5, exclude_self=True)
+    ex = {(r.q_id, r.d_id): r.cosine for r in exact.collect()}
+    got = {(r.q_id, r.d_id): r.cosine for r in sq8.collect()}
+    recall = len(ex.keys() & got.keys()) / len(ex)
+    assert recall >= 0.8, f"SQ8 recall too low: {recall:.2f}"
+    for pair in ex.keys() & got.keys():
+        assert abs(ex[pair] - got[pair]) < 0.05, (pair, ex[pair], got[pair])
+    # int8 envelope: every quantized component in [-127, 127]
+    scales = sq8_scales(e, "embedding", 64)
+    bounds = (
+        e.crossJoin(F.broadcast(scales))
+        .select(
+            sq8_quantized(F.col("embedding"), F.col("__sv")).alias("qv")
+        )
+        .select(
+            F.max(F.array_max("qv")).alias("hi"),
+            F.min(F.array_min("qv")).alias("lo"),
+        )
+        .collect()[0]
+    )
+    assert bounds.hi <= 127 and bounds.lo >= -127
