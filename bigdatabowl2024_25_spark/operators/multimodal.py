@@ -2,13 +2,18 @@
 with typed metadata, processed by Arrow-batched pandas functions over
 mapInPandas.
 
-Codec support:
-- `codec="png"` is REAL: a pure-stdlib (zlib/struct) PNG decoder and
-  encoder — 8-bit gray/gray+alpha/RGB/RGBA, all five scanline filters,
-  CRC-checked chunks — so decode/resize run genuine pixel work with no
-  external library.
-- `codec="real"` (JPEG/audio/video) remains STUBBED (no PIL/ffmpeg in
-  this container): it raises NotImplementedError at the single
+Codec support (all first-party — no PIL/ffmpeg in this container):
+- `codec="png"` REAL: pure-stdlib (zlib/struct) PNG decoder+encoder —
+  8-bit gray/gray+alpha/RGB/RGBA, all five scanline filters,
+  CRC-checked chunks.
+- `codec="jpeg"` REAL: from-scratch baseline JPEG (operators/jpeg.py).
+- audio REAL for PCM WAV (`decode_audio`/`resample_audio`, backed by
+  operators/media_av.py), video REAL for MJPEG-in-AVI
+  (`decode_video` — RIFF container walk + own JPEG per frame, with
+  container-level frame sampling that never decodes skipped frames).
+- `codec="real"` remains the STUB for what genuinely needs
+  ffmpeg-class codecs: compressed audio (MP3/AAC) and inter-frame
+  video (H.264 …); it raises NotImplementedError at the single
   clearly-marked point.
 - `codec="fake"` produces a deterministic pseudo-decode so plumbing
   tests run without constructing payloads.
@@ -191,8 +196,10 @@ def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
             if codec == "real":
                 # ---- STUB: audio/video codecs not in this environment ----
                 raise NotImplementedError(
-                    "audio/video decode requires ffmpeg; not installed "
-                    "— use codec='png', 'jpeg', or 'fake'"
+                    "compressed audio (MP3/AAC) / inter-frame video "
+                    "(H.264) decode requires ffmpeg; not installed — "
+                    "use codec='png'/'jpeg', decode_audio (PCM WAV), "
+                    "decode_video (MJPEG/AVI), or 'fake'"
                 )
             w, h, c, ok = [], [], [], []
             for payload in pdf["payload"]:
@@ -286,8 +293,9 @@ def resize_media(
             if codec == "real":
                 # ---- STUB: audio/video codecs not in this environment ----
                 raise NotImplementedError(
-                    "audio/video resize requires ffmpeg; not installed "
-                    "— use codec='png', 'jpeg', or 'fake'"
+                    "compressed audio/video resize requires ffmpeg; "
+                    "not installed — use codec='png'/'jpeg', "
+                    "resample_audio (PCM WAV), or 'fake'"
                 )
             payloads = []
             for payload in pdf["payload"]:
@@ -331,3 +339,139 @@ def sample_frames(df: DataFrame, every_n: int = 10, n_frames_col: str = "n_frame
         F.lit(0), F.col(n_frames_col) - 1, F.lit(every_n)
     )
     return df.withColumn("frame_idx", F.explode(idx))
+
+
+# --- real audio/video paths (operators/media_av.py codecs) -----------------
+
+AUDIO_SCHEMA = (
+    "media_id long, n_samples long, sample_rate int, n_channels int, "
+    "ok boolean"
+)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Audio metadata through the REAL first-party WAV codec
+    (`media_av.decode_wav`): PCM 16-bit RIFF/WAVE parsed with the same
+    errors='coerce' contract as the image paths. Compressed formats
+    (MP3/AAC) stay behind `decode_media(codec='real')`'s stub — they
+    need ffmpeg-class decoders this container lacks."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_av import decode_wav
+
+        for pdf in it:
+            ns, sr, ch, ok = [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    arr, rate = decode_wav(bytes(payload))
+                    ns.append(arr.shape[0])
+                    sr.append(rate)
+                    ch.append(arr.shape[1])
+                    ok.append(True)
+                except (ValueError, struct.error, IndexError,
+                        KeyError, OverflowError):
+                    ns.append(None)
+                    sr.append(None)
+                    ch.append(None)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "sample_rate": pd.array(sr, dtype="Int32"),
+                    "n_channels": pd.array(ch, dtype="Int32"),
+                    "ok": ok,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_SCHEMA
+    )
+
+
+def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
+    """Real sample-rate conversion through the WAV codec (nearest-
+    neighbor index map — the audio analogue of the image resize path).
+    Output payloads are valid WAV bytes at `target_rate`; corrupt
+    inputs coerce to null."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_av import resample_wav
+
+        for pdf in it:
+            payloads = []
+            for payload in pdf["payload"]:
+                try:
+                    payloads.append(resample_wav(bytes(payload), target_rate))
+                except (ValueError, struct.error, IndexError,
+                        KeyError, OverflowError):
+                    payloads.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "width": target_rate,
+                    "height": 0,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=RESIZE_SCHEMA
+    )
+
+
+VIDEO_SCHEMA = (
+    "media_id long, n_frames long, width int, height int, fps int, "
+    "ok boolean"
+)
+
+
+def decode_video(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """Video metadata through the REAL first-party MJPEG/AVI path
+    (`media_av`): the RIFF container is chunk-walked and every kept
+    frame decodes through our own baseline JPEG codec. `every_n`
+    samples frames at the container level BEFORE any JPEG decode —
+    skipped frames are never decompressed (MJPEG frames are
+    independent), which is the row-group-pruning analogue for video
+    and the reason MJPEG fan-out across executors needs no codec
+    state. Inter-frame codecs (H.264 …) stay behind
+    `decode_media(codec='real')`'s stub."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_av import decode_avi_mjpeg, sample_avi_frames
+
+        for pdf in it:
+            nf, w, h, fps_l, ok = [], [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    if every_n > 1:
+                        frames = sample_avi_frames(bytes(payload), every_n)
+                        fps = 0
+                    else:
+                        frames, fps = decode_avi_mjpeg(bytes(payload))
+                    nf.append(len(frames))
+                    h.append(frames[0].shape[0])
+                    w.append(frames[0].shape[1])
+                    fps_l.append(fps)
+                    ok.append(True)
+                except (ValueError, struct.error, IndexError,
+                        KeyError, OverflowError):
+                    nf.append(None)
+                    w.append(None)
+                    h.append(None)
+                    fps_l.append(None)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames": pd.array(nf, dtype="Int64"),
+                    "width": pd.array(w, dtype="Int32"),
+                    "height": pd.array(h, dtype="Int32"),
+                    "fps": pd.array(fps_l, dtype="Int32"),
+                    "ok": ok,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=VIDEO_SCHEMA
+    )

@@ -478,3 +478,132 @@ def test_jpeg_fuzz_spark_coerce(spark):
     res = multimodal.resize_media(df, width=4, height=4, codec="jpeg").collect()
     assert len(res) == len(rows)
     assert {r.media_id: r.payload is not None for r in res}[0] is True
+
+
+def test_wav_roundtrip_and_corruption():
+    """PCM WAV codec: lossless roundtrip (mono + stereo), word-aligned
+    chunk walking, resample length math, corrupt bytes -> ValueError."""
+    import numpy as np
+
+    from bigdatabowl2024_25_spark.operators.media_av import (
+        decode_wav,
+        encode_wav,
+        resample_wav,
+    )
+
+    t = np.arange(800)
+    mono = (np.sin(t / 20.0) * 20000).astype(np.int16)
+    stereo = np.stack([mono, -mono], axis=-1)
+    for sig, ch in ((mono, 1), (stereo, 2)):
+        enc = encode_wav(sig, 8000)
+        arr, rate = decode_wav(enc)
+        assert rate == 8000 and arr.shape == (800, ch)
+        assert np.array_equal(arr, sig.reshape(800, ch))
+    # extra chunk between fmt and data must be skipped (word-aligned)
+    import struct
+
+    enc = encode_wav(mono, 8000)
+    fmt_end = enc.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    patched = enc[:fmt_end] + extra + enc[fmt_end:]
+    patched = patched[:4] + struct.pack(
+        "<I", len(patched) - 8
+    ) + patched[8:]
+    arr, rate = decode_wav(patched)
+    assert np.array_equal(arr[:, 0], mono)
+    # resample halves/doubles the sample count
+    half = decode_wav(resample_wav(enc, 4000))
+    assert half[1] == 4000 and half[0].shape[0] == 400
+    dbl = decode_wav(resample_wav(enc, 16000))
+    assert dbl[1] == 16000 and dbl[0].shape[0] == 1600
+    import pytest as _pytest
+
+    for bad in (b"RIFFxxxx", enc[:30], enc.replace(b"fmt ", b"fmx ", 1)):
+        with _pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_avi_mjpeg_roundtrip_and_sampling():
+    """MJPEG/AVI: container roundtrip preserves frame count/dims/fps;
+    per-frame pixels match a bare JPEG roundtrip; frame sampling
+    decodes only kept frames; corruption raises ValueError."""
+    import numpy as np
+
+    from bigdatabowl2024_25_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from bigdatabowl2024_25_spark.operators.media_av import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        sample_avi_frames,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    frames = [
+        np.stack([(xx * 9 + i * 31) % 256, (yy * 7) % 256, xx + yy],
+                 axis=-1).astype(np.uint8)
+        for i in range(6)
+    ]
+    avi = encode_avi_mjpeg(frames, fps=5, quality=85)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    dec, fps = decode_avi_mjpeg(avi)
+    assert fps == 5 and len(dec) == 6
+    for i, f in enumerate(dec):
+        assert f.shape == (16, 24, 3)
+        assert np.array_equal(f, decode_jpeg(encode_jpeg(frames[i], 85)))
+    sampled = sample_avi_frames(avi, every_n=3)
+    assert len(sampled) == 2
+    assert np.array_equal(sampled[0], dec[0])
+    assert np.array_equal(sampled[1], dec[3])
+    import pytest as _pytest
+
+    for bad in (b"RIFF\x00\x00\x00\x00WAVE", avi[: len(avi) // 2]):
+        with _pytest.raises(ValueError):
+            decode_avi_mjpeg(bad)
+
+
+def test_spark_audio_video_paths(spark):
+    """decode_audio / resample_audio / decode_video through the Arrow
+    batch path: real codecs, coerce on corrupt rows."""
+    import numpy as np
+
+    from bigdatabowl2024_25_spark.operators.media_av import (
+        decode_wav,
+        encode_avi_mjpeg,
+        encode_wav,
+    )
+
+    t = np.arange(400)
+    wav = encode_wav((np.sin(t / 9.0) * 999).astype(np.int16), 8000)
+    rows = [
+        (0, "audio", wav, "synthetic"),
+        (1, "audio", b"not audio", "synthetic"),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.decode_audio(df).collect()}
+    assert (out[0].n_samples, out[0].sample_rate, out[0].ok) == (400, 8000, True)
+    assert out[1].ok is False
+    res = {r.media_id: r for r in multimodal.resample_audio(df, 4000).collect()}
+    arr, rate = decode_wav(bytes(res[0].payload))
+    assert rate == 4000 and arr.shape[0] == 200
+    assert res[1].payload is None
+
+    yy, xx = np.mgrid[0:8, 0:8]
+    frames = [((xx * yy + i) % 256).astype(np.uint8) for i in range(4)]
+    avi = encode_avi_mjpeg(frames, fps=2)
+    vrows = [
+        (0, "video", avi, "synthetic"),
+        (1, "video", avi[:40], "synthetic"),
+    ]
+    vdf = spark.createDataFrame(vrows, multimodal.MEDIA_SCHEMA)
+    vout = {r.media_id: r for r in multimodal.decode_video(vdf).collect()}
+    assert (vout[0].n_frames, vout[0].width, vout[0].fps, vout[0].ok) == (
+        4, 8, 2, True,
+    )
+    assert vout[1].ok is False
+    sampled = {
+        r.media_id: r
+        for r in multimodal.decode_video(vdf, every_n=2).collect()
+    }
+    assert sampled[0].n_frames == 2
