@@ -74,3 +74,55 @@ def cms_query(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+def hll_within_contract(
+    df: DataFrame, col: str, rel_err: float = 0.05
+) -> DataFrame:
+    """One row: exact distinct count + whether HyperLogLog++
+    (`approx_count_distinct` at `rel_err` target standard deviation)
+    landed within 4σ of it. The HLL register values are
+    implementation-specific (not oracle-reproducible), but the ERROR
+    CONTRACT is checkable exactly: the oracle asserts `within = TRUE`,
+    so a broken sketch shows as a value mismatch. At scale HLL is the
+    constant-memory replacement for COUNT(DISTINCT)'s shuffle of every
+    key; this operator documents (and pins) the accuracy trade."""
+    bound = 4.0 * rel_err
+    return df.agg(
+        F.countDistinct(col).alias("exact_n"),
+        F.approx_count_distinct(col, rel_err).alias("__est"),
+    ).select(
+        "exact_n",
+        (
+            F.abs(F.col("__est") - F.col("exact_n"))
+            <= F.col("exact_n") * bound
+        ).alias("within"),
+    )
+
+
+def quantile_within_contract(
+    df: DataFrame, col: str, q: float = 0.5, accuracy: int = 1000
+) -> DataFrame:
+    """One row: row count + whether `percentile_approx`'s q-quantile
+    honors its documented RANK guarantee: the returned value's rank is
+    within n/accuracy of q·n. The KLL/GK summary itself is engine-
+    internal, but rank error is exactly checkable from the data —
+    the oracle asserts `within = TRUE`."""
+    est = df.agg(
+        F.percentile_approx(col, q, accuracy).alias("est")
+    ).collect()[0].est
+    n = F.count(F.lit(1)).cast("double")
+    # with duplicated values the estimate's rank is an INTERVAL
+    # [count(<est)+1, count(<=est)]; the guarantee holds iff that
+    # interval overlaps [q·n − n/acc, q·n + n/acc]
+    rank_hi = F.sum((F.col(col) <= F.lit(est)).cast("long")).cast("double")
+    rank_lo = (
+        F.sum((F.col(col) < F.lit(est)).cast("long")).cast("double") + 1
+    )
+    tol = n / accuracy + 1
+    return df.agg(
+        F.count(F.lit(1)).alias("exact_n"),
+        (
+            (rank_lo <= n * q + tol) & (rank_hi >= n * q - tol)
+        ).alias("within"),
+    )

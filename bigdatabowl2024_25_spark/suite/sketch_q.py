@@ -9,7 +9,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.sketch import cms_build, cms_query
+from ..operators.sketch import (
+    cms_build,
+    cms_query,
+    hll_within_contract,
+    quantile_within_contract,
+)
 from ..sources.io import load_table
 from .registry import query
 
@@ -35,21 +40,63 @@ _ORACLE = f"""
                % {_W} AS bucket
         FROM items i CROSS JOIN rows_ r
     )
-    SELECT CAST(p.v AS BIGINT) AS user_id,
-           MIN(COALESCE(c.cnt, 0)) AS est_count
+    SELECT 'cms' AS kind, CAST(p.v AS BIGINT) AS user_id,
+           MIN(COALESCE(c.cnt, 0)) AS est_count,
+           CAST(NULL AS BIGINT) AS exact_n,
+           CAST(NULL AS BOOLEAN) AS within
     FROM probes p LEFT JOIN counters c
       ON c.r = p.r AND c.bucket = p.bucket
-    GROUP BY 1
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT 'hll', NULL, NULL, COUNT(DISTINCT user_id), TRUE FROM events
+    UNION ALL
+    SELECT 'quantile', NULL, NULL, COUNT(*), TRUE FROM events
 """
 
 
 @query("q38_cms_point_counts", oracle=_ORACLE)
 def q38_cms_point_counts(spark, sf_dir):
-    """Count-Min estimates for every distinct user: sketch counters
-    shuffle (depth×width rows, fixed KBs at any input size), then the
-    broadcast point-query. est ≥ true always; tightness is pinned in
-    tests/test_sketch.py."""
+    """The sketch family in one driver row, three branches:
+
+    - 'cms': Count-Min estimates for every distinct user — counters
+      shuffle (depth×width rows, fixed KBs at any input size), then
+      the broadcast point-query; md5 bucketing makes the counters
+      themselves oracle-reproducible, so this branch is value-exact.
+      est ≥ true always; tightness pinned in tests/test_sketch.py.
+    - 'hll' (round 6): HyperLogLog++ distinct-count vs the exact
+      count. Registers are engine-internal, so the driver checks the
+      ERROR CONTRACT instead: `within` must be TRUE (estimate inside
+      4σ of exact); the oracle asserts exactly that, so a broken
+      sketch flips the hash red.
+    - 'quantile' (round 6): percentile_approx's rank guarantee
+      (returned value's rank interval overlaps q·n ± n/accuracy),
+      same contract-as-oracle pattern.
+
+    At 100 TB these are the constant-memory replacements for
+    COUNT(DISTINCT) / exact MEDIAN's full shuffles; the branches pin
+    both that they run AND that their accuracy trades hold."""
     e = load_table(spark, sf_dir, "events")
     sketch = cms_build(e, "user_id", width=_W, depth=_D)
     items = e.select("user_id").distinct()
-    return cms_query(sketch, items, "user_id", width=_W, depth=_D)
+    null_tail = [
+        F.lit(None).cast("bigint").alias("exact_n"),
+        F.lit(None).cast("boolean").alias("within"),
+    ]
+    cms = cms_query(sketch, items, "user_id", width=_W, depth=_D).select(
+        F.lit("cms").alias("kind"), "user_id", "est_count", *null_tail
+    )
+    hll = hll_within_contract(e, "user_id", rel_err=0.05).select(
+        F.lit("hll").alias("kind"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("bigint").alias("est_count"),
+        "exact_n",
+        "within",
+    )
+    quant = quantile_within_contract(e, "value", q=0.5, accuracy=1000).select(
+        F.lit("quantile").alias("kind"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("bigint").alias("est_count"),
+        "exact_n",
+        "within",
+    )
+    return cms.unionByName(hll).unionByName(quant)
