@@ -175,17 +175,18 @@ def test_q36_range_join_is_equi_join(spark):
 
 def test_q80_neardup_is_bucket_join_not_all_pairs(spark):
     """The near-dup branch must plan as a hash equi-join on the LSH
-    bucket key. The only nested-loop allowed in q80 is the topk
-    branch's deliberate 8-query broadcast baseline; a second one (or
-    a cartesian) means the corpus×corpus all-pairs scorer came back —
-    the round-4 scale-killer."""
+    bucket key. q80's ONLY allowed nested-loops are the deliberate
+    broadcast-small-side scorers: the topk branch's 8-query baseline
+    (1) and the sq8 branch's 1-row-scales joins + 8-query scoring
+    pass (3). A fifth one (or any cartesian) means a corpus×corpus
+    all-pairs scorer came back — the round-4 scale-killer."""
     import re
 
     plan = plan_of(suite.QUERIES["q80_cosine_search"](spark, SF))
     assert "CartesianProduct" not in plan
     # formatted mode lists each node twice (tree + details): count
     # numbered tree entries
-    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 4
     # the funnel's bucket equi-join must exist as a HASH join keyed
     # on the bucket column
     assert re.search(r"\(\d+\) (Broadcast|SortMerge|ShuffledHash)?HashJoin", plan)
