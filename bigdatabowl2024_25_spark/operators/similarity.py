@@ -352,6 +352,166 @@ def nearest_lists_exact(
     )
 
 
+def pq_codebooks(
+    cents: DataFrame, vec_col: str, m: int, dsub: int
+) -> list[list[list[int]]]:
+    """Product-quantization codebooks from an explicit centroid table
+    (`cents`: (__list, vector) — same deterministic table the IVF exact
+    path uses): ``codebooks[s][j]`` is codeword *j*'s micro-int
+    subvector for subspace *s* (dims ``[s·dsub, (s+1)·dsub)``).
+
+    The collect is the quantizer-training output — `n_codewords` rows,
+    the PQ analog of `sq8_scales`' one-row scale frame — and is
+    embedded into expressions as literals (broadcast-equivalent; the
+    codebook is what a real pipeline ships to every executor). At
+    100 TB the codebook is still this size: K·m·dsub ints, KBs."""
+    rows = (
+        cents.select(
+            F.col("__list").alias("__j"),
+            quantized(F.col(vec_col)).alias("__iv"),
+        )
+        .orderBy("__j")
+        .collect()
+    )
+    return [
+        [list(r["__iv"][s * dsub : (s + 1) * dsub]) for r in rows]
+        for s in range(m)
+    ]
+
+
+def _pq_codes_sql(iv_name: str, codebooks: list[list[list[int]]]) -> str:
+    """SQL text encoding a micro-int vector column into its PQ code
+    array: per subspace, the index of the squared-L2-nearest codeword
+    (ties to the lower index via struct sort on (d2, j)). One `F.expr`
+    string for the same reason as `_bucket_array_sql`: literal-by-
+    literal Column trees cost thousands of py4j round trips."""
+    dsub = len(codebooks[0][0])
+    subs = []
+    for s, cb in enumerate(codebooks):
+        sub = f"slice({iv_name}, {s * dsub + 1}, {dsub})"
+        entries = []
+        for j, cw in enumerate(cb):
+            lit = "array(" + ",".join(f"{v}L" for v in cw) + ")"
+            d2 = (
+                f"aggregate(zip_with({sub}, {lit}, "
+                "(x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+            )
+            entries.append(f"named_struct('d2', {d2}, 'j', {j}L)")
+        subs.append(f"array_sort(array({', '.join(entries)}))[0].j")
+    return "array(" + ", ".join(subs) + ")"
+
+
+def _pq_lut_sql(iv_name: str, codebooks: list[list[list[int]]]) -> str:
+    """SQL text for a query's ADC lookup table:
+    ``lut[s][j] = dot(q_sub[s], codeword[s][j])`` (int64, exact). Built
+    once per query row; candidate scoring is then m array lookups."""
+    dsub = len(codebooks[0][0])
+    rows = []
+    for s, cb in enumerate(codebooks):
+        sub = f"slice({iv_name}, {s * dsub + 1}, {dsub})"
+        dots = []
+        for cw in cb:
+            lit = "array(" + ",".join(f"{v}L" for v in cw) + ")"
+            dots.append(
+                f"aggregate(zip_with({sub}, {lit}, (x, y) -> x * y), "
+                "0L, (acc, x) -> acc + x)"
+            )
+        rows.append("array(" + ", ".join(dots) + ")")
+    return "array(" + ", ".join(rows) + ")"
+
+
+def _pq_norm2_sql(codebooks: list[list[list[int]]]) -> str:
+    """SQL literal ``norm2[s][j] = ‖codeword[s][j]‖²`` (python-side
+    exact ints — the codebook is already a literal)."""
+    rows = []
+    for cb in codebooks:
+        rows.append(
+            "array("
+            + ", ".join(f"{sum(v * v for v in cw)}L" for cw in cb)
+            + ")"
+        )
+    return "array(" + ", ".join(rows) + ")"
+
+
+_PQ_GATHER = (
+    "aggregate(zip_with({table}, {codes}, "
+    "(r, c) -> element_at(r, cast(c as int) + 1)), 0L, (acc, x) -> acc + x)"
+)
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    data: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    m: int = 8,
+    dsub: int = 8,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-PQ with asymmetric-distance (ADC) scoring — the compressed-
+    domain scale tier past SQ8: the corpus is stored as `m` sub-space
+    codeword indices (here 8 codes ≈ 4 B/vector at K=16 vs 256 B of
+    float32 — 64× less scan traffic), and candidate scoring never
+    touches vectors at all: each query precomputes its dot product
+    against every codeword (`lut[s][j]`, K·m int64s), so a candidate's
+    approximate dot is m array lookups + adds. The denominator uses the
+    reconstructed norm ‖d̂‖ = √Σ_s ‖codeword[s][code_s]‖².
+
+    Composition with IVF: same deterministic coarse quantizer as
+    `ivf_assign_exact` (probes prune to `nprobe` lists), PQ scores
+    inside the probed lists. Everything — codebooks (the centroid
+    table's subvectors), encoding argmins, LUTs — is int64-exact and
+    tie-broken, so the whole funnel is value-hash-reproducible in SQL:
+    the approximation error of PQ is deterministic, not stochastic.
+    Recall vs the exact baseline is pinned in tests/test_similarity.py.
+
+    Scale: encoding is a pure projection (zero shuffles); scoring
+    joins the (id, __list, codes) corpus — fixed-width rows — against
+    the broadcast query side; the corpus never shuffles. Reference
+    parity: generalizes `Catch_Probability_Model.ipynb`'s nearest-
+    neighbor feature search to billion-vector corpora (SURVEY.md §2.9
+    similarity family)."""
+    codebooks = pq_codebooks(cents, vec_col, m, dsub)
+    codes = (
+        ivf_assign_exact(data, cents, id_col, vec_col)
+        .withColumn("__iv", quantized(F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("d_id"),
+            F.col("__list"),
+            F.expr(_pq_codes_sql("__iv", codebooks)).alias("__codes"),
+        )
+    )
+    qp = (
+        nearest_lists_exact(queries, cents, id_col, vec_col, nprobe)
+        .withColumn("__iv", quantized(F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col("__list"),
+            F.expr(_pq_lut_sql("__iv", codebooks)).alias("__lut"),
+            F.sqrt(
+                int_dot(
+                    quantized(F.col(vec_col)), quantized(F.col(vec_col))
+                ).cast("double")
+            ).alias("__qnrm"),
+        )
+    )
+    adc_dot = F.expr(_PQ_GATHER.format(table="__lut", codes="__codes"))
+    d_norm2 = F.expr(
+        _PQ_GATHER.format(table=_pq_norm2_sql(codebooks), codes="__codes")
+    )
+    scored = codes.join(F.broadcast(qp), ["__list"]).select(
+        "q_id",
+        "d_id",
+        (
+            adc_dot.cast("double")
+            / (F.col("__qnrm") * F.sqrt(d_norm2.cast("double")))
+        ).alias("cosine"),
+    )
+    return topk_per_query(scored, k)
+
+
 def _plane_signs(plane: int, dims: int) -> list[float]:
     """h_plane[d] ∈ {−1, +1} from md5 of (plane, d) — computed driver-
     side with the same math as `portable_hash64`, so the planes are

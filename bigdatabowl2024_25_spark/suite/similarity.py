@@ -25,6 +25,7 @@ from ..operators.similarity import (
     lsh_topk,
     nearest_lists_exact,
     pairwise_cosine,
+    pq_adc_topk,
     quantized,
     sq8_topk,
     topk_per_query,
@@ -224,7 +225,7 @@ _LSH_BUCKETS = "\n        UNION ALL\n".join(
     for t in range(4)
 )
 
-_ANN_SCORE = """
+_ANN_CTES = """
     norms AS (
         SELECT vec_id,
                SQRT(CAST(CAST(list_sum(list_transform(range(1,65),
@@ -248,9 +249,15 @@ _ANN_SCORE = """
                    ORDER BY cosine DESC, d_id ASC) AS rank
         FROM scored
     )
+"""
+
+_ANN_SCORE = (
+    _ANN_CTES
+    + """
     SELECT q_id, d_id, cosine, rank FROM ranked
     WHERE rank <= 5 AND q_id <> d_id
 """
+)
 
 _D2 = (
     "CAST(list_sum(list_transform(range(1,65), "
@@ -289,6 +296,62 @@ def q82_ann_lsh_topk(spark, sf_dir):
     )
 
 
+#: PQ geometry for the q83 'pq' branch: 64 dims → 8 subspaces of 8,
+#: K=16 codewords per subspace (the same deterministic centroid table
+#: the IVF coarse quantizer uses, sliced per subspace).
+_PQ_M, _PQ_DSUB = 8, 8
+
+_PQ_SUBD2 = (
+    "CAST(list_sum(list_transform(range(1, {d1}), "
+    "i -> (e.iv[sub.s*{dsub}+i]-c.civ[sub.s*{dsub}+i])"
+    "*(e.iv[sub.s*{dsub}+i]-c.civ[sub.s*{dsub}+i]))) AS BIGINT)"
+).format(d1=_PQ_DSUB + 1, dsub=_PQ_DSUB)
+
+_PQ_CTES = f"""
+    sub AS (SELECT unnest(range(0, {_PQ_M})) AS s),
+    pqcw AS (
+        SELECT sub.s, c.list_id AS j,
+               CAST(list_sum(list_transform(range(1, {_PQ_DSUB + 1}),
+                    i -> c.civ[sub.s*{_PQ_DSUB}+i]*c.civ[sub.s*{_PQ_DSUB}+i]))
+                    AS BIGINT) AS n2
+        FROM cents c CROSS JOIN sub
+    ),
+    pqcodes AS (
+        SELECT vec_id, s, j FROM (
+            SELECT e.vec_id, sub.s, c.list_id AS j,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id, sub.s
+                       ORDER BY {_PQ_SUBD2} ASC, c.list_id ASC) AS rn
+            FROM emb e CROSS JOIN sub CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    pqlut AS (
+        SELECT e.vec_id AS q_id, sub.s, c.list_id AS j,
+               CAST(list_sum(list_transform(range(1, {_PQ_DSUB + 1}),
+                    i -> e.iv[sub.s*{_PQ_DSUB}+i]*c.civ[sub.s*{_PQ_DSUB}+i]))
+                    AS BIGINT) AS dot
+        FROM emb e CROSS JOIN sub CROSS JOIN cents c
+        WHERE e.vec_id < 8
+    ),
+    pqscored AS (
+        SELECT c.q_id, c.d_id,
+               CAST(SUM(l.dot) AS DOUBLE)
+                 / (qn.nrm * SQRT(CAST(SUM(w.n2) AS DOUBLE))) AS cosine
+        FROM cand c
+        JOIN pqcodes co ON co.vec_id = c.d_id
+        JOIN pqlut l ON l.q_id = c.q_id AND l.s = co.s AND l.j = co.j
+        JOIN pqcw w ON w.s = co.s AND w.j = co.j
+        JOIN norms qn ON qn.vec_id = c.q_id
+        GROUP BY c.q_id, c.d_id, qn.nrm
+    ),
+    pqranked AS (
+        SELECT q_id, d_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, d_id ASC) AS rank
+        FROM pqscored
+    )
+"""
+
+
 @query(
     "q83_ann_ivf_topk",
     oracle=f"""
@@ -314,18 +377,36 @@ def q82_ann_lsh_topk(spark, sf_dir):
         SELECT p.q_id, a.vec_id AS d_id
         FROM probes p JOIN assign a ON a.list_id = p.list_id
     ),
-    {_ANN_SCORE}
+    {_ANN_CTES},
+    {_PQ_CTES}
+    SELECT 'ivf' AS kind, q_id, d_id, cosine, rank FROM ranked
+    WHERE rank <= 5 AND q_id <> d_id
+    UNION ALL
+    SELECT 'pq' AS kind, q_id, d_id, cosine, rank FROM pqranked
+    WHERE rank <= 5 AND q_id <> d_id
     """,
 )
 def q83_ann_ivf_topk(spark, sf_dir):
-    """Scale-path ANN #2: IVF probe — each query scans only its 4
-    nearest of 16 inverted lists (~25% of the corpus instead of 100%).
-    This parity query uses `ivf_assign_exact` with deterministic
-    centroids (the first 16 corpus vectors) and quantized int64
-    distances, so assignment, probing, and scoring are all
-    value-hash-checked against SQL; the KMeans quantizer (`ivf_index`)
-    shares the identical probe path and keeps its recall/determinism
-    pytest (tests/test_similarity.py)."""
+    """Scale-path ANN #2, two branches over the same deterministic
+    coarse quantizer (centroids = first 16 corpus vectors, quantized
+    int64 distances):
+
+    - 'ivf': IVF probe — each query scans only its 4 nearest of 16
+      inverted lists (~25% of the corpus instead of 100%), exact
+      scoring within the probed lists (`ivf_assign_exact` +
+      `nearest_lists_exact`). The KMeans quantizer (`ivf_index`)
+      shares the identical probe path and keeps its recall/
+      determinism pytest (tests/test_similarity.py).
+    - 'pq' (round 6): IVF-PQ with ADC scoring (`pq_adc_topk`) — the
+      corpus is 8 codeword indices per vector (codebooks = the same
+      centroid table sliced into 8×8-dim subspaces) and candidates are
+      scored from the query's precomputed codeword-dot LUT: no vector
+      is touched at scoring time. PQ's approximation is deterministic
+      (int64-exact codebooks/argmins/LUTs), so even the compressed-
+      domain branch is value-hash-checked against SQL.
+
+    Both branches: assignment, probing, and scoring value-hash-checked
+    against DuckDB."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     cents = e.filter(F.col("vec_id") < 16).select(
@@ -349,7 +430,15 @@ def q83_ann_ivf_topk(spark, sf_dir):
         .join(F.broadcast(qp), ["__list"])
         .select("q_id", "d_id", cos.alias("cosine"))
     )
-    out = topk_per_query(scored, k=5)
-    return out.filter(F.col("q_id") != F.col("d_id")).select(
-        "q_id", "d_id", "cosine", "rank"
+    ivf = topk_per_query(scored, k=5)
+    ivf = ivf.filter(F.col("q_id") != F.col("d_id")).select(
+        F.lit("ivf").alias("kind"), "q_id", "d_id", "cosine", "rank"
     )
+    pq = pq_adc_topk(
+        q, e, cents, "vec_id", "embedding",
+        k=5, m=_PQ_M, dsub=_PQ_DSUB, nprobe=4,
+    )
+    pq = pq.filter(F.col("q_id") != F.col("d_id")).select(
+        F.lit("pq").alias("kind"), "q_id", "d_id", "cosine", "rank"
+    )
+    return ivf.unionByName(pq)

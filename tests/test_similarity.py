@@ -126,6 +126,74 @@ def test_lsh_near_dup_funnel(spark):
     assert rerun == got_pairs
 
 
+def test_pq_adc_recall_codes_and_plan(spark):
+    """IVF-PQ/ADC (q83 'pq' branch): recall vs the exact top-5 must
+    beat chance on the near-orthogonal synthetic corpus (a 16-codeword
+    8×8 codebook is a coarse sketch — 0.33 measured; the contract is
+    the deterministic funnel, not high recall at toy scale), codes must
+    sit in the [0, K) envelope with one code per subspace, results must
+    reproduce exactly across runs, and encoding must be a pure
+    projection: no Exchange in the codes subtree (the corpus is never
+    shuffled to be compressed)."""
+    from bigdatabowl2024_25_spark.operators.similarity import (
+        _pq_codes_sql,
+        pq_adc_topk,
+        pq_codebooks,
+        quantized,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    cents = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("__list"), "embedding"
+    )
+    exact = set(
+        map(
+            tuple,
+            topk_per_query(
+                pairwise_cosine(q, e, "vec_id", "embedding").filter(
+                    F.col("q_id") != F.col("d_id")
+                ),
+                k=5,
+            )
+            .select("q_id", "d_id")
+            .collect(),
+        )
+    )
+    out = pq_adc_topk(q, e, cents, "vec_id", "embedding", k=5, nprobe=4)
+    rows = out.filter(F.col("q_id") != F.col("d_id")).collect()
+    got = {(r.q_id, r.d_id) for r in rows}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.2, f"PQ recall below chance band: {recall:.2f}"
+    # ADC scores are approximations but must still be valid cosines
+    assert all(-1.001 <= r.cosine <= 1.001 for r in rows)
+    # determinism: the whole funnel is int64-exact, no RNG
+    rerun = {
+        (r.q_id, r.d_id, r.cosine)
+        for r in pq_adc_topk(
+            q, e, cents, "vec_id", "embedding", k=5, nprobe=4
+        )
+        .filter(F.col("q_id") != F.col("d_id"))
+        .collect()
+    }
+    assert rerun == {(r.q_id, r.d_id, r.cosine) for r in rows}
+    # codes envelope: 8 subspaces, every code in [0, 16)
+    cb = pq_codebooks(cents, "embedding", m=8, dsub=8)
+    assert len(cb) == 8 and all(len(s) == 16 for s in cb)
+    codes_df = e.select(
+        quantized(F.col("embedding")).alias("__iv")
+    ).select(F.expr(_pq_codes_sql("__iv", cb)).alias("codes"))
+    env = codes_df.select(
+        F.max(F.size("codes")).alias("m"),
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+    ).collect()[0]
+    assert env.m == 8 and env.lo >= 0 and env.hi < 16
+    # encoding is shuffle-free: pure projection over the scan
+    plan = codes_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 def test_sq8_recall_and_exactness(spark):
     """SQ8 compressed-domain search: top-5 in the int8-quantized
     domain must nearly coincide with the float-exact top-5 (the
