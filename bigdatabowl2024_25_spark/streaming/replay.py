@@ -138,6 +138,63 @@ def stateful_running_totals(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    lookback: str = "24 hours",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range: each left row
+    matches right rows of the same key whose timestamp falls in
+    ``[left.ts − lookback, left.ts]`` — the classic streaming
+    attribution join (click ⋈ preceding views), and the streaming
+    analogue of the batch as-of/range joins (`operators/asof.py`,
+    `operators/range_join.py`).
+
+    `watermark` (applied to BOTH sides) plus the range condition is
+    what lets Spark evict join state: a right row can be dropped once
+    the left watermark passes `r_ts + lookback`. Pass None for
+    full-history replays that must equal the batch join exactly (q93's
+    'join' branch — inner joins without watermark are legal, state
+    just never ages out). Inner-join emission is append-mode and
+    match-driven, so after a full drain the result set equals the
+    batch join REGARDLESS of micro-batch arrival order — matching is
+    set-like, not order-dependent.
+
+    Scale: state is hash-partitioned by the join key in the state
+    store and bounded by `watermark + lookback` of per-key history;
+    the output never buffers (append)."""
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col(ts_col).alias("l_ts"),
+        *[
+            F.col(c).alias(f"l_{c}")
+            for c in left.columns
+            if c not in (key, ts_col)
+        ],
+    )
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col(ts_col).alias("r_ts"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c not in (key, ts_col)
+        ],
+    )
+    if watermark is not None:
+        l = l.withWatermark("l_ts", watermark)
+        r = r.withWatermark("r_ts", watermark)
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+    )
+
+
 def run_to_memory(
     query_df: DataFrame, name: str, mode: str = "append"
 ) -> None:

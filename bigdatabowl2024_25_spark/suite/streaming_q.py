@@ -31,6 +31,7 @@ from ..streaming.replay import (
     session_slices,
     stateful_running_totals,
     stream_from_dir,
+    stream_stream_join,
     tumbling_counts,
 )
 from .registry import query
@@ -40,6 +41,8 @@ from .stable import DEC
 #: expressed in micros for the DuckDB side
 _W_US = 10_000_000
 _GAP_US = 30_000_000
+#: stream-stream join lookback: views within 24 h before a click
+_LOOKBACK_US = 86_400_000_000
 
 
 def _drain(agg, prefix):
@@ -90,6 +93,17 @@ def _drain(agg, prefix):
            CAST(NULL AS BIGINT) AS win_start_us,
            COUNT(*) AS n_events, CAST(NULL AS DOUBLE) AS sum_value
     FROM events GROUP BY user_id
+    UNION ALL
+    SELECT 'join' AS kind, c.user_id,
+           CAST(NULL AS BIGINT) AS win_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(v.value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - {_LOOKBACK_US}
+                            AND epoch_us(c.ts)
+    GROUP BY c.user_id
     """,
 )
 def q93_streaming_windows(spark, sf_dir):
@@ -98,10 +112,12 @@ def q93_streaming_windows(spark, sf_dir):
     aggregated as (a) tumbling 10 s windows (`tumbling_counts`, the
     secondId bucketing of `BuildingReadOrder.R:32-36`), (b) 30 s-gap
     session windows (`session_slices`, the line_set→ball_snap
-    per-play slice, W12), and (c) the custom
+    per-play slice, W12), (c) the custom
     `applyInPandasWithState` operator (`stateful_running_totals`,
-    W2's cross-batch running totals), each drained via availableNow
-    and union-tagged.
+    W2's cross-batch running totals), and (d, round 6) a stream-stream
+    range join (`stream_stream_join`, clicks ⋈ views within a 24 h
+    lookback — the streaming analogue of the q35/q36 as-of/range
+    joins), each drained via availableNow and union-tagged.
 
     The stateful branch keeps only its COUNTS: per-key event counts
     grow monotonically across update-mode emissions, so max(n_events)
@@ -119,7 +135,7 @@ def q93_streaming_windows(spark, sf_dir):
     engines' session ids agree. Window starts exit as epoch micros,
     immune to the driver's session timezone."""
     events = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "value"
+        "user_id", "ts", "value", "event_type"
     )
     with tempfile.TemporaryDirectory() as tmp:
         # 4 files ⇒ 4 micro-batches: the stream genuinely crosses
@@ -186,11 +202,60 @@ def q93_streaming_windows(spark, sf_dir):
             )
         )
 
+        # stream-stream join branch: clicks ⋈ views within a 24 h
+        # lookback, both sides replayed as real streams. No watermark
+        # (full-history replay ⇒ equals the batch join exactly; the
+        # watermarked production path is pytest-pinned); the per-user
+        # rollup of the drained pairs is batch post-processing, like
+        # the stateful branch's max.
+        clicks = stream_from_dir(spark, f"{tmp}/in", schema).filter(
+            F.col("event_type") == "click"
+        ).select("user_id", "ts")
+        views = stream_from_dir(spark, f"{tmp}/in", schema).filter(
+            F.col("event_type") == "view"
+        ).select("user_id", "ts", "value")
+        pairs = stream_stream_join(
+            clicks, views, key="user_id", ts_col="ts",
+            lookback="24 hours", watermark=None,
+        )
+        jname = f"q93_join_{uuid.uuid4().hex[:8]}"
+        q4 = (
+            pairs.writeStream.format("memory")
+            .queryName(jname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q4.awaitTermination()
+        joined = (
+            spark.table(jname)
+            .groupBy(F.col("l_key").alias("user_id"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("r_value").cast(DEC))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                F.lit("join").alias("kind"),
+                "user_id",
+                F.lit(None).cast("bigint").alias("win_start_us"),
+                "n_events",
+                "sum_value",
+            )
+        )
+
         # the memory sink tables are driver-resident and tiny (one row
         # per user×window); localCheckpoint pins the rows so the temp
         # dir and memory sinks can be torn down
-        out = tumb.unionByName(sess).unionByName(state).localCheckpoint()
+        out = (
+            tumb.unionByName(sess)
+            .unionByName(state)
+            .unionByName(joined)
+            .localCheckpoint()
+        )
         q1.stop()
         q2.stop()
         q3.stop()
+        q4.stop()
     return out

@@ -150,6 +150,66 @@ def test_stateful_running_totals(spark, tmp_path):
     assert final == expected and len(final) > 0
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream range join (q93 'join' branch's
+    production path): clicks ⋈ views within a 24 h lookback, replayed
+    over 4 micro-batches WITH watermarks wide enough that no valid
+    match can be evicted — the drained append-mode result must equal
+    the batch join exactly (matching is set-like, so arrival order is
+    irrelevant)."""
+    from bigdatabowl2024_25_spark.sources.io import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "ts", "user_id", "value", "event_type"
+    )
+    path = str(tmp_path / "ssj_src")
+    events.repartition(4).write.parquet(path)
+    static = spark.read.parquet(path)
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts"
+        )
+        views = df.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "value"
+        )
+        return clicks, views
+
+    sc, sv = sides(replay.stream_from_dir(spark, path, static.schema))
+    # the whole corpus spans ~30 days; a 90-day watermark admits every
+    # row in every arrival order while still exercising the
+    # watermarked state-eviction plumbing
+    joined = replay.stream_stream_join(
+        sc, sv, key="user_id", ts_col="ts",
+        lookback="24 hours", watermark="90 days",
+    )
+    replay.run_to_memory(joined, "ssj_test", mode="append")
+    got = {
+        (r.l_key, r.l_ts, r.r_ts, round(r.r_value, 6))
+        for r in spark.table("ssj_test").collect()
+    }
+
+    bc, bv = sides(static)
+    expected = {
+        (r.l_key, r.l_ts, r.r_ts, round(r.r_value, 6))
+        for r in bc.select(
+            F.col("user_id").alias("l_key"), F.col("ts").alias("l_ts")
+        )
+        .join(
+            bv.select(
+                F.col("user_id").alias("r_key"),
+                F.col("ts").alias("r_ts"),
+                F.col("value").alias("r_value"),
+            ),
+            (F.col("l_key") == F.col("r_key"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 24 hours"))
+            & (F.col("r_ts") <= F.col("l_ts")),
+        )
+        .collect()
+    }
+    assert got == expected and len(got) > 0
+
+
 def test_resize_plumbing(media):
     out = multimodal.resize_media(media, 32, 32).collect()
     assert len(out) == 20
