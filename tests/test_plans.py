@@ -236,6 +236,50 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     assert [r.l_returnflag for r in j.collect()] == ["R"]
 
 
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """Runtime bloom-filter join pruning — the shuffle-join complement
+    to DPP: when a fact⋈fact join's one side carries a selective
+    filter, Spark builds a bloom filter over its join keys and applies
+    `might_contain` on the other side BEFORE the shuffle, so
+    non-matching rows never cross the wire. Enabled by default
+    (spark.sql.optimizer.runtime.bloomFilter.enabled=true) but gated
+    on a 10 GB application-side scan — exactly the 100 TB regime; this
+    test scales the gate to 0 to pin that our fact⋈fact shape
+    qualifies (shuffle join + selective creation side), then restores
+    the defaults."""
+    from bigdatabowl2024_25_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    scan_gate = (
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    prev_gate = spark.conf.get(scan_gate)
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(scan_gate, "0")
+        # force the shuffle-join regime (broadcast joins don't need
+        # bloom filters — the build side IS the filter)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        exe = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in exe, exe[:3000]
+        assert "might_contain" in exe, exe[:3000]
+    finally:
+        # restore the SESSION values (unset would fall back to Spark
+        # defaults, not the factory's 64 MB broadcast threshold)
+        spark.conf.set(scan_gate, prev_gate)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+
+
 def test_registry_exactly_at_driver_cap():
     """The driver's correctness snapshot records the FIRST 50
     registered queries (observed r01: 73→50, r05: 53→50). The registry
