@@ -210,6 +210,46 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert got == expected and len(got) > 0
 
 
+def test_incremental_ingest_exactly_once(spark, tmp_path):
+    """Checkpointed incremental ingest (incremental_to_parquet): run 1
+    drains the initial files; an immediate re-run with the same
+    checkpoint is a no-op (no duplicates); after a new file arrives, a
+    re-run appends exactly its rows — the sink always equals one batch
+    read of the source. This is the replayable-source + checkpointed-
+    WAL + transactional-sink contract incremental pipelines rely on."""
+    from bigdatabowl2024_25_spark.sources.io import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first, second = events.filter(F.col("event_id") % 2 == 0), events.filter(
+        F.col("event_id") % 2 == 1
+    )
+    first.repartition(2).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        replay.incremental_to_parquet(
+            replay.stream_from_dir(spark, src, schema), out, ckpt
+        )
+        return spark.read.parquet(out)
+
+    n1 = drain().count()
+    assert n1 == first.count()
+    # re-run, nothing new: exactly-once means no duplicates
+    assert drain().count() == n1
+    # new file arrives; only its rows are appended
+    second.coalesce(1).write.mode("append").parquet(src)
+    got = drain()
+    assert got.count() == events.count()
+    assert {r.event_id for r in got.select("event_id").collect()} == {
+        r.event_id for r in events.select("event_id").collect()
+    }
+
+
 def test_resize_plumbing(media):
     out = multimodal.resize_media(media, 32, 32).collect()
     assert len(out) == 20
