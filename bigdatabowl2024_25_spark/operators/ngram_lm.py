@@ -78,15 +78,25 @@ def lm_train(
     bigrams — the vocab cut that keeps the model broadcast-sized at
     scale; context counts stay UNPRUNED so denominators (and therefore
     probabilities) are unchanged, pruning only moves mass to the
-    smoothed floor."""
-    pairs = _pairs(docs, text_col, id_col)
-    bigrams = (
-        pairs.groupBy("prev", "tok")
+    smoothed floor.
+
+    ONE corpus-wide pass: the exploded pair stream shuffles once into
+    the unpruned bigram counts; context counts and the vocab size are
+    re-aggregations of that table, never of the corpus. The unpruned
+    counts stay persisted — the table is vocab²-bounded (MBs after any
+    realistic cut, LRU-evictable), and the returned bigrams/contexts
+    read it instead of re-exploding the corpus."""
+    unpruned = (
+        _pairs(docs, text_col, id_col)
+        .groupBy("prev", "tok")
         .agg(F.count("*").alias("cb"))
-        .filter(F.col("cb") >= min_count)
+        .persist()
     )
-    contexts = pairs.groupBy("prev").agg(F.count("*").alias("cu"))
-    vocab = pairs.select("tok").distinct().count() + 1  # +1: unseen mass
+    bigrams = unpruned.filter(F.col("cb") >= min_count)
+    contexts = unpruned.groupBy("prev").agg(F.sum("cb").alias("cu"))
+    vocab = (
+        unpruned.agg(F.countDistinct("tok")).collect()[0][0] or 0
+    ) + 1  # +1: unseen mass
     return bigrams, contexts, vocab
 
 
@@ -114,7 +124,18 @@ def lm_perplexity(
 
     `broadcast_model=True` broadcasts both count tables (the pruned-
     model case): the corpus is exploded and re-aggregated by its own
-    id but never shuffled for the joins themselves."""
+    id but never shuffled for the joins themselves.
+
+    `alpha` must be positive: with α=0 an unseen bigram's probability
+    is 0 and ln(0) is NULL in Spark's non-ANSI mode — the impossible
+    token would silently VANISH from the decimal sum while still
+    counting in n_tokens, under-reporting perplexity for exactly the
+    documents a quality filter exists to catch."""
+    if not alpha > 0:
+        raise ValueError(
+            f"alpha must be > 0 (got {alpha}): unsmoothed MLE makes "
+            "unseen-bigram log-probs NULL and silently drops them"
+        )
     b, c = bigrams, contexts
     if broadcast_model:
         b, c = F.broadcast(b), F.broadcast(c)

@@ -449,6 +449,8 @@ def pq_adc_topk(
     m: int = 8,
     dsub: int = 8,
     nprobe: int = 4,
+    assigned: DataFrame | None = None,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ with asymmetric-distance (ADC) scoring — the compressed-
     domain scale tier past SQ8: the corpus is stored as `m` sub-space
@@ -467,15 +469,24 @@ def pq_adc_topk(
     the approximation error of PQ is deterministic, not stochastic.
     Recall vs the exact baseline is pinned in tests/test_similarity.py.
 
-    Scale: encoding is a pure projection (zero shuffles); scoring
-    joins the (id, __list, codes) corpus — fixed-width rows — against
-    the broadcast query side; the corpus never shuffles. Reference
-    parity: generalizes `Catch_Probability_Model.ipynb`'s nearest-
-    neighbor feature search to billion-vector corpora (SURVEY.md §2.9
-    similarity family)."""
+    Scale: the PQ ENCODE step itself is a pure projection
+    (`_pq_codes_sql`, no-Exchange test-pinned); the default IVF coarse
+    assignment around it (`ivf_assign_exact`) shuffles the corpus once
+    on the id for its argmin window — pass `assigned` (a persisted
+    index, or the sibling 'ivf' branch's assignment) to share/skip
+    that, and `probes` likewise for the query side. Scoring joins the
+    (id, __list, codes) corpus — fixed-width rows — against the
+    broadcast query side; the corpus never shuffles at score time.
+    Reference parity: generalizes `Catch_Probability_Model.ipynb`'s
+    nearest-neighbor feature search to billion-vector corpora
+    (SURVEY.md §2.9 similarity family)."""
     codebooks = pq_codebooks(cents, vec_col, m, dsub)
+    if assigned is None:
+        assigned = ivf_assign_exact(data, cents, id_col, vec_col)
+    if probes is None:
+        probes = nearest_lists_exact(queries, cents, id_col, vec_col, nprobe)
     codes = (
-        ivf_assign_exact(data, cents, id_col, vec_col)
+        assigned
         .withColumn("__iv", quantized(F.col(vec_col)))
         .select(
             F.col(id_col).alias("d_id"),
@@ -484,7 +495,7 @@ def pq_adc_topk(
         )
     )
     qp = (
-        nearest_lists_exact(queries, cents, id_col, vec_col, nprobe)
+        probes
         .withColumn("__iv", quantized(F.col(vec_col)))
         .select(
             F.col(id_col).alias("q_id"),

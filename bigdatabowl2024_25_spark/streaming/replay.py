@@ -166,24 +166,23 @@ def stream_stream_join(
     Scale: state is hash-partitioned by the join key in the state
     store and bounded by `watermark + lookback` of per-key history;
     the output never buffers (append)."""
-    l = left.select(
-        F.col(key).alias("l_key"),
-        F.col(ts_col).alias("l_ts"),
-        *[
-            F.col(c).alias(f"l_{c}")
-            for c in left.columns
-            if c not in (key, ts_col)
-        ],
-    )
-    r = right.select(
-        F.col(key).alias("r_key"),
-        F.col(ts_col).alias("r_ts"),
-        *[
-            F.col(c).alias(f"r_{c}")
-            for c in right.columns
-            if c not in (key, ts_col)
-        ],
-    )
+    def prefixed(df: DataFrame, p: str) -> DataFrame:
+        rest = [c for c in df.columns if c not in (key, ts_col)]
+        names = [f"{p}_key", f"{p}_ts"] + [f"{p}_{c}" for c in rest]
+        dupes = {n for n in names if names.count(n) > 1}
+        if dupes:  # e.g. a payload column literally named "key" or "ts"
+            raise ValueError(
+                f"stream_stream_join: prefixed output names collide "
+                f"({sorted(dupes)}); rename the input columns"
+            )
+        return df.select(
+            F.col(key).alias(f"{p}_key"),
+            F.col(ts_col).alias(f"{p}_ts"),
+            *[F.col(c).alias(f"{p}_{c}") for c in rest],
+        )
+
+    l = prefixed(left, "l")
+    r = prefixed(right, "r")
     if watermark is not None:
         l = l.withWatermark("l_ts", watermark)
         r = r.withWatermark("r_ts", watermark)

@@ -413,7 +413,8 @@ def q83_ann_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("__list"), "embedding"
     )
     assigned = ivf_assign_exact(e, cents, "vec_id", "embedding")
-    qp = nearest_lists_exact(q, cents, "vec_id", "embedding", nprobe=4).select(
+    probes = nearest_lists_exact(q, cents, "vec_id", "embedding", nprobe=4)
+    qp = probes.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
         "__list",
@@ -434,9 +435,12 @@ def q83_ann_ivf_topk(spark, sf_dir):
     ivf = ivf.filter(F.col("q_id") != F.col("d_id")).select(
         F.lit("ivf").alias("kind"), "q_id", "d_id", "cosine", "rank"
     )
+    # share the coarse-quantizer subtrees with the ivf branch instead
+    # of recomputing the corpus×16 assignment and the probe windows
     pq = pq_adc_topk(
         q, e, cents, "vec_id", "embedding",
         k=5, m=_PQ_M, dsub=_PQ_DSUB, nprobe=4,
+        assigned=assigned, probes=probes,
     )
     pq = pq.filter(F.col("q_id") != F.col("d_id")).select(
         F.lit("pq").alias("kind"), "q_id", "d_id", "cosine", "rank"

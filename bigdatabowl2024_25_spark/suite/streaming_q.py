@@ -45,14 +45,14 @@ _GAP_US = 30_000_000
 _LOOKBACK_US = 86_400_000_000
 
 
-def _drain(agg, prefix):
-    """Run a streaming aggregate to completion (availableNow) into a
+def _drain(agg, prefix, mode="complete"):
+    """Run a streaming query to completion (availableNow) into a
     memory sink and return its driver-resident table."""
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -178,17 +178,9 @@ def q93_streaming_windows(spark, sf_dir):
             stream_from_dir(spark, f"{tmp}/in", schema),
             key="user_id", val="value",
         )
-        name = f"q93_state_{uuid.uuid4().hex[:8]}"
-        q3 = (
-            state_agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q3.awaitTermination()
+        state_tbl, q3 = _drain(state_agg, "q93_state", mode="update")
         state = (
-            spark.table(name)
+            state_tbl
             # update mode emits one row per key per touching batch;
             # counts are monotone, so the max IS the final state
             .groupBy("user_id")
@@ -218,17 +210,9 @@ def q93_streaming_windows(spark, sf_dir):
             clicks, views, key="user_id", ts_col="ts",
             lookback="24 hours", watermark=None,
         )
-        jname = f"q93_join_{uuid.uuid4().hex[:8]}"
-        q4 = (
-            pairs.writeStream.format("memory")
-            .queryName(jname)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q4.awaitTermination()
+        pairs_tbl, q4 = _drain(pairs, "q93_join", mode="append")
         joined = (
-            spark.table(jname)
+            pairs_tbl
             .groupBy(F.col("l_key").alias("user_id"))
             .agg(
                 F.count("*").alias("n_events"),

@@ -184,13 +184,17 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         lookback="24 hours", watermark="90 days",
     )
     replay.run_to_memory(joined, "ssj_test", mode="append")
-    got = {
+    # MULTISET compare: a duplicate-emission bug (the classic
+    # state-store regression) must not be collapsed by set semantics
+    from collections import Counter
+
+    got = Counter(
         (r.l_key, r.l_ts, r.r_ts, round(r.r_value, 6))
         for r in spark.table("ssj_test").collect()
-    }
+    )
 
     bc, bv = sides(static)
-    expected = {
+    expected = Counter(
         (r.l_key, r.l_ts, r.r_ts, round(r.r_value, 6))
         for r in bc.select(
             F.col("user_id").alias("l_key"), F.col("ts").alias("l_ts")
@@ -206,7 +210,7 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
             & (F.col("r_ts") <= F.col("l_ts")),
         )
         .collect()
-    }
+    )
     assert got == expected and len(got) > 0
 
 

@@ -131,12 +131,29 @@ def test_pruning_only_raises_perplexity(spark):
     assert any(pruned[k][2] > full[k][2] + 1e-9 for k in full)
 
 
+def test_alpha_zero_rejected(spark):
+    """α=0 would make unseen-bigram log-probs NULL and silently drop
+    them from the sum while n_tokens still counts them — the operator
+    must refuse instead of under-reporting perplexity."""
+    import pytest
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    bigrams, contexts, vocab = lm_train(df, "text", "doc_id")
+    with pytest.raises(ValueError, match="alpha"):
+        lm_perplexity(
+            df, "text", "doc_id", bigrams, contexts, vocab, alpha=0.0
+        )
+
+
 def test_broadcast_model_never_shuffles_corpus(spark):
     """With a broadcast model the corpus is never shuffled for the
-    joins: both model joins plan as BroadcastHashJoin, and the plan's
-    only Exchanges are the two model-TRAINING groupBys (which a
-    production run pays once, persisting the model) plus the per-doc
-    aggregate — exactly 3, none of them a join shuffle."""
+    joins: both model joins plan as BroadcastHashJoin and NO shuffle
+    join exists anywhere. The remaining Exchanges all belong to the
+    model side or the output: the persisted training groupBy (printed
+    inside its InMemoryTableScan subtree; paid once), the context
+    re-aggregation of that cached vocab-sized table (×2 — once per
+    broadcast build), and the per-doc aggregate — none touches the
+    exploded corpus before the final agg."""
     import re as _re
 
     df = spark.createDataFrame(CORPUS, "doc_id long, text string")
@@ -145,8 +162,11 @@ def test_broadcast_model_never_shuffles_corpus(spark):
     plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted"
     )
-    assert len(_re.findall(r"\(\d+\) Exchange\b", plan)) == 3, plan[:2000]
     assert (
         len(_re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2
     ), plan[:2000]
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert len(_re.findall(r"\(\d+\) Exchange\b", plan)) <= 4, plan[:2000]
+    # training reads the persisted counts, not the corpus, for the
+    # derived tables
+    assert len(_re.findall(r"\(\d+\) InMemoryTableScan", plan)) >= 2
