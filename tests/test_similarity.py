@@ -194,6 +194,60 @@ def test_pq_adc_recall_codes_and_plan(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_pq_kmeans_codebooks_deterministic_and_competitive(spark):
+    """The trained-quantizer path: seeded per-subspace KMeans
+    codebooks must reproduce exactly across fits, slot into the same
+    ADC scorer, and stay within the recall band of the corpus-sampled
+    codebooks. Negative result worth pinning (round 6): on THIS
+    synthetic near-orthogonal corpus the KMeans codebooks measured
+    recall 0.225 vs 0.325 for corpus-sampled ones — k-means on
+    structureless noise collapses centers toward the mean, shrinking
+    quantized norms and losing direction, while sampled codewords keep
+    the data's own scale. PQ's literature assumes clustered real
+    embeddings, where trained codebooks win; on synthetic noise the
+    sampled default is the better quantizer, so it stays the default."""
+    from bigdatabowl2024_25_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_kmeans,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    cents = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("__list"), "embedding"
+    )
+    exact = set(
+        map(
+            tuple,
+            topk_per_query(
+                pairwise_cosine(q, e, "vec_id", "embedding").filter(
+                    F.col("q_id") != F.col("d_id")
+                ),
+                k=5,
+            )
+            .select("q_id", "d_id")
+            .collect(),
+        )
+    )
+
+    def recall(cb=None):
+        out = pq_adc_topk(
+            q, e, cents, "vec_id", "embedding", k=5, nprobe=4,
+            codebooks=cb,
+        ).filter(F.col("q_id") != F.col("d_id"))
+        got = {(r.q_id, r.d_id) for r in out.collect()}
+        return len(exact & got) / len(exact)
+
+    trained = pq_codebooks_kmeans(e, "embedding", m=8, dsub=8, k=16)
+    assert trained == pq_codebooks_kmeans(e, "embedding", m=8, dsub=8, k=16)
+    assert len(trained) == 8 and all(len(s) == 16 for s in trained)
+    r_trained, r_sampled = recall(trained), recall(None)
+    assert r_trained >= 0.15, f"trained codebooks collapsed: {r_trained}"
+    # the measured ordering on noise (see docstring); a flip is fine,
+    # a large gap in either direction means a quantizer regression
+    assert abs(r_trained - r_sampled) <= 0.25, (r_trained, r_sampled)
+
+
 def test_sq8_recall_and_exactness(spark):
     """SQ8 compressed-domain search: top-5 in the int8-quantized
     domain must nearly coincide with the float-exact top-5 (the
