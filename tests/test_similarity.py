@@ -248,6 +248,64 @@ def test_pq_kmeans_codebooks_deterministic_and_competitive(spark):
     assert abs(r_trained - r_sampled) <= 0.25, (r_trained, r_sampled)
 
 
+def test_ivf_index_persisted_with_partition_pruning(spark, tmp_path):
+    """The IVF scale story end-to-end: persist the assigned corpus
+    `partitionBy("__list")` (the index), probe it through a join whose
+    dim side carries a selective predicate — the scan must carry a
+    `dynamicpruningexpression` (only the probed lists' partitions are
+    read), and the pruned probe must score identically to the
+    in-memory probe path."""
+    from bigdatabowl2024_25_spark.operators.similarity import (
+        int_dot,
+        ivf_assign_exact,
+        nearest_lists_exact,
+        quantized,
+        topk_per_query,
+    )
+    from bigdatabowl2024_25_spark.sources.io import load_table, write_table
+
+    e = load_table(spark, SF, "embeddings")
+    cents = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("__list"), "embedding"
+    )
+    assigned = ivf_assign_exact(e, cents, "vec_id", "embedding")
+    write_table(assigned, str(tmp_path / "index"), partition_by=["__list"])
+    index = spark.read.parquet(str(tmp_path / "index"))
+    q = e.filter(F.col("vec_id") < 2)
+    probes = nearest_lists_exact(
+        q, cents, "vec_id", "embedding", nprobe=4
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        "__list",
+    )
+    write_table(probes, str(tmp_path / "probes"))
+    pr = spark.read.parquet(str(tmp_path / "probes")).filter(
+        F.col("q_id") >= 0  # comparison-shaped: qualifies for DPP
+    )
+
+    def score(idx, probe_side):
+        qiv, div = quantized(F.col("q_vec")), quantized(F.col("d_vec"))
+        cos = int_dot(qiv, div).cast("double") / (
+            F.sqrt(int_dot(qiv, qiv).cast("double"))
+            * F.sqrt(int_dot(div, div).cast("double"))
+        )
+        pairs = (
+            idx.withColumnRenamed("vec_id", "d_id")
+            .withColumnRenamed("embedding", "d_vec")
+            .join(probe_side, ["__list"])
+            .select("q_id", "d_id", cos.alias("cosine"))
+        )
+        return topk_per_query(pairs, k=5)
+
+    pruned = score(index, pr)
+    exe = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in exe.lower(), exe[:3000]
+    got = sorted(map(tuple, pruned.collect()))
+    want = sorted(map(tuple, score(assigned, probes).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_sq8_recall_and_exactness(spark):
     """SQ8 compressed-domain search: top-5 in the int8-quantized
     domain must nearly coincide with the float-exact top-5 (the
