@@ -197,3 +197,77 @@ def quality_features(text: Column) -> dict[str, Column]:
         "punct_ratio": punct.cast("double") / char_len,
         "stopword_ratio": stop.cast("double") / n_tok,
     }
+
+
+#: PII patterns (redaction pass for corpus publication): emails, E.164
+#: and US-formatted phone numbers, IPv4 addresses, 13-19-digit card
+#: numbers (with optional space/dash groups)
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"(?:\+\d{1,3}[ -]?)?(?:\(\d{3}\)[ -]?|\d{3}[ -])\d{3}[ -]\d{4}",
+    "IP": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "CARD": r"\b\d{4}(?:[ -]?\d{4}){2,3}\b",
+}
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace PII spans with typed placeholders (``[EMAIL]`` …) — the
+    standard pre-release scrub pass for a training corpus. Pure
+    `regexp_replace` chain: whole-stage codegen, scales linearly, no
+    UDFs. Order matters: emails first (their digits must not be eaten
+    by the phone/card patterns), cards before phones (a 16-digit card
+    with dashes contains phone-shaped substrings)."""
+    out = text
+    for name in ("EMAIL", "CARD", "PHONE", "IP"):
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"[{name}]")
+    return out
+
+
+def pack_documents(
+    df, text_col: str, id_col: str, capacity: int, shard_col=None
+):
+    """Contiguous sequence packing: assign documents (ordered by
+    `id_col`) to bins whose total whitespace-token count stays ≤
+    `capacity` — the greedy next-fit packing LLM training uses to
+    batch variable-length documents into fixed token budgets. A doc
+    longer than `capacity` gets a bin of its own. Returns
+    (shard?, id, n_tokens, bin) with bins numbered per shard.
+
+    Packing is inherently sequential in the chosen order, so it runs
+    as ONE Arrow-batched pass per shard (`applyInPandas`) after the
+    token counts are computed JVM-side — the same pattern as the
+    connected-components single-task fast path. `shard_col=None`
+    packs globally (one group: only for corpora that fit one task);
+    at 100 TB pass a shard column (source/date/hash-bucket) — bins
+    then never cross shard boundaries, which training pipelines want
+    anyway, and shards pack in parallel."""
+    import pandas as pd
+
+    if shard_col is None:
+        shard_name, shard_expr = "__shard", F.lit(0).alias("__shard")
+        shard_type = "int"
+    else:
+        shard_name, shard_expr = shard_col, F.col(shard_col)
+        shard_type = df.schema[shard_col].dataType.simpleString()
+    base = df.select(
+        shard_expr,
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    out_schema = (
+        f"{shard_name} {shard_type}, {id_col} long, "
+        "n_tokens long, bin long"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins, b, filled = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if filled > 0 and filled + n > capacity:
+                b, filled = b + 1, 0
+            bins.append(b)
+            filled += n
+        pdf["bin"] = bins
+        return pdf
+
+    return base.groupBy(shard_name).applyInPandas(pack, out_schema)

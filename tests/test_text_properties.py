@@ -178,3 +178,82 @@ def test_wav_resample_properties(n, ch, rate, target, seed):
     assert out_rate == target
     assert len(out) == max(1, n * target // rate)
     assert set(map(tuple, out.tolist())) <= set(map(tuple, sig.tolist()))
+
+
+def test_redact_pii(spark):
+    """Typed placeholders replace every PII span; surrounding prose
+    survives; card digits are not half-eaten by the phone pattern."""
+    from bigdatabowl2024_25_spark.operators.text import redact_pii
+
+    rows = spark.createDataFrame(
+        [
+            (0, "mail me at jane.doe+x@example.co.uk today"),
+            (1, "call (555) 123-4567 or +1 555-123-4567"),
+            (2, "server 192.168.0.12 answered"),
+            (3, "card 4111 1111 1111 1111 on file"),
+            (4, "no pii here, just words"),
+        ],
+        "i long, t string",
+    ).select("i", redact_pii(F.col("t")).alias("t"))
+    got = {r.i: r.t for r in rows.collect()}
+    assert got[0] == "mail me at [EMAIL] today"
+    assert got[1] == "call [PHONE] or [PHONE]"
+    assert got[2] == "server [IP] answered"
+    assert got[3] == "card [CARD] on file"
+    assert got[4] == "no pii here, just words"
+    for v in got.values():
+        assert "@" not in v and "4111" not in v and "192.168" not in v
+
+
+def test_pack_documents_next_fit(spark):
+    """Next-fit invariants: every bin's token total ≤ capacity unless
+    it holds a single oversized doc; bins are contiguous in id order
+    per shard; the assignment equals a sequential reference walk; and
+    the result is identical under repartitioning."""
+    from bigdatabowl2024_25_spark.operators.text import pack_documents
+
+    docs = [
+        (i, "w " * n, f"s{i % 2}")
+        for i, n in enumerate([5, 3, 4, 10, 2, 2, 2, 25, 1, 6])
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, src string")
+
+    def ref(items, cap):
+        out, b, filled = {}, 0, 0
+        for i, n in items:
+            if filled > 0 and filled + n > cap:
+                b, filled = b + 1, 0
+            out[i] = b
+            filled += n
+        return out
+
+    for shard_col in (None, "src"):
+        got = pack_documents(df, "text", "doc_id", 8, shard_col).collect()
+        rows = sorted((r for r in got), key=lambda r: r.doc_id)
+        # n_tokens = whitespace tokens of "w w ... w " (trailing space
+        # → split yields a final empty string token as well)
+        by_shard: dict = {}
+        for r in rows:
+            key = getattr(r, "src", None) if shard_col else 0
+            by_shard.setdefault(key, []).append((r.doc_id, r.n_tokens))
+        want = {}
+        for items in by_shard.values():
+            want.update(ref(items, 8))
+        assert {r.doc_id: r.bin for r in rows} == want
+        # capacity invariant
+        totals: dict = {}
+        for r in rows:
+            key = (getattr(r, "src", None) if shard_col else 0, r.bin)
+            totals.setdefault(key, []).append(r.n_tokens)
+        for members in totals.values():
+            assert sum(members) <= 8 or len(members) == 1
+    a = sorted(map(tuple, pack_documents(df, "text", "doc_id", 8).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pack_documents(
+                df.repartition(5), "text", "doc_id", 8
+            ).collect(),
+        )
+    )
+    assert a == b
