@@ -196,6 +196,29 @@ def classifier_pipeline(
     return Pipeline(stages=stages)
 
 
+def hash_split(
+    df: DataFrame,
+    key_cols: list[str],
+    test_pct: int = 20,
+    salt: str = "split:v1",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic hash-based train/test split: a row lands in test
+    iff `portable_hash64(salt + key) % 100 < test_pct`.
+
+    The production alternative to `randomSplit` (X5): membership is a
+    pure function of the row's KEY, so it is stable when the dataset
+    grows (old rows never flip sides — no train/test leakage across
+    retraining runs), identical on any engine (md5-derived hash, so an
+    external system can reproduce the split), and partition-order-free
+    by construction. `salt` versions the split without touching keys.
+    Filters stay in codegen; no shuffle, no RNG state."""
+    from .operators.text import portable_hash64
+
+    key = F.concat_ws("\x1f", F.lit(salt), *[F.col(c) for c in key_cols])
+    bucket = portable_hash64(key) % 100
+    return df.filter(bucket >= test_pct), df.filter(bucket < test_pct)
+
+
 def train_eval(
     features: DataFrame,
     label_col: str,

@@ -123,3 +123,31 @@ def test_metrics_regression_band(spark):
         feats, "pff_passCoverage", ml.COVERAGE_FEATURE_COLS
     )
     assert metrics2 == metrics  # full run-to-run determinism
+
+
+def test_hash_split_stable_and_disjoint(spark):
+    """hash_split: disjoint exhaustive partition of the input;
+    membership is a pure function of the key — stable when the dataset
+    GROWS (the randomSplit failure mode: old rows flipping sides and
+    leaking test data into a retrain); ratio lands near test_pct; salt
+    versions the split."""
+    from bigdatabowl2024_25_spark.ml import hash_split
+
+    df = spark.range(0, 2000).withColumn("k", F.col("id").cast("string"))
+    train, test = hash_split(df, ["k"], test_pct=20)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == 2000
+    assert train.join(test, ["id"], "inner").count() == 0
+    assert 300 <= n_test <= 500  # ~20% ± sampling noise
+    # growth stability: the same keys land on the same side after the
+    # dataset doubles
+    big = spark.range(0, 4000).withColumn("k", F.col("id").cast("string"))
+    _, test_big = hash_split(big, ["k"], test_pct=20)
+    old_test = {r.id for r in test.select("id").collect()}
+    big_test_old_rows = {
+        r.id for r in test_big.filter(F.col("id") < 2000).select("id").collect()
+    }
+    assert big_test_old_rows == old_test
+    # salt gives a different (but equally deterministic) split
+    _, test_v2 = hash_split(df, ["k"], test_pct=20, salt="split:v2")
+    assert {r.id for r in test_v2.select("id").collect()} != old_test
