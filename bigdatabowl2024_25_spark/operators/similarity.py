@@ -25,7 +25,6 @@ Scale notes (100 TB / billions of vectors):
 from __future__ import annotations
 
 import math
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
