@@ -373,6 +373,13 @@ def pq_codebooks(
         .orderBy("__j")
         .collect()
     )
+    if rows and len(rows[0]["__iv"]) < m * dsub:
+        # a silent mismatch would slice empty codewords and encode
+        # every out-of-range subspace to a constant code 0
+        raise ValueError(
+            f"m*dsub = {m * dsub} exceeds vector dims "
+            f"{len(rows[0]['__iv'])}"
+        )
     return [
         [list(r["__iv"][s * dsub : (s + 1) * dsub]) for r in rows]
         for s in range(m)
@@ -549,19 +556,22 @@ def pq_adc_topk(
             F.expr(_pq_codes_sql("__iv", codebooks)).alias("__codes"),
         )
     )
-    qp = (
-        probes
-        .withColumn("__iv", quantized(F.col(vec_col)))
+    # LUT + norm once per QUERY (from `queries`), not once per
+    # (query, probe-list) row — the probe explode then carries only
+    # (q_id, __list) and joins the per-query LUT back in, so the
+    # broadcast holds one LUT copy per query instead of nprobe copies
+    qmeta = (
+        queries.withColumn("__iv", quantized(F.col(vec_col)))
         .select(
             F.col(id_col).alias("q_id"),
-            F.col("__list"),
             F.expr(_pq_lut_sql("__iv", codebooks)).alias("__lut"),
             F.sqrt(
-                int_dot(
-                    quantized(F.col(vec_col)), quantized(F.col(vec_col))
-                ).cast("double")
+                int_dot(F.col("__iv"), F.col("__iv")).cast("double")
             ).alias("__qnrm"),
         )
+    )
+    qp = probes.select(F.col(id_col).alias("q_id"), "__list").join(
+        F.broadcast(qmeta), ["q_id"]
     )
     adc_dot = F.expr(_PQ_GATHER.format(table="__lut", codes="__codes"))
     d_norm2 = F.expr(

@@ -201,12 +201,17 @@ def quality_features(text: Column) -> dict[str, Column]:
 
 #: PII patterns (redaction pass for corpus publication): emails, E.164
 #: and US-formatted phone numbers, IPv4 addresses, 13-19-digit card
-#: numbers (with optional space/dash groups)
+#: numbers (optionally space/dash-grouped, any grouping — covers
+#: 4-4-4-4, Amex 4-6-5, 13-digit Visa, 19-digit UnionPay). A scrubber
+#: trades precision for recall: 13+-digit non-card numbers redact too.
 PII_PATTERNS: dict[str, str] = {
     "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "PHONE": r"(?:\+\d{1,3}[ -]?)?(?:\(\d{3}\)[ -]?|\d{3}[ -])\d{3}[ -]\d{4}",
+    "PHONE": (
+        r"(?:\+\d{1,3}[ -]?)?(?:\(\d{3}\)[ -]?|\b\d{3}[ -])\d{3}[ -]\d{4}\b"
+        r"|\+\d{7,15}\b"
+    ),
     "IP": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
-    "CARD": r"\b\d{4}(?:[ -]?\d{4}){2,3}\b",
+    "CARD": r"\b\d(?:[ -]?\d){12,18}\b",
 }
 
 
@@ -249,13 +254,17 @@ def pack_documents(
     else:
         shard_name, shard_expr = shard_col, F.col(shard_col)
         shard_type = df.schema[shard_col].dataType.simpleString()
+    id_type = df.schema[id_col].dataType.simpleString()
+    # count non-empty tokens only (split() yields '' for leading/
+    # trailing/double whitespace; an empty doc is 0 tokens, not 1)
+    real_tokens = F.filter(tokens(F.col(text_col)), lambda t: t != "")
     base = df.select(
         shard_expr,
         F.col(id_col),
-        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.size(real_tokens).cast("long").alias("n_tokens"),
     )
     out_schema = (
-        f"{shard_name} {shard_type}, {id_col} long, "
+        f"{shard_name} {shard_type}, {id_col} {id_type}, "
         "n_tokens long, bin long"
     )
 

@@ -203,6 +203,26 @@ def test_redact_pii(spark):
     assert got[4] == "no pii here, just words"
     for v in got.values():
         assert "@" not in v and "4111" not in v and "192.168" not in v
+    # review-found leak cases: non-16-digit cards (Amex 15, Visa 13,
+    # UnionPay 19), bare E.164, and a year that must NOT be eaten
+    more = spark.createDataFrame(
+        [
+            (10, "amex 378282246310005 ok"),
+            (11, "amex 3782 822463 10005 ok"),
+            (12, "visa 4222222222222 ok"),
+            (13, "union 6011111111111111117 ok"),
+            (14, "call +15551234567 now"),
+            (15, "in 1955 the phone 555-123-4567 rang"),
+        ],
+        "i long, t string",
+    ).select("i", redact_pii(F.col("t")).alias("t"))
+    got2 = {r.i: r.t for r in more.collect()}
+    assert got2[10] == "amex [CARD] ok"
+    assert got2[11] == "amex [CARD] ok"
+    assert got2[12] == "visa [CARD] ok"
+    assert got2[13] == "union [CARD] ok"
+    assert got2[14] == "call [PHONE] now"
+    assert got2[15] == "in 1955 the phone [PHONE] rang"
 
 
 def test_pack_documents_next_fit(spark):
@@ -230,8 +250,8 @@ def test_pack_documents_next_fit(spark):
     for shard_col in (None, "src"):
         got = pack_documents(df, "text", "doc_id", 8, shard_col).collect()
         rows = sorted((r for r in got), key=lambda r: r.doc_id)
-        # n_tokens = whitespace tokens of "w w ... w " (trailing space
-        # → split yields a final empty string token as well)
+        # n_tokens = NON-EMPTY whitespace tokens ("w " * n → n tokens;
+        # the trailing-space empty token is filtered by the operator)
         by_shard: dict = {}
         for r in rows:
             key = getattr(r, "src", None) if shard_col else 0
@@ -257,3 +277,16 @@ def test_pack_documents_next_fit(spark):
         )
     )
     assert a == b
+    # non-bigint id columns must pass through with their own type
+    sdf = df.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("uid"), "text"
+    )
+    srows = pack_documents(sdf, "text", "uid", 8).collect()
+    assert {r.uid for r in srows} == {f"doc-{i}" for i in range(10)}
+    # empty/whitespace-only docs cost 0 tokens, not 1
+    edf = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "a b")], "doc_id long, text string"
+    )
+    en = {r.doc_id: r.n_tokens for r in
+          pack_documents(edf, "text", "doc_id", 8).collect()}
+    assert en == {0: 0, 1: 0, 2: 2}
