@@ -184,6 +184,50 @@ def jaccard_pairs(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word n-gram with an evaluation/benchmark set (the standard
+    train-set hygiene pass — GPT-3 App. C / PaLM-style 13-gram overlap;
+    n is a parameter because the right length depends on document
+    scale). Returns (id, n_hits): one row per CONTAMINATED corpus doc
+    with the count of distinct benchmark n-grams it contains; clean
+    docs are absent (anti-join against this relation to drop them).
+
+    100 TB design: the benchmark side is an eval suite — MBs, not TBs —
+    so its distinct n-gram hash set broadcasts. The corpus side
+    explodes n-grams MAP-SIDE and the broadcast hash join drops every
+    non-matching gram before any shuffle; the only shuffle is the
+    final groupBy over matching (id, gram) rows, which is bounded by
+    contamination volume, not corpus volume. Deliberately NO
+    corpus-side distinct() before the join — that would shuffle every
+    (id, gram) pair; countDistinct after the filter dedups the tiny
+    matched set instead.
+
+    Hashes are `portable_hash64`, so the DuckDB oracle reproduces the
+    gram keys bit-for-bit."""
+    def grams(df: DataFrame) -> DataFrame:
+        sh = with_shingles(df, text_col, id_col, n)
+        return sh.select(
+            F.col(id_col), F.explode("shingles").alias("gram")
+        ).select(
+            F.col(id_col), portable_hash64(F.col("gram")).alias("g")
+        )
+
+    bench_grams = grams(benchmark).select("g").distinct()
+    return (
+        grams(corpus)
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.countDistinct("g").alias("n_hits"))
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str, id_col: str, bits: int = 16
 ) -> DataFrame:

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     MINHASH_P,
+    decontaminate,
     exact_dedup,
     jaccard_pairs,
     lsh_candidates,
@@ -42,10 +43,26 @@ def _h64(expr: str) -> str:
 
 
 _WORDS = "string_split(text, ' ')"
-_SHINGLES = (
-    f"list_transform(range(1, greatest(len({_WORDS}) - 1, 1)), "
-    f"i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1] || ' ' || {_WORDS}[i+2])"
-)
+
+
+def _grams_sql(n: int) -> str:
+    """DuckDB word n-grams mirroring operators.text.word_shingles:
+    positions 1..len−n+1, words joined by single spaces."""
+    parts = " || ' ' || ".join(
+        f"{_WORDS}[i+{j}]" if j else f"{_WORDS}[i]" for j in range(n)
+    )
+    return (
+        f"list_transform(range(1, greatest(len({_WORDS}) - {n - 2}, 1)), "
+        f"i -> {parts})"
+    )
+
+
+_SHINGLES = _grams_sql(3)
+
+#: decontamination gram length — 5-word grams (the published pipelines
+#: use 8-13 on web documents; the synthetic docs are 10-99 words, so 5
+#: keeps a meaningful gram count per doc at the same semantics)
+_DECON_N = 5
 
 #: the manufactured corpus: originals ∪ exact copies ∪ near-dup variants
 _CORPUS = """
@@ -71,19 +88,67 @@ def _corpus_df(spark, sf_dir):
 
 
 @query(
-    "q70_exact_dedup",
+    "q70_corpus_hygiene",
     oracle=f"""
-    WITH corpus AS ({_CORPUS})
-    SELECT {_h64(_NORM)} AS content_key,
+    WITH corpus AS ({_CORPUS}),
+    bgrams AS (
+        SELECT DISTINCT {_h64('gram')} AS g
+        FROM (SELECT unnest({_grams_sql(_DECON_N)}) AS gram
+              FROM corpus WHERE doc_id < 40)
+    ),
+    cgrams AS (
+        SELECT doc_id, {_h64('gram')} AS g
+        FROM (SELECT doc_id, unnest({_grams_sql(_DECON_N)}) AS gram
+              FROM corpus WHERE doc_id >= 40)
+    )
+    SELECT 'exact' AS branch,
+           {_h64(_NORM)} AS grp_key,
            MIN(doc_id) AS keeper_id,
-           COUNT(*) AS n_copies
-    FROM corpus GROUP BY 1
+           COUNT(*) AS n
+    FROM corpus GROUP BY 2
+    UNION ALL
+    SELECT 'decontam' AS branch,
+           doc_id AS grp_key,
+           doc_id AS keeper_id,
+           COUNT(DISTINCT g) AS n
+    FROM cgrams
+    WHERE g IN (SELECT g FROM bgrams)
+    GROUP BY doc_id
     """,
 )
-def q70_exact_dedup(spark, sf_dir):
-    """Exact dedup: normalized-content hash → keep-min-id groups. One
-    shuffle on a 8-byte key; text never moves after hashing."""
-    return exact_dedup(_corpus_df(spark, sf_dir), "text", "doc_id")
+def q70_corpus_hygiene(spark, sf_dir):
+    """Corpus hygiene, two branches over the manufactured corpus
+    (round-6 widening of the former q70_exact_dedup):
+
+    - 'exact': normalized-content hash → keep-min-id groups. One
+      shuffle on an 8-byte key; text never moves after hashing.
+    - 'decontam': benchmark decontamination (`operators.dedup.
+      decontaminate`) — the originals with doc_id < 40 play the
+      benchmark/eval set, and every other corpus doc sharing a 5-word
+      gram with them is flagged with its distinct-gram hit count. The
+      manufactured +100000 exact copies and +200000 near variants are
+      the planted contamination; chance vocabulary collisions among the
+      ≥40 originals are deterministic and oracle-matched.
+
+    Unified schema (branch, grp_key, keeper_id, n): exact rows carry
+    (content_key, keeper, copies); decontam rows carry (doc_id, doc_id,
+    n_hits)."""
+    corpus = _corpus_df(spark, sf_dir)
+    ex = exact_dedup(corpus, "text", "doc_id").select(
+        F.lit("exact").alias("branch"),
+        F.col("content_key").alias("grp_key"),
+        F.col("keeper_id"),
+        F.col("n_copies").alias("n"),
+    )
+    bench = corpus.filter(F.col("doc_id") < 40)
+    cand = corpus.filter(F.col("doc_id") >= 40)
+    dec = decontaminate(cand, bench, "text", "doc_id", n=_DECON_N).select(
+        F.lit("decontam").alias("branch"),
+        F.col("doc_id").alias("grp_key"),
+        F.col("doc_id").alias("keeper_id"),
+        F.col("n_hits").alias("n"),
+    )
+    return ex.unionByName(dec)
 
 
 _K = 8

@@ -291,3 +291,18 @@ def test_registry_exactly_at_driver_cap():
     # every registered query now carries a full value-hash oracle
     missing = set(suite.QUERIES) - set(suite.ORACLE)
     assert not missing, f"queries without oracles: {sorted(missing)}"
+
+
+def test_q70_decontam_broadcasts_benchmark_grams(spark):
+    """Decontamination must broadcast the benchmark gram set and filter
+    corpus grams map-side: no SortMergeJoin anywhere, and every shuffle
+    exchange sits AFTER the broadcast filter (bench-side distinct + the
+    two-phase countDistinct over matches only — all bounded by
+    contamination volume, never by corpus volume)."""
+    plan = plan_of(suite.QUERIES["q70_corpus_hygiene"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # exact branch: 1 exchange; decontam: bench distinct + 2-phase
+    # countDistinct = 3 → 4 total. More means a corpus-side shuffle
+    # crept in before the broadcast filter.
+    assert shuffles(plan) <= 4

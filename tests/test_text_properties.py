@@ -290,3 +290,29 @@ def test_pack_documents_next_fit(spark):
     en = {r.doc_id: r.n_tokens for r in
           pack_documents(edf, "text", "doc_id", 8).collect()}
     assert en == {0: 0, 1: 0, 2: 2}
+
+
+def test_decontaminate_gram_boundary(spark):
+    """decontaminate flags exactly the docs sharing a full n-word gram
+    with the benchmark set: an exact copy (all grams), a doc embedding
+    one benchmark 5-gram (one hit), a doc sharing only a 4-word run
+    (below the boundary → clean), and a disjoint doc (clean)."""
+    from bigdatabowl2024_25_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "a b c d e f g h")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),       # exact copy: 4 distinct 5-grams
+            (2, "x y a b c d e z w"),     # embeds gram "a b c d e"
+            (3, "x b c d e y z w q"),     # only a 4-word run → clean
+            (4, "p q r s t u v w x"),     # disjoint → clean
+        ],
+        "doc_id long, text string",
+    )
+    hits = {
+        r.doc_id: r.n_hits
+        for r in decontaminate(corpus, bench, "text", "doc_id", n=5).collect()
+    }
+    assert hits == {1: 4, 2: 1}
