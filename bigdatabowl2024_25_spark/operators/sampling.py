@@ -1,0 +1,87 @@
+"""Corpus sampling operators for training-data pipelines: deterministic
+hash-Bernoulli sampling, weighted per-domain mixing, and a global
+pseudorandom reorder ("corpus shuffle").
+
+These complement `ml.hash_split` (row-stable train/test membership):
+here the use case is corpus COMPOSITION — downsample a 100 TB crawl to
+a token budget, rebalance domains to target mixture weights (the
+"30% web / 20% code / ..." recipe every LLM data pipeline publishes),
+and write the result in a reproducible pseudorandom order so
+sequential training readers see a well-mixed stream.
+
+Design for 100 TB:
+- membership is a pure codegen function of the row's key (md5-derived
+  `portable_hash64`), so sampling is a FILTER — no shuffle, no RNG
+  state, no `sample()` nondeterminism under retries/speculation, and
+  re-runs (or incremental extensions of the corpus) never flip
+  previously-sampled rows.
+- `weighted_domain_sample` is the same filter with a per-domain rate
+  looked up from a literal CASE map — domains needing no downsampling
+  pass rate 1.0 and cost nothing.
+- `deterministic_shuffle` is a global sort on the hash — Spark range-
+  partitions the sort key, and since the key is uniform the partitions
+  balance by construction; downstream writers get mixed, evenly-sized
+  files. (A true permutation, unlike `repartition(shuffle=True)` whose
+  round-robin depends on input partitioning.)
+
+Everything is engine-portable: the DuckDB oracles reproduce membership
+and order bit-for-bit from the same md5 prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import portable_hash64
+
+#: portable_hash64 yields 15 hex digits → uniform on [0, 16^15)
+_HASH_SPAN = 16**15
+
+
+def hash_uniform(key: Column, seed: str = "sample:v1") -> Column:
+    """Deterministic uniform [0,1) from a row key: the 60-bit portable
+    hash of (seed, key), scaled. Distinct seeds give independent draws
+    over the same keys (versioned re-sampling without touching data)."""
+    tagged = F.concat_ws("\x1f", F.lit(seed), key.cast("string"))
+    return portable_hash64(tagged) / F.lit(float(_HASH_SPAN))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, seed: str = "sample:v1"
+) -> DataFrame:
+    """Bernoulli(rate) sample, membership a pure function of the key."""
+    return df.filter(hash_uniform(F.col(key_col), seed) < F.lit(rate))
+
+
+def weighted_domain_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    rates: dict[str, float],
+    seed: str = "mix:v1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Corpus mixing: keep each row with its domain's Bernoulli rate.
+
+    `rates` maps domain values (e.g. language, source) to keep
+    probabilities; unlisted domains get `default_rate` (0.0 = drop
+    unknown domains — the safe default for a curated mixture). Rates
+    are literals folded into one CASE expression, so the whole operator
+    is a codegen filter: no join, no shuffle, no per-domain passes."""
+    rate = F.lit(float(default_rate))
+    for dom, r in sorted(rates.items()):
+        rate = F.when(F.col(domain_col) == dom, F.lit(float(r))).otherwise(
+            rate
+        )
+    return df.filter(hash_uniform(F.col(key_col), seed) < rate)
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str, seed: str = "shuffle:v1"
+) -> DataFrame:
+    """Global pseudorandom reorder: sort by the keyed hash. The order
+    is a pure function of (seed, keys) — reproducible across runs,
+    engines, and cluster sizes; change `seed` for a fresh permutation
+    per epoch. Cost is one range-partitioned sort on an 8-byte key."""
+    return df.orderBy(hash_uniform(F.col(key_col), seed))

@@ -24,6 +24,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..operators.sampling import (
+    hash_sample,
+    hash_uniform,
+    weighted_domain_sample,
+)
 from ..sources.io import (
     assert_unique_key,
     load_table,
@@ -56,19 +61,57 @@ def _digest(df, kind):
     ).select(F.lit(kind).alias("kind"), "nation", "n", "key_sum", "name_chars")
 
 
+#: mirror of operators.sampling.hash_uniform on the supplier key
+def _u_sql(seed: str) -> str:
+    return (
+        "CAST(concat('0x', substring(md5(concat("
+        f"'{seed}', chr(31), CAST(s_suppkey AS VARCHAR))), 1, 15)) "
+        "AS BIGINT) / 1152921504606846976.0"
+    )
+
+
+#: corpus-mixing recipe over the synthetic domain s_nationkey % 3
+_MIX_RATES = {"0": 1.0, "1": 0.5, "2": 0.2}
+
+_MIX_RATE_SQL = (
+    "CASE CAST(s_nationkey % 3 AS VARCHAR) "
+    + " ".join(f"WHEN '{d}' THEN {r}" for d, r in sorted(_MIX_RATES.items()))
+    + " ELSE 0.0 END"
+)
+
+_DIGEST_SQL = """
+    SELECT '{kind}' AS kind, CAST(s_nationkey AS BIGINT) AS nation,
+           COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+           CAST(SUM(LENGTH(s_name)) AS BIGINT) AS name_chars
+    FROM supplier {where} GROUP BY s_nationkey
+"""
+
+
 @query(
     "q95_source_sink_roundtrip",
-    oracle="""
-    SELECT 'parquet' AS kind, CAST(s_nationkey AS BIGINT) AS nation,
-           COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
-           CAST(SUM(LENGTH(s_name)) AS BIGINT) AS name_chars
-    FROM supplier GROUP BY s_nationkey
+    oracle=(
+        _DIGEST_SQL.format(kind="parquet", where="")
+        + " UNION ALL "
+        + _DIGEST_SQL.format(kind="csv", where="")
+        + " UNION ALL "
+        + _DIGEST_SQL.format(
+            kind="sample", where=f"WHERE {_u_sql('sample:v1')} < 0.25"
+        )
+        + " UNION ALL "
+        + _DIGEST_SQL.format(
+            kind="mix",
+            where=f"WHERE {_u_sql('mix:v1')} < ({_MIX_RATE_SQL})",
+        )
+        + f"""
     UNION ALL
-    SELECT 'csv' AS kind, CAST(s_nationkey AS BIGINT) AS nation,
-           COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
-           CAST(SUM(LENGTH(s_name)) AS BIGINT) AS name_chars
-    FROM supplier GROUP BY s_nationkey
-    """,
+    SELECT 'shuffle' AS kind, CAST(s_nationkey AS BIGINT) AS nation,
+           COUNT(*) AS n,
+           CAST(arg_min(s_suppkey, u) AS BIGINT) AS key_sum,
+           CAST(arg_max(s_suppkey, u) AS BIGINT) AS name_chars
+    FROM (SELECT *, {_u_sql('shuffle:v1')} AS u FROM supplier)
+    GROUP BY s_nationkey
+    """
+    ),
 )
 def q95_source_sink_roundtrip(spark, sf_dir):
     """S2+S3+S6+S7 in one driver row (round 6, VERDICT item 3).
@@ -83,9 +126,47 @@ def q95_source_sink_roundtrip(spark, sf_dir):
     The temp dir is driver-local scratch: at 100 TB the same code
     targets a real warehouse path — both sinks write partition-parallel
     (the CSV branch only coalesces when single_file is requested).
+
+    Round-6 widening: three more branches drive `operators.sampling`
+    (the corpus-composition layer) through the same digest schema —
+    'sample' digests a deterministic 25% hash-Bernoulli sample,
+    'mix' a weighted domain mixture (domain = s_nationkey % 3 at
+    rates 1.0/0.5/0.2 — the "rebalance sources to a recipe" op), and
+    'shuffle' pins the pseudorandom corpus order by reporting each
+    nation's first and last supplier under the keyed hash order
+    (min_by/max_by — order-free aggregates that still hash-verify the
+    permutation). All three are membership/order functions of the key
+    alone, reproduced bit-for-bit by the DuckDB oracle.
     """
     sup = load_table(spark, sf_dir, "supplier")
     assert_unique_key(sup, ["s_suppkey"])  # S7
+
+    sampled = _digest(hash_sample(sup, "s_suppkey", 0.25), "sample")
+    mixed = _digest(
+        weighted_domain_sample(
+            sup.withColumn(
+                "dom", (F.col("s_nationkey") % 3).cast("string")
+            ),
+            "s_suppkey",
+            "dom",
+            _MIX_RATES,
+        ),
+        "mix",
+    )
+    u = hash_uniform(F.col("s_suppkey"), "shuffle:v1")
+    shuffled = (
+        sup.withColumn("u", u)
+        .groupBy(F.col("s_nationkey").cast("bigint").alias("nation"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min_by("s_suppkey", "u").cast("bigint").alias("key_sum"),
+            F.max_by("s_suppkey", "u").cast("bigint").alias("name_chars"),
+        )
+        .select(
+            F.lit("shuffle").alias("kind"),
+            "nation", "n", "key_sum", "name_chars",
+        )
+    )
 
     tmp = tempfile.mkdtemp(prefix="bdb_q95_")
     try:
@@ -102,8 +183,12 @@ def q95_source_sink_roundtrip(spark, sf_dir):
         # digest is computed from the re-read frames; materialize NOW
         # (localCheckpoint would pin executors; the frames are tiny) so
         # the scratch dir can be removed before returning.
-        out = _digest(back_pq, "parquet").unionByName(
-            _digest(back_csv, "csv")
+        out = (
+            _digest(back_pq, "parquet")
+            .unionByName(_digest(back_csv, "csv"))
+            .unionByName(sampled)
+            .unionByName(mixed)
+            .unionByName(shuffled)
         )
         rows = out.collect()
     finally:

@@ -1,0 +1,79 @@
+"""Semantics of the corpus-composition layer (operators/sampling.py):
+membership and order must be pure functions of (seed, key) — stable
+under corpus growth, partitioning, and re-runs — and must match an
+independent pure-Python md5 reference."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from bigdatabowl2024_25_spark.operators.sampling import (
+    deterministic_shuffle,
+    hash_sample,
+    hash_uniform,
+    weighted_domain_sample,
+)
+
+
+def ref_u(key: int, seed: str) -> float:
+    s = f"{seed}\x1f{key}".encode()
+    return int(hashlib.md5(s).hexdigest()[:15], 16) / 16**15
+
+
+def _df(spark, n=200):
+    return spark.range(n).select(F.col("id").alias("k"))
+
+
+def test_hash_uniform_matches_python_reference(spark):
+    rows = _df(spark, 50).select(
+        "k", hash_uniform(F.col("k"), "sample:v1").alias("u")
+    ).collect()
+    for r in rows:
+        assert r.u == ref_u(r.k, "sample:v1")
+
+
+def test_hash_sample_stable_under_growth(spark):
+    """Growing the corpus never flips earlier rows' membership."""
+    small = {r.k for r in hash_sample(_df(spark, 100), "k", 0.3).collect()}
+    big = {r.k for r in hash_sample(_df(spark, 200), "k", 0.3).collect()}
+    assert small == {k for k in big if k < 100}
+
+
+def test_weighted_domain_sample_rates(spark):
+    df = _df(spark, 300).withColumn("dom", (F.col("k") % 3).cast("string"))
+    kept = weighted_domain_sample(
+        df, "k", "dom", {"0": 1.0, "1": 0.5, "2": 0.0}
+    ).collect()
+    by_dom: dict[str, int] = {}
+    for r in kept:
+        by_dom[r.dom] = by_dom.get(r.dom, 0) + 1
+    assert by_dom.get("0") == 100        # rate 1.0 keeps everything
+    assert by_dom.get("2") is None       # rate 0.0 drops everything
+    assert 20 <= by_dom.get("1", 0) <= 80  # Bernoulli(0.5) of 100
+    # unlisted domains drop under the default rate
+    assert weighted_domain_sample(
+        df, "k", "dom", {"0": 1.0}
+    ).filter(F.col("dom") != "0").count() == 0
+
+
+def test_deterministic_shuffle_order(spark):
+    """Output order equals the reference hash order and is invariant
+    to input partitioning; a different seed permutes differently."""
+    expected = sorted(range(120), key=lambda k: ref_u(k, "shuffle:v1"))
+    a = [r.k for r in deterministic_shuffle(_df(spark, 120), "k").collect()]
+    b = [
+        r.k
+        for r in deterministic_shuffle(
+            _df(spark, 120).repartition(7), "k"
+        ).collect()
+    ]
+    assert a == expected and b == expected
+    c = [
+        r.k
+        for r in deterministic_shuffle(
+            _df(spark, 120), "k", seed="shuffle:v2"
+        ).collect()
+    ]
+    assert c != expected and sorted(c) == list(range(120))
