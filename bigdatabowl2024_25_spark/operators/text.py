@@ -199,6 +199,57 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+def bm25(
+    df,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    out_col: str = "bm25",
+):
+    """Okapi BM25 relevance of every document against a fixed term set
+    (Robertson/Zaragoza, with the Lucene +1 IDF so scores stay ≥ 0) —
+    the ranking/quality-scoring primitive a corpus pipeline uses for
+    query-targeted filtering. Appends `out_col`; all other columns pass
+    through.
+
+    Spark-first shape: per-term tf and the document length are codegen
+    array expressions; the corpus statistics (N, avg doc length, df_t)
+    are ONE single-row global aggregate (map-side partial, no shuffle
+    of documents) broadcast back via crossJoin. Two linear scans of
+    the corpus, zero document-side shuffles — at 100 TB the stats row
+    is bytes, and scoring is a map. Per-term df uses exact integer
+    counts and avgdl an exact decimal sum, so the only cross-engine
+    freedom is ln/division — handled by rounding at the query edge."""
+    toks = tokens(F.col(text_col))
+    dl = F.size(toks)
+
+    def tf(t: str) -> Column:
+        return F.size(F.filter(toks, lambda w: w == F.lit(t)))
+
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum(dl.cast("decimal(25,6)")).cast("double").alias("__sum_dl"),
+        *[
+            F.sum((tf(t) > 0).cast("bigint")).alias(f"__df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    joined = df.crossJoin(F.broadcast(stats))
+    n = F.col("__n_docs").cast("double")
+    avgdl = F.col("__sum_dl") / n
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        dft = F.col(f"__df_{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (n - dft + 0.5) / (dft + 0.5))
+        tft = tf(t).cast("double")
+        score = score + idf * (
+            tft * (k1 + 1.0) / (tft + k1 * (1.0 - b + b * dl / avgdl))
+        )
+    drop = ["__n_docs", "__sum_dl"] + [f"__df_{i}" for i in range(len(terms))]
+    return joined.withColumn(out_col, score).drop(*drop)
+
+
 #: PII patterns (redaction pass for corpus publication): emails, E.164
 #: and US-formatted phone numbers, IPv4 addresses, 13-19-digit card
 #: numbers (optionally space/dash-grouped, any grouping — covers

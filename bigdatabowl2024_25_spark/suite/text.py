@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from ..operators.text import (
     LANG_STOPWORDS,
+    bm25,
     fingerprint,
     normalize_text,
     portable_hash64,
@@ -36,6 +37,42 @@ _PRED = (
 )
 
 
+# ---- BM25 branch: fixed query terms over the corpus ------------------
+
+_BM25_TERMS = ["data", "spark", "window"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _tf_sql(t: str) -> str:
+    return f"len(list_filter(string_split(text,' '), w -> w = '{t}'))"
+
+
+_BM25_STATS = (
+    "SELECT COUNT(*) AS n_docs, "
+    "CAST(SUM(CAST(len(string_split(text,' ')) AS DECIMAL(25,6))) "
+    "AS DOUBLE) AS sum_dl, "
+    + ", ".join(
+        f"SUM(CASE WHEN {_tf_sql(t)} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    + " FROM documents"
+)
+
+#: mirror operators.text.bm25 term-by-term, same double constants and
+#: same addition order (Python-computed constants injected via repr so
+#: both engines parse the identical IEEE value)
+_BM25_SCORE = " + ".join(
+    f"(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+    f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+    f" * (CAST({_tf_sql(t)} AS DOUBLE) * CAST({_BM25_K1 + 1.0!r} AS DOUBLE)"
+    f" / (CAST({_tf_sql(t)} AS DOUBLE) + CAST({_BM25_K1!r} AS DOUBLE)"
+    f" * (CAST({1.0 - _BM25_B!r} AS DOUBLE) + CAST({_BM25_B!r} AS DOUBLE)"
+    f" * CAST(len(string_split(text,' ')) AS DOUBLE)"
+    f" / (sum_dl / CAST(n_docs AS DOUBLE))))))"
+    for i, t in enumerate(_BM25_TERMS)
+)
+
+
 @query(
     "q60_text_profile",
     oracle=rf"""
@@ -57,8 +94,9 @@ _PRED = (
            CAST(concat('0x', substring(
                md5(trim(regexp_replace(regexp_replace(lower(text),
                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 15))
-             AS BIGINT) AS fp64
-    FROM documents
+             AS BIGINT) AS fp64,
+           ROUND({_BM25_SCORE}, 6) AS bm25
+    FROM documents CROSS JOIN ({_BM25_STATS}) s
     """,
 )
 def q60_text_profile(spark, sf_dir):
@@ -71,7 +109,13 @@ def q60_text_profile(spark, sf_dir):
     60-bit fingerprints (the dedup layer's numeric key). At 100 TB this
     is THE text-feature extraction pass: every column codegen'd
     JVM-side, zero shuffles, zero Python."""
-    d = load_table(spark, sf_dir, "documents")
+    d = bm25(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        _BM25_TERMS,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
     t = F.col("text")
     q = quality_features(t)
     pred = predict_lang(tokens(t))
@@ -88,6 +132,7 @@ def q60_text_profile(spark, sf_dir):
         F.when(pred == F.col("lang"), 1).otherwise(0).alias("is_match"),
         fingerprint(t).alias("fp"),
         portable_hash64(normalize_text(t)).alias("fp64"),
+        F.round(F.col("bm25"), 6).alias("bm25"),
     )
 
 

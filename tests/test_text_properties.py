@@ -316,3 +316,46 @@ def test_decontaminate_gram_boundary(spark):
         for r in decontaminate(corpus, bench, "text", "doc_id", n=5).collect()
     }
     assert hits == {1: 4, 2: 1}
+
+
+def test_bm25_matches_python_reference(spark):
+    """bm25 must equal a direct-from-the-formula Python implementation
+    (Lucene +1 IDF variant) on a corpus with repeated terms, varying
+    lengths, and a term absent from some docs."""
+    import math
+
+    from bigdatabowl2024_25_spark.operators.text import bm25
+
+    docs = [
+        (0, "data spark data table"),
+        (1, "window join group"),
+        (2, "data data data data spark window"),
+        (3, "a b c d e f g h i j k l"),
+    ]
+    terms, k1, b = ["data", "window"], 1.2, 0.75
+    toks = [d.split(" ") for _, d in docs]
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks) / n
+
+    def ref(i):
+        s = 0.0
+        for t in terms:
+            df = sum(1 for tk in toks if t in tk)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            tf = toks[i].count(t)
+            s += idf * (
+                tf * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * len(toks[i]) / avgdl))
+            )
+        return s
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25(df, "text", terms, k1=k1, b=b).collect()
+    }
+    for i in range(n):
+        assert abs(got[i] - ref(i)) < 1e-12, (i, got[i], ref(i))
+    # absent-everywhere term scores 0 for every doc
+    zero = bm25(df, "text", ["zzz"], k1=k1, b=b).collect()
+    assert all(r.bm25 == 0.0 for r in zero)
