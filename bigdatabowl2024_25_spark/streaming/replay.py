@@ -194,6 +194,48 @@ def stream_stream_join(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming deduplication: drop re-deliveries of the same logical
+    event ACROSS micro-batches (at-least-once source → exactly-once
+    downstream — the ingestion-side complement of the batch dedup
+    family in `operators/dedup.py`). Emission is append-mode: the first
+    arrival of a key passes through immediately; later arrivals —
+    whichever batch they land in — are swallowed by the key's state
+    entry.
+
+    With `watermark` (requires `ts_col`), uses
+    `dropDuplicatesWithinWatermark`: a key's state is evicted once the
+    watermark passes its last-seen event time, so state is bounded by
+    (watermark window × arrival rate) — the production configuration,
+    where duplicates are assumed to arrive within the lateness bound
+    (true for source retries/replays, the case this exists for).
+    Without it, plain `dropDuplicates` state never ages out: correct
+    for bounded replays and backfills that must equal batch DISTINCT
+    exactly (q93's 'dedup' branch), unbounded for continuous streams.
+
+    Caveat (pinned by test_dedup_stream_cross_batch): under a
+    watermark, rows older than the advanced watermark are dropped as
+    LATE — correct for live streams, lossy for historical replays
+    whose micro-batches are not time-ordered. Replays/backfills should
+    use the unwatermarked variant or a watermark wider than the
+    replayed span.
+
+    Scale: state is hash-partitioned by key in the state store; the
+    dedup itself is one shuffle on the key columns."""
+    if watermark is not None:
+        if ts_col is None:
+            raise ValueError("dedup_stream: watermark requires ts_col")
+        return stream.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(keys)
+    return stream.dropDuplicates(keys)
+
+
 def incremental_to_parquet(
     stream: DataFrame, out_path: str, checkpoint: str
 ) -> None:

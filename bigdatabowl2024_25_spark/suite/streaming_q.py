@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..sources.io import load_table
 from ..streaming.replay import (
+    dedup_stream,
     session_slices,
     stateful_running_totals,
     stream_from_dir,
@@ -94,6 +95,12 @@ def _drain(agg, prefix, mode="complete"):
            COUNT(*) AS n_events, CAST(NULL AS DOUBLE) AS sum_value
     FROM events GROUP BY user_id
     UNION ALL
+    SELECT 'dedup' AS kind, user_id,
+           CAST(NULL AS BIGINT) AS win_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+    UNION ALL
     SELECT 'join' AS kind, c.user_id,
            CAST(NULL AS BIGINT) AS win_start_us,
            COUNT(*) AS n_events,
@@ -117,7 +124,10 @@ def q93_streaming_windows(spark, sf_dir):
     W2's cross-batch running totals), and (d, round 6) a stream-stream
     range join (`stream_stream_join`, clicks ⋈ views within a 24 h
     lookback — the streaming analogue of the q35/q36 as-of/range
-    joins), each drained via availableNow and union-tagged.
+    joins), and (e, round 6) cross-batch streaming dedup
+    (`dedup_stream` over an input with planted re-deliveries — see the
+    branch comment below), each drained via availableNow and
+    union-tagged.
 
     The stateful branch keeps only its COUNTS: per-key event counts
     grow monotonically across update-mode emissions, so max(n_events)
@@ -229,6 +239,43 @@ def q93_streaming_windows(spark, sf_dir):
             )
         )
 
+        # streaming-dedup branch (round 6): a SECOND input dir planted
+        # with re-deliveries — every user_id % 7 == 0 event written
+        # twice — replayed over 4 micro-batches so duplicates land in
+        # DIFFERENT batches than their originals. `dedup_stream` must
+        # swallow them via cross-batch state; after a full drain the
+        # per-user rollup equals the batch aggregate over the CLEAN
+        # events table, which is the oracle.
+        ev_id = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        dupes = ev_id.filter(F.col("user_id") % 7 == 0)
+        ev_id.unionByName(dupes).repartition(4).write.parquet(
+            f"{tmp}/in_dup"
+        )
+        dup_schema = spark.read.parquet(f"{tmp}/in_dup").schema
+        clean = dedup_stream(
+            stream_from_dir(spark, f"{tmp}/in_dup", dup_schema),
+            keys=["event_id"],
+        )
+        clean_tbl, q5 = _drain(clean, "q93_dedup", mode="append")
+        deduped = (
+            clean_tbl.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast(DEC))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                F.lit("dedup").alias("kind"),
+                "user_id",
+                F.lit(None).cast("bigint").alias("win_start_us"),
+                "n_events",
+                "sum_value",
+            )
+        )
+
         # the memory sink tables are driver-resident and tiny (one row
         # per user×window); localCheckpoint pins the rows so the temp
         # dir and memory sinks can be torn down
@@ -236,10 +283,12 @@ def q93_streaming_windows(spark, sf_dir):
             tumb.unionByName(sess)
             .unionByName(state)
             .unionByName(joined)
+            .unionByName(deduped)
             .localCheckpoint()
         )
         q1.stop()
         q2.stop()
         q3.stop()
         q4.stop()
+        q5.stop()
     return out

@@ -711,3 +711,48 @@ def test_spark_audio_video_paths(spark):
         for r in multimodal.decode_video(vdf, every_n=2).collect()
     }
     assert sampled[0].n_frames == 2
+
+
+def test_dedup_stream_cross_batch(spark, tmp_path):
+    """Streaming dedup must swallow re-deliveries that land in a
+    DIFFERENT micro-batch than the original: a doubled subset of events
+    split over several files must drain to exactly the batch-distinct
+    set, and the raw (undeduped) stream must show the inflation."""
+    from bigdatabowl2024_25_spark.sources.io import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    dupes = events.filter(F.col("user_id") % 5 == 0)
+    path = str(tmp_path / "dedup_src")
+    events.unionByName(dupes).repartition(4).write.parquet(path)
+
+    static = spark.read.parquet(path)
+    n_raw = static.count()
+    n_distinct = events.count()
+    assert n_raw > n_distinct  # duplicates really planted
+
+    clean = replay.dedup_stream(
+        replay.stream_from_dir(spark, path, static.schema),
+        keys=["event_id"],
+    )
+    replay.run_to_memory(clean, "dedup_test", mode="append")
+    got = spark.table("dedup_test")
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
+
+    # watermarked production path (dropDuplicatesWithinWatermark).
+    # The replay's files are RANDOM time slices, so a tight watermark
+    # would advance past later batches and drop their rows as late
+    # data (correct streaming semantics, wrong for a full-history
+    # replay — verified: "1 hour" keeps only ~55%). A watermark wider
+    # than the table's whole time span exercises the same operator
+    # with nothing late: the drain must equal batch-distinct exactly.
+    wm = replay.dedup_stream(
+        replay.stream_from_dir(spark, path, static.schema),
+        keys=["event_id"],
+        ts_col="ts",
+        watermark="3650 days",
+    )
+    replay.run_to_memory(wm, "dedup_wm_test", mode="append")
+    assert spark.table("dedup_wm_test").count() == n_distinct
