@@ -212,10 +212,9 @@ def hash_split(
     external system can reproduce the split), and partition-order-free
     by construction. `salt` versions the split without touching keys.
     Filters stay in codegen; no shuffle, no RNG state."""
-    from .operators.text import portable_hash64
+    from .operators.text import tagged_hash64
 
-    key = F.concat_ws("\x1f", F.lit(salt), *[F.col(c) for c in key_cols])
-    bucket = portable_hash64(key) % 100
+    bucket = tagged_hash64(salt, *[F.col(c) for c in key_cols]) % 100
     return df.filter(bucket >= test_pct), df.filter(bucket < test_pct)
 
 

@@ -33,18 +33,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import portable_hash64
-
-#: portable_hash64 yields 15 hex digits → uniform on [0, 16^15)
-_HASH_SPAN = 16**15
+from .text import HASH64_SPAN, tagged_hash64
 
 
 def hash_uniform(key: Column, seed: str = "sample:v1") -> Column:
-    """Deterministic uniform [0,1) from a row key: the 60-bit portable
-    hash of (seed, key), scaled. Distinct seeds give independent draws
-    over the same keys (versioned re-sampling without touching data)."""
-    tagged = F.concat_ws("\x1f", F.lit(seed), key.cast("string"))
-    return portable_hash64(tagged) / F.lit(float(_HASH_SPAN))
+    """Deterministic uniform [0,1) from a row key: the 60-bit keyed
+    hash (`text.tagged_hash64` — the same convention `ml.hash_split`
+    uses), scaled. Distinct seeds give independent draws over the same
+    keys (versioned re-sampling without touching data)."""
+    return tagged_hash64(seed, key.cast("string")) / F.lit(
+        float(HASH64_SPAN)
+    )
 
 
 def hash_sample(

@@ -33,6 +33,20 @@ def portable_hash64(col: Column, seed: int | None = None) -> Column:
     )
 
 
+#: value span of portable_hash64: 15 hex digits → [0, 16^15)
+HASH64_SPAN = 16**15
+
+
+def tagged_hash64(tag: str, *keys: Column) -> Column:
+    """THE keyed-hash convention: portable_hash64 of the tag and key
+    columns joined by the ``\\x1f`` unit separator. Every deterministic
+    membership/order operator (`ml.hash_split`,
+    `sampling.hash_uniform`) and its DuckDB oracle mirror reproduce
+    exactly this byte layout — change it ONLY here (and in the oracle
+    generators) or splits/samples silently desynchronize."""
+    return portable_hash64(F.concat_ws("\x1f", F.lit(tag), *keys))
+
+
 def tokens(text: Column, sep: str = " ") -> Column:
     """Whitespace tokenization (documents are single-space separated)."""
     return F.split(text, sep)

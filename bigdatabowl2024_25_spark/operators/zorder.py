@@ -57,10 +57,17 @@ def with_zvalue(
     rank-free, so no extra shuffle before the write's range exchange.
     (Min/max quantization is skew-sensitive where rank isn't; for
     heavy-tailed columns pre-transform, e.g. log, before calling.)
-    Nulls quantize to 0 (sort first, prune like the minimum)."""
+    Nulls and NaNs quantize to 0 (sort first, prune like the minimum —
+    NaNs must be scrubbed BEFORE the stats agg: Spark's max() sorts
+    NaN above every number, so one corrupt row would otherwise poison
+    the span and silently zero the whole dimension's clustering)."""
+    def clean(c: str) -> Column:
+        d = F.col(c).cast("double")
+        return F.when(F.isnan(d), F.lit(None)).otherwise(d)
+
     stats = df.agg(
-        *[F.min(c).cast("double").alias(f"__mn_{i}") for i, c in enumerate(cols)],
-        *[F.max(c).cast("double").alias(f"__mx_{i}") for i, c in enumerate(cols)],
+        *[F.min(clean(c)).alias(f"__mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(clean(c)).alias(f"__mx_{i}") for i, c in enumerate(cols)],
     )
     j = df.crossJoin(F.broadcast(stats))
     top = float(2**bits - 1)
@@ -69,10 +76,13 @@ def with_zvalue(
         mn, mx = F.col(f"__mn_{i}"), F.col(f"__mx_{i}")
         span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
         q = F.floor(
-            (F.coalesce(F.col(c).cast("double"), mn) - mn) / span * top
+            (F.coalesce(clean(c), mn) - mn) / span * top
         ).cast("bigint")
-        # guard the max row itself landing on 2^bits (floor of exactly top)
-        quant.append(F.least(q, F.lit(int(top))))
+        # coalesce BEFORE least: an all-NULL column gives mn NULL ⇒ q
+        # NULL, and least() ignores NULL args (would return top, not
+        # NULL) — so pin the nulls→0 contract first, then least()
+        # guards the max row landing on 2^bits (floor of exactly top)
+        quant.append(F.least(F.coalesce(q, F.lit(0)), F.lit(int(top))))
     z = interleave_bits(quant, bits)
     drop = [f"__mn_{i}" for i in range(len(cols))] + [
         f"__mx_{i}" for i in range(len(cols))

@@ -108,7 +108,10 @@ def q60_text_profile(spark, sf_dir):
     stopword-hit argmax with fixed tie preference, and md5 + portable
     60-bit fingerprints (the dedup layer's numeric key). At 100 TB this
     is THE text-feature extraction pass: every column codegen'd
-    JVM-side, zero shuffles, zero Python."""
+    JVM-side, zero Python. Round 6 adds BM25 relevance (`text.bm25`),
+    which costs one single-row stats aggregate (a SinglePartition
+    exchange of one row, broadcast back) and a second corpus scan —
+    the per-document columns themselves remain shuffle-free maps."""
     d = bm25(
         load_table(spark, sf_dir, "documents"),
         "text",

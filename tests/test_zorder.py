@@ -58,6 +58,25 @@ def test_with_zvalue_quantization_edges(spark):
     assert 0 < rows[(50.0, 7.0)] < rows[(100.0, 7.0)]
 
 
+def test_with_zvalue_nan_and_all_null(spark):
+    """A NaN row must quantize to the minimum stripe WITHOUT poisoning
+    the other rows' span (Spark max() sorts NaN above every number),
+    and an all-NULL column quantizes to 0 everywhere as documented."""
+    df = spark.createDataFrame(
+        [(0.0, None), (50.0, None), (100.0, None), (float("nan"), None)],
+        "a double, b double",
+    )
+    rows = {
+        r["a"]: r["__z"] for r in with_zvalue(df, ["a", "b"], bits=8).collect()
+    }
+    nan_key = next(k for k in rows if k != k)  # NaN != NaN
+    assert rows[nan_key] == 0
+    assert rows[0.0] == 0
+    # span must still be [0,100] → max hits the top stripe
+    assert rows[100.0] == ref_morton([255, 0], 8)
+    assert 0 < rows[50.0] < rows[100.0]
+
+
 def _file_stats(path: str, col_idx: dict[str, int]):
     """Per-file (min, max) for the given columns from parquet row-group
     metadata — the exact stats a scan prunes on."""
