@@ -213,6 +213,34 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Repetition-based quality signals (the Gopher App. A family —
+    Rae et al. 2021 filter on duplicate-line and repeated-n-gram
+    fractions; these docs are single-line, so the word-level pair):
+
+    - ``dup_word_frac``: fraction of tokens that are repeats of an
+      earlier token, ``1 − distinct/total``.
+    - ``top_bigram_frac``: fraction of all word bigrams taken by the
+      most frequent one (high ⇒ loops/boilerplate).
+
+    Both are per-row array expressions — O(k²) in the ~doc-length k
+    for the bigram mode, but constant per row and embarrassingly
+    parallel: no shuffle, no UDF, scales as a map."""
+    w = tokens(text)
+    n = F.size(w)
+    dup = F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n
+    grams = word_shingles(w, 2)
+    ng = F.size(grams)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    top_frac = F.when(ng > 0, top.cast("double") / ng).otherwise(F.lit(0.0))
+    return {"dup_word_frac": dup, "top_bigram_frac": top_frac}
+
+
 def bm25(
     df,
     text_col: str,

@@ -15,6 +15,7 @@ from ..operators.text import (
     predict_lang,
     quality_features,
     regex_token_count,
+    repetition_features,
     tokens,
 )
 from ..sources.io import load_table
@@ -40,6 +41,12 @@ _PRED = (
 # ---- BM25 branch: fixed query terms over the corpus ------------------
 
 _BM25_TERMS = ["data", "spark", "window"]
+
+#: word bigrams (mirror of operators.text.word_shingles(w, 2))
+_GRAMS2 = (
+    "list_transform(range(1, greatest(len(string_split(text,' ')), 1)), "
+    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])"
+)
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
@@ -95,7 +102,14 @@ _BM25_SCORE = " + ".join(
                md5(trim(regexp_replace(regexp_replace(lower(text),
                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 15))
              AS BIGINT) AS fp64,
-           ROUND({_BM25_SCORE}, 6) AS bm25
+           ROUND({_BM25_SCORE}, 6) AS bm25,
+           1.0 - CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                 / len(string_split(text,' ')) AS dup_word_frac,
+           CASE WHEN len({_GRAMS2}) > 0 THEN
+               CAST(list_max(list_transform(list_distinct({_GRAMS2}),
+                    g -> len(list_filter({_GRAMS2}, x -> x = g))))
+                    AS DOUBLE) / len({_GRAMS2})
+           ELSE 0.0 END AS top_bigram_frac
     FROM documents CROSS JOIN ({_BM25_STATS}) s
     """,
 )
@@ -121,6 +135,7 @@ def q60_text_profile(spark, sf_dir):
     )
     t = F.col("text")
     q = quality_features(t)
+    rep = repetition_features(t)
     pred = predict_lang(tokens(t))
     return d.select(
         "doc_id",
@@ -136,6 +151,8 @@ def q60_text_profile(spark, sf_dir):
         fingerprint(t).alias("fp"),
         portable_hash64(normalize_text(t)).alias("fp64"),
         F.round(F.col("bm25"), 6).alias("bm25"),
+        rep["dup_word_frac"].alias("dup_word_frac"),
+        rep["top_bigram_frac"].alias("top_bigram_frac"),
     )
 
 

@@ -359,3 +359,28 @@ def test_bm25_matches_python_reference(spark):
     # absent-everywhere term scores 0 for every doc
     zero = bm25(df, "text", ["zzz"], k1=k1, b=b).collect()
     assert all(r.bm25 == 0.0 for r in zero)
+
+
+def test_repetition_features_reference(spark):
+    """Repetition signals against hand-computed values: a no-repeat
+    doc scores 0, a fully-repeated doc approaches 1, and the bigram
+    mode counts overlapping occurrences like the direct formula."""
+    from bigdatabowl2024_25_spark.operators.text import repetition_features
+
+    docs = [
+        (0, "a b c d"),           # all distinct: dup 0, each bigram once
+        (1, "x x x x"),           # dup 3/4; bigram "x x" 3/3
+        (2, "a b a b a"),         # dup 3/5; "a b" 2 of 4 bigrams
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rep = repetition_features(F.col("text"))
+    rows = {
+        r.doc_id: (r.d, r.t)
+        for r in df.select(
+            "doc_id", rep["dup_word_frac"].alias("d"),
+            rep["top_bigram_frac"].alias("t"),
+        ).collect()
+    }
+    assert rows[0] == (0.0, 1.0 / 3.0)
+    assert rows[1] == (0.75, 1.0)
+    assert rows[2] == (1.0 - 2.0 / 5.0, 0.5)  # 2 distinct of 5 tokens
