@@ -76,6 +76,35 @@ def weighted_domain_sample(
     return df.filter(hash_uniform(F.col(key_col), seed) < rate)
 
 
+def stratified_fixed_k(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int,
+    seed: str = "strata:v1",
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, deterministically: rank
+    each group by the keyed hash and keep the first k. The distributed,
+    re-runnable replacement for per-group reservoir sampling —
+    membership is a pure function of (seed, keys), so eval-set draws
+    are reproducible and append-stable for untouched groups.
+
+    Cost: ONE shuffle on `group_col` for the window rank (same as any
+    per-group top-k); skewed group sizes are bounded by the window's
+    streaming rank, not materialized per-group state. The hash is
+    unique per key with overwhelming probability, but `key_col` breaks
+    hypothetical ties so the result is total-order deterministic."""
+    from pyspark.sql import Window
+
+    u = hash_uniform(F.col(key_col), seed)
+    w = Window.partitionBy(group_col).orderBy(u, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, key_col: str, seed: str = "shuffle:v1"
 ) -> DataFrame:

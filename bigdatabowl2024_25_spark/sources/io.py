@@ -192,3 +192,49 @@ def assert_unique_key(df: DataFrame, keys: list[str]) -> None:
     dup = df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
     if dup:
         raise ValueError(f"duplicate key {keys}")
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+):
+    """JSONL source — the de-facto interchange format for training
+    corpora. An EXPLICIT schema is required: at 100 TB, schema
+    inference is a full extra pass over the data and a determinism
+    hazard (sampled inference can flip types between runs).
+
+    Malformed lines survive in `corrupt_col` (PERMISSIVE mode) instead
+    of failing the job or silently disappearing — at corpus scale some
+    fraction of lines IS broken, and dropping them must be an explicit,
+    measurable decision (`filter(col(corrupt_col).isNull())`), not a
+    side effect. Spark requires the corrupt column to be part of the
+    schema, so it is appended here.
+
+    Caveat (Spark restriction, pinned in test_sources): a query whose
+    referenced columns are ONLY the corrupt column (e.g.
+    ``filter(corrupt.isNotNull()).count()``) raises
+    UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — Spark
+    refuses to re-parse the file just for error bookkeeping. Quarantine
+    flows should select data columns alongside it (writing bad lines
+    out with their payload — which a real quarantine does anyway) or
+    cache() first when only counting."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    full = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """JSONL sink (partition-parallel unless a single file is asked
+    for — same policy as `write_csv`)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)

@@ -77,3 +77,39 @@ def test_deterministic_shuffle_order(spark):
         ).collect()
     ]
     assert c != expected and sorted(c) == list(range(120))
+
+
+def test_stratified_fixed_k(spark):
+    """Exactly min(k, group size) per group, identical membership under
+    repartitioning, and append-stability: adding a NEW group never
+    changes existing groups' draws."""
+    from bigdatabowl2024_25_spark.operators.sampling import stratified_fixed_k
+
+    df = _df(spark, 250).withColumn("g", (F.col("k") % 4).cast("string"))
+    # group '3' made tiny: only rows < 8 (8 % 4 == 3 pattern keeps 2)
+    df = df.filter((F.col("g") != "3") | (F.col("k") < 8))
+    out = stratified_fixed_k(df, "k", "g", 10).collect()
+    sizes: dict[str, int] = {}
+    for r in out:
+        sizes[r.g] = sizes.get(r.g, 0) + 1
+    assert sizes["0"] == sizes["1"] == sizes["2"] == 10
+    assert sizes["3"] == 2  # min(k, |group|)
+
+    a = sorted(r.k for r in out)
+    b = sorted(
+        r.k
+        for r in stratified_fixed_k(df.repartition(9), "k", "g", 10).collect()
+    )
+    assert a == b
+
+    grown = df.unionByName(
+        _df(spark, 40).select(
+            (F.col("k") + 1000).alias("k"), F.lit("9").alias("g")
+        )
+    )
+    c = sorted(
+        r.k
+        for r in stratified_fixed_k(grown, "k", "g", 10).collect()
+        if r.g != "9"
+    )
+    assert c == a

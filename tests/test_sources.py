@@ -143,3 +143,52 @@ def test_events_ts_drift_tolerance(spark, tmp_path):
         assert results["nanos"] == micros
     finally:
         spark.conf.set("spark.sql.session.timeZone", prior_tz)
+
+
+def test_jsonl_roundtrip_and_corrupt_lines(spark, tmp_path):
+    """JSONL sink/source roundtrip is lossless, and malformed lines
+    land in the corrupt-record column instead of failing the scan or
+    silently vanishing (PERMISSIVE contract at corpus scale)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdatabowl2024_25_spark.sources.io import read_jsonl, write_jsonl
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(50)], schema
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, path)
+    # cache: corrupt-column-only queries on a raw scan are refused
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    back = read_jsonl(spark, f"{path}/part-*.json", schema).cache()
+    assert back.filter(F.col("_corrupt_record").isNotNull()).count() == 0
+    assert sorted(
+        (r.doc_id, r.text) for r in back.drop("_corrupt_record").collect()
+    ) == sorted((r.doc_id, r.text) for r in df.collect())
+
+    # hand-write a file with a broken line in the middle
+    bad = tmp_path / "mixed.json"
+    bad.write_text(
+        '{"doc_id": 1, "text": "ok one"}\n'
+        "{not json at all\n"
+        '{"doc_id": 2, "text": "ok two"}\n'
+    )
+    got = read_jsonl(spark, str(bad), schema).cache()
+    assert got.count() == 3
+    corrupt = got.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(corrupt) == 1 and "not json" in corrupt[0]._corrupt_record
+    assert {
+        r.doc_id for r in got.filter(F.col("_corrupt_record").isNull()).collect()
+    } == {1, 2}
