@@ -27,6 +27,7 @@ from pyspark.sql.types import (
 from ..operators.sampling import (
     hash_sample,
     hash_uniform,
+    stratified_fixed_k,
     weighted_domain_sample,
 )
 from ..sources.io import (
@@ -110,6 +111,18 @@ _DIGEST_SQL = """
            CAST(arg_max(s_suppkey, u) AS BIGINT) AS name_chars
     FROM (SELECT *, {_u_sql('shuffle:v1')} AS u FROM supplier)
     GROUP BY s_nationkey
+    UNION ALL
+    SELECT 'strata' AS kind, CAST(s_nationkey AS BIGINT) AS nation,
+           COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+           CAST(SUM(LENGTH(s_name)) AS BIGINT) AS name_chars
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY s_nationkey
+            ORDER BY {_u_sql('strata:v1')}, s_suppkey
+        ) AS rn
+        FROM supplier
+    ) WHERE rn <= 3
+    GROUP BY s_nationkey
     """
     ),
 )
@@ -135,8 +148,10 @@ def q95_source_sink_roundtrip(spark, sf_dir):
     'shuffle' pins the pseudorandom corpus order by reporting each
     nation's first and last supplier under the keyed hash order
     (min_by/max_by — order-free aggregates that still hash-verify the
-    permutation). All three are membership/order functions of the key
-    alone, reproduced bit-for-bit by the DuckDB oracle.
+    permutation), and 'strata' digests `stratified_fixed_k`'s exact
+    3-per-nation draw (the oracle re-ranks with the same keyed hash).
+    All are membership/order functions of the key alone, reproduced
+    bit-for-bit by the DuckDB oracle.
     """
     sup = load_table(spark, sf_dir, "supplier")
     assert_unique_key(sup, ["s_suppkey"])  # S7
@@ -152,6 +167,9 @@ def q95_source_sink_roundtrip(spark, sf_dir):
             _MIX_RATES,
         ),
         "mix",
+    )
+    strata = _digest(
+        stratified_fixed_k(sup, "s_suppkey", "s_nationkey", 3), "strata"
     )
     u = hash_uniform(F.col("s_suppkey"), "shuffle:v1")
     shuffled = (
@@ -189,6 +207,7 @@ def q95_source_sink_roundtrip(spark, sf_dir):
             .unionByName(sampled)
             .unionByName(mixed)
             .unionByName(shuffled)
+            .unionByName(strata)
         )
         rows = out.collect()
     finally:
