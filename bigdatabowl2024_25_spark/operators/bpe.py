@@ -1,0 +1,147 @@
+"""Distributed BPE tokenizer induction (Sennrich et al. 2016) — the
+"train a tokenizer on the corpus" step of an LLM data pipeline,
+expressed Spark-first.
+
+The scaling trick is the same one production tokenizer trainers use:
+collapse the corpus to (distinct word, count) FIRST. That is the only
+corpus-scale operation (one explode + one groupBy shuffle); every
+merge iteration then runs on the vocab-sized table — at 100 TB the
+corpus might be 10^11 words but the distinct vocab is 10^6-10^7 rows,
+so iterations are cheap, distributed, and independent of corpus size.
+
+Each iteration: count symbol pairs weighted by word frequency (map +
+vocab-shuffle), pick the global argmax (a 1-row driver collect —
+inherent to the sequential-merge algorithm, same pattern as connected
+components' convergence probe), and rewrite the symbol arrays with a
+single-pass left-to-right fold (O(word length) interpreted lambda per
+VOCAB row, not per corpus row).
+
+Tie-breaks are lexicographic on the pair, so the merge sequence is a
+pure function of the corpus — engine- and layout-independent
+(pinned against a pure-Python reference in tests/test_bpe.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def _merge_pair(symbols: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) → a+b in one fold
+    pass: if the fold's last emitted symbol is `a` and the next is
+    `b`, replace the tail; merged tokens never cascade within the same
+    pass (classic BPE single-merge semantics)."""
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(a + b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, n) over the corpus — THE corpus-scale step: one explode
+    + one map-side-combined groupBy; everything downstream is
+    vocab-sized."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    end_of_word: str = "</w>",
+) -> list[tuple[str, str]]:
+    """Learn `n_merges` BPE merges from the corpus; returns them in
+    order. Words are split to characters plus an end-of-word marker
+    (so suffixes and whole words tokenize differently, per the paper).
+
+    The per-iteration driver collect is ONE row (the argmax pair);
+    the vocab table is cached and localCheckpoint-compacted every few
+    rounds to keep the lineage flat — the same discipline as the
+    iterative connected-components operator."""
+    vocab = word_frequencies(df, text_col).withColumn(
+        "syms",
+        F.concat(
+            F.split(F.col("word"), ""),
+            F.array(F.lit(end_of_word)),
+        ),
+    ).select("syms", "n")
+    vocab = vocab.localCheckpoint()
+
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda x, y: F.struct(
+                            x.alias("a"), y.alias("b")
+                        ),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+        ).limit(1).collect()
+        if not best or best[0].cnt < 2:
+            break  # nothing left worth merging
+        a, b = best[0].a, best[0].b
+        merges.append((a, b))
+        vocab = vocab.select(
+            _merge_pair(F.col("syms"), a, b).alias("syms"), "n"
+        )
+        if (i + 1) % 8 == 0:  # flatten lineage periodically
+            vocab = vocab.localCheckpoint()
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "bpe_tokens",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Tokenize with a learned merge list: per word, split to chars
+    and apply every merge in training order (the standard greedy BPE
+    encoder). Pure per-row array expressions — the merge list is baked
+    into the plan as literals, so encoding is a shuffle-free map over
+    the corpus; cost is O(len(merges) · word length) per word.
+
+    For production-sized merge lists (30k+), bake the merges into a
+    broadcast ranking dict inside a Pandas UDF instead — this
+    expression form is for the moderate lists the tests and the q60
+    world use."""
+    def encode_word(word: Column) -> Column:
+        syms = F.concat(F.split(word, ""), F.array(F.lit(end_of_word)))
+        for a, b in merges:
+            syms = _merge_pair(syms, a, b)
+        return syms
+
+    return df.withColumn(
+        out_col,
+        F.flatten(
+            F.transform(tokens(F.col(text_col)), encode_word)
+        ),
+    )

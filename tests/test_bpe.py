@@ -1,0 +1,96 @@
+"""BPE induction against a direct-from-the-paper Python reference:
+identical merge sequences (including lexicographic tie-breaks) and an
+encoder that reproduces the reference segmentation."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from bigdatabowl2024_25_spark.operators.bpe import (
+    bpe_encode,
+    bpe_train,
+    word_frequencies,
+)
+
+EOW = "</w>"
+
+
+def ref_bpe(texts: list[str], n_merges: int):
+    """Sennrich et al. alg. 1 over word frequencies, ties broken by
+    (count desc, pair asc)."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            vocab[tuple(list(w) + [EOW])] += 1
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, n in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        new_vocab: Counter = Counter()
+        for syms, n in vocab.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] += n
+        vocab = new_vocab
+    return merges
+
+
+def ref_encode(text: str, merges) -> list[str]:
+    out: list[str] = []
+    for w in text.split(" "):
+        syms = list(w) + [EOW]
+        for a, b in merges:
+            nxt: list[str] = []
+            for x in syms:
+                if nxt and nxt[-1] == a and x == b:
+                    nxt[-1] = a + b
+                else:
+                    nxt.append(x)
+            syms = nxt
+        out.extend(syms)
+    return out
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wide wider widest new low",
+    "low low low newer wide",
+]
+
+
+def test_bpe_train_matches_reference(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    got = bpe_train(df, "text", n_merges=12)
+    want = ref_bpe(TEXTS, 12)
+    assert got == want
+    # determinism under partitioning
+    got2 = bpe_train(df.repartition(5), "text", n_merges=12)
+    assert got2 == want
+
+
+def test_bpe_encode_matches_reference(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    merges = bpe_train(df, "text", n_merges=10)
+    rows = bpe_encode(df, "text", merges).collect()
+    for r in rows:
+        assert list(r.bpe_tokens) == ref_encode(r.text, merges)
+
+
+def test_word_frequencies(spark):
+    df = spark.createDataFrame([("a b a",), ("b a",)], "text string")
+    wf = {r.word: r.n for r in word_frequencies(df, "text").collect()}
+    assert wf == {"a": 3, "b": 2}
