@@ -52,9 +52,13 @@ def _merge_pair(symbols: Column, a: str, b: str) -> Column:
 def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
     """(word, n) over the corpus — THE corpus-scale step: one explode
     + one map-side-combined groupBy; everything downstream is
-    vocab-sized."""
+    vocab-sized. Empty words (split() yields '' for leading/trailing/
+    double whitespace) are dropped — otherwise a phantom ('', '</w>')
+    pair would consume a merge slot on any corpus with irregular
+    whitespace (same filter as text.pack_documents)."""
     return (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
@@ -81,7 +85,10 @@ def bpe_train(
             F.array(F.lit(end_of_word)),
         ),
     ).select("syms", "n")
+    from .components import _release_checkpoint
+
     vocab = vocab.localCheckpoint()
+    prev_ckpt = vocab
 
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
@@ -113,6 +120,8 @@ def bpe_train(
         )
         if (i + 1) % 8 == 0:  # flatten lineage periodically
             vocab = vocab.localCheckpoint()
+            _release_checkpoint(prev_ckpt)  # bound storage to one copy
+            prev_ckpt = vocab
     return merges
 
 
@@ -139,9 +148,10 @@ def bpe_encode(
             syms = _merge_pair(syms, a, b)
         return syms
 
+    # drop empty words before encoding — mirrors word_frequencies, so
+    # irregular whitespace never emits ''/'</w>' tokens
+    words = F.filter(tokens(F.col(text_col)), lambda w: w != F.lit(""))
     return df.withColumn(
         out_col,
-        F.flatten(
-            F.transform(tokens(F.col(text_col)), encode_word)
-        ),
+        F.flatten(F.transform(words, encode_word)),
     )

@@ -229,8 +229,12 @@ def repetition_features(text: Column) -> dict[str, Column]:
     (The obvious `transform(distinct, g -> count in grams)` nesting is
     O(k²) in interpreted lambda dispatches and measured 9× slower on
     the whole q60 pass — same lesson as winnowing's array-native
-    negative result: keep interpreted lambda work linear.)"""
-    w = tokens(text)
+    negative result: keep interpreted lambda work linear.)
+
+    Empty tokens from irregular whitespace are dropped first — 'a  b'
+    must not count a phantom repeat ('' twice) nor feed 'a '/' b'
+    bigrams (same filter as pack_documents)."""
+    w = F.filter(tokens(text), lambda x: x != F.lit(""))
     n = F.size(w)
     dup = F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n
     grams = word_shingles(w, 2)

@@ -222,9 +222,12 @@ def read_jsonl(
     cache() first when only counting."""
     from pyspark.sql.types import StringType, StructField, StructType
 
-    full = StructType(
-        list(schema.fields) + [StructField(corrupt_col, StringType())]
-    )
+    fields = list(schema.fields)
+    # re-reading a quarantine output with a schema taken from a prior
+    # read_jsonl result must not duplicate the corrupt column
+    if corrupt_col not in schema.fieldNames():
+        fields.append(StructField(corrupt_col, StringType()))
+    full = StructType(fields)
     return (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")

@@ -42,10 +42,14 @@ _PRED = (
 
 _BM25_TERMS = ["data", "spark", "window"]
 
+#: non-empty words (repetition features drop ''-tokens from irregular
+#: whitespace, mirroring operators.text.repetition_features)
+_W_NE = "list_filter(string_split(text,' '), w -> w <> '')"
+
 #: word bigrams (mirror of operators.text.word_shingles(w, 2))
 _GRAMS2 = (
-    "list_transform(range(1, greatest(len(string_split(text,' ')), 1)), "
-    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])"
+    f"list_transform(range(1, greatest(len({_W_NE}), 1)), "
+    f"i -> {_W_NE}[i] || ' ' || {_W_NE}[i+1])"
 )
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -103,8 +107,8 @@ _BM25_SCORE = " + ".join(
                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 15))
              AS BIGINT) AS fp64,
            ROUND({_BM25_SCORE}, 6) AS bm25,
-           1.0 - CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-                 / len(string_split(text,' ')) AS dup_word_frac,
+           1.0 - CAST(len(list_distinct({_W_NE})) AS DOUBLE)
+                 / len({_W_NE}) AS dup_word_frac,
            CASE WHEN len({_GRAMS2}) > 0 THEN
                CAST(list_max(list_transform(list_distinct({_GRAMS2}),
                     g -> len(list_filter({_GRAMS2}, x -> x = g))))

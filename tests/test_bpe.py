@@ -21,6 +21,8 @@ def ref_bpe(texts: list[str], n_merges: int):
     vocab = Counter()
     for t in texts:
         for w in t.split(" "):
+            if w == "":  # irregular whitespace never trains a merge
+                continue
             vocab[tuple(list(w) + [EOW])] += 1
     merges = []
     for _ in range(n_merges):
@@ -51,6 +53,8 @@ def ref_bpe(texts: list[str], n_merges: int):
 def ref_encode(text: str, merges) -> list[str]:
     out: list[str] = []
     for w in text.split(" "):
+        if w == "":
+            continue
         syms = list(w) + [EOW]
         for a, b in merges:
             nxt: list[str] = []
@@ -67,8 +71,8 @@ def ref_encode(text: str, merges) -> list[str]:
 TEXTS = [
     "low lower lowest low low",
     "new newer newest new newer",
-    "wide wider widest new low",
-    "low low low newer wide",
+    "wide  wider widest new low",   # double space: no phantom '' word
+    "low low low newer wide ",      # trailing space likewise
 ]
 
 

@@ -192,3 +192,29 @@ def test_jsonl_roundtrip_and_corrupt_lines(spark, tmp_path):
     assert {
         r.doc_id for r in got.filter(F.col("_corrupt_record").isNull()).collect()
     } == {1, 2}
+
+
+def test_read_jsonl_schema_already_has_corrupt_col(spark, tmp_path):
+    """Re-ingesting a quarantine output whose schema already carries
+    the corrupt column must not create a duplicate field."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdatabowl2024_25_spark.sources.io import read_jsonl
+
+    f = tmp_path / "one.json"
+    f.write_text('{"doc_id": 7, "text": "kept"}\n')
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    got = read_jsonl(spark, str(f), schema)
+    assert got.schema.fieldNames().count("_corrupt_record") == 1
+    assert got.count() == 1

@@ -384,3 +384,23 @@ def test_repetition_features_reference(spark):
     assert rows[0] == (0.0, 1.0 / 3.0)
     assert rows[1] == (0.75, 1.0)
     assert rows[2] == (1.0 - 2.0 / 5.0, 0.5)  # 2 distinct of 5 tokens
+
+
+def test_repetition_features_ignore_empty_tokens(spark):
+    """Irregular whitespace must not register phantom repeats or
+    space-polluted bigrams: 'a  b c' has no duplicate words."""
+    from bigdatabowl2024_25_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [(0, "a  b c"), (1, "x  x  x")], "doc_id long, text string"
+    )
+    rep = repetition_features(F.col("text"))
+    rows = {
+        r.doc_id: (r.d, r.t)
+        for r in df.select(
+            "doc_id", rep["dup_word_frac"].alias("d"),
+            rep["top_bigram_frac"].alias("t"),
+        ).collect()
+    }
+    assert rows[0] == (0.0, 0.5)        # bigrams: 'a b', 'b c'
+    assert rows[1] == (1.0 - 1.0 / 3.0, 1.0)  # all 'x x'
