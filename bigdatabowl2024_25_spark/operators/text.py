@@ -262,6 +262,49 @@ def repetition_features(text: Column) -> dict[str, Column]:
     return {"dup_word_frac": dup, "top_bigram_frac": top_frac}
 
 
+def chunk_documents(
+    df,
+    text_col: str,
+    id_col: str,
+    size: int,
+    overlap: int = 0,
+):
+    """Split documents into fixed token windows with overlap — the
+    chunker feeding context-window-bounded training samples and RAG
+    indexes. Emits (id, chunk_id, chunk_text, n_tokens): windows start
+    every `size − overlap` tokens; the final window may be short but a
+    trailing remainder is never dropped; docs at or under `size`
+    yield exactly one chunk.
+
+    Pure codegen: `sequence` generates the starts, `slice`+`concat_ws`
+    cut each window — an explode whose fan-out is ~len/(size−overlap)
+    per doc, embarrassingly parallel, no shuffle. Empty tokens from
+    irregular whitespace are dropped first, so window boundaries are
+    word-accurate."""
+    if not 0 <= overlap < size:
+        raise ValueError("chunk_documents: need 0 <= overlap < size")
+    stride = size - overlap
+    words = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    n = F.size(words)
+    # last start s must satisfy s <= n - overlap (else the window is a
+    # pure suffix of the previous one); always at least one start
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(stride)
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+        words.alias("__words"),
+    )
+    piece = F.slice(F.col("__words"), F.col("__start"), size)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+    )
+
+
 def bm25(
     df,
     text_col: str,

@@ -404,3 +404,46 @@ def test_repetition_features_ignore_empty_tokens(spark):
     }
     assert rows[0] == (0.0, 0.5)        # bigrams: 'a b', 'b c'
     assert rows[1] == (1.0 - 1.0 / 3.0, 1.0)  # all 'x x'
+
+
+def test_chunk_documents_reference(spark):
+    """Chunk windows against a direct Python reference: full coverage
+    (every token in some chunk), overlap honored, trailing remainder
+    kept, short docs yield exactly one chunk, invalid overlap raises."""
+    import pytest
+
+    from bigdatabowl2024_25_spark.operators.text import chunk_documents
+
+    def ref(text, size, overlap):
+        words = [w for w in text.split(" ") if w != ""]
+        stride = size - overlap
+        out, s = [], 0
+        while True:
+            out.append(words[s : s + size])
+            if s + stride > max(len(words) - overlap - 1, 0):
+                break
+            s += stride
+        return out
+
+    docs = [
+        (0, " ".join(f"w{i}" for i in range(13))),
+        (1, "a b c"),                       # shorter than size
+        (2, "x  y   z q r s t u v"),        # irregular whitespace
+        (3, " ".join(f"t{i}" for i in range(12))),  # exact multiple
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for size, overlap in [(4, 0), (4, 1), (5, 2)]:
+        got: dict[int, list[list[str]]] = {}
+        rows = chunk_documents(df, "text", "doc_id", size, overlap).collect()
+        for r in rows:
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_id, r.chunk_text.split(" "), r.n_tokens)
+            )
+        for doc_id, text in docs:
+            want = ref(text, size, overlap)
+            mine = [c for _, c, _ in sorted(got[doc_id])]
+            assert mine == want, (doc_id, size, overlap, mine, want)
+            for _, c, n in got[doc_id]:
+                assert n == len(c)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", 4, 4)
