@@ -184,6 +184,95 @@ def jaccard_pairs(
     )
 
 
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    seen_keys: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact dedup of a NEW batch against an already-deduplicated
+    corpus — the daily-crawl update path, where re-deduplicating 100 TB
+    of history per batch is off the table. `seen_keys` is the running
+    key set: a single `content_key` bigint column (8 bytes/doc — the
+    ONLY state the history contributes; its text never loads).
+
+    Returns (survivors, updated_keys): survivors are the batch docs
+    that are neither in history nor duplicated within the batch
+    (keep-min-id within batch, same rule as `exact_dedup`); the second
+    frame is `seen_keys ∪ survivors' keys` to persist for the next
+    batch.
+
+    Cost: one anti-join of batch keys against the key set (shuffle on
+    8-byte keys — or broadcast while the key set is small) plus the
+    batch-internal groupBy. History is touched only through its key
+    column; with the key table bucketed by content_key the anti-join's
+    history side never reshuffles either."""
+    h = portable_hash64(normalize_text(F.col(text_col)))
+    keyed = new_df.withColumn("content_key", h)
+    fresh = keyed.join(seen_keys, "content_key", "left_anti")
+    w_min = fresh.groupBy("content_key").agg(F.min(id_col).alias("__keep"))
+    survivors = fresh.join(w_min, "content_key").filter(
+        F.col(id_col) == F.col("__keep")
+    ).drop("__keep")
+    updated = seen_keys.unionByName(
+        survivors.select("content_key")
+    ).distinct()
+    return survivors, updated
+
+
+def incremental_lsh_candidates(
+    new_df: DataFrame,
+    existing_banded: DataFrame,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup candidate generation for a new batch against corpus
+    history: returns (candidates, new_banded) where candidates pair
+    each new doc with colliding docs from history AND from within the
+    batch — but never history×history (that work was already done when
+    those docs arrived).
+
+    `existing_banded` is the running LSH state: (doc, band_key) rows,
+    16-byte md5 band keys — fixed-size per doc, append-only across
+    batches (persist `new_banded` unioned in for the next round). The
+    join shuffles band keys only; with the state table bucketed by
+    band_key, only the new batch's side moves."""
+    sh = with_shingles(new_df, "text", id_col)
+    sigs = minhash_signatures(sh, id_col, k=k)
+    r = k // bands
+    keys = [
+        F.md5(
+            F.concat_ws(
+                "_",
+                F.lit(str(b)),
+                *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)],
+            ).cast("binary")
+        )
+        for b in range(bands)
+    ]
+    new_banded = sigs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array(*keys)).alias("band_key"),
+    )
+    both = existing_banded.unionByName(new_banded)
+    n = new_banded.alias("n")
+    o = both.alias("o")
+    cands = (
+        n.join(
+            o,
+            (F.col("n.band_key") == F.col("o.band_key"))
+            & (F.col("n.doc") != F.col("o.doc")),
+        )
+        .select(
+            F.least("n.doc", "o.doc").alias("id_a"),
+            F.greatest("n.doc", "o.doc").alias("id_b"),
+        )
+        .distinct()
+    )
+    return cands, new_banded
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

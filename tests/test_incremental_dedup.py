@@ -1,0 +1,98 @@
+"""Incremental dedup — the daily-crawl update path: new batches dedup
+against running state (8-byte content keys / banded LSH rows), never
+against re-loaded history text, and never re-pair history with itself."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatabowl2024_25_spark.operators.dedup import (
+    incremental_exact_dedup,
+    incremental_lsh_candidates,
+    lsh_candidates,
+    minhash_signatures,
+    with_shingles,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_exact_dedup(spark):
+    day1 = _docs(
+        spark,
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "eta theta")],
+    )
+    empty = spark.createDataFrame([], "content_key long")
+    s1, keys1 = incremental_exact_dedup(day1, empty, "text", "doc_id")
+    assert {r.doc_id for r in s1.collect()} == {1, 2, 3}
+    assert keys1.count() == 3
+
+    day2 = _docs(
+        spark,
+        [
+            (10, "alpha beta gamma"),     # exact dup of history → dropped
+            (11, "new content here"),     # fresh → survives
+            (12, "new content here"),     # batch-internal dup → keep-min
+            (13, "ALPHA beta GAMMA!"),    # normalized dup of history
+        ],
+    )
+    s2, keys2 = incremental_exact_dedup(day2, keys1, "text", "doc_id")
+    assert {r.doc_id for r in s2.collect()} == {11}
+    assert keys2.count() == 4  # 3 history + 1 new key
+
+    # idempotence: replaying day2 against the updated keys drops all
+    s3, keys3 = incremental_exact_dedup(day2, keys2, "text", "doc_id")
+    assert s3.count() == 0 and keys3.count() == 4
+
+
+def test_incremental_lsh_candidates_no_history_pairs(spark):
+    """Cross-era and intra-batch collisions are produced; history ×
+    history pairs are NOT (their work is already done), and the
+    cross-era candidate set matches the full-rebuild funnel's pairs
+    restricted to pairs touching the new batch."""
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely different words about spark and shuffles here"),
+    ]
+    newb = [
+        # near-dup of doc 1 (tail tweak) → should band-collide with it
+        (10, "the quick brown fox jumps over the lazy dog again and often"),
+        # exact text of doc 2 under a new id
+        (11, "completely different words about spark and shuffles here"),
+        (12, "nothing like anything else in this corpus at all folks"),
+    ]
+    hist = _docs(spark, base)
+    new = _docs(spark, newb)
+
+    # build history band state the same way arrival would have
+    _, hist_banded = incremental_lsh_candidates(
+        hist, spark.createDataFrame([], "doc string, band_key string"),
+        "doc_id",
+    )
+    cands, new_banded = incremental_lsh_candidates(
+        new, hist_banded, "doc_id"
+    )
+    got = {(r.id_a, r.id_b) for r in cands.collect()}
+    # no history×history pair ever
+    assert not any(a in {1, 2} and b in {1, 2} for a, b in got)
+    # every pair touches the new batch
+    assert all(a >= 10 or b >= 10 for a, b in got)
+    # exact copy must collide with its original
+    assert (2, 11) in got
+
+    # parity with a full rebuild, restricted to pairs touching new ids
+    full = lsh_candidates(
+        minhash_signatures(
+            with_shingles(_docs(spark, base + newb), "text", "doc_id"),
+            "doc_id",
+        ),
+        "doc_id",
+    )
+    want = {
+        (r.id_a, r.id_b)
+        for r in full.collect()
+        if r.id_a >= 10 or r.id_b >= 10
+    }
+    assert got == want
