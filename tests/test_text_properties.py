@@ -447,3 +447,48 @@ def test_chunk_documents_reference(spark):
                 assert n == len(c)
     with pytest.raises(ValueError):
         chunk_documents(df, "text", "doc_id", 4, 4)
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_decontaminate_matches_python_reference(spark, seed):
+    """Property: a corpus doc is flagged iff it shares at least one
+    n-word run with some benchmark doc, with n_hits = the count of
+    distinct shared grams — checked against a direct Python set
+    implementation on random small-vocab corpora (small vocab forces
+    plenty of chance collisions, the hard case)."""
+    import random
+
+    from bigdatabowl2024_25_spark.operators.dedup import decontaminate
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(6)]
+    n = 3
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15)))
+
+    bench = [(i, doc()) for i in range(3)]
+    corpus = [(100 + i, doc()) for i in range(8)]
+
+    def grams(t):
+        ws = t.split(" ")
+        return {
+            " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+        }
+
+    bg = set().union(*(grams(t) for _, t in bench))
+    want = {
+        i: len(grams(t) & bg) for i, t in corpus if grams(t) & bg
+    }
+    got = {
+        r.doc_id: r.n_hits
+        for r in decontaminate(
+            spark.createDataFrame(corpus, "doc_id long, text string"),
+            spark.createDataFrame(bench, "doc_id long, text string"),
+            "text",
+            "doc_id",
+            n=n,
+        ).collect()
+    }
+    assert got == want
