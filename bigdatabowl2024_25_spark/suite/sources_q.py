@@ -1,5 +1,6 @@
 """Parity query for the source/sink utilities (SURVEY.md §2.1:
-S2 glob scan, S3 table write, S6 CSV sink, S7 key assert).
+S2 glob scan, S3 table write, S6 CSV sink, S7 key assert) plus the
+JSONL roundtrip and the corpus-composition sampling branches.
 
 These four were implemented in round 1 (`sources/io.py`) but only
 pytest-covered; this query gives them a driver-verified CORRECTNESS
@@ -34,7 +35,9 @@ from ..sources.io import (
     assert_unique_key,
     load_table,
     read_csv,
+    read_jsonl,
     write_csv,
+    write_jsonl,
     write_table,
 )
 from .registry import query
@@ -94,6 +97,8 @@ _DIGEST_SQL = """
         _DIGEST_SQL.format(kind="parquet", where="")
         + " UNION ALL "
         + _DIGEST_SQL.format(kind="csv", where="")
+        + " UNION ALL "
+        + _DIGEST_SQL.format(kind="jsonl", where="")
         + " UNION ALL "
         + _DIGEST_SQL.format(
             kind="sample", where=f"WHERE {_u_sql('sample:v1')} < 0.25"
@@ -198,12 +203,19 @@ def q95_source_sink_roundtrip(spark, sf_dir):
             spark, f"{csv_path}/part-*.csv", _CSV_SCHEMA
         )
 
+        jl_path = f"{tmp}/supplier_jsonl"  # the LLM-corpus format
+        write_jsonl(sup.select(*_CSV_COLS), jl_path)
+        back_jl = read_jsonl(
+            spark, f"{jl_path}/part-*.json", _CSV_SCHEMA
+        ).drop("_corrupt_record")
+
         # digest is computed from the re-read frames; materialize NOW
         # (localCheckpoint would pin executors; the frames are tiny) so
         # the scratch dir can be removed before returning.
         out = (
             _digest(back_pq, "parquet")
             .unionByName(_digest(back_csv, "csv"))
+            .unionByName(_digest(back_jl, "jsonl"))
             .unionByName(sampled)
             .unionByName(mixed)
             .unionByName(shuffled)

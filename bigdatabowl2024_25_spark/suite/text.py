@@ -160,26 +160,70 @@ def q60_text_profile(spark, sf_dir):
     )
 
 
+#: chunking geometry for the q64 'chunk' branch
+_CH_SIZE, _CH_OVER = 24, 6
+_CH_STRIDE = _CH_SIZE - _CH_OVER
+
+#: DuckDB mirror of operators.text.chunk_documents: starts every
+#: stride up to len−overlap (≥1), windows sliced then re-joined
+_CH_STARTS = (
+    f"range(1, greatest(len({_W_NE}) - {_CH_OVER}, 1) + 1, {_CH_STRIDE})"
+)
+_CH_TEXT = (
+    f"list_aggregate(words[s:s+{_CH_SIZE}-1], 'string_agg', ' ')"
+)
+
+
 @query(
     "q64_binary_plumbing",
-    oracle="""
-    SELECT doc_id,
+    oracle=f"""
+    SELECT 'doc' AS kind, doc_id, CAST(0 AS BIGINT) AS part_id,
            octet_length(CAST(text AS BLOB)) AS byte_len,
            md5(text) AS content_md5
     FROM documents
+    UNION ALL
+    SELECT 'chunk' AS kind, doc_id,
+           CAST(i - 1 AS BIGINT) AS part_id,
+           octet_length(CAST({_CH_TEXT} AS BLOB)) AS byte_len,
+           md5({_CH_TEXT}) AS content_md5
+    FROM (
+        SELECT doc_id, {_W_NE} AS words, unnest({_CH_STARTS}) AS s,
+               generate_subscripts({_CH_STARTS}, 1) AS i
+        FROM documents
+    )
     """,
 )
 def q64_binary_plumbing(spark, sf_dir):
     """Multimodal plumbing smoke: treat payloads as opaque binary with
     typed metadata (byte length, content hash) — the schema pattern the
-    multimodal layer (operators/multimodal.py) builds on."""
+    multimodal layer (operators/multimodal.py) builds on.
+
+    Round-6 widening: a 'chunk' branch drives `text.chunk_documents`
+    (24-token windows, 6-token overlap) through the same (byte_len,
+    md5) digest — the md5 of every chunk's text hash-verifies the
+    window boundaries, overlap, and remainder handling against a
+    DuckDB list-slicing re-derivation."""
+    from ..operators.text import chunk_documents
+
     d = load_table(spark, sf_dir, "documents")
     b = F.col("text").cast("binary")
-    return d.select(
+    doc = d.select(
+        F.lit("doc").alias("kind"),
         "doc_id",
+        F.lit(0).cast("bigint").alias("part_id"),
         F.length(b).cast("bigint").alias("byte_len"),
         F.md5(b).alias("content_md5"),
     )
+    ch = chunk_documents(d, "text", "doc_id", _CH_SIZE, _CH_OVER)
+    cb = F.col("chunk_text").cast("binary")
+    chunk = ch.select(
+        F.lit("chunk").alias("kind"),
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("part_id"),
+        F.length(cb).cast("bigint").alias("byte_len"),
+        F.md5(cb).alias("content_md5"),
+    )
+    return doc.unionByName(chunk)
 
 
 _K, _WIN = 8, 4
