@@ -64,6 +64,47 @@ _SHINGLES = _grams_sql(3)
 #: keeps a meaningful gram count per doc at the same semantics)
 _DECON_N = 5
 
+#: DuckDB mirror of the bigram-LM scoring chain (operators.ngram_lm):
+#: same normalize → BOS-pair explode → add-α logp → decimal-summed
+#: cross entropy. Every double op is CAST-pinned so both engines
+#: perform the identical IEEE sequence; ln/pow engine drift (~1 ulp)
+#: is absorbed by the final micro-unit rounding.
+_LM_CTES = f"""
+    toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM corpus),
+    pairs AS (
+        SELECT doc_id,
+               CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END AS prev,
+               w[i] AS tok
+        FROM (SELECT doc_id, w, unnest(range(1, len(w)+1)) AS i
+              FROM toks)
+        WHERE w[i] <> ''
+    ),
+    ub AS (SELECT prev, tok, COUNT(*) AS cb FROM pairs GROUP BY 1, 2),
+    ctx AS (SELECT prev, SUM(cb) AS cu FROM ub GROUP BY 1),
+    voc AS (SELECT COUNT(DISTINCT tok) + 1 AS v FROM ub),
+    lm_scored AS (
+        SELECT p.doc_id,
+               CAST(ln(
+                   (CAST(COALESCE(b.cb, 0) AS DOUBLE)
+                    + CAST(0.1 AS DOUBLE))
+                   / (CAST(COALESCE(c.cu, 0) AS DOUBLE)
+                      + CAST(0.1 AS DOUBLE) * CAST(v AS DOUBLE))
+               ) AS DECIMAL(38,15)) AS lp
+        FROM pairs p
+        LEFT JOIN ub b USING (prev, tok)
+        LEFT JOIN ctx c USING (prev)
+        CROSS JOIN voc
+    ),
+    lm AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(ROUND(POW(CAST(2.0 AS DOUBLE),
+                   (-CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                   / CAST(0.6931471805599453 AS DOUBLE)
+               ) * 1000000.0) AS BIGINT) AS ppl_micro
+        FROM lm_scored GROUP BY doc_id
+    )
+"""
+
 #: the manufactured corpus: originals ∪ exact copies ∪ near-dup variants
 _CORPUS = """
     SELECT doc_id, text FROM documents
@@ -100,7 +141,8 @@ def _corpus_df(spark, sf_dir):
         SELECT doc_id, {_h64('gram')} AS g
         FROM (SELECT doc_id, unnest({_grams_sql(_DECON_N)}) AS gram
               FROM corpus WHERE doc_id >= 40)
-    )
+    ),
+    {_LM_CTES}
     SELECT 'exact' AS branch,
            {_h64(_NORM)} AS grp_key,
            MIN(doc_id) AS keeper_id,
@@ -114,6 +156,12 @@ def _corpus_df(spark, sf_dir):
     FROM cgrams
     WHERE g IN (SELECT g FROM bgrams)
     GROUP BY doc_id
+    UNION ALL
+    SELECT 'lm' AS branch,
+           doc_id AS grp_key,
+           n_tokens AS keeper_id,
+           ppl_micro AS n
+    FROM lm
     """,
 )
 def q70_corpus_hygiene(spark, sf_dir):
@@ -130,9 +178,21 @@ def q70_corpus_hygiene(spark, sf_dir):
       the planted contamination; chance vocabulary collisions among the
       ≥40 originals are deterministic and oracle-matched.
 
+    - 'lm' (round-6 widening #2): the CCNet-style bigram-LM perplexity
+      filter (`operators.ngram_lm`) trained on the corpus and scoring
+      every corpus doc — duplicated text scores low, the tail-marker
+      variants higher. Perplexity rides the bigint schema as
+      micro-units (ROUND(ppl·1e6)); the oracle re-derives the whole
+      train+score chain in SQL with CAST-pinned IEEE ops, so the LM
+      layer's counts, smoothing, and decimal-summed cross entropy are
+      all value-hash-checked (ln/pow 1-ulp engine drift sits 8 orders
+      below the micro rounding grain).
+
     Unified schema (branch, grp_key, keeper_id, n): exact rows carry
     (content_key, keeper, copies); decontam rows carry (doc_id, doc_id,
-    n_hits)."""
+    n_hits); lm rows carry (doc_id, n_tokens, ppl_micro)."""
+    from ..operators.ngram_lm import lm_perplexity, lm_train
+
     corpus = _corpus_df(spark, sf_dir)
     ex = exact_dedup(corpus, "text", "doc_id").select(
         F.lit("exact").alias("branch"),
@@ -148,7 +208,18 @@ def q70_corpus_hygiene(spark, sf_dir):
         F.col("doc_id").alias("keeper_id"),
         F.col("n_hits").alias("n"),
     )
-    return ex.unionByName(dec)
+    bigrams, contexts, vocab = lm_train(corpus, "text", "doc_id")
+    lm = lm_perplexity(
+        corpus, "text", "doc_id", bigrams, contexts, vocab, alpha=0.1
+    ).select(
+        F.lit("lm").alias("branch"),
+        F.col("doc_id").alias("grp_key"),
+        F.col("n_tokens").cast("bigint").alias("keeper_id"),
+        F.round(F.col("perplexity") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("n"),
+    )
+    return ex.unionByName(dec).unionByName(lm)
 
 
 _K = 8
