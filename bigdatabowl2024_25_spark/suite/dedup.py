@@ -142,7 +142,19 @@ def _corpus_df(spark, sf_dir):
         FROM (SELECT doc_id, unnest({_grams_sql(_DECON_N)}) AS gram
               FROM corpus WHERE doc_id >= 40)
     ),
-    {_LM_CTES}
+    {_LM_CTES},
+    day2 AS (
+        SELECT doc_id + 500000 AS doc_id, 'fresh ' || text AS text
+        FROM documents WHERE doc_id < 30
+        UNION ALL
+        SELECT doc_id + 600000 AS doc_id, text
+        FROM documents WHERE doc_id < 30
+        UNION ALL
+        SELECT doc_id + 700000 AS doc_id, 'fresh ' || text AS text
+        FROM documents WHERE doc_id < 10
+    ),
+    seen AS (SELECT DISTINCT {_h64(_NORM)} AS content_key FROM corpus),
+    d2k AS (SELECT doc_id, {_h64(_NORM)} AS content_key FROM day2)
     SELECT 'exact' AS branch,
            {_h64(_NORM)} AS grp_key,
            MIN(doc_id) AS keeper_id,
@@ -162,6 +174,14 @@ def _corpus_df(spark, sf_dir):
            n_tokens AS keeper_id,
            ppl_micro AS n
     FROM lm
+    UNION ALL
+    SELECT 'incr' AS branch,
+           content_key AS grp_key,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n
+    FROM d2k
+    WHERE content_key NOT IN (SELECT content_key FROM seen)
+    GROUP BY content_key
     """,
 )
 def q70_corpus_hygiene(spark, sf_dir):
@@ -190,7 +210,9 @@ def q70_corpus_hygiene(spark, sf_dir):
 
     Unified schema (branch, grp_key, keeper_id, n): exact rows carry
     (content_key, keeper, copies); decontam rows carry (doc_id, doc_id,
-    n_hits); lm rows carry (doc_id, n_tokens, ppl_micro)."""
+    n_hits); lm rows carry (doc_id, n_tokens, ppl_micro); incr rows
+    carry (content_key, keeper, batch_copies) — see the branch comment
+    below."""
     from ..operators.ngram_lm import lm_perplexity, lm_train
 
     corpus = _corpus_df(spark, sf_dir)
@@ -208,6 +230,47 @@ def q70_corpus_hygiene(spark, sf_dir):
         F.col("doc_id").alias("keeper_id"),
         F.col("n_hits").alias("n"),
     )
+    # 'incr' (round-6 widening #3): the daily-batch path — a
+    # manufactured day-2 batch (30 fresh prefixed docs, 30 re-sends of
+    # history, 10 batch-internal dups of the fresh docs) deduped
+    # against day 1's running key set via `incremental_exact_dedup`.
+    # Survivors must be exactly the 30 fresh keys with keep-min ids;
+    # n counts batch copies per surviving key (2 for the internally
+    # duplicated ones).
+    from ..operators.dedup import incremental_exact_dedup
+    from ..operators.text import normalize_text, portable_hash64
+
+    d0 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fresh = d0.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+    )
+    resend = d0.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 600000).alias("doc_id"), "text"
+    )
+    internal = d0.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+    )
+    day2 = fresh.unionByName(resend).unionByName(internal)
+    hkey = portable_hash64(normalize_text(F.col("text")))
+    keys1 = corpus.select(hkey.alias("content_key")).distinct()
+    surv, _updated = incremental_exact_dedup(day2, keys1, "text", "doc_id")
+    batch_counts = (
+        day2.select(hkey.alias("content_key"))
+        .join(keys1, "content_key", "left_anti")
+        .groupBy("content_key")
+        .agg(F.count("*").alias("n"))
+    )
+    incr = surv.select(
+        "content_key", F.col("doc_id").alias("keeper_id")
+    ).join(batch_counts, "content_key").select(
+        F.lit("incr").alias("branch"),
+        F.col("content_key").alias("grp_key"),
+        "keeper_id",
+        "n",
+    )
+
     bigrams, contexts, vocab = lm_train(corpus, "text", "doc_id")
     lm = lm_perplexity(
         corpus, "text", "doc_id", bigrams, contexts, vocab, alpha=0.1
@@ -219,7 +282,7 @@ def q70_corpus_hygiene(spark, sf_dir):
         .cast("bigint")
         .alias("n"),
     )
-    return ex.unionByName(dec).unionByName(lm)
+    return ex.unionByName(dec).unionByName(lm).unionByName(incr)
 
 
 _K = 8
