@@ -298,11 +298,25 @@ def test_q70_decontam_broadcasts_benchmark_grams(spark):
     corpus grams map-side: no SortMergeJoin anywhere, and every shuffle
     exchange sits AFTER the broadcast filter (bench-side distinct + the
     two-phase countDistinct over matches only — all bounded by
-    contamination volume, never by corpus volume)."""
-    plan = plan_of(suite.QUERIES["q70_corpus_hygiene"](spark, SF))
+    contamination volume, never by corpus volume). Asserted on the
+    OPERATOR's plan (the q70 query now unions three more branches with
+    their own legitimate exchanges)."""
+    from pyspark.sql import functions as F
+
+    from bigdatabowl2024_25_spark.operators.dedup import decontaminate
+    from bigdatabowl2024_25_spark.suite.dedup import _corpus_df
+
+    corpus = _corpus_df(spark, SF)
+    dec = decontaminate(
+        corpus.filter(F.col("doc_id") >= 40),
+        corpus.filter(F.col("doc_id") < 40),
+        "text",
+        "doc_id",
+        n=5,
+    )
+    plan = plan_of(dec)
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
-    # exact branch: 1 exchange; decontam: bench distinct + 2-phase
-    # countDistinct = 3 → 4 total. More means a corpus-side shuffle
-    # crept in before the broadcast filter.
-    assert shuffles(plan) <= 4
+    # bench-side distinct + the two-phase countDistinct = 3. More
+    # means a corpus-side shuffle crept in before the broadcast filter.
+    assert shuffles(plan) <= 3
