@@ -492,3 +492,35 @@ def test_decontaminate_matches_python_reference(spark, seed):
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    size=st.integers(2, 12),
+    overlap_frac=st.floats(0.0, 0.9),
+    n_words=st.integers(1, 60),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_chunk_documents_reconstruction(
+    spark, size, overlap_frac, n_words, seed
+):
+    """Property over random geometries: dropping each chunk's first
+    `overlap` tokens (except the first chunk) and concatenating in
+    chunk order reconstructs the exact token sequence — no token lost,
+    duplicated, or reordered by the windowing."""
+    import random
+
+    from bigdatabowl2024_25_spark.operators.text import chunk_documents
+
+    overlap = min(int(size * overlap_frac), size - 1)
+    rng = random.Random(seed)
+    words = [f"w{rng.randint(0, 9)}_{i}" for i in range(n_words)]
+    df = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    rows = sorted(
+        (r.chunk_id, r.chunk_text.split(" "))
+        for r in chunk_documents(df, "text", "doc_id", size, overlap).collect()
+    )
+    rebuilt = list(rows[0][1])
+    for _, chunk in rows[1:]:
+        rebuilt.extend(chunk[overlap:])
+    assert rebuilt == words, (size, overlap, n_words)
