@@ -104,17 +104,15 @@ def minhash_signatures(
     return hashes.groupBy(id_col).agg(*mins)
 
 
-def lsh_candidates(
-    sigs: DataFrame, id_col: str, k: int = 8, bands: int = 4
-) -> DataFrame:
-    """Band the k-wide signature into `bands` groups of k/bands rows;
-    docs sharing any band key become a candidate pair (id_a < id_b).
-
-    The band key is md5 of the concatenated signature slice — a compact
-    fixed-width join key. Self-join happens per band key, so skew is
-    bounded by the largest near-dup cluster, not by n."""
+def band_keys(k: int, bands: int) -> list[Column]:
+    """The md5 band-key expressions over a k-wide signature — THE
+    persistence contract for LSH state shared across batches
+    (`lsh_candidates`, `incremental_lsh_candidates`, and the oracle
+    generators all reproduce this exact layout; change it only here
+    and in the SQL mirrors, or new batches' keys stop colliding with
+    persisted history keys)."""
     r = k // bands
-    keys = [
+    return [
         F.md5(
             F.concat_ws(
                 "_",
@@ -124,6 +122,18 @@ def lsh_candidates(
         )
         for b in range(bands)
     ]
+
+
+def lsh_candidates(
+    sigs: DataFrame, id_col: str, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the k-wide signature into `bands` groups of k/bands rows;
+    docs sharing any band key become a candidate pair (id_a < id_b).
+
+    The band key is md5 of the concatenated signature slice — a compact
+    fixed-width join key. Self-join happens per band key, so skew is
+    bounded by the largest near-dup cluster, not by n."""
+    keys = band_keys(k, bands)
     # explode one array instead of a `bands`-way union: the signature
     # aggregate subtree appears ONCE in the plan, not `bands` times
     banded = sigs.select(
@@ -198,9 +208,11 @@ def incremental_exact_dedup(
 
     Returns (survivors, updated_keys): survivors are the batch docs
     that are neither in history nor duplicated within the batch
-    (keep-min-id within batch, same rule as `exact_dedup`); the second
-    frame is `seen_keys ∪ survivors' keys` to persist for the next
-    batch.
+    (keep-min-id within batch, same rule as `exact_dedup`), each
+    carrying `content_key` and `n_copies` (how many batch rows shared
+    its key); the second frame is `seen_keys ∪ survivors' keys` to
+    persist for the next batch (a plain union — both sides are unique
+    and disjoint by construction, so no history-sized distinct).
 
     Cost: one anti-join of batch keys against the key set (shuffle on
     8-byte keys — or broadcast while the key set is small) plus the
@@ -210,13 +222,18 @@ def incremental_exact_dedup(
     h = portable_hash64(normalize_text(F.col(text_col)))
     keyed = new_df.withColumn("content_key", h)
     fresh = keyed.join(seen_keys, "content_key", "left_anti")
-    w_min = fresh.groupBy("content_key").agg(F.min(id_col).alias("__keep"))
+    w_min = fresh.groupBy("content_key").agg(
+        F.min(id_col).alias("__keep"),
+        F.count("*").alias("n_copies"),
+    )
     survivors = fresh.join(w_min, "content_key").filter(
         F.col(id_col) == F.col("__keep")
     ).drop("__keep")
-    updated = seen_keys.unionByName(
-        survivors.select("content_key")
-    ).distinct()
+    # NO distinct on the union: survivor keys are unique (keep-min, one
+    # row per key) and disjoint from seen_keys (left_anti), so a
+    # distinct here would reshuffle the ENTIRE history key set per
+    # batch — the history-sized work this function exists to avoid.
+    updated = seen_keys.unionByName(survivors.select("content_key"))
     return survivors, updated
 
 
@@ -224,6 +241,7 @@ def incremental_lsh_candidates(
     new_df: DataFrame,
     existing_banded: DataFrame,
     id_col: str,
+    text_col: str = "text",
     k: int = 8,
     bands: int = 4,
 ) -> tuple[DataFrame, DataFrame]:
@@ -238,19 +256,9 @@ def incremental_lsh_candidates(
     batches (persist `new_banded` unioned in for the next round). The
     join shuffles band keys only; with the state table bucketed by
     band_key, only the new batch's side moves."""
-    sh = with_shingles(new_df, "text", id_col)
+    sh = with_shingles(new_df, text_col, id_col)
     sigs = minhash_signatures(sh, id_col, k=k)
-    r = k // bands
-    keys = [
-        F.md5(
-            F.concat_ws(
-                "_",
-                F.lit(str(b)),
-                *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)],
-            ).cast("binary")
-        )
-        for b in range(bands)
-    ]
+    keys = band_keys(k, bands)
     new_banded = sigs.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array(*keys)).alias("band_key"),

@@ -302,7 +302,10 @@ def chunk_documents(
         F.col("chunk_id"),
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).cast("bigint").alias("n_tokens"),
-    )
+        # empty/whitespace-only/NULL docs otherwise emit one phantom
+        # ('' , 0-token) chunk from the always-≥1 starts sequence;
+        # a NULL n_tokens (NULL text) fails the predicate too
+    ).filter(F.col("n_tokens") > 0)
 
 
 def bm25(

@@ -256,21 +256,18 @@ def q70_corpus_hygiene(spark, sf_dir):
     hkey = portable_hash64(normalize_text(F.col("text")))
     keys1 = corpus.select(hkey.alias("content_key")).distinct()
     surv, _updated = incremental_exact_dedup(day2, keys1, "text", "doc_id")
-    batch_counts = (
-        day2.select(hkey.alias("content_key"))
-        .join(keys1, "content_key", "left_anti")
-        .groupBy("content_key")
-        .agg(F.count("*").alias("n"))
-    )
     incr = surv.select(
-        "content_key", F.col("doc_id").alias("keeper_id")
-    ).join(batch_counts, "content_key").select(
         F.lit("incr").alias("branch"),
         F.col("content_key").alias("grp_key"),
-        "keeper_id",
-        "n",
+        F.col("doc_id").alias("keeper_id"),
+        F.col("n_copies").alias("n"),
     )
 
+    # note: lm_train runs one eager vocab-count job at query-BUILD
+    # time (vocab must be a plan literal for IEEE-exact α·V) and
+    # leaves its vocab-bounded count table persisted for the scoring
+    # plan — tiny at parity scale, LRU-evictable, and q70 is not in
+    # the bench headline, so build cost is driver-correctness-only.
     bigrams, contexts, vocab = lm_train(corpus, "text", "doc_id")
     lm = lm_perplexity(
         corpus, "text", "doc_id", bigrams, contexts, vocab, alpha=0.1

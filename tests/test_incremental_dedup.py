@@ -38,8 +38,11 @@ def test_incremental_exact_dedup(spark):
             (13, "ALPHA beta GAMMA!"),    # normalized dup of history
         ],
     )
-    s2, keys2 = incremental_exact_dedup(day2, keys1, "text", "doc_id")
-    assert {r.doc_id for r in s2.collect()} == {11}
+    s2rows = incremental_exact_dedup(day2, keys1, "text", "doc_id")
+    s2, keys2 = s2rows
+    got2 = s2.collect()
+    assert {r.doc_id for r in got2} == {11}
+    assert got2[0].n_copies == 2  # 11 and 12 shared the content
     assert keys2.count() == 4  # 3 history + 1 new key
 
     # idempotence: replaying day2 against the updated keys drops all

@@ -320,3 +320,16 @@ def test_q70_decontam_broadcasts_benchmark_grams(spark):
     # bench-side distinct + the two-phase countDistinct = 3. More
     # means a corpus-side shuffle crept in before the broadcast filter.
     assert shuffles(plan) <= 3
+
+
+def test_q70_query_level_no_smj_and_bounded_exchanges(spark):
+    """Query-level backstop for the whole four-branch q70 union: every
+    join in every branch (decontam broadcast filter, LM scoring's
+    broadcast model, incr anti-join/keep-min) must stay off
+    SortMergeJoin, and the total exchange count is pinned at its
+    as-designed value of 15 — a regression here means a corpus-side
+    shuffle or join-strategy change crept into the suite wiring, which
+    the operator-scoped test above cannot see."""
+    plan = plan_of(suite.QUERIES["q70_corpus_hygiene"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert shuffles(plan) <= 15

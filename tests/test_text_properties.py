@@ -524,3 +524,17 @@ def test_chunk_documents_reconstruction(
     for _, chunk in rows[1:]:
         rebuilt.extend(chunk[overlap:])
     assert rebuilt == words, (size, overlap, n_words)
+
+
+def test_chunk_documents_empty_docs_yield_no_chunks(spark):
+    """Empty, whitespace-only, and NULL texts produce ZERO chunks —
+    not a phantom ('', 0) row from the always-nonempty starts."""
+    from bigdatabowl2024_25_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, None), (3, "a b")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, "text", "doc_id", 4, 1).collect()
+    assert {r.doc_id for r in rows} == {3}
+    assert rows[0].chunk_text == "a b"
