@@ -219,6 +219,15 @@ def incremental_exact_dedup(
     batch-internal groupBy. History is touched only through its key
     column; with the key table bucketed by content_key the anti-join's
     history side never reshuffles either."""
+    reserved = {"content_key", "n_copies", "__keep"} & set(new_df.columns)
+    if reserved:
+        # e.g. a batch re-fed from a prior pass's survivors: its stale
+        # content_key would be silently overwritten and __keep/n_copies
+        # would collide with the internal join columns
+        raise ValueError(
+            f"incremental_exact_dedup: new_df already carries reserved "
+            f"column(s) {sorted(reserved)}; drop or rename them first"
+        )
     h = portable_hash64(normalize_text(F.col(text_col)))
     keyed = new_df.withColumn("content_key", h)
     fresh = keyed.join(seen_keys, "content_key", "left_anti")

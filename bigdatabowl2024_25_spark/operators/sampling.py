@@ -96,6 +96,13 @@ def stratified_fixed_k(
     hypothetical ties so the result is total-order deterministic."""
     from pyspark.sql import Window
 
+    if "__rn" in df.columns:
+        # the internal rank column would silently shadow (and then
+        # drop) a caller column of the same name
+        raise ValueError(
+            "stratified_fixed_k: df already carries reserved column "
+            "'__rn'; drop or rename it first"
+        )
     u = hash_uniform(F.col(key_col), seed)
     w = Window.partitionBy(group_col).orderBy(u, F.col(key_col))
     return (

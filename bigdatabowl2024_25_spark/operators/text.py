@@ -236,7 +236,13 @@ def repetition_features(text: Column) -> dict[str, Column]:
     bigrams (same filter as pack_documents)."""
     w = F.filter(tokens(text), lambda x: x != F.lit(""))
     n = F.size(w)
-    dup = F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n
+    # guard n = 0: 0/0 would make the fraction NULL, and a downstream
+    # `dup_word_frac < x` threshold would silently drop empty docs as
+    # "dirty-unknown" — an empty doc has zero repetition, so 0.0
+    dup = F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n,
+    ).otherwise(F.lit(0.0))
     grams = word_shingles(w, 2)
     ng = F.size(grams)
     top = F.aggregate(
@@ -389,7 +395,12 @@ def redact_pii(text: Column) -> Column:
 
 
 def pack_documents(
-    df, text_col: str, id_col: str, capacity: int, shard_col=None
+    df,
+    text_col: str,
+    id_col: str,
+    capacity: int,
+    shard_col=None,
+    allow_global: bool = False,
 ):
     """Contiguous sequence packing: assign documents (ordered by
     `id_col`) to bins whose total whitespace-token count stays ≤
@@ -402,12 +413,20 @@ def pack_documents(
     as ONE Arrow-batched pass per shard (`applyInPandas`) after the
     token counts are computed JVM-side — the same pattern as the
     connected-components single-task fast path. `shard_col=None`
-    packs globally (one group: only for corpora that fit one task);
-    at 100 TB pass a shard column (source/date/hash-bucket) — bins
-    then never cross shard boundaries, which training pipelines want
+    packs globally (ONE task holds every row — only for corpora that
+    fit one task) and therefore requires `allow_global=True`; at
+    100 TB pass a shard column (source/date/hash-bucket) — bins then
+    never cross shard boundaries, which training pipelines want
     anyway, and shards pack in parallel."""
     import pandas as pd
 
+    if shard_col is None and not allow_global:
+        raise ValueError(
+            "pack_documents: shard_col=None serializes the ENTIRE "
+            "corpus through one task — pass a shard column (source/"
+            "date/hash-bucket) for distributed packing, or opt in "
+            "explicitly with allow_global=True for small inputs"
+        )
     if shard_col is None:
         shard_name, shard_expr = "__shard", F.lit(0).alias("__shard")
         shard_type = "int"

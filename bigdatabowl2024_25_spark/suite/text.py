@@ -107,8 +107,10 @@ _BM25_SCORE = " + ".join(
                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 15))
              AS BIGINT) AS fp64,
            ROUND({_BM25_SCORE}, 6) AS bm25,
-           1.0 - CAST(len(list_distinct({_W_NE})) AS DOUBLE)
-                 / len({_W_NE}) AS dup_word_frac,
+           CASE WHEN len({_W_NE}) > 0 THEN
+               1.0 - CAST(len(list_distinct({_W_NE})) AS DOUBLE)
+                     / len({_W_NE})
+           ELSE 0.0 END AS dup_word_frac,
            CASE WHEN len({_GRAMS2}) > 0 THEN
                CAST(list_max(list_transform(list_distinct({_GRAMS2}),
                     g -> len(list_filter({_GRAMS2}, x -> x = g))))
@@ -190,6 +192,9 @@ _CH_TEXT = (
         SELECT doc_id, {_W_NE} AS words, unnest({_CH_STARTS}) AS s,
                generate_subscripts({_CH_STARTS}, 1) AS i
         FROM documents
+        -- mirror chunk_documents' n_tokens > 0 phantom-chunk filter:
+        -- an empty/whitespace/NULL doc must emit no chunk rows
+        WHERE len({_W_NE}) > 0
     )
     """,
 )

@@ -50,6 +50,21 @@ def test_incremental_exact_dedup(spark):
     assert s3.count() == 0 and keys3.count() == 4
 
 
+def test_incremental_exact_dedup_reserved_column_guard(spark):
+    """Regression (ADVICE r7): a batch already carrying `content_key`
+    (e.g. survivors of a prior pass re-fed) must fail loudly — the
+    stale column would silently corrupt the join/filter logic."""
+    import pytest
+
+    empty = spark.createDataFrame([], "content_key long")
+    for col in ("content_key", "n_copies", "__keep"):
+        tainted = spark.createDataFrame(
+            [(1, "alpha", 7)], f"doc_id long, text string, {col} long"
+        )
+        with pytest.raises(ValueError, match=col.replace("__", "")):
+            incremental_exact_dedup(tainted, empty, "text", "doc_id")
+
+
 def test_incremental_lsh_candidates_no_history_pairs(spark):
     """Cross-era and intra-batch collisions are produced; history ×
     history pairs are NOT (their work is already done), and the

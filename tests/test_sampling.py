@@ -113,3 +113,10 @@ def test_stratified_fixed_k(spark):
         if r.g != "9"
     )
     assert c == a
+
+    # reserved-column guard (ADVICE r7): a caller '__rn' would be
+    # silently shadowed then dropped
+    import pytest
+
+    with pytest.raises(ValueError, match="__rn"):
+        stratified_fixed_k(df.withColumn("__rn", F.lit(1)), "k", "g", 10)

@@ -13,6 +13,7 @@ adversarial shapes.
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -248,7 +249,9 @@ def test_pack_documents_next_fit(spark):
         return out
 
     for shard_col in (None, "src"):
-        got = pack_documents(df, "text", "doc_id", 8, shard_col).collect()
+        got = pack_documents(
+            df, "text", "doc_id", 8, shard_col, allow_global=True
+        ).collect()
         rows = sorted((r for r in got), key=lambda r: r.doc_id)
         # n_tokens = NON-EMPTY whitespace tokens ("w " * n → n tokens;
         # the trailing-space empty token is filtered by the operator)
@@ -267,28 +270,43 @@ def test_pack_documents_next_fit(spark):
             totals.setdefault(key, []).append(r.n_tokens)
         for members in totals.values():
             assert sum(members) <= 8 or len(members) == 1
-    a = sorted(map(tuple, pack_documents(df, "text", "doc_id", 8).collect()))
+    a = sorted(
+        map(
+            tuple,
+            pack_documents(
+                df, "text", "doc_id", 8, allow_global=True
+            ).collect(),
+        )
+    )
     b = sorted(
         map(
             tuple,
             pack_documents(
-                df.repartition(5), "text", "doc_id", 8
+                df.repartition(5), "text", "doc_id", 8, allow_global=True
             ).collect(),
         )
     )
     assert a == b
+    # the 100 TB scale trap must be loud: global packing (one task
+    # holding the whole corpus) requires explicit opt-in
+    with pytest.raises(ValueError, match="allow_global"):
+        pack_documents(df, "text", "doc_id", 8)
     # non-bigint id columns must pass through with their own type
     sdf = df.select(
         F.concat(F.lit("doc-"), F.col("doc_id")).alias("uid"), "text"
     )
-    srows = pack_documents(sdf, "text", "uid", 8).collect()
+    srows = pack_documents(
+        sdf, "text", "uid", 8, allow_global=True
+    ).collect()
     assert {r.uid for r in srows} == {f"doc-{i}" for i in range(10)}
     # empty/whitespace-only docs cost 0 tokens, not 1
     edf = spark.createDataFrame(
         [(0, ""), (1, "   "), (2, "a b")], "doc_id long, text string"
     )
     en = {r.doc_id: r.n_tokens for r in
-          pack_documents(edf, "text", "doc_id", 8).collect()}
+          pack_documents(
+              edf, "text", "doc_id", 8, allow_global=True
+          ).collect()}
     assert en == {0: 0, 1: 0, 2: 2}
 
 
@@ -404,6 +422,27 @@ def test_repetition_features_ignore_empty_tokens(spark):
     }
     assert rows[0] == (0.0, 0.5)        # bigrams: 'a b', 'b c'
     assert rows[1] == (1.0 - 1.0 / 3.0, 1.0)  # all 'x x'
+
+
+def test_repetition_features_empty_docs(spark):
+    """Regression (ADVICE r7): empty/whitespace/NULL docs must score
+    0.0 repetition, not NULL — a `dup_word_frac < x` cleanliness filter
+    must keep empty docs rather than silently dropping them as
+    NULL-unknown."""
+    from bigdatabowl2024_25_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, None)], "doc_id long, text string"
+    )
+    rep = repetition_features(F.col("text"))
+    rows = {
+        r.doc_id: (r.d, r.t)
+        for r in df.select(
+            "doc_id", rep["dup_word_frac"].alias("d"),
+            rep["top_bigram_frac"].alias("t"),
+        ).collect()
+    }
+    assert rows == {0: (0.0, 0.0), 1: (0.0, 0.0), 2: (0.0, 0.0)}
 
 
 def test_chunk_documents_reference(spark):
