@@ -105,6 +105,36 @@ _LM_CTES = f"""
     )
 """
 
+_K = 8
+_BANDS = 4
+_ROWS = _K // _BANDS
+
+#: distinct folded shingle hashes — ONE md5 per shingle (mirrors
+#: operators.dedup.shingle_hashes)
+_HASHES = f"""
+        SELECT DISTINCT doc_id, {_h64('shingle')} % {MINHASH_P} AS h
+        FROM sh
+"""
+
+_SIG_MINS = ",\n           ".join(
+    f"MIN((h * {a} + {b}) % {MINHASH_P}) AS mh_{i}"
+    for i, (a, b) in enumerate(minhash_coeffs(_K))
+)
+
+
+def _oracle_band_keys(sigs_cte: str = "sigs") -> str:
+    pieces = []
+    for b in range(_BANDS):
+        cols = ", ".join(
+            f"CAST(mh_{b * _ROWS + j} AS VARCHAR)" for j in range(_ROWS)
+        )
+        pieces.append(
+            f"SELECT doc_id AS doc, md5(concat_ws('_', '{b}', {cols}))"
+            f" AS band_key FROM {sigs_cte}"
+        )
+    return " UNION ALL ".join(pieces)
+
+
 #: the manufactured corpus: originals ∪ exact copies ∪ near-dup variants
 _CORPUS = """
     SELECT doc_id, text FROM documents
@@ -154,7 +184,28 @@ def _corpus_df(spark, sf_dir):
         FROM documents WHERE doc_id < 10
     ),
     seen AS (SELECT DISTINCT {_h64(_NORM)} AS content_key FROM corpus),
-    d2k AS (SELECT doc_id, {_h64(_NORM)} AS content_key FROM day2)
+    d2k AS (SELECT doc_id, {_h64(_NORM)} AS content_key FROM day2),
+    csh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM corpus),
+    chashes AS (
+        SELECT DISTINCT doc_id, {_h64('shingle')} % {MINHASH_P} AS h
+        FROM csh
+    ),
+    csigs AS (SELECT doc_id, {_SIG_MINS} FROM chashes GROUP BY doc_id),
+    cbanded AS ({_oracle_band_keys('csigs')}),
+    nsh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM day2),
+    nhashes AS (
+        SELECT DISTINCT doc_id, {_h64('shingle')} % {MINHASH_P} AS h
+        FROM nsh
+    ),
+    nsigs AS (SELECT doc_id, {_SIG_MINS} FROM nhashes GROUP BY doc_id),
+    nbanded AS ({_oracle_band_keys('nsigs')}),
+    incr_cands AS (
+        SELECT DISTINCT least(n.doc, o.doc) AS id_a,
+               greatest(n.doc, o.doc) AS id_b
+        FROM nbanded n
+        JOIN (SELECT * FROM cbanded UNION ALL SELECT * FROM nbanded) o
+          ON o.band_key = n.band_key AND o.doc <> n.doc
+    )
     SELECT 'exact' AS branch,
            {_h64(_NORM)} AS grp_key,
            MIN(doc_id) AS keeper_id,
@@ -182,6 +233,12 @@ def _corpus_df(spark, sf_dir):
     FROM d2k
     WHERE content_key NOT IN (SELECT content_key FROM seen)
     GROUP BY content_key
+    UNION ALL
+    SELECT 'incr_near' AS branch,
+           id_a AS grp_key,
+           id_b AS keeper_id,
+           CAST(1 AS BIGINT) AS n
+    FROM incr_cands
     """,
 )
 def q70_corpus_hygiene(spark, sf_dir):
@@ -263,6 +320,28 @@ def q70_corpus_hygiene(spark, sf_dir):
         F.col("n_copies").alias("n"),
     )
 
+    # 'incr_near' (round-8, VERDICT item 7): the banded near-dup arm of
+    # the daily-crawl loop — `incremental_lsh_candidates` pairs the
+    # day-2 batch against day 1's persisted (doc, band_key) LSH state
+    # and within itself, never history×history. Day-1 state is built
+    # by running the same operator over the corpus with empty state
+    # (its candidate output is never evaluated — only the banding).
+    # Rows are the (least, greatest) candidate pairs; the oracle
+    # re-derives both eras' band keys and the new-side join.
+    from ..operators.dedup import incremental_lsh_candidates
+
+    empty_banded = spark.createDataFrame([], "doc long, band_key string")
+    _c1, day1_banded = incremental_lsh_candidates(
+        corpus, empty_banded, "doc_id"
+    )
+    cands, _nb = incremental_lsh_candidates(day2, day1_banded, "doc_id")
+    incr_near = cands.select(
+        F.lit("incr_near").alias("branch"),
+        F.col("id_a").alias("grp_key"),
+        F.col("id_b").alias("keeper_id"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+
     # note: lm_train runs one eager vocab-count job at query-BUILD
     # time (vocab must be a plan literal for IEEE-exact α·V) and
     # leaves its vocab-bounded count table persisted for the scoring
@@ -279,24 +358,12 @@ def q70_corpus_hygiene(spark, sf_dir):
         .cast("bigint")
         .alias("n"),
     )
-    return ex.unionByName(dec).unionByName(lm).unionByName(incr)
-
-
-_K = 8
-_BANDS = 4
-_ROWS = _K // _BANDS
-
-#: distinct folded shingle hashes — ONE md5 per shingle (mirrors
-#: operators.dedup.shingle_hashes)
-_HASHES = f"""
-        SELECT DISTINCT doc_id, {_h64('shingle')} % {MINHASH_P} AS h
-        FROM sh
-"""
-
-_SIG_MINS = ",\n           ".join(
-    f"MIN((h * {a} + {b}) % {MINHASH_P}) AS mh_{i}"
-    for i, (a, b) in enumerate(minhash_coeffs(_K))
-)
+    return (
+        ex.unionByName(dec)
+        .unionByName(lm)
+        .unionByName(incr)
+        .unionByName(incr_near)
+    )
 
 
 @query(
@@ -317,19 +384,6 @@ def q71_minhash_signatures(spark, sf_dir):
     — not k hash passes. Docs with <3 words drop out (no shingles)."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_signatures(with_shingles(d, "text", "doc_id"), "doc_id", k=_K)
-
-
-def _oracle_band_keys() -> str:
-    pieces = []
-    for b in range(_BANDS):
-        cols = ", ".join(
-            f"CAST(mh_{b * _ROWS + j} AS VARCHAR)" for j in range(_ROWS)
-        )
-        pieces.append(
-            f"SELECT doc_id AS doc, md5(concat_ws('_', '{b}', {cols}))"
-            f" AS band_key FROM sigs"
-        )
-    return " UNION ALL ".join(pieces)
 
 
 @query(

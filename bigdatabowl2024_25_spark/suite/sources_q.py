@@ -90,6 +90,48 @@ _DIGEST_SQL = """
     FROM supplier {where} GROUP BY s_nationkey
 """
 
+#: mirror of ml.hash_split's bucket: tagged_hash64('split:v1', key) % 100
+_SPLIT_BUCKET = (
+    "CAST(concat('0x', substring(md5(concat('split:v1', chr(31), "
+    "CAST(s_suppkey AS VARCHAR))), 1, 15)) AS BIGINT) % 100"
+)
+
+#: z-order mirror (operators.zorder.with_zvalue, bits=16 over
+#: (s_suppkey, s_nationkey)): min/max-quantize each dim to [0, 65535]
+#: with the same IEEE double sequence, then Morton-interleave — bit i
+#: of dim j lands at position i*2+j
+_Z_COLS = ["s_suppkey", "s_nationkey"]
+
+
+def _z_sql() -> str:
+    quant = []
+    for i, c in enumerate(_Z_COLS):
+        span = f"CASE WHEN mx_{i} > mn_{i} THEN mx_{i} - mn_{i} ELSE 1.0 END"
+        quant.append(
+            f"least(CAST(floor((CAST({c} AS DOUBLE) - mn_{i}) / ({span})"
+            f" * 65535.0) AS BIGINT), 65535) AS q_{i}"
+        )
+    stats = ", ".join(
+        f"CAST(MIN({c}) AS DOUBLE) AS mn_{i}, "
+        f"CAST(MAX({c}) AS DOUBLE) AS mx_{i}"
+        for i, c in enumerate(_Z_COLS)
+    )
+    z = " | ".join(
+        f"(((q_{j} >> {i}) & 1) << {i * len(_Z_COLS) + j})"
+        for j in range(len(_Z_COLS))
+        for i in range(16)
+    )
+    return f"""
+    SELECT 'zorder' AS kind, CAST(s_nationkey AS BIGINT) AS nation,
+           COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+           CAST(SUM({z}) AS BIGINT) AS name_chars
+    FROM (
+        SELECT s_suppkey, s_nationkey, {", ".join(quant)}
+        FROM supplier CROSS JOIN (SELECT {stats} FROM supplier) st
+    )
+    GROUP BY s_nationkey
+    """
+
 
 @query(
     "q95_source_sink_roundtrip",
@@ -108,6 +150,16 @@ _DIGEST_SQL = """
             kind="mix",
             where=f"WHERE {_u_sql('mix:v1')} < ({_MIX_RATE_SQL})",
         )
+        + " UNION ALL "
+        + _DIGEST_SQL.format(
+            kind="split_train", where=f"WHERE {_SPLIT_BUCKET} >= 20"
+        )
+        + " UNION ALL "
+        + _DIGEST_SQL.format(
+            kind="split_test", where=f"WHERE {_SPLIT_BUCKET} < 20"
+        )
+        + " UNION ALL "
+        + _z_sql()
         + f"""
     UNION ALL
     SELECT 'shuffle' AS kind, CAST(s_nationkey AS BIGINT) AS nation,
@@ -161,6 +213,16 @@ def q95_source_sink_roundtrip(spark, sf_dir):
     sup = load_table(spark, sf_dir, "supplier")
     assert_unique_key(sup, ["s_suppkey"])  # S7
 
+    # round-8 widening: 'split_train'/'split_test' drive ml.hash_split
+    # (X5 — the deterministic md5-bucket train/test split) through the
+    # same digest; membership is a pure function of the key, so the
+    # oracle recomputes it from the shared tagged_hash64 layout
+    from ..ml import hash_split
+
+    train, test = hash_split(sup, ["s_suppkey"], test_pct=20)
+    spl_tr = _digest(train, "split_train")
+    spl_te = _digest(test, "split_test")
+
     sampled = _digest(hash_sample(sup, "s_suppkey", 0.25), "sample")
     mixed = _digest(
         weighted_domain_sample(
@@ -209,6 +271,31 @@ def q95_source_sink_roundtrip(spark, sf_dir):
             spark, f"{jl_path}/part-*.json", _CSV_SCHEMA
         ).drop("_corrupt_record")
 
+        # 'zorder' (round 8): write the table Morton-clustered on
+        # (s_suppkey, s_nationkey), re-read, recompute the z-value from
+        # the re-read rows and digest its per-nation sum — a value-hash
+        # match proves the clustered write is lossless AND the
+        # quantization + bit-interleave math is engine-exact (the
+        # file-level stripe-disjointness property is pinned separately
+        # by tests/test_zorder.py's pyarrow stats check)
+        from ..operators.zorder import with_zvalue, write_zordered
+
+        z_path = f"{tmp}/supplier_z"
+        write_zordered(sup, z_path, _Z_COLS, n_files=4)
+        zdf = with_zvalue(spark.read.parquet(z_path), _Z_COLS)
+        zorder = (
+            zdf.groupBy(F.col("s_nationkey").cast("bigint").alias("nation"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("s_suppkey").cast("bigint")).alias("key_sum"),
+                F.sum("__z").cast("bigint").alias("name_chars"),
+            )
+            .select(
+                F.lit("zorder").alias("kind"),
+                "nation", "n", "key_sum", "name_chars",
+            )
+        )
+
         # digest is computed from the re-read frames; materialize NOW
         # (localCheckpoint would pin executors; the frames are tiny) so
         # the scratch dir can be removed before returning.
@@ -220,6 +307,9 @@ def q95_source_sink_roundtrip(spark, sf_dir):
             .unionByName(mixed)
             .unionByName(shuffled)
             .unionByName(strata)
+            .unionByName(spl_tr)
+            .unionByName(spl_te)
+            .unionByName(zorder)
         )
         rows = out.collect()
     finally:

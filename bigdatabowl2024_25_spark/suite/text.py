@@ -8,12 +8,14 @@ from pyspark.sql import functions as F
 
 from ..operators.text import (
     LANG_STOPWORDS,
+    PII_PATTERNS,
     bm25,
     fingerprint,
     normalize_text,
     portable_hash64,
     predict_lang,
     quality_features,
+    redact_pii,
     regex_token_count,
     repetition_features,
     tokens,
@@ -56,6 +58,42 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 
 def _tf_sql(t: str) -> str:
     return f"len(list_filter(string_split(text,' '), w -> w = '{t}'))"
+
+
+# ---- PII-redaction column: synthetic docs carry no PII, so both
+# engines append the SAME deterministic PII spans (email, formatted
+# phone, IPv4, grouped card number keyed off doc_id) before the
+# redaction chain — the md5 of the redacted text then verifies every
+# pattern actually fired, in the operator's EMAIL→CARD→PHONE→IP order.
+
+_PII_SRC_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or +1 (555) 123-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    " || ' card 4111 1111 1111 1111 end'"
+)
+
+_PII_RED_SQL = _PII_SRC_SQL
+for _name in ("EMAIL", "CARD", "PHONE", "IP"):
+    _PII_RED_SQL = (
+        f"regexp_replace({_PII_RED_SQL}, "
+        f"'{PII_PATTERNS[_name]}', '[{_name}]', 'g')"
+    )
+
+
+def _pii_source(doc_id, text):
+    """Spark mirror of _PII_SRC_SQL (same literal byte layout)."""
+    return F.concat(
+        text,
+        F.lit(" contact user"),
+        doc_id.cast("string"),
+        F.lit("@example.com or +1 (555) 123-"),
+        F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (doc_id % 256).cast("string"),
+        F.lit(".7 card 4111 1111 1111 1111 end"),
+    )
 
 
 _BM25_STATS = (
@@ -115,7 +153,8 @@ _BM25_SCORE = " + ".join(
                CAST(list_max(list_transform(list_distinct({_GRAMS2}),
                     g -> len(list_filter({_GRAMS2}, x -> x = g))))
                     AS DOUBLE) / len({_GRAMS2})
-           ELSE 0.0 END AS top_bigram_frac
+           ELSE 0.0 END AS top_bigram_frac,
+           md5({_PII_RED_SQL}) AS pii_md5
     FROM documents CROSS JOIN ({_BM25_STATS}) s
     """,
 )
@@ -159,6 +198,13 @@ def q60_text_profile(spark, sf_dir):
         F.round(F.col("bm25"), 6).alias("bm25"),
         rep["dup_word_frac"].alias("dup_word_frac"),
         rep["top_bigram_frac"].alias("top_bigram_frac"),
+        # round 8: PII redaction (`text.redact_pii`) — verified on
+        # manufactured spans since the synthetic docs carry none; the
+        # md5 flips if any pattern (or their order) drifts between the
+        # operator and the oracle's regexp_replace chain
+        F.md5(
+            redact_pii(_pii_source(F.col("doc_id"), t)).cast("binary")
+        ).alias("pii_md5"),
     )
 
 
@@ -176,9 +222,95 @@ _CH_TEXT = (
 )
 
 
+# ---- q64 'pack' branch: greedy next-fit sequence packing ------------
+
+_PK_CAP = 256
+
+# DuckDB mirror of operators.text.pack_documents: the packing walk is
+# inherently sequential per shard, so the oracle re-derives it with a
+# recursive CTE stepping one doc (per shard) per iteration — an
+# independent formulation of the same next-fit rule
+_PK_CTES = f"""
+    pk_base AS (
+        SELECT lang, doc_id, CAST(len({_W_NE}) AS BIGINT) AS n,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents WHERE len({_W_NE}) > 0
+    ),
+    pk(lang, rn, doc_id, n, bin, filled) AS (
+        SELECT lang, rn, doc_id, n, CAST(0 AS BIGINT), n
+        FROM pk_base WHERE rn = 1
+        UNION ALL
+        SELECT b.lang, b.rn, b.doc_id, b.n,
+               CASE WHEN p.filled > 0 AND p.filled + b.n > {_PK_CAP}
+                    THEN p.bin + 1 ELSE p.bin END,
+               CASE WHEN p.filled > 0 AND p.filled + b.n > {_PK_CAP}
+                    THEN b.n ELSE p.filled + b.n END
+        FROM pk p JOIN pk_base b ON b.lang = p.lang AND b.rn = p.rn + 1
+    )
+"""
+
+# ---- q64 'bpe' branches: fixed merge list + encode -------------------
+
+#: the fixed training corpus (literals — sf-independent, like q90's
+#: parity world) and the merge sequence bpe_train learns from it,
+#: pinned here. The 'bpe_train' branch re-trains at query time and
+#: emits the LEARNED merges against a VALUES oracle of these literals,
+#: so any drift in the trainer flips the driver row red; the 'bpe'
+#: encode branch then applies this same list to the documents table.
+_BPE_CORPUS = [
+    (0, "the data table holds the data"),
+    (1, "spark scans the data table fast"),
+    (2, "the table scan reads data"),
+    (3, "fast data scan in the table"),
+]
+_BPE_MERGES = [
+    ("e", "</w>"), ("t", "a"), ("a", "ta"), ("ata", "</w>"),
+    ("d", "ata</w>"), ("h", "e</w>"), ("t", "he</w>"), ("b", "l"),
+    ("bl", "e</w>"), ("ta", "ble</w>"),
+]
+
+_BPE_TRAIN_VALUES = ", ".join(
+    f"('bpe_train', CAST({i} AS BIGINT), CAST(0 AS BIGINT), "
+    f"CAST({len(a) + len(b)} AS BIGINT), '{a} {b}')"
+    for i, (a, b) in enumerate(_BPE_MERGES)
+)
+
+
+def _bpe_word_sql(var: str) -> str:
+    """Greedy BPE encode of one word as pure string rewriting: wrap
+    every char in ‹› markers (plus the ‹</w>› terminal), then apply
+    each merge as a left-to-right non-overlapping replace of ‹a›‹b› →
+    ‹ab› — exactly the fold semantics of operators.bpe._merge_pair
+    (each symbol carries its own markers, so a merged token can't be
+    re-consumed within the same pass and symbol boundaries can't be
+    confused). Result: tokens separated by single spaces."""
+    s = (
+        f"list_aggregate(list_transform(string_split({var}, ''), "
+        f"c -> '‹' || c || '›'), 'string_agg', '')"
+        f" || '‹</w>›'"
+    )
+    for a, b in _BPE_MERGES:
+        s = (
+            f"replace({s}, '‹{a}›‹{b}›', "
+            f"'‹{a}{b}›')"
+        )
+    return f"replace(trim({s}, '‹›'), '›‹', ' ')"
+
+
+#: per-doc BPE token stream joined by spaces ('' for an empty doc,
+#: NULL for a NULL doc — mirroring Spark's array_join/flatten nulls)
+_BPE_JOINED = (
+    f"CASE WHEN text IS NULL THEN NULL ELSE COALESCE("
+    f"list_aggregate(list_transform({_W_NE}, w -> {_bpe_word_sql('w')}), "
+    f"'string_agg', ' '), '') END"
+)
+
+
 @query(
     "q64_binary_plumbing",
     oracle=f"""
+    WITH RECURSIVE {_PK_CTES},
+    bpe AS (SELECT doc_id, {_BPE_JOINED} AS joined FROM documents)
     SELECT 'doc' AS kind, doc_id, CAST(0 AS BIGINT) AS part_id,
            octet_length(CAST(text AS BLOB)) AS byte_len,
            md5(text) AS content_md5
@@ -196,6 +328,22 @@ _CH_TEXT = (
         -- an empty/whitespace/NULL doc must emit no chunk rows
         WHERE len({_W_NE}) > 0
     )
+    UNION ALL
+    SELECT 'pack' AS kind, doc_id, bin AS part_id, n AS byte_len,
+           lang AS content_md5
+    FROM pk
+    UNION ALL
+    SELECT 'bpe' AS kind, doc_id,
+           CAST(CASE WHEN joined IS NULL THEN NULL
+                WHEN joined = '' THEN 0
+                ELSE len(string_split(joined, ' ')) END AS BIGINT)
+             AS part_id,
+           octet_length(CAST(joined AS BLOB)) AS byte_len,
+           md5(joined) AS content_md5
+    FROM bpe
+    UNION ALL
+    SELECT * FROM (VALUES {_BPE_TRAIN_VALUES})
+        t(kind, doc_id, part_id, byte_len, content_md5)
     """,
 )
 def q64_binary_plumbing(spark, sf_dir):
@@ -207,8 +355,22 @@ def q64_binary_plumbing(spark, sf_dir):
     (24-token windows, 6-token overlap) through the same (byte_len,
     md5) digest — the md5 of every chunk's text hash-verifies the
     window boundaries, overlap, and remainder handling against a
-    DuckDB list-slicing re-derivation."""
-    from ..operators.text import chunk_documents
+    DuckDB list-slicing re-derivation.
+
+    Round-8 widenings:
+    - 'pack': `text.pack_documents` next-fit bin assignments (capacity
+      256 tokens, sharded by lang — bins never cross shards, shards
+      pack in parallel); the oracle walks the same greedy rule with a
+      recursive CTE. Row = (doc, bin, n_tokens, lang).
+    - 'bpe_train': `bpe.bpe_train` re-learns the pinned merge sequence
+      from the fixed literal corpus at query time; the VALUES oracle is
+      the pinned list, so trainer drift flips the row red.
+    - 'bpe': `bpe.bpe_encode` tokenizes every document with the pinned
+      merges; the oracle re-derives greedy encoding as marker-wrapped
+      string rewriting. Row = (doc, n_tokens, joined byte length,
+      md5 of the space-joined token stream)."""
+    from ..operators.bpe import bpe_encode, bpe_train
+    from ..operators.text import chunk_documents, pack_documents
 
     d = load_table(spark, sf_dir, "documents")
     b = F.col("text").cast("binary")
@@ -228,7 +390,48 @@ def q64_binary_plumbing(spark, sf_dir):
         F.length(cb).cast("bigint").alias("byte_len"),
         F.md5(cb).alias("content_md5"),
     )
-    return doc.unionByName(chunk)
+    nonempty = F.size(
+        F.filter(tokens(F.col("text")), lambda x: x != F.lit(""))
+    )
+    packed = pack_documents(
+        d.filter(nonempty > 0), "text", "doc_id", _PK_CAP, shard_col="lang"
+    )
+    pack = packed.select(
+        F.lit("pack").alias("kind"),
+        "doc_id",
+        F.col("bin").cast("bigint").alias("part_id"),
+        F.col("n_tokens").cast("bigint").alias("byte_len"),
+        F.col("lang").alias("content_md5"),
+    )
+    trained = bpe_train(
+        spark.createDataFrame(_BPE_CORPUS, "doc_id long, text string"),
+        "text",
+        len(_BPE_MERGES),
+    )
+    train_rows = spark.createDataFrame(
+        [
+            ("bpe_train", i, 0, len(a) + len(b), f"{a} {b}")
+            for i, (a, b) in enumerate(trained)
+        ],
+        "kind string, doc_id long, part_id long, byte_len long, "
+        "content_md5 string",
+    )
+    enc = bpe_encode(d, "text", _BPE_MERGES)
+    joined = F.array_join(F.col("bpe_tokens"), " ")
+    jb = joined.cast("binary")
+    bpe = enc.select(
+        F.lit("bpe").alias("kind"),
+        "doc_id",
+        F.size(F.col("bpe_tokens")).cast("bigint").alias("part_id"),
+        F.length(jb).cast("bigint").alias("byte_len"),
+        F.md5(jb).alias("content_md5"),
+    )
+    return (
+        doc.unionByName(chunk)
+        .unionByName(pack)
+        .unionByName(bpe)
+        .unionByName(train_rows)
+    )
 
 
 _K, _WIN = 8, 4
