@@ -42,6 +42,11 @@ HEADLINE = [
     "q75_dedup_survivors",        # cluster keeper anti-filter
     "q80_cosine_search",          # exact ANN baseline + near-dup funnel
     "q82_ann_lsh_topk",           # LSH ANN scale path
+    "q70_corpus_hygiene",         # corpus pipeline: exact dedup + LM
+                                  # perplexity + decontamination +
+                                  # incremental exact/banded dedup
+                                  # (round 8 — wall-time signal for
+                                  # the LLM-data layer)
     # q91 (five-stage DAG) deliberately NOT here: it runs on a
     # fixed-size synthetic parity world, so its wall time is pure DAG
     # scheduling overhead and never scales with sf — including it
