@@ -207,3 +207,39 @@ def test_unknown_checkpoint_mode_rejected(spark):
     edges = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
     with pytest.raises(ValueError, match="checkpoint_mode"):
         connected_components(edges, checkpoint_mode="s3-magic").collect()
+
+
+def test_q74_pipeline_under_reliable_checkpointing(spark, tmp_path):
+    """VERDICT r7 stretch: the production CC path (reliable
+    checkpointing, distributed min-label loop) must reproduce the q74
+    suite query's labels on the REAL dedup-funnel edge set — not just
+    on toy graphs — so the cluster configuration can't bit-rot while
+    the parity suite exercises only local mode."""
+    from bigdatabowl2024_25_spark import suite
+
+    suite.load_all()
+    sf = "/root/testdata/sf0.001"
+    pairs = suite.QUERIES["q72_near_dup_pairs"](spark, sf).select(
+        "id_a", "id_b"
+    )
+    expected = {
+        (r.node, r.component)
+        for r in suite.QUERIES["q74_near_dup_clusters"](spark, sf).collect()
+    }
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+    try:
+        got = {
+            (r.node, r.component)
+            for r in connected_components(
+                pairs,
+                small_graph_threshold=0,  # force the distributed loop
+                checkpoint_every=2,
+                checkpoint_mode="reliable",
+            ).collect()
+        }
+    finally:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+    assert got == expected
