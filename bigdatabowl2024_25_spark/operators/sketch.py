@@ -15,6 +15,8 @@ width=⌈e/ε⌉, depth=⌈ln 1/δ⌉.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -73,6 +75,105 @@ def cms_query(
         probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+
+
+#: portable-HLL geometry: the 60-bit portable hash splits into p
+#: bucket bits (low) and w = 60 − p rank bits (high); registers are
+#: scaled so Σ 2^(−M[j]) becomes an EXACT int64 sum (see hll_estimate)
+HLL_P = 9
+HLL_M = 1 << HLL_P
+HLL_W = 60 - HLL_P
+
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias constant (m ≥ 128 form)."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_numerator(p: int = HLL_P) -> float:
+    """The estimator numerator α_m·m²·2^(w+1) precomputed as ONE
+    Python float — injected as the identical literal into the Spark
+    plan and the DuckDB oracle, so there is no multiplication-order
+    drift to reason about."""
+    m, w = 1 << p, 60 - p
+    return _hll_alpha(m) * float(m) ** 2 * float(1 << (w + 1))
+
+
+def hll_build(df: DataFrame, value_col: str, p: int = HLL_P) -> DataFrame:
+    """PORTABLE HyperLogLog registers of a column: (bucket, maxrho)
+    rows, ≤2^p of them, built with ONE aggregate. Unlike
+    `approx_count_distinct` (whose registers are engine-internal bytes
+    — see hll_within_contract), these registers are a plain table of
+    the md5-derived hash: persistable as the running state of a
+    100 TB corpus's cardinality-per-day ledger, mergeable across
+    partitions/batches/engines by `hll_merge` (bucket-wise max — the
+    same decomposable algebra as the CMS counters), and reproducible
+    bit-for-bit by the DuckDB oracle.
+
+    rho (the register value) is the 1-based position of the leading
+    set bit counted from the top of the w rank bits (w+1 when they are
+    all zero), computed as w+1−bitlen with bitlen the exact integer
+    comparison ladder Σᵢ (suffix ≥ 2^i) — no floating log2, whose
+    rounding at power-of-two boundaries would silently corrupt
+    registers. NULLs are ignored (COUNT DISTINCT semantics)."""
+    w = 60 - p
+    h = portable_hash64(F.col(value_col).cast("string"))
+    bucket = h.bitwiseAND(F.lit((1 << p) - 1))
+    suffix = F.shiftright(h, p)
+    bitlen = reduce(
+        lambda a, b: a + b,
+        [(suffix >= F.lit(1 << i)).cast("int") for i in range(w)],
+    )
+    rho = (F.lit(w + 1) - bitlen).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("maxrho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge register tables from different partitions/days/sources:
+    bucket-wise max. Exactly equals the sketch of the unioned inputs
+    (max over a union is the max of maxes), so daily state never needs
+    the raw data again."""
+    merged = reduce(lambda a, b: a.unionByName(b), sketches)
+    return merged.groupBy("bucket").agg(F.max("maxrho").alias("maxrho"))
+
+
+def hll_estimate(regs: DataFrame, p: int = HLL_P) -> DataFrame:
+    """One row (est_micro, n_empty) from a register table. The
+    harmonic sum Σ 2^(−M[j]) is computed EXACTLY: scaled by 2^(w+1) it
+    is an integer sum (2^(w+1−rho) per register, 2^(w+1) per empty
+    bucket) that fits int64 at p=9 — order-free and associative, so
+    the estimate is partition-deterministic. The only floating steps
+    are the final division and (in the small-range regime, Flajolet's
+    linear counting E = m·ln(m/V)) one ln — both absorbed by the
+    micro-unit rounding (1-ulp drift sits ~9 orders below 0.5 µ)."""
+    m, w = 1 << p, 60 - p
+    scale = w + 1
+    agg = regs.agg(
+        (
+            F.sum(
+                F.expr(
+                    f"shiftleft(cast(1 as bigint), "
+                    f"cast({scale} - maxrho as int))"
+                )
+            )
+            + (F.lit(m) - F.count("*")) * F.lit(1 << scale)
+        ).alias("s"),
+        (F.lit(m) - F.count("*")).cast("bigint").alias("n_empty"),
+    )
+    eraw = F.lit(hll_numerator(p)) / F.col("s").cast("double")
+    e = F.when(
+        (eraw <= F.lit(2.5 * m)) & (F.col("n_empty") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_empty").cast("double")),
+    ).otherwise(eraw)
+    return agg.select(
+        F.round(e * F.lit(1000000.0)).cast("bigint").alias("est_micro"),
+        "n_empty",
     )
 
 

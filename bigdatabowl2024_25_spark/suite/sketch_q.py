@@ -10,8 +10,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.sketch import (
+    HLL_P,
     cms_build,
     cms_query,
+    hll_build,
+    hll_estimate,
+    hll_merge,
+    hll_numerator,
     hll_within_contract,
     quantile_within_contract,
 )
@@ -27,6 +32,63 @@ def _h(expr: str) -> str:
 
 _BUCKET = _h("concat(CAST(r AS VARCHAR), ':', v)") + f" % {_W}"
 
+# ---- portable-HLL oracle fragments (mirror operators.sketch) ---------
+
+_HM, _HW = 1 << HLL_P, 60 - HLL_P
+_HSCALE = _HW + 1
+
+#: exact integer bitlen of the rank suffix — same comparison ladder as
+#: the operator (no floating log2)
+_HBITLEN = " + ".join(
+    f"(CASE WHEN suffix >= {1 << i} THEN 1 ELSE 0 END)" for i in range(_HW)
+)
+
+_HLL_CTES = f"""
+    hvals AS (
+        SELECT {_h("CAST(user_id AS VARCHAR)")} AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    hrho AS (
+        SELECT h & {_HM - 1} AS bucket,
+               {_HSCALE} - ({_HBITLEN}) AS rho
+        FROM (SELECT h, h >> {HLL_P} AS suffix FROM hvals)
+    ),
+    hregs AS (
+        SELECT bucket, MAX(rho) AS maxrho FROM hrho GROUP BY bucket
+    ),
+    hsum AS (
+        SELECT SUM(1::BIGINT << ({_HSCALE} - maxrho))
+               + ({_HM} - COUNT(*)) * (1::BIGINT << {_HSCALE}) AS s,
+               CAST({_HM} - COUNT(*) AS BIGINT) AS n_empty
+        FROM hregs
+    ),
+    hest AS (
+        SELECT CAST(ROUND(
+            CASE WHEN eraw <= {2.5 * _HM!r} AND n_empty > 0
+                 THEN {float(_HM)!r} * ln({float(_HM)!r}
+                      / CAST(n_empty AS DOUBLE))
+                 ELSE eraw END * 1000000.0) AS BIGINT) AS est_micro,
+               n_empty
+        FROM (
+            SELECT CAST({hll_numerator()!r} AS DOUBLE)
+                   / CAST(s AS DOUBLE) AS eraw, n_empty
+            FROM hsum
+        )
+    )
+"""
+
+_HLL_ARMS = f"""
+    UNION ALL
+    SELECT 'hllreg' AS kind, bucket AS user_id, CAST(maxrho AS BIGINT)
+           AS est_count, CAST(NULL AS BIGINT) AS exact_n,
+           CAST(NULL AS BOOLEAN) AS within
+    FROM hregs
+    UNION ALL
+    SELECT 'hllest', NULL, est_micro, n_empty, NULL FROM hest
+    UNION ALL
+    SELECT 'hllmerge', NULL, est_micro, n_empty, NULL FROM hest
+"""
+
 _ORACLE = f"""
     WITH vals AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
     rows_ AS (SELECT unnest(range({_D})) AS r),
@@ -39,7 +101,8 @@ _ORACLE = f"""
         SELECT i.v, r.r AS r, {_h("concat(CAST(r.r AS VARCHAR), ':', i.v)")}
                % {_W} AS bucket
         FROM items i CROSS JOIN rows_ r
-    )
+    ),
+    {_HLL_CTES}
     SELECT 'cms' AS kind, CAST(p.v AS BIGINT) AS user_id,
            MIN(COALESCE(c.cnt, 0)) AS est_count,
            CAST(NULL AS BIGINT) AS exact_n,
@@ -51,6 +114,7 @@ _ORACLE = f"""
     SELECT 'hll', NULL, NULL, COUNT(DISTINCT user_id), TRUE FROM events
     UNION ALL
     SELECT 'quantile', NULL, NULL, COUNT(*), TRUE FROM events
+    {_HLL_ARMS}
 """
 
 
@@ -99,4 +163,44 @@ def q38_cms_point_counts(spark, sf_dir):
         "exact_n",
         "within",
     )
-    return cms.unionByName(hll).unionByName(quant)
+    # round 8: the PORTABLE HLL — registers are a plain (bucket,
+    # maxrho) table (persistable cross-day state, unlike the engine
+    # sketch above), value-exact against the oracle's re-derivation:
+    # - 'hllreg': every non-empty register;
+    # - 'hllest': the estimate (micro-units) + empty-bucket count;
+    # - 'hllmerge': the SAME numbers computed through the merge path
+    #   (two disjoint halves sketched independently, bucket-wise max)
+    #   — the oracle computes the whole-input estimate once, so a
+    #   hash match PROVES merge(sketch(A), sketch(B)) ≡ sketch(A∪B).
+    regs = hll_build(e, "user_id")
+    null_flags = [
+        F.lit(None).cast("bigint").alias("exact_n"),
+        F.lit(None).cast("boolean").alias("within"),
+    ]
+    hllreg = regs.select(
+        F.lit("hllreg").alias("kind"),
+        F.col("bucket").cast("bigint").alias("user_id"),
+        F.col("maxrho").cast("bigint").alias("est_count"),
+        *null_flags,
+    )
+
+    def est_row(kind, est):
+        return est.select(
+            F.lit(kind).alias("kind"),
+            F.lit(None).cast("bigint").alias("user_id"),
+            F.col("est_micro").alias("est_count"),
+            F.col("n_empty").alias("exact_n"),
+            F.lit(None).cast("boolean").alias("within"),
+        )
+
+    hllest = est_row("hllest", hll_estimate(regs))
+    even = hll_build(e.filter(F.pmod(F.col("user_id"), 2) == 0), "user_id")
+    odd = hll_build(e.filter(F.pmod(F.col("user_id"), 2) == 1), "user_id")
+    hllmerge = est_row("hllmerge", hll_estimate(hll_merge(even, odd)))
+    return (
+        cms.unionByName(hll)
+        .unionByName(quant)
+        .unionByName(hllreg)
+        .unionByName(hllest)
+        .unionByName(hllmerge)
+    )

@@ -52,3 +52,64 @@ def test_cms_merge_equals_whole(spark, events):
     a = sorted(map(tuple, whole.collect()))
     b = sorted(map(tuple, merged.collect()))
     assert a == b
+
+
+# ---- portable HyperLogLog ---------------------------------------------
+
+
+def _regs(df):
+    return {(r.bucket, r.maxrho) for r in df.collect()}
+
+
+def test_hll_accuracy_known_cardinalities(spark):
+    """Estimate within the m=512 error envelope across regimes: the
+    linear-counting range (n ≪ m), the crossover, and the raw-HLL
+    range (n ≫ m). σ ≈ 1.04/√512 ≈ 4.6%; allow 4σ."""
+    from bigdatabowl2024_25_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    for n in (50, 500, 5000, 50000):
+        df = spark.range(n).select(
+            F.concat(F.lit("user-"), F.col("id")).alias("v")
+        )
+        est = hll_estimate(hll_build(df, "v")).collect()[0]
+        e = est.est_micro / 1e6
+        assert abs(e - n) <= 4 * 0.046 * n + 2, f"n={n} est={e}"
+
+
+def test_hll_merge_equals_whole_and_partition_invariance(spark):
+    """merge(sketch(A), sketch(B)) must equal sketch(A ∪ B) REGISTER
+    FOR REGISTER (not just in estimate), and registers must not depend
+    on partitioning. Overlapping parts are fine — max is idempotent."""
+    from bigdatabowl2024_25_spark.operators.sketch import (
+        hll_build,
+        hll_merge,
+    )
+
+    whole = spark.range(3000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("v")
+    )
+    a = whole.filter(F.col("id") % 3 != 0)
+    b = whole.filter(F.col("id") % 3 != 1)  # overlaps a on id%3==2
+    merged = _regs(hll_merge(hll_build(a, "v"), hll_build(b, "v")))
+    direct = _regs(hll_build(whole, "v"))
+    assert merged == direct
+    assert _regs(hll_build(whole.repartition(13), "v")) == direct
+
+
+def test_hll_nulls_and_duplicates_ignored(spark):
+    """COUNT DISTINCT semantics: NULLs contribute nothing; duplicate
+    values leave the registers (and hence the estimate) unchanged."""
+    from bigdatabowl2024_25_spark.operators.sketch import hll_build
+
+    base = spark.createDataFrame(
+        [(f"u{i}",) for i in range(200)], "v string"
+    )
+    noisy = base.union(
+        spark.createDataFrame(
+            [(None,)] * 5 + [("u7",)] * 50, "v string"
+        )
+    )
+    assert _regs(hll_build(noisy, "v")) == _regs(hll_build(base, "v"))
