@@ -241,3 +241,26 @@ def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
     for — same policy as `write_csv`)."""
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — the second columnar interchange format Spark ships
+    natively (Hive-ecosystem counterpart of parquet; same predicate-
+    pushdown/column-pruning/min-max-stats story, so everything SCALE.md
+    says about parquet scans holds). Partition-parallel."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (glob-capable like the CSV/JSONL readers). Schema
+    travels in the file footer, so no explicit schema is needed —
+    unlike JSONL there is no inference pass to avoid."""
+    return spark.read.orc(path)

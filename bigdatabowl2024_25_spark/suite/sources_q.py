@@ -36,8 +36,10 @@ from ..sources.io import (
     load_table,
     read_csv,
     read_jsonl,
+    read_orc,
     write_csv,
     write_jsonl,
+    write_orc,
     write_table,
 )
 from .registry import query
@@ -141,6 +143,8 @@ def _z_sql() -> str:
         + _DIGEST_SQL.format(kind="csv", where="")
         + " UNION ALL "
         + _DIGEST_SQL.format(kind="jsonl", where="")
+        + " UNION ALL "
+        + _DIGEST_SQL.format(kind="orc", where="")
         + " UNION ALL "
         + _DIGEST_SQL.format(
             kind="sample", where=f"WHERE {_u_sql('sample:v1')} < 0.25"
@@ -265,6 +269,12 @@ def q95_source_sink_roundtrip(spark, sf_dir):
             spark, f"{csv_path}/part-*.csv", _CSV_SCHEMA
         )
 
+        orc_path = f"{tmp}/supplier_orc"  # round 8: the second
+        # native columnar format — digest proves the sink+scan are
+        # lossless like the parquet branch
+        write_orc(sup, orc_path, partition_by=["s_nationkey"])
+        back_orc = read_orc(spark, orc_path)
+
         jl_path = f"{tmp}/supplier_jsonl"  # the LLM-corpus format
         write_jsonl(sup.select(*_CSV_COLS), jl_path)
         back_jl = read_jsonl(
@@ -303,6 +313,7 @@ def q95_source_sink_roundtrip(spark, sf_dir):
             _digest(back_pq, "parquet")
             .unionByName(_digest(back_csv, "csv"))
             .unionByName(_digest(back_jl, "jsonl"))
+            .unionByName(_digest(back_orc, "orc"))
             .unionByName(sampled)
             .unionByName(mixed)
             .unionByName(shuffled)

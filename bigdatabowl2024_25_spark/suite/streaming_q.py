@@ -63,9 +63,16 @@ def _drain(agg, prefix, mode="complete"):
     return out, q
 
 
+#: the portable-HLL oracle CTEs are shared with q38 (same events
+#: table, same register math) — the streaming branch must converge to
+#: the identical registers/estimate
+from .sketch_q import _HLL_CTES  # noqa: E402
+
+
 @query(
     "q93_streaming_windows",
     oracle=f"""
+    WITH {_HLL_CTES}
     SELECT 'tumbling' AS kind, user_id,
            (epoch_us(ts) // {_W_US}) * {_W_US} AS win_start_us,
            COUNT(*) AS n_events,
@@ -111,6 +118,16 @@ def _drain(agg, prefix, mode="complete"):
      AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - {_LOOKBACK_US}
                             AND epoch_us(c.ts)
     GROUP BY c.user_id
+    UNION ALL
+    SELECT 'hll' AS kind, bucket AS user_id,
+           CAST(NULL AS BIGINT) AS win_start_us,
+           CAST(maxrho AS BIGINT) AS n_events,
+           CAST(NULL AS DOUBLE) AS sum_value
+    FROM hregs
+    UNION ALL
+    SELECT 'hll_est' AS kind, NULL, NULL, est_micro,
+           CAST(n_empty AS DOUBLE)
+    FROM hest
     """,
 )
 def q93_streaming_windows(spark, sf_dir):
@@ -276,6 +293,36 @@ def q93_streaming_windows(spark, sf_dir):
             )
         )
 
+        # streaming-HLL branch (round 8): the SAME portable-sketch
+        # operator (`sketch.hll_build` — filter/select + a max
+        # aggregate) runs unchanged on the stream; complete mode over
+        # a full drain must converge to exactly the batch registers
+        # (max is order-free), so the oracle is q38's batch
+        # re-derivation. This is the "sketches as streaming state"
+        # pattern: the register table IS the running cardinality state
+        # a 100 TB ingest keeps per day, updated per micro-batch in
+        # fixed memory.
+        from ..operators.sketch import hll_build, hll_estimate
+
+        regs_stream = hll_build(
+            stream_from_dir(spark, f"{tmp}/in", schema), "user_id"
+        )
+        regs_tbl, q6 = _drain(regs_stream, "q93_hll")
+        hll_regs = regs_tbl.select(
+            F.lit("hll").alias("kind"),
+            F.col("bucket").cast("bigint").alias("user_id"),
+            F.lit(None).cast("bigint").alias("win_start_us"),
+            F.col("maxrho").cast("bigint").alias("n_events"),
+            F.lit(None).cast("double").alias("sum_value"),
+        )
+        hll_est = hll_estimate(regs_tbl).select(
+            F.lit("hll_est").alias("kind"),
+            F.lit(None).cast("bigint").alias("user_id"),
+            F.lit(None).cast("bigint").alias("win_start_us"),
+            F.col("est_micro").alias("n_events"),
+            F.col("n_empty").cast("double").alias("sum_value"),
+        )
+
         # the memory sink tables are driver-resident and tiny (one row
         # per user×window); localCheckpoint pins the rows so the temp
         # dir and memory sinks can be torn down
@@ -284,6 +331,8 @@ def q93_streaming_windows(spark, sf_dir):
             .unionByName(state)
             .unionByName(joined)
             .unionByName(deduped)
+            .unionByName(hll_regs)
+            .unionByName(hll_est)
             .localCheckpoint()
         )
         q1.stop()
@@ -291,4 +340,5 @@ def q93_streaming_windows(spark, sf_dir):
         q3.stop()
         q4.stop()
         q5.stop()
+        q6.stop()
     return out
