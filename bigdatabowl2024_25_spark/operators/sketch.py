@@ -177,6 +177,109 @@ def hll_estimate(regs: DataFrame, p: int = HLL_P) -> DataFrame:
     )
 
 
+# ---- KMV (k minimum values) — distinct-count sketch with SET algebra
+
+#: default register count; σ ≈ 1/√(k−2) ≈ 13% at 64 — tune k per use
+KMV_K = 64
+
+#: unit-interval scale of portable_hash64 (16^15), as the exact float
+#: literal both engines divide by
+KMV_SPAN = float(16**15)
+
+
+def kmv_build(df: DataFrame, value_col: str, k: int = KMV_K) -> DataFrame:
+    """KMV sketch of a column: the k SMALLEST distinct portable hash
+    values, as a plain (h) register table (Bar-Yossef et al. 2002 /
+    Beyer et al. 2007). What it adds over the HLL: registers are
+    actual sample hashes, so sketches support SET OPERATIONS — union
+    by merge-and-trim, Jaccard/intersection estimation — which HLL
+    registers cannot express. Like the HLL/CMS registers it is
+    persistable cross-day state, deterministic (md5 hashes — no RNG),
+    and oracle-reproducible bit-for-bit.
+
+    Spark shape: distinct-hash → global k-smallest. orderBy().limit(k)
+    compiles to TakeOrderedAndProject — per-partition top-k heaps and
+    a k-row driver merge, NO global sort exchange, so at 100 TB the
+    scan dominates and only k·partitions hashes move."""
+    h = portable_hash64(F.col(value_col).cast("string"))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Union of the underlying SETS at sketch size: k smallest of the
+    merged registers. Exactly equals kmv_build over the unioned raw
+    inputs (k-min of a union is the k-min of the per-side k-mins),
+    so daily sketches compose without reprocessing."""
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def _kmv_est(n_regs, hmax, k: int):
+    """n̂ = (k−1)/u_(k); exact count when the sketch isn't full (the
+    whole set is in the registers)."""
+    return F.when(n_regs < k, n_regs.cast("double")).otherwise(
+        F.lit(float(k - 1)) / (hmax.cast("double") / F.lit(KMV_SPAN))
+    )
+
+
+def kmv_estimate(regs: DataFrame, k: int = KMV_K) -> DataFrame:
+    """One row (est_micro) — the distinct-count estimate of the
+    sketched set, in micro-units (the division is the only floating
+    step; both engines perform the identical IEEE sequence)."""
+    agg = regs.agg(F.count("*").alias("n"), F.max("h").alias("hmax"))
+    return agg.select(
+        F.round(_kmv_est(F.col("n"), F.col("hmax"), k) * 1000000.0)
+        .cast("bigint")
+        .alias("est_micro")
+    )
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Set-overlap estimates from two sketches: one row
+    (jaccard_micro, union_micro, inter_micro). The union sketch's
+    registers are scored for membership in each input sketch
+    (broadcast joins on k-row tables): Jaccard ≈ |in both|/|union
+    registers|, union via the KMV estimator on the merged sketch,
+    intersection = Jaccard × union — the standard KMV coincidence
+    estimator. THE corpus question this answers at 100 TB: "how many
+    documents/users do crawl A and crawl B share" without ever
+    joining the raw data."""
+    uni = kmv_merge(a, b, k)
+    flagged = (
+        uni.join(
+            F.broadcast(a.select(F.col("h"), F.lit(1).alias("__ina"))),
+            "h",
+            "left",
+        )
+        .join(
+            F.broadcast(b.select(F.col("h"), F.lit(1).alias("__inb"))),
+            "h",
+            "left",
+        )
+    )
+    agg = flagged.agg(
+        F.count("*").alias("nu"),
+        F.sum(
+            (F.col("__ina").isNotNull() & F.col("__inb").isNotNull()).cast(
+                "bigint"
+            )
+        ).alias("m"),
+        F.max("h").alias("hmax"),
+    )
+    jac = F.col("m").cast("double") / F.col("nu").cast("double")
+    uni_est = _kmv_est(F.col("nu"), F.col("hmax"), k)
+    return agg.select(
+        F.round(jac * 1000000.0).cast("bigint").alias("jaccard_micro"),
+        F.round(uni_est * 1000000.0).cast("bigint").alias("union_micro"),
+        F.round(jac * uni_est * 1000000.0).cast("bigint").alias("inter_micro"),
+    )
+
+
 def hll_within_contract(
     df: DataFrame, col: str, rel_err: float = 0.05
 ) -> DataFrame:

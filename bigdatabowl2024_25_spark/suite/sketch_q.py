@@ -18,6 +18,10 @@ from ..operators.sketch import (
     hll_merge,
     hll_numerator,
     hll_within_contract,
+    kmv_build,
+    kmv_estimate,
+    kmv_merge,
+    kmv_overlap,
     quantile_within_contract,
 )
 from ..sources.io import load_table
@@ -77,6 +81,78 @@ _HLL_CTES = f"""
     )
 """
 
+# ---- KMV oracle fragments (mirror operators.sketch KMV ops) ----------
+
+_KK = 64
+_KSPAN = "1152921504606846976.0"
+
+#: the two sketched subsets: evens and multiples of 3 (overlap = %6)
+_KSUB = {
+    "2": "user_id % 2 = 0",
+    "3": "user_id % 3 = 0",
+}
+
+
+def _kmv_est_sql(n: str, hmax: str) -> str:
+    return (
+        f"CASE WHEN {n} < {_KK} THEN CAST({n} AS DOUBLE) "
+        f"ELSE {float(_KK - 1)!r} / (CAST({hmax} AS DOUBLE) / {_KSPAN}) END"
+    )
+
+
+_KMV_CTES = f"""
+    kreg AS (SELECT DISTINCT h FROM hvals ORDER BY h LIMIT {_KK}),
+    kr2 AS (
+        SELECT DISTINCT {_h("CAST(user_id AS VARCHAR)")} AS h FROM events
+        WHERE user_id IS NOT NULL AND {_KSUB["2"]}
+        ORDER BY h LIMIT {_KK}
+    ),
+    kr3 AS (
+        SELECT DISTINCT {_h("CAST(user_id AS VARCHAR)")} AS h FROM events
+        WHERE user_id IS NOT NULL AND {_KSUB["3"]}
+        ORDER BY h LIMIT {_KK}
+    ),
+    kuni AS (
+        SELECT DISTINCT h FROM (
+            SELECT h FROM kr2 UNION ALL SELECT h FROM kr3
+        ) ORDER BY h LIMIT {_KK}
+    ),
+    kest AS (
+        SELECT CAST(ROUND({_kmv_est_sql("COUNT(*)", "MAX(h)")}
+                    * 1000000.0) AS BIGINT) AS est_micro
+        FROM kreg
+    ),
+    kover AS (
+        SELECT CAST(ROUND(jac * 1000000.0) AS BIGINT) AS jac_micro,
+               CAST(ROUND(uni * 1000000.0) AS BIGINT) AS uni_micro,
+               CAST(ROUND((jac * uni) * 1000000.0) AS BIGINT) AS int_micro
+        FROM (
+            SELECT CAST(SUM(CASE WHEN u.h IN (SELECT h FROM kr2)
+                             AND u.h IN (SELECT h FROM kr3)
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS jac,
+                   {_kmv_est_sql("COUNT(*)", "MAX(u.h)")} AS uni
+            FROM kuni u
+        )
+    )
+"""
+
+_KMV_ARMS = f"""
+    UNION ALL
+    SELECT 'kmvreg' AS kind, CAST(NULL AS BIGINT) AS user_id,
+           h AS est_count, CAST(NULL AS BIGINT) AS exact_n,
+           CAST(NULL AS BOOLEAN) AS within
+    FROM kreg
+    UNION ALL
+    SELECT 'kmvest', NULL, est_micro, NULL, NULL FROM kest
+    UNION ALL
+    SELECT 'kmvjac', NULL, jac_micro, NULL, NULL FROM kover
+    UNION ALL
+    SELECT 'kmvuni', NULL, uni_micro, NULL, NULL FROM kover
+    UNION ALL
+    SELECT 'kmvint', NULL, int_micro, NULL, NULL FROM kover
+"""
+
 _HLL_ARMS = f"""
     UNION ALL
     SELECT 'hllreg' AS kind, bucket AS user_id, CAST(maxrho AS BIGINT)
@@ -102,7 +178,8 @@ _ORACLE = f"""
                % {_W} AS bucket
         FROM items i CROSS JOIN rows_ r
     ),
-    {_HLL_CTES}
+    {_HLL_CTES},
+    {_KMV_CTES}
     SELECT 'cms' AS kind, CAST(p.v AS BIGINT) AS user_id,
            MIN(COALESCE(c.cnt, 0)) AS est_count,
            CAST(NULL AS BIGINT) AS exact_n,
@@ -115,6 +192,7 @@ _ORACLE = f"""
     UNION ALL
     SELECT 'quantile', NULL, NULL, COUNT(*), TRUE FROM events
     {_HLL_ARMS}
+    {_KMV_ARMS}
 """
 
 
@@ -197,10 +275,46 @@ def q38_cms_point_counts(spark, sf_dir):
     even = hll_build(e.filter(F.pmod(F.col("user_id"), 2) == 0), "user_id")
     odd = hll_build(e.filter(F.pmod(F.col("user_id"), 2) == 1), "user_id")
     hllmerge = est_row("hllmerge", hll_estimate(hll_merge(even, odd)))
+
+    # round 8: KMV — the set-algebra sketch. 'kmvreg' value-hashes the
+    # 64 minimum hash registers; 'kmvest' the distinct-count estimate;
+    # 'kmvjac'/'kmvuni'/'kmvint' estimate Jaccard/union/intersection
+    # cardinality between two deterministic event subsets (user_id
+    # even vs multiple of 3 — true overlap is the %6 class) without
+    # ever joining the raw rows. NOTE: subset predicates use the `%`
+    # operator, whose sign convention matches DuckDB's (unlike pmod).
+    kregs = kmv_build(e, "user_id")
+    kmvreg = kregs.select(
+        F.lit("kmvreg").alias("kind"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.col("h").alias("est_count"),
+        *null_flags,
+    )
+
+    def one_val(kind, df, col):
+        return df.select(
+            F.lit(kind).alias("kind"),
+            F.lit(None).cast("bigint").alias("user_id"),
+            F.col(col).alias("est_count"),
+            *null_flags,
+        )
+
+    kmvest = one_val("kmvest", kmv_estimate(kregs), "est_micro")
+    kr2 = kmv_build(e.filter(F.col("user_id") % 2 == 0), "user_id")
+    kr3 = kmv_build(e.filter(F.col("user_id") % 3 == 0), "user_id")
+    ov = kmv_overlap(kr2, kr3).localCheckpoint()  # 3 rows ride one plan
+    kmv_over = (
+        one_val("kmvjac", ov, "jaccard_micro")
+        .unionByName(one_val("kmvuni", ov, "union_micro"))
+        .unionByName(one_val("kmvint", ov, "inter_micro"))
+    )
     return (
         cms.unionByName(hll)
         .unionByName(quant)
         .unionByName(hllreg)
         .unionByName(hllest)
         .unionByName(hllmerge)
+        .unionByName(kmvreg)
+        .unionByName(kmvest)
+        .unionByName(kmv_over)
     )

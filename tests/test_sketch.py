@@ -113,3 +113,70 @@ def test_hll_nulls_and_duplicates_ignored(spark):
         )
     )
     assert _regs(hll_build(noisy, "v")) == _regs(hll_build(base, "v"))
+
+
+# ---- KMV (k minimum values) ---------------------------------------------
+
+
+def _hset(df):
+    return {r.h for r in df.collect()}
+
+
+def test_kmv_estimate_and_exact_regime(spark):
+    """Estimator within the k=64 envelope (σ ≈ 1/√62 ≈ 12.7%; allow
+    4σ) for n ≫ k, and EXACT when the set fits the registers."""
+    from bigdatabowl2024_25_spark.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+    )
+
+    for n, tol in ((40, 0.0), (5000, 4 * 0.127), (50000, 4 * 0.127)):
+        df = spark.range(n).select(
+            F.concat(F.lit("v"), F.col("id")).alias("v")
+        )
+        est = kmv_estimate(kmv_build(df, "v")).collect()[0].est_micro / 1e6
+        assert abs(est - n) <= tol * n, f"n={n} est={est}"
+
+
+def test_kmv_merge_equals_whole(spark):
+    """merge(kmv(A), kmv(B)) register-identical to kmv(A ∪ B), with
+    overlapping inputs, and partition-invariant."""
+    from bigdatabowl2024_25_spark.operators.sketch import (
+        kmv_build,
+        kmv_merge,
+    )
+
+    whole = spark.range(4000).select(
+        F.concat(F.lit("m"), F.col("id")).alias("v")
+    )
+    a = whole.filter(F.col("id") < 2600)
+    b = whole.filter(F.col("id") >= 1500)  # overlap [1500, 2600)
+    merged = _hset(kmv_merge(kmv_build(a, "v"), kmv_build(b, "v")))
+    direct = _hset(kmv_build(whole, "v"))
+    assert merged == direct
+    assert _hset(kmv_build(whole.repartition(11), "v")) == direct
+
+
+def test_kmv_overlap_estimates(spark):
+    """Jaccard/union/intersection estimates vs ground truth on sets
+    with known 1/3 overlap (A = [0, 20k), B = [10k, 40k): J = 1/4,
+    |A∪B| = 40k, |A∩B| = 10k). KMV overlap compounds two estimators,
+    so the tolerance is loose (±60% on the intersection) — the point
+    pinned here is unbiased-ish magnitude, not tightness; exactness
+    is pinned by the oracle hash on the driver side."""
+    from bigdatabowl2024_25_spark.operators.sketch import (
+        kmv_build,
+        kmv_overlap,
+    )
+
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.concat(F.lit("o"), F.col("id")).alias("v")
+    )
+    ov = kmv_overlap(kmv_build(mk(0, 20000), "v"),
+                     kmv_build(mk(10000, 40000), "v")).collect()[0]
+    jac = ov.jaccard_micro / 1e6
+    uni = ov.union_micro / 1e6
+    inter = ov.inter_micro / 1e6
+    assert abs(uni - 40000) <= 0.5 * 40000
+    assert 0.05 <= jac <= 0.5
+    assert abs(inter - 10000) <= 0.6 * 10000
