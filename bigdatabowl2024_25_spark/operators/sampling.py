@@ -76,6 +76,52 @@ def weighted_domain_sample(
     return df.filter(hash_uniform(F.col(key_col), seed) < rate)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    weight_col: str,
+    budgets: dict[str, float],
+    seed: str = "budget:v1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Corpus mixing by TOKEN BUDGET instead of rate: keep each
+    domain's rows with probability min(1, budget_d / Σ weight_d), so
+    the sampled token mass concentrates on the requested budget — the
+    way mixture recipes are actually specified ("300 B tokens of web,
+    50 B of code"), with the rate derived from the data rather than
+    hand-tuned. Domains at or under budget pass untouched (rate 1);
+    unlisted domains get `default_rate` (0 = drop, the curated-recipe
+    default).
+
+    Spark shape: per-domain totals are ONE tiny aggregate (map-side
+    combined, rows = domain cardinality) broadcast back; membership is
+    then the same pure keyed-hash filter as `hash_sample` — stable
+    under re-runs and corpus growth of OTHER domains (a domain's own
+    growth rescales its rate, as a fixed budget demands)."""
+    if "__tot" in df.columns:
+        raise ValueError(
+            "token_budget_sample: df already carries reserved column "
+            "'__tot'; drop or rename it first"
+        )
+    totals = df.groupBy(domain_col).agg(
+        F.sum(F.col(weight_col).cast("bigint")).alias("__tot")
+    )
+    rate = F.lit(float(default_rate))
+    for dom, b in sorted(budgets.items()):
+        rate = F.when(
+            F.col(domain_col) == dom,
+            F.least(
+                F.lit(1.0), F.lit(float(b)) / F.col("__tot").cast("double")
+            ),
+        ).otherwise(rate)
+    return (
+        df.join(F.broadcast(totals), domain_col)
+        .filter(hash_uniform(F.col(key_col), seed) < rate)
+        .drop("__tot")
+    )
+
+
 def stratified_fixed_k(
     df: DataFrame,
     key_col: str,

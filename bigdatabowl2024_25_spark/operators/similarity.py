@@ -94,6 +94,40 @@ def pairwise_cosine(
     )
 
 
+def decontaminate_embeddings(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination: flag corpus items whose
+    embedding is cosine-≥-threshold to ANY eval/benchmark embedding —
+    the paraphrase-robust complement of `dedup.decontaminate`'s exact
+    n-gram overlap (surface rewrites evade n-grams; embeddings don't).
+    Returns (id, n_hits, max_cosine): one row per contaminated corpus
+    item with how many benchmark vectors it matched and its worst
+    similarity; clean items are absent (anti-join to drop them).
+
+    100 TB shape: the benchmark side is an eval suite — it BROADCASTS;
+    the corpus is scored in place by quantized int64 dots (one linear
+    map scan, no corpus shuffle) and only rows over the threshold
+    reach the final aggregate, which is bounded by contamination
+    volume, not corpus size — the same funnel discipline as the
+    n-gram decontaminator. For benchmark sets too big to broadcast
+    as raw vectors, pre-filter candidates with `lsh_near_dup`'s
+    bucket funnel and verify with this scorer."""
+    scored = pairwise_cosine(bench, corpus, id_col, vec_col)
+    return (
+        scored.filter(F.col("cosine") >= threshold)
+        .groupBy(F.col("d_id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.max("cosine").alias("max_cosine"),
+        )
+    )
+
+
 def topk_per_query(pairs: DataFrame, k: int) -> DataFrame:
     """Deterministic per-query top-k: rank by (cosine desc, d_id)."""
     w = Window.partitionBy("q_id").orderBy(

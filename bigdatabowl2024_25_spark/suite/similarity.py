@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
+    decontaminate_embeddings,
     int_dot,
     ivf_assign_exact,
     lsh_near_dup,
@@ -177,6 +178,11 @@ _INORMS = (
                    ORDER BY cosine DESC, d_id ASC) AS rank
         FROM sq8
     ) WHERE rank <= 5
+    UNION ALL
+    SELECT 'decon' AS kind, CAST(NULL AS BIGINT) AS q_id, d_id,
+           MAX(cosine) AS cosine, COUNT(*) AS rank
+    FROM scored WHERE d_id >= 8 AND cosine >= 0.2
+    GROUP BY d_id
     """,
 )
 def q80_cosine_search(spark, sf_dir):
@@ -217,7 +223,23 @@ def q80_cosine_search(spark, sf_dir):
         F.lit("sq8").alias("kind"), "q_id", "d_id", "cosine",
         F.col("rank").cast("bigint").alias("rank"),
     )
-    return topk.unionByName(neardup).unionByName(sq8)
+    # round 8: semantic decontamination — the first 8 vectors play the
+    # benchmark set; every other corpus vector cosine-≥0.2 to any of
+    # them is flagged with its hit count and worst similarity
+    # (`similarity.decontaminate_embeddings`: benchmark broadcasts,
+    # corpus never shuffles, output bounded by contamination volume)
+    decon = decontaminate_embeddings(
+        e.filter(F.col("vec_id") >= 8), q, "vec_id", "embedding", 0.2
+    ).select(
+        F.lit("decon").alias("kind"),
+        F.lit(None).cast("bigint").alias("q_id"),
+        F.col("vec_id").alias("d_id"),
+        F.col("max_cosine").alias("cosine"),
+        F.col("n_hits").cast("bigint").alias("rank"),
+    )
+    return (
+        topk.unionByName(neardup).unionByName(sq8).unionByName(decon)
+    )
 
 
 _LSH_BUCKETS = "\n        UNION ALL\n".join(

@@ -249,6 +249,27 @@ _PK_CTES = f"""
     )
 """
 
+# ---- q64 'budget' branch: token-budget corpus mixing ------------------
+
+#: budgets (in whitespace tokens) per source domain; unlisted sources
+#: drop (default_rate 0) — src2's huge budget pins the rate-1 path
+_BUDGETS = {"src0": 700.0, "src1": 350.0, "src2": 1000000.0}
+
+_BUDGET_U = (
+    "CAST(concat('0x', substring(md5(concat('budget:v1', chr(31), "
+    "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+    " / 1152921504606846976.0"
+)
+
+_BUDGET_RATE = (
+    "CASE source "
+    + " ".join(
+        f"WHEN '{d}' THEN least(1.0, {b!r} / CAST(tot AS DOUBLE))"
+        for d, b in sorted(_BUDGETS.items())
+    )
+    + " ELSE 0.0 END"
+)
+
 # ---- q64 'bpe' branches: fixed merge list + encode -------------------
 
 #: the fixed training corpus (literals — sf-independent, like q90's
@@ -344,6 +365,16 @@ _BPE_JOINED = (
     UNION ALL
     SELECT * FROM (VALUES {_BPE_TRAIN_VALUES})
         t(kind, doc_id, part_id, byte_len, content_md5)
+    UNION ALL
+    SELECT 'budget' AS kind, doc_id,
+           CAST(len({_W_NE}) AS BIGINT) AS part_id,
+           length(text) AS byte_len, source AS content_md5
+    FROM (
+        SELECT doc_id, text, source,
+               SUM(len({_W_NE})) OVER (PARTITION BY source) AS tot
+        FROM documents
+    )
+    WHERE {_BUDGET_U} < ({_BUDGET_RATE})
     """,
 )
 def q64_binary_plumbing(spark, sf_dir):
@@ -416,6 +447,24 @@ def q64_binary_plumbing(spark, sf_dir):
         "kind string, doc_id long, part_id long, byte_len long, "
         "content_md5 string",
     )
+    # 'budget' (round 8): token-budget mixing (`sampling.
+    # token_budget_sample`) — sources sampled to 700/350/∞-token
+    # budgets (rates derived from per-source totals), others dropped;
+    # membership is the keyed hash, so the oracle re-derives the
+    # whole recipe from a window sum + the same md5 layout
+    from ..operators.sampling import token_budget_sample
+
+    weighted = d.withColumn("__w", nonempty.cast("bigint"))
+    kept = token_budget_sample(
+        weighted, "doc_id", "source", "__w", _BUDGETS
+    )
+    budget = kept.select(
+        F.lit("budget").alias("kind"),
+        "doc_id",
+        F.col("__w").alias("part_id"),
+        F.length(F.col("text")).cast("bigint").alias("byte_len"),
+        F.col("source").alias("content_md5"),
+    )
     enc = bpe_encode(d, "text", _BPE_MERGES)
     joined = F.array_join(F.col("bpe_tokens"), " ")
     jb = joined.cast("binary")
@@ -431,6 +480,7 @@ def q64_binary_plumbing(spark, sf_dir):
         .unionByName(pack)
         .unionByName(bpe)
         .unionByName(train_rows)
+        .unionByName(budget)
     )
 
 

@@ -120,3 +120,44 @@ def test_stratified_fixed_k(spark):
 
     with pytest.raises(ValueError, match="__rn"):
         stratified_fixed_k(df.withColumn("__rn", F.lit(1)), "k", "g", 10)
+
+
+def test_token_budget_sample(spark):
+    """Budget semantics: an over-budget domain downsamples to roughly
+    its token budget, an under-budget domain passes untouched (rate 1),
+    unlisted domains drop; membership is growth-stable for OTHER
+    domains; the reserved state column is guarded."""
+    from bigdatabowl2024_25_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = (
+        [(i, "a", 10) for i in range(1000)]          # 10k tokens
+        + [(10000 + i, "b", 10) for i in range(30)]  # 300 tokens
+        + [(20000 + i, "junk", 10) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "k long, dom string, w long")
+    budgets = {"a": 2500.0, "b": 1000.0}
+    out = token_budget_sample(df, "k", "dom", "w", budgets)
+    got = out.groupBy("dom").agg(
+        F.sum("w").alias("tok"), F.count("*").alias("n")
+    )
+    by = {r.dom: (r.tok, r.n) for r in got.collect()}
+    assert "junk" not in by                       # default_rate 0
+    assert by["b"] == (300, 30)                   # under budget: all kept
+    # over budget: expected 2500 tokens; Bernoulli σ ≈ √(250)·10 ≈ 158
+    assert abs(by["a"][0] - 2500) <= 5 * 160
+    # growth stability: adding a NEW domain never flips a's members
+    a_before = {r.k for r in out.filter(F.col("dom") == "a").collect()}
+    grown = df.unionByName(
+        spark.createDataFrame([(90000, "c", 10)], "k long, dom string, w long")
+    )
+    out2 = token_budget_sample(grown, "k", "dom", "w", budgets)
+    a_after = {r.k for r in out2.filter(F.col("dom") == "a").collect()}
+    assert a_before == a_after
+    import pytest
+
+    with pytest.raises(ValueError, match="__tot"):
+        token_budget_sample(
+            df.withColumn("__tot", F.lit(1)), "k", "dom", "w", budgets
+        )
