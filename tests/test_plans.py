@@ -177,16 +177,18 @@ def test_q80_neardup_is_bucket_join_not_all_pairs(spark):
     """The near-dup branch must plan as a hash equi-join on the LSH
     bucket key. q80's ONLY allowed nested-loops are the deliberate
     broadcast-small-side scorers: the topk branch's 8-query baseline
-    (1) and the sq8 branch's 1-row-scales joins + 8-query scoring
-    pass (3). A fifth one (or any cartesian) means a corpus×corpus
-    all-pairs scorer came back — the round-4 scale-killer."""
+    (1), the sq8 branch's 1-row-scales joins + 8-query scoring pass
+    (3), and round 8's decon branch scoring the corpus against the
+    8-vector broadcast benchmark (1). A sixth one (or any cartesian)
+    means a corpus×corpus all-pairs scorer came back — the round-4
+    scale-killer."""
     import re
 
     plan = plan_of(suite.QUERIES["q80_cosine_search"](spark, SF))
     assert "CartesianProduct" not in plan
     # formatted mode lists each node twice (tree + details): count
     # numbered tree entries
-    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 4
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 5
     # the funnel's bucket equi-join must exist as a HASH join keyed
     # on the bucket column
     assert re.search(r"\(\d+\) (Broadcast|SortMerge|ShuffledHash)?HashJoin", plan)
@@ -336,3 +338,57 @@ def test_q70_query_level_no_smj_and_bounded_exchanges(spark):
     plan = plan_of(suite.QUERIES["q70_corpus_hygiene"](spark, SF))
     assert "SortMergeJoin" not in plan
     assert shuffles(plan) <= 19
+
+
+def test_sketch_operator_plans(spark):
+    """Round-8 sketch/corpus operators keep their claimed shapes:
+
+    - kmv_build: TakeOrderedAndProject (per-partition heaps + k-row
+      driver merge), NEVER a global Sort+Exchange;
+    - hll_build: exactly one shuffle (the register groupBy);
+    - decontaminate_embeddings: benchmark broadcasts, no SortMergeJoin,
+      the only shuffle is the contamination-bounded final aggregate;
+    - token_budget_sample: domain totals broadcast back, no SMJ."""
+    from bigdatabowl2024_25_spark.operators.similarity import (
+        decontaminate_embeddings,
+    )
+    from bigdatabowl2024_25_spark.operators.sampling import (
+        token_budget_sample,
+    )
+    from bigdatabowl2024_25_spark.operators.sketch import hll_build, kmv_build
+    from bigdatabowl2024_25_spark.sources.io import load_table
+
+    e = load_table(spark, SF, "events")
+
+    kmv = plan_of(kmv_build(e, "user_id"))
+    assert "TakeOrderedAndProject" in kmv
+    assert re.search(r"\(\d+\) Sort\b", kmv) is None
+
+    hll = plan_of(hll_build(e, "user_id"))
+    assert shuffles(hll) == 1
+    assert "HashAggregate" in hll  # map-side partial max
+
+    emb = load_table(spark, SF, "embeddings")
+    dec = plan_of(
+        decontaminate_embeddings(
+            emb.filter("vec_id >= 8"),
+            emb.filter("vec_id < 8"),
+            "vec_id",
+            "embedding",
+            0.2,
+        )
+    )
+    assert "SortMergeJoin" not in dec
+    assert "BroadcastExchange" in dec
+    assert shuffles(dec) == 1  # only the per-item hit aggregate
+
+    bud = plan_of(
+        token_budget_sample(
+            e.selectExpr("event_id", "user_id AS dom", "value AS w"),
+            "event_id", "dom", "w", {"1": 100.0},
+        )
+    )
+    assert "SortMergeJoin" not in bud
+    assert "BroadcastHashJoin" in bud
+    # one shuffle: the tiny per-domain totals aggregate
+    assert shuffles(bud) == 1
