@@ -72,20 +72,28 @@ def lm_train(
     text_col: str,
     id_col: str,
     min_count: int = 1,
-) -> tuple[DataFrame, DataFrame, int]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the bigram model: returns (bigram counts (prev, tok, cb),
-    context counts (prev, cu), vocab size V). `min_count` prunes rare
-    bigrams — the vocab cut that keeps the model broadcast-sized at
-    scale; context counts stay UNPRUNED so denominators (and therefore
-    probabilities) are unchanged, pruning only moves mass to the
-    smoothed floor.
+    context counts (prev, cu), vocab size as a ONE-ROW frame (v)).
+    `min_count` prunes rare bigrams — the vocab cut that keeps the
+    model broadcast-sized at scale; context counts stay UNPRUNED so
+    denominators (and therefore probabilities) are unchanged, pruning
+    only moves mass to the smoothed floor.
 
     ONE corpus-wide pass: the exploded pair stream shuffles once into
     the unpruned bigram counts; context counts and the vocab size are
     re-aggregations of that table, never of the corpus. The unpruned
     counts stay persisted — the table is vocab²-bounded (MBs after any
     realistic cut, LRU-evictable), and the returned bigrams/contexts
-    read it instead of re-exploding the corpus."""
+    read it instead of re-exploding the corpus.
+
+    Round 8: the vocab size is LAZY (a single-row aggregate frame that
+    `lm_perplexity` broadcasts), not a driver int — training no longer
+    runs an eager 2 s collect job at plan-build time, and the whole
+    train+score pipeline is one deferred DAG. α·V is computed at
+    runtime as the identical IEEE double multiply the driver-side
+    Python performed, so scores are bit-unchanged (and the DuckDB
+    oracle already computed it this way)."""
     unpruned = (
         _pairs(docs, text_col, id_col)
         .groupBy("prev", "tok")
@@ -94,17 +102,15 @@ def lm_train(
     )
     bigrams = unpruned.filter(F.col("cb") >= min_count)
     contexts = unpruned.groupBy("prev").agg(F.sum("cb").alias("cu"))
-    vocab = (
-        unpruned.agg(F.countDistinct("tok")).collect()[0][0] or 0
-    ) + 1  # +1: unseen mass
+    vocab = unpruned.agg(
+        (F.countDistinct("tok") + 1).alias("v")  # +1: unseen mass
+    )
     return bigrams, contexts, vocab
 
 
-def _logp(alpha: float, vocab: int) -> Column:
+def _logp(alpha: float, alpha_v: Column) -> Column:
     num = F.coalesce(F.col("cb"), F.lit(0)).cast("double") + F.lit(alpha)
-    den = F.coalesce(F.col("cu"), F.lit(0)).cast("double") + F.lit(
-        alpha * vocab
-    )
+    den = F.coalesce(F.col("cu"), F.lit(0)).cast("double") + alpha_v
     return F.log(num / den)
 
 
@@ -114,7 +120,7 @@ def lm_perplexity(
     id_col: str,
     bigrams: DataFrame,
     contexts: DataFrame,
-    vocab: int,
+    vocab: DataFrame | int,
     alpha: float = 0.1,
     broadcast_model: bool = True,
 ) -> DataFrame:
@@ -139,14 +145,21 @@ def lm_perplexity(
     b, c = bigrams, contexts
     if broadcast_model:
         b, c = F.broadcast(b), F.broadcast(c)
-    scored = (
+    pairs = (
         _pairs(docs, text_col, id_col)
         .join(b, ["prev", "tok"], "left")
         .join(c, ["prev"], "left")
-        .select(
-            F.col(id_col),
-            _logp(alpha, vocab).cast(_DEC).alias("lp"),
-        )
+    )
+    if isinstance(vocab, DataFrame):
+        # lazy vocab: the 1-row (v) frame broadcasts in; α·V is the
+        # same single IEEE multiply the int path folds at plan time
+        pairs = pairs.crossJoin(F.broadcast(vocab))
+        alpha_v = F.lit(alpha) * F.col("v").cast("double")
+    else:
+        alpha_v = F.lit(alpha * vocab)
+    scored = pairs.select(
+        F.col(id_col),
+        _logp(alpha, alpha_v).cast(_DEC).alias("lp"),
     )
     n = F.count("*")
     # decimal sum → order-free; one double division + exp at the end

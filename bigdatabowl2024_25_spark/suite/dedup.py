@@ -342,11 +342,9 @@ def q70_corpus_hygiene(spark, sf_dir):
         F.lit(1).cast("bigint").alias("n"),
     )
 
-    # note: lm_train runs one eager vocab-count job at query-BUILD
-    # time (vocab must be a plan literal for IEEE-exact α·V) and
-    # leaves its vocab-bounded count table persisted for the scoring
-    # plan — tiny at parity scale, LRU-evictable, and q70 is not in
-    # the bench headline, so build cost is driver-correctness-only.
+    # lm_train is fully lazy since round 8 (the vocab size rides as a
+    # broadcast 1-row frame); only the persist() of the vocab-bounded
+    # count table carries across the plan — tiny, LRU-evictable.
     bigrams, contexts, vocab = lm_train(corpus, "text", "doc_id")
     lm = lm_perplexity(
         corpus, "text", "doc_id", bigrams, contexts, vocab, alpha=0.1

@@ -152,8 +152,10 @@ def test_broadcast_model_never_shuffles_corpus(spark):
     model side or the output: the persisted training groupBy (printed
     inside its InMemoryTableScan subtree; paid once), the context
     re-aggregation of that cached vocab-sized table (×2 — once per
-    broadcast build), and the per-doc aggregate — none touches the
-    exploded corpus before the final agg."""
+    broadcast build), the lazy vocab's single-row aggregate (round 8 —
+    previously an eager driver collect at build time), and the per-doc
+    aggregate — none touches the exploded corpus before the final
+    agg."""
     import re as _re
 
     df = spark.createDataFrame(CORPUS, "doc_id long, text string")
@@ -166,7 +168,7 @@ def test_broadcast_model_never_shuffles_corpus(spark):
         len(_re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2
     ), plan[:2000]
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    assert len(_re.findall(r"\(\d+\) Exchange\b", plan)) <= 4, plan[:2000]
+    assert len(_re.findall(r"\(\d+\) Exchange\b", plan)) <= 5, plan[:2000]
     # training reads the persisted counts, not the corpus, for the
     # derived tables
     assert len(_re.findall(r"\(\d+\) InMemoryTableScan", plan)) >= 2
