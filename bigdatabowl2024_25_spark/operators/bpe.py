@@ -64,30 +64,83 @@ def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _bpe_train_local(
+    vocab: list[tuple[list[str], int]],
+    n_merges: int,
+) -> list[tuple[str, str]]:
+    """Driver-side merge loop over a collected (symbols, count) vocab —
+    the small-vocab fast path. Bit-identical semantics to the
+    distributed loop: count adjacent pairs weighted by word frequency,
+    argmax with lexicographic tie-break, single-pass left-to-right
+    merge, stop when the best pair count < 2."""
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        merged = a + b
+        nxt = []
+        for syms, n in vocab:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            nxt.append((out, n))
+        vocab = nxt
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
     n_merges: int,
     end_of_word: str = "</w>",
+    small_vocab_threshold: int = 65_536,
 ) -> list[tuple[str, str]]:
     """Learn `n_merges` BPE merges from the corpus; returns them in
     order. Words are split to characters plus an end-of-word marker
     (so suffixes and whole words tokenize differently, per the paper).
 
-    The per-iteration driver collect is ONE row (the argmax pair);
-    the vocab table is cached and localCheckpoint-compacted every few
-    rounds to keep the lineage flat — the same discipline as the
-    iterative connected-components operator."""
-    vocab = word_frequencies(df, text_col).withColumn(
+    Size-adaptive, like `components.connected_components`: the corpus
+    always collapses to the (distinct word, count) table first — THE
+    corpus-scale step — and if that vocab has at or under
+    `small_vocab_threshold` rows it is collected ONCE and the merge
+    loop runs driver-side (`_bpe_train_local`, result-identical; a
+    65k-word vocab is a few MB, while n_merges sequential Spark jobs
+    on it are pure scheduling overhead). Above the threshold the
+    distributed loop runs: per-iteration pair counts shuffle only the
+    vocab-sized table, the driver collect is ONE row (the argmax
+    pair), and the vocab is localCheckpoint-compacted every few
+    rounds to keep lineage flat. Both paths are pinned equal in
+    tests/test_bpe.py."""
+    freqs = word_frequencies(df, text_col)
+    vocab = freqs.withColumn(
         "syms",
         F.concat(
             F.split(F.col("word"), ""),
             F.array(F.lit(end_of_word)),
         ),
     ).select("syms", "n")
+    # one extra count on the already-aggregated vocab table decides the
+    # path; its cost is the groupBy we pay either way
+    vocab = vocab.localCheckpoint()
+    if vocab.count() <= small_vocab_threshold:
+        rows = vocab.collect()
+        return _bpe_train_local(
+            [(list(r.syms), r.n) for r in rows], n_merges
+        )
     from .components import _release_checkpoint
 
-    vocab = vocab.localCheckpoint()
     prev_ckpt = vocab
 
     merges: list[tuple[str, str]] = []

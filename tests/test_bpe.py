@@ -84,6 +84,11 @@ def test_bpe_train_matches_reference(spark):
     # determinism under partitioning
     got2 = bpe_train(df.repartition(5), "text", n_merges=12)
     assert got2 == want
+    # the size-adaptive paths must be merge-for-merge identical:
+    # threshold 0 forces the distributed per-iteration loop that big
+    # vocabs take (the default collected the tiny vocab driver-side)
+    got3 = bpe_train(df, "text", n_merges=12, small_vocab_threshold=0)
+    assert got3 == want
 
 
 def test_bpe_encode_matches_reference(spark):
