@@ -100,7 +100,12 @@ def hll_numerator(p: int = HLL_P) -> float:
     return _hll_alpha(m) * float(m) ** 2 * float(1 << (w + 1))
 
 
-def hll_build(df: DataFrame, value_col: str, p: int = HLL_P) -> DataFrame:
+def hll_build(
+    df: DataFrame,
+    value_col: str,
+    p: int = HLL_P,
+    by: list[str] | None = None,
+) -> DataFrame:
     """PORTABLE HyperLogLog registers of a column: (bucket, maxrho)
     rows, ≤2^p of them, built with ONE aggregate. Unlike
     `approx_count_distinct` (whose registers are engine-internal bytes
@@ -116,7 +121,13 @@ def hll_build(df: DataFrame, value_col: str, p: int = HLL_P) -> DataFrame:
     all zero), computed as w+1−bitlen with bitlen the exact integer
     comparison ladder Σᵢ (suffix ≥ 2^i) — no floating log2, whose
     rounding at power-of-two boundaries would silently corrupt
-    registers. NULLs are ignored (COUNT DISTINCT semantics)."""
+    registers. NULLs are ignored (COUNT DISTINCT semantics).
+
+    `by` adds grouping columns: one independent register set per group
+    — the "distinct users per domain per day" ledger shape — at the
+    identical single-shuffle cost (the groupBy key widens, the algebra
+    is unchanged; pass the same `by` to hll_merge/hll_estimate)."""
+    by = list(by or [])
     w = 60 - p
     h = portable_hash64(F.col(value_col).cast("string"))
     bucket = h.bitwiseAND(F.lit((1 << p) - 1))
@@ -128,23 +139,31 @@ def hll_build(df: DataFrame, value_col: str, p: int = HLL_P) -> DataFrame:
     rho = (F.lit(w + 1) - bitlen).cast("int")
     return (
         df.filter(F.col(value_col).isNotNull())
-        .select(bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket")
+        .select(*by, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*by, "bucket")
         .agg(F.max("rho").alias("maxrho"))
     )
 
 
-def hll_merge(*sketches: DataFrame) -> DataFrame:
+def hll_merge(*sketches: DataFrame, by: list[str] | None = None) -> DataFrame:
     """Merge register tables from different partitions/days/sources:
     bucket-wise max. Exactly equals the sketch of the unioned inputs
     (max over a union is the max of maxes), so daily state never needs
     the raw data again."""
+    by = list(by or [])
     merged = reduce(lambda a, b: a.unionByName(b), sketches)
-    return merged.groupBy("bucket").agg(F.max("maxrho").alias("maxrho"))
+    return merged.groupBy(*by, "bucket").agg(
+        F.max("maxrho").alias("maxrho")
+    )
 
 
-def hll_estimate(regs: DataFrame, p: int = HLL_P) -> DataFrame:
-    """One row (est_micro, n_empty) from a register table. The
+def hll_estimate(
+    regs: DataFrame,
+    p: int = HLL_P,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """One row (est_micro, n_empty) from a register table — per group
+    when `by` names grouping columns carried by the registers. The
     harmonic sum Σ 2^(−M[j]) is computed EXACTLY: scaled by 2^(w+1) it
     is an integer sum (2^(w+1−rho) per register, 2^(w+1) per empty
     bucket) that fits int64 at p=9 — order-free and associative, so
@@ -152,9 +171,10 @@ def hll_estimate(regs: DataFrame, p: int = HLL_P) -> DataFrame:
     are the final division and (in the small-range regime, Flajolet's
     linear counting E = m·ln(m/V)) one ln — both absorbed by the
     micro-unit rounding (1-ulp drift sits ~9 orders below 0.5 µ)."""
+    by = list(by or [])
     m, w = 1 << p, 60 - p
     scale = w + 1
-    agg = regs.agg(
+    aggs = [
         (
             F.sum(
                 F.expr(
@@ -165,13 +185,15 @@ def hll_estimate(regs: DataFrame, p: int = HLL_P) -> DataFrame:
             + (F.lit(m) - F.count("*")) * F.lit(1 << scale)
         ).alias("s"),
         (F.lit(m) - F.count("*")).cast("bigint").alias("n_empty"),
-    )
+    ]
+    agg = regs.groupBy(*by).agg(*aggs) if by else regs.agg(*aggs)
     eraw = F.lit(hll_numerator(p)) / F.col("s").cast("double")
     e = F.when(
         (eraw <= F.lit(2.5 * m)) & (F.col("n_empty") > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_empty").cast("double")),
     ).otherwise(eraw)
     return agg.select(
+        *by,
         F.round(e * F.lit(1000000.0)).cast("bigint").alias("est_micro"),
         "n_empty",
     )

@@ -180,3 +180,47 @@ def test_kmv_overlap_estimates(spark):
     assert abs(uni - 40000) <= 0.5 * 40000
     assert 0.05 <= jac <= 0.5
     assert abs(inter - 10000) <= 0.6 * 10000
+
+
+def test_hll_grouped_ledger(spark):
+    """Grouped registers (`by=`) — the per-domain cardinality ledger:
+    each group's registers/estimate must equal an independent sketch
+    of that group alone, and grouped merge must equal the grouped
+    sketch of the union."""
+    from bigdatabowl2024_25_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    df = spark.range(6000).select(
+        F.concat(F.lit("g"), F.col("id")).alias("v"),
+        (F.col("id") % 3).cast("string").alias("dom"),
+    )
+    grouped = hll_build(df, "v", by=["dom"])
+    for dom in ("0", "1", "2"):
+        alone = _regs(hll_build(df.filter(F.col("dom") == dom), "v"))
+        sliced = {
+            (r.bucket, r.maxrho)
+            for r in grouped.filter(F.col("dom") == dom)
+            .select("bucket", "maxrho").collect()
+        }
+        assert sliced == alone, dom
+    ests = {
+        r.dom: r.est_micro / 1e6
+        for r in hll_estimate(grouped, by=["dom"]).collect()
+    }
+    assert set(ests) == {"0", "1", "2"}
+    for dom, e in ests.items():
+        assert abs(e - 2000) <= 4 * 0.046 * 2000 + 2, (dom, e)
+    # grouped merge across two day-batches == grouped sketch of union
+    d1 = df.filter(F.col("id") < 4000)
+    d2 = df.filter(F.col("id") >= 3000)
+    merged = hll_merge(
+        hll_build(d1, "v", by=["dom"]),
+        hll_build(d2, "v", by=["dom"]),
+        by=["dom"],
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, grouped.collect())
+    )
