@@ -577,3 +577,71 @@ def test_chunk_documents_empty_docs_yield_no_chunks(spark):
     rows = chunk_documents(df, "text", "doc_id", 4, 1).collect()
     assert {r.doc_id for r in rows} == {3}
     assert rows[0].chunk_text == "a b"
+
+
+# ---- PII redaction fuzz: Spark (Java regex) vs Python `re` ------------
+
+_pii_filler = st.lists(
+    st.text(alphabet="abcdefgh xyz", min_size=1, max_size=8),
+    min_size=0, max_size=3,
+)
+_pii_email = st.builds(
+    lambda a, b: f"{a}@{b}.com",
+    st.text(alphabet="abc0129._%+-", min_size=1, max_size=8).filter(
+        lambda s: s.strip(".")  # local part must keep a word char
+    ),
+    st.text(alphabet="abcd01", min_size=1, max_size=6),
+)
+_pii_phone = st.sampled_from([
+    "+1 (555) 123-4567", "(303) 555-0100", "555 123 4567",
+    "+447911123456", "303-555-0100",
+])
+_pii_ip = st.builds(
+    lambda a, b: f"{a}.{b}.0.1", st.integers(0, 255), st.integers(0, 255)
+)
+_pii_card = st.sampled_from([
+    "4111 1111 1111 1111", "4111-1111-1111-1111", "4111111111111",
+    "378282246310005", "6212345678901265007",
+])
+_pii_piece = st.one_of(
+    st.text(alphabet="abcdefgh ", min_size=1, max_size=12),
+    _pii_email, _pii_phone, _pii_ip, _pii_card,
+)
+_pii_doc = st.builds(
+    lambda pieces: " ".join(pieces),
+    st.lists(_pii_piece, min_size=0, max_size=6),
+)
+
+
+@given(st.lists(_pii_doc, min_size=1, max_size=12))
+@settings(max_examples=20, deadline=None)
+def test_redact_pii_matches_python_re(spark, docs):
+    """The redaction chain must agree byte-for-byte with a Python `re`
+    reference applying the same patterns in the same order — the
+    cross-engine check that also guards the DuckDB-oracle mirror
+    (three leftmost-first engines, one contract). ASCII-only inputs:
+    Java's \\d is ASCII while Python's is unicode, which is a
+    documented non-goal for this corpus scrubber."""
+    import re as _re
+
+    from bigdatabowl2024_25_spark.operators.text import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    def ref(t: str) -> str:
+        for name in ("EMAIL", "CARD", "PHONE", "IP"):
+            t = _re.sub(PII_PATTERNS[name], f"[{name}]", t)
+        return t
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "i long, text string"
+    )
+    got = {
+        r.i: r.red
+        for r in df.select(
+            "i", redact_pii(F.col("text")).alias("red")
+        ).collect()
+    }
+    want = {i: ref(d) for i, d in enumerate(docs)}
+    assert got == want
