@@ -131,10 +131,20 @@ def bpe_train(
             F.array(F.lit(end_of_word)),
         ),
     ).select("syms", "n")
-    # one extra count on the already-aggregated vocab table decides the
-    # path; its cost is the groupBy we pay either way
+    # one extra 1-row agg on the already-aggregated vocab table decides
+    # the path; its cost is the groupBy we pay either way. Gate on
+    # TOTAL SYMBOLS too, not just rows: 65k distinct "words" that are
+    # huge unbroken tokens (base64 blobs, minified JS) would pass a
+    # row-count gate and still OOM the driver collect
     vocab = vocab.localCheckpoint()
-    if vocab.count() <= small_vocab_threshold:
+    stats = vocab.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.size("syms")), F.lit(0)).alias("total_syms"),
+    ).collect()[0]
+    if (
+        stats.n <= small_vocab_threshold
+        and stats.total_syms <= 64 * small_vocab_threshold
+    ):
         rows = vocab.collect()
         return _bpe_train_local(
             [(list(r.syms), r.n) for r in rows], n_merges
@@ -213,16 +223,22 @@ def bpe_encode(
     For production-sized merge lists (30k+), bake the merges into a
     broadcast ranking dict inside a Pandas UDF instead — this literal
     replace chain is for moderate lists."""
-    for a, b in merges:
-        for ch in (_MARK_L, _MARK_R, _WORD_SEP):
-            if ch in a + b or ch in end_of_word:
-                raise ValueError(
-                    "bpe_encode: merge symbols must not contain the "
-                    "\\x01-\\x03 marker control chars"
-                )
-    # collapse irregular whitespace first — mirrors word_frequencies'
+    for ch in (_MARK_L, _MARK_R, _WORD_SEP):
+        if ch in end_of_word or any(ch in a + b for a, b in merges):
+            raise ValueError(
+                "bpe_encode: merge symbols / end_of_word must not "
+                "contain the \\x01-\\x03 marker control chars"
+            )
+    # scrub the marker control chars from the TEXT itself (crawled
+    # corpora do contain stray control bytes): an unwrapped \x01-\x03
+    # would corrupt the rewrite into phantom/merged tokens, and
+    # control chars are never meaningful corpus tokens — stripping is
+    # the standard scrub, applied identically in the oracle-facing
+    # contract (the q64 corpus is clean, so parity is unaffected)
+    clean = F.regexp_replace(F.col(text_col), "[\x01-\x03]", "")
+    # collapse irregular whitespace — mirrors word_frequencies'
     # empty-word filter, so '' words never emit a bare end-of-word
-    t = F.trim(F.regexp_replace(F.col(text_col), " +", " "))
+    t = F.trim(F.regexp_replace(clean, " +", " "))
     eow = F.lit(f"{_MARK_L}{end_of_word}{_MARK_R}")
     # (?s): dot must also wrap newlines — an unwrapped char would
     # corrupt the marker structure (tokens() splits on spaces only,

@@ -115,8 +115,12 @@ def token_budget_sample(
                 F.lit(1.0), F.lit(float(b)) / F.col("__tot").cast("double")
             ),
         ).otherwise(rate)
+    # LEFT join: a NULL domain matches no totals row and must fall
+    # through to default_rate (the same contract as
+    # weighted_domain_sample's CASE), not silently vanish in an inner
+    # join
     return (
-        df.join(F.broadcast(totals), domain_col)
+        df.join(F.broadcast(totals), domain_col, "left")
         .filter(hash_uniform(F.col(key_col), seed) < rate)
         .drop("__tot")
     )

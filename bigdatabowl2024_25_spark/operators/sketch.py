@@ -176,11 +176,17 @@ def hll_estimate(
     scale = w + 1
     aggs = [
         (
-            F.sum(
-                F.expr(
-                    f"shiftleft(cast(1 as bigint), "
-                    f"cast({scale} - maxrho as int))"
-                )
+            # coalesce: an EMPTY register table (no values sketched)
+            # must yield s = m·2^scale → linear counting E = m·ln(1)
+            # = 0, not a NULL that poisons the estimate
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        f"shiftleft(cast(1 as bigint), "
+                        f"cast({scale} - maxrho as int))"
+                    )
+                ),
+                F.lit(0).cast("bigint"),
             )
             + (F.lit(m) - F.count("*")) * F.lit(1 << scale)
         ).alias("s"),
@@ -270,7 +276,15 @@ def kmv_overlap(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
     intersection = Jaccard × union — the standard KMV coincidence
     estimator. THE corpus question this answers at 100 TB: "how many
     documents/users do crawl A and crawl B share" without ever
-    joining the raw data."""
+    joining the raw data.
+
+    The input sketches are materialized (localCheckpoint — k rows
+    each) before use: each appears TWICE in the plan (inside the
+    union sketch and again in the membership joins), and without
+    pinning, both source corpora would be scanned twice per overlap
+    query."""
+    a = a.localCheckpoint()
+    b = b.localCheckpoint()
     uni = kmv_merge(a, b, k)
     flagged = (
         uni.join(

@@ -109,12 +109,17 @@ _K = 8
 _BANDS = 4
 _ROWS = _K // _BANDS
 
-#: distinct folded shingle hashes — ONE md5 per shingle (mirrors
-#: operators.dedup.shingle_hashes)
-_HASHES = f"""
+def _hashes_sql(src: str = "sh") -> str:
+    """Distinct folded shingle hashes — ONE md5 per shingle (mirrors
+    operators.dedup.shingle_hashes), parameterized by the shingle CTE
+    so every consumer (q70/q71/q72/q74/q75) shares one definition."""
+    return f"""
         SELECT DISTINCT doc_id, {_h64('shingle')} % {MINHASH_P} AS h
-        FROM sh
+        FROM {src}
 """
+
+
+_HASHES = _hashes_sql()
 
 _SIG_MINS = ",\n           ".join(
     f"MIN((h * {a} + {b}) % {MINHASH_P}) AS mh_{i}"
@@ -186,17 +191,11 @@ def _corpus_df(spark, sf_dir):
     seen AS (SELECT DISTINCT {_h64(_NORM)} AS content_key FROM corpus),
     d2k AS (SELECT doc_id, {_h64(_NORM)} AS content_key FROM day2),
     csh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM corpus),
-    chashes AS (
-        SELECT DISTINCT doc_id, {_h64('shingle')} % {MINHASH_P} AS h
-        FROM csh
-    ),
+    chashes AS ({_hashes_sql('csh')}),
     csigs AS (SELECT doc_id, {_SIG_MINS} FROM chashes GROUP BY doc_id),
     cbanded AS ({_oracle_band_keys('csigs')}),
     nsh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM day2),
-    nhashes AS (
-        SELECT DISTINCT doc_id, {_h64('shingle')} % {MINHASH_P} AS h
-        FROM nsh
-    ),
+    nhashes AS ({_hashes_sql('nsh')}),
     nsigs AS (SELECT doc_id, {_SIG_MINS} FROM nhashes GROUP BY doc_id),
     nbanded AS ({_oracle_band_keys('nsigs')}),
     incr_cands AS (

@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 from ..operators.sketch import (
     HLL_P,
+    KMV_K,
+    KMV_SPAN,
     cms_build,
     cms_query,
     hll_build,
@@ -82,9 +84,11 @@ _HLL_CTES = f"""
 """
 
 # ---- KMV oracle fragments (mirror operators.sketch KMV ops) ----------
+# geometry imported from the operator, never duplicated: tuning KMV_K
+# or the hash span must move the oracle in the same commit
 
-_KK = 64
-_KSPAN = "1152921504606846976.0"
+_KK = KMV_K
+_KSPAN = repr(KMV_SPAN)
 
 #: the two sketched subsets: evens and multiples of 3 (overlap = %6)
 _KSUB = {

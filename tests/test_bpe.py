@@ -103,3 +103,29 @@ def test_word_frequencies(spark):
     df = spark.createDataFrame([("a b a",), ("b a",)], "text string")
     wf = {r.word: r.n for r in word_frequencies(df, "text").collect()}
     assert wf == {"a": 3, "b": 2}
+
+
+def test_bpe_encode_control_chars_scrubbed(spark):
+    """Marker control chars (\\x01-\\x03) in the TEXT are scrubbed
+    before the rewrite — never phantom ''/merged tokens — and a
+    marker-bearing end_of_word is rejected even with an empty merge
+    list (review finding: the guard used to live inside the merges
+    loop)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, "ab\x03cd ef"), (1, "\x01x\x02"), (2, "ok")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in bpe_encode(df, "text", []).collect()
+    }
+    assert got[0] == ["a", "b", "c", "d", EOW, "e", "f", EOW]
+    assert got[1] == ["x", EOW]
+    assert got[2] == ["o", "k", EOW]
+    assert all("" not in toks for toks in got.values())
+    with pytest.raises(ValueError, match="marker"):
+        bpe_encode(df, "text", [], end_of_word="</w>\x01")
+    with pytest.raises(ValueError, match="marker"):
+        bpe_encode(df, "text", [("a", "b\x02")])

@@ -161,3 +161,23 @@ def test_token_budget_sample(spark):
         token_budget_sample(
             df.withColumn("__tot", F.lit(1)), "k", "dom", "w", budgets
         )
+
+
+def test_token_budget_sample_null_domain_gets_default_rate(spark):
+    """NULL domains follow default_rate — the same contract as
+    weighted_domain_sample — instead of vanishing in the totals join
+    (review finding: the join was inner)."""
+    from bigdatabowl2024_25_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, None, 5), (3, None, 5)],
+        "k long, dom string, w long",
+    )
+    kept = token_budget_sample(
+        df, "k", "dom", "w", {"a": 1000.0}, default_rate=1.0
+    )
+    assert {r.k for r in kept.collect()} == {1, 2, 3}
+    dropped = token_budget_sample(df, "k", "dom", "w", {"a": 1000.0})
+    assert {r.k for r in dropped.collect()} == {1}

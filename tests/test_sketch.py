@@ -224,3 +224,18 @@ def test_hll_grouped_ledger(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, grouped.collect())
     )
+
+
+def test_hll_estimate_empty_registers_is_zero(spark):
+    """An empty/all-NULL input must estimate 0 distinct (linear
+    counting with V = m), not NULL (review finding: the exact sum was
+    NULL over zero register rows)."""
+    from bigdatabowl2024_25_spark.operators.sketch import (
+        HLL_M,
+        hll_build,
+        hll_estimate,
+    )
+
+    empty = spark.createDataFrame([(None,)], "v string")
+    row = hll_estimate(hll_build(empty, "v")).collect()[0]
+    assert row.est_micro == 0 and row.n_empty == HLL_M
