@@ -205,6 +205,111 @@ def hll_estimate(
     )
 
 
+# ---- fixed-bin histogram — the distribution sketch ---------------------
+
+
+def hist_bounds(df: DataFrame, value_col: str) -> DataFrame:
+    """Data-derived bounds: ONE broadcastable (lo, hi) stats row (the
+    zorder pattern; NaNs scrubbed before max for the same reason)."""
+    v = F.col(value_col).cast("double")
+    clean = F.when(F.isnan(v), F.lit(None)).otherwise(v)
+    return df.agg(
+        F.min(clean).alias("lo"), F.max(clean).alias("hi")
+    )
+
+
+def _hist_lo_hi(df: DataFrame, bounds):
+    """Resolve a bounds spec — (lo, hi) floats or a 1-row (lo, hi)
+    frame (broadcast-joined in) — to (df', lo Column, hi Column)."""
+    if isinstance(bounds, DataFrame):
+        return df.crossJoin(F.broadcast(bounds)), F.col("lo"), F.col("hi")
+    lo, hi = bounds
+    return df, F.lit(float(lo)), F.lit(float(hi))
+
+
+def hist_build(
+    df: DataFrame,
+    value_col: str,
+    bounds,
+    bins: int = 64,
+) -> DataFrame:
+    """Equi-width histogram registers (bin, cnt) over [lo, hi] — the
+    DISTRIBUTION sketch completing the quartet (CMS = frequencies,
+    HLL = cardinality, KMV = set algebra). `bounds` is (lo, hi) floats
+    or a 1-row stats frame from `hist_bounds` (data-derived, the
+    zorder pattern). Out-of-range values clamp to the edge bins;
+    NULL/NaN drop. ≤`bins` rows, built with one codegen map + one
+    aggregate; merge across partitions/days by summing cnt on bin
+    (`hist_merge`); quantiles come from `hist_quantile` with error
+    bounded by one bin width. Unlike percentile_approx's engine-
+    internal KLL summary, these registers are a plain persistable
+    table, reproducible exactly by the oracle."""
+    src, lo_c, hi_c = _hist_lo_hi(df, bounds)
+    v = F.col(value_col).cast("double")
+    span = F.when(hi_c > lo_c, hi_c - lo_c).otherwise(F.lit(1.0))
+    raw = F.floor((v - lo_c) / span * F.lit(float(bins))).cast("bigint")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    return (
+        src.filter(v.isNotNull() & ~F.isnan(v))
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_merge(*hists: DataFrame) -> DataFrame:
+    """Sum counts bin-wise — exactly the histogram of the unioned
+    inputs (counts are additive), so daily distribution state
+    composes without raw data."""
+    merged = reduce(lambda a, b: a.unionByName(b), hists)
+    return merged.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantile(
+    hist: DataFrame,
+    qs: list[float],
+    bounds,
+    bins: int = 64,
+) -> DataFrame:
+    """Quantile estimates from histogram registers: for each q, walk
+    the cumulative counts to the first bin covering rank q·n and
+    linearly interpolate inside it — deterministic (the register walk
+    is integer; the interpolation is one fixed IEEE expression), with
+    error ≤ one bin width by construction. Returns (q, value). The
+    register table is ≤`bins` rows, so the single-partition cumsum
+    window is free."""
+    from pyspark.sql import Window
+
+    cum_w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot_w = Window.partitionBy()
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(tot_w).alias("n"),
+    )
+    qlit = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    target = F.col("q") * F.col("n").cast("double")
+    hit = (
+        cum.select(qlit, "bin", "cnt", "cum", "n")
+        .filter(F.col("cum").cast("double") >= target)
+    )
+    first = hit.groupBy("q").agg(
+        F.min_by(F.struct("bin", "cnt", "cum", "n"), F.col("bin")).alias("r")
+    ).select("q", "r.bin", "r.cnt", "r.cum", "r.n")
+    first, lo_c, hi_c = _hist_lo_hi(first, bounds)
+    width = (hi_c - lo_c) / F.lit(float(bins))
+    frac = (
+        target - (F.col("cum") - F.col("cnt")).cast("double")
+    ) / F.col("cnt").cast("double")
+    value = lo_c + (F.col("bin").cast("double") + frac) * width
+    return first.select("q", value.alias("value"))
+
+
 # ---- KMV (k minimum values) — distinct-count sketch with SET algebra
 
 #: default register count; σ ≈ 1/√(k−2) ≈ 13% at 64 — tune k per use

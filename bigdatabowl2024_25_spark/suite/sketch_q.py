@@ -141,6 +141,65 @@ _KMV_CTES = f"""
     )
 """
 
+# ---- histogram oracle fragments (mirror operators.sketch hist ops) ---
+
+_HB = 64
+_HV = "CAST(value AS DOUBLE)"
+_HCLEAN = f"CASE WHEN isnan({_HV}) THEN NULL ELSE {_HV} END"
+_HSPAN = "CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END"
+_HQS = [0.25, 0.5, 0.9]
+
+_HIST_CTES = f"""
+    hstat AS (
+        SELECT MIN({_HCLEAN}) AS lo, MAX({_HCLEAN}) AS hi FROM events
+    ),
+    hbins AS (
+        SELECT least(greatest(CAST(floor(
+                   ({_HV} - lo) / ({_HSPAN}) * {float(_HB)!r}
+               ) AS BIGINT), 0), {_HB - 1}) AS bin,
+               COUNT(*) AS cnt
+        FROM events CROSS JOIN hstat
+        WHERE value IS NOT NULL AND NOT isnan({_HV})
+        GROUP BY 1
+    ),
+    hcum AS (
+        SELECT bin, cnt,
+               SUM(cnt) OVER (ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM hbins
+    ),
+    hfirst AS (
+        SELECT q, bin, cnt, cum, n FROM (
+            SELECT q, h.*, ROW_NUMBER() OVER (
+                PARTITION BY q ORDER BY bin) AS rn
+            FROM (VALUES {", ".join(f"({q!r})" for q in _HQS)}) qs(q)
+            CROSS JOIN hcum h
+            WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+        ) WHERE rn = 1
+    ),
+    hquant AS (
+        SELECT q,
+               lo + (CAST(bin AS DOUBLE)
+                     + (q * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+                       / CAST(cnt AS DOUBLE))
+                   * ((hi - lo) / {float(_HB)!r}) AS value
+        FROM hfirst CROSS JOIN hstat
+    )
+"""
+
+_HIST_ARMS = f"""
+    UNION ALL
+    SELECT 'hist' AS kind, bin AS user_id, cnt AS est_count,
+           CAST(NULL AS BIGINT) AS exact_n,
+           CAST(NULL AS BOOLEAN) AS within
+    FROM hbins
+    UNION ALL
+    SELECT 'histq', CAST(ROUND(q * 100.0) AS BIGINT),
+           CAST(ROUND(value * 1000000.0) AS BIGINT), NULL, NULL
+    FROM hquant
+"""
+
 _KMV_ARMS = f"""
     UNION ALL
     SELECT 'kmvreg' AS kind, CAST(NULL AS BIGINT) AS user_id,
@@ -183,7 +242,8 @@ _ORACLE = f"""
         FROM items i CROSS JOIN rows_ r
     ),
     {_HLL_CTES},
-    {_KMV_CTES}
+    {_KMV_CTES},
+    {_HIST_CTES}
     SELECT 'cms' AS kind, CAST(p.v AS BIGINT) AS user_id,
            MIN(COALESCE(c.cnt, 0)) AS est_count,
            CAST(NULL AS BIGINT) AS exact_n,
@@ -197,6 +257,7 @@ _ORACLE = f"""
     SELECT 'quantile', NULL, NULL, COUNT(*), TRUE FROM events
     {_HLL_ARMS}
     {_KMV_ARMS}
+    {_HIST_ARMS}
 """
 
 
@@ -312,6 +373,30 @@ def q38_cms_point_counts(spark, sf_dir):
         .unionByName(one_val("kmvuni", ov, "union_micro"))
         .unionByName(one_val("kmvint", ov, "inter_micro"))
     )
+
+    # round 8: the distribution sketch — equi-width histogram
+    # registers over data-derived bounds ('hist', register-exact) and
+    # interpolated quantiles at 25/50/90 ('histq', micro-units; error
+    # ≤ one bin width by construction). The bounds row is pinned so
+    # events is scanned once for stats, once for binning.
+    from ..operators.sketch import hist_bounds, hist_build, hist_quantile
+
+    hb = hist_bounds(e, "value").localCheckpoint()
+    hreg = hist_build(e, "value", hb, _HB)
+    hist_rows = hreg.select(
+        F.lit("hist").alias("kind"),
+        F.col("bin").alias("user_id"),
+        F.col("cnt").alias("est_count"),
+        *null_flags,
+    )
+    histq = hist_quantile(hreg, _HQS, hb, _HB).select(
+        F.lit("histq").alias("kind"),
+        F.round(F.col("q") * 100.0).cast("bigint").alias("user_id"),
+        F.round(F.col("value") * 1000000.0).cast("bigint").alias(
+            "est_count"
+        ),
+        *null_flags,
+    )
     return (
         cms.unionByName(hll)
         .unionByName(quant)
@@ -321,4 +406,6 @@ def q38_cms_point_counts(spark, sf_dir):
         .unionByName(kmvreg)
         .unionByName(kmvest)
         .unionByName(kmv_over)
+        .unionByName(hist_rows)
+        .unionByName(histq)
     )

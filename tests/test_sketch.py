@@ -239,3 +239,49 @@ def test_hll_estimate_empty_registers_is_zero(spark):
     empty = spark.createDataFrame([(None,)], "v string")
     row = hll_estimate(hll_build(empty, "v")).collect()[0]
     assert row.est_micro == 0 and row.n_empty == HLL_M
+
+
+# ---- fixed-bin histogram (distribution sketch) --------------------------
+
+
+def test_hist_quantiles_within_bin_width(spark):
+    """Quantile estimates land within one bin width of the exact
+    quantile; edge values clamp; NULL/NaN drop; merge = whole."""
+    import numpy as np
+
+    from bigdatabowl2024_25_spark.operators.sketch import (
+        hist_bounds,
+        hist_build,
+        hist_merge,
+        hist_quantile,
+    )
+
+    vals = [float(v) for v in np.random.default_rng(7).normal(50, 12, 4000)]
+    df = spark.createDataFrame(
+        [(v,) for v in vals] + [(None,), (float("nan"),)], "v double"
+    )
+    hb = hist_bounds(df, "v").localCheckpoint()
+    reg = hist_build(df, "v", hb, 64)
+    assert reg.agg(F.sum("cnt")).collect()[0][0] == len(vals)
+    lo, hi = hb.collect()[0]
+    width = (hi - lo) / 64
+    got = {
+        r.q: r.value
+        for r in hist_quantile(reg, [0.1, 0.5, 0.9], hb, 64).collect()
+    }
+    for q, est in got.items():
+        exact = float(np.quantile(vals, q))
+        assert abs(est - exact) <= width + 1e-9, (q, est, exact)
+    # merge property: per-half histograms sum to the whole
+    a = spark.createDataFrame([(v,) for v in vals[:2500]], "v double")
+    b = spark.createDataFrame([(v,) for v in vals[2500:]], "v double")
+    merged = hist_merge(
+        hist_build(a, "v", hb, 64), hist_build(b, "v", hb, 64)
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, reg.collect())
+    )
+    # out-of-range values clamp to edge bins under FIXED bounds
+    wide = spark.createDataFrame([(-1e9,), (1e9,)], "v double")
+    bins = {r.bin for r in hist_build(wide, "v", (0.0, 100.0), 64).collect()}
+    assert bins == {0, 63}
