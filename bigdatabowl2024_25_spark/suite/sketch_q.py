@@ -80,6 +80,42 @@ _HLL_CTES = f"""
                    / CAST(s AS DOUBLE) AS eraw, n_empty
             FROM hsum
         )
+    ),
+    hgrho AS (
+        SELECT grp, h & {_HM - 1} AS bucket,
+               {_HSCALE} - ({_HBITLEN}) AS rho
+        FROM (
+            SELECT grp, h, h >> {HLL_P} AS suffix FROM (
+                SELECT event_type AS grp,
+                       {_h("CAST(event_id AS VARCHAR)")} AS h
+                FROM events
+                WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+            )
+        )
+    ),
+    hgregs AS (
+        SELECT grp, bucket, MAX(rho) AS maxrho
+        FROM hgrho GROUP BY 1, 2
+    ),
+    hgsum AS (
+        SELECT grp,
+               SUM(1::BIGINT << ({_HSCALE} - maxrho))
+               + ({_HM} - COUNT(*)) * (1::BIGINT << {_HSCALE}) AS s,
+               CAST({_HM} - COUNT(*) AS BIGINT) AS n_empty
+        FROM hgregs GROUP BY grp
+    ),
+    hgest AS (
+        SELECT grp, CAST(ROUND(
+            CASE WHEN eraw <= {2.5 * _HM!r} AND n_empty > 0
+                 THEN {float(_HM)!r} * ln({float(_HM)!r}
+                      / CAST(n_empty AS DOUBLE))
+                 ELSE eraw END * 1000000.0) AS BIGINT) AS est_micro,
+               n_empty
+        FROM (
+            SELECT grp, CAST({hll_numerator()!r} AS DOUBLE)
+                   / CAST(s AS DOUBLE) AS eraw, n_empty
+            FROM hgsum
+        )
     )
 """
 
@@ -226,6 +262,15 @@ _HLL_ARMS = f"""
     SELECT 'hllest', NULL, est_micro, n_empty, NULL FROM hest
     UNION ALL
     SELECT 'hllmerge', NULL, est_micro, n_empty, NULL FROM hest
+    UNION ALL
+    SELECT concat('hllgrp:', grp) AS kind, bucket AS user_id,
+           CAST(maxrho AS BIGINT) AS est_count,
+           CAST(NULL AS BIGINT) AS exact_n,
+           CAST(NULL AS BOOLEAN) AS within
+    FROM hgregs
+    UNION ALL
+    SELECT concat('hllgest:', grp), NULL, est_micro, n_empty, NULL
+    FROM hgest
 """
 
 _ORACLE = f"""
@@ -341,6 +386,34 @@ def q38_cms_point_counts(spark, sf_dir):
     odd = hll_build(e.filter(F.pmod(F.col("user_id"), 2) == 1), "user_id")
     hllmerge = est_row("hllmerge", hll_estimate(hll_merge(even, odd)))
 
+    # round 8 (late): the GROUPED ledger — one register set per
+    # event_type, "distinct events per domain per day" shape, built in
+    # the same single shuffle (`by=` widens the groupBy key). Sketching
+    # event_id (not user_id: every type sees the same 150 users, so
+    # grouped registers would degenerate to 5 copies) gives each group
+    # distinct registers AND puts the per-group estimates in the
+    # bias-corrected regime — the complement of the ungrouped 'hllest'
+    # branch, which sits in linear counting (150 « 2^p):
+    # - 'hllgrp:<type>': every register of every group, value-exact;
+    # - 'hllgest:<type>': per-group estimate via hll_estimate(by=...).
+    gregs = hll_build(
+        e.filter(F.col("event_type").isNotNull()), "event_id",
+        by=["event_type"],
+    )
+    hllgrp = gregs.select(
+        F.concat(F.lit("hllgrp:"), F.col("event_type")).alias("kind"),
+        F.col("bucket").cast("bigint").alias("user_id"),
+        F.col("maxrho").cast("bigint").alias("est_count"),
+        *null_flags,
+    )
+    hllgest = hll_estimate(gregs, by=["event_type"]).select(
+        F.concat(F.lit("hllgest:"), F.col("event_type")).alias("kind"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.col("est_micro").alias("est_count"),
+        F.col("n_empty").alias("exact_n"),
+        F.lit(None).cast("boolean").alias("within"),
+    )
+
     # round 8: KMV — the set-algebra sketch. 'kmvreg' value-hashes the
     # 64 minimum hash registers; 'kmvest' the distinct-count estimate;
     # 'kmvjac'/'kmvuni'/'kmvint' estimate Jaccard/union/intersection
@@ -403,6 +476,8 @@ def q38_cms_point_counts(spark, sf_dir):
         .unionByName(hllreg)
         .unionByName(hllest)
         .unionByName(hllmerge)
+        .unionByName(hllgrp)
+        .unionByName(hllgest)
         .unionByName(kmvreg)
         .unionByName(kmvest)
         .unionByName(kmv_over)

@@ -376,6 +376,11 @@ def test_sketch_operator_plans(spark):
     assert shuffles(hll) == 1
     assert "HashAggregate" in hll  # map-side partial max
 
+    # the grouped ledger pays the SAME single shuffle — `by` only
+    # widens the groupBy key, it must not add a stage
+    hllg = plan_of(hll_build(e, "event_id", by=["event_type"]))
+    assert shuffles(hllg) == 1
+
     emb = load_table(spark, SF, "embeddings")
     dec = plan_of(
         decontaminate_embeddings(
