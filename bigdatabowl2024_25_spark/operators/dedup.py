@@ -40,6 +40,88 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level paragraph dedup (the CCNet / RefinedWeb pass):
+    split every document on ``sep``, keep only the FIRST occurrence of
+    each exact paragraph corpus-wide (first = minimum (id, position)),
+    and reassemble each document from its surviving paragraphs in
+    original order. Returns (id_col, text_col rebuilt, n_kept).
+
+    Reference scope: the reference dedups whole rows (its R pipeline's
+    `distinct`/keep-first passes); paragraph granularity is the
+    training-data extension — the pass that strips site boilerplate
+    (nav text, footers) repeated across billions of pages.
+
+    Semantics:
+    - paragraphs with fewer than ``min_chars`` non-space characters
+      (default: empty/whitespace-only) BYPASS dedup — they are
+      structural, not content, and deduping them corpus-wide would
+      delete every blank line but one;
+    - a document whose every paragraph loses (an exact composite
+      duplicate of earlier documents) drops from the output entirely —
+      the exact_dedup semantic at paragraph granularity; left-join the
+      result back to the corpus to see the drops;
+    - NULL-text documents emit no rows (split(NULL) explodes to
+      nothing), same as every explode-based operator here.
+
+    100 TB design — two shuffles, both skew-resistant:
+    1. winners: groupBy(paragraph).agg(min(struct(id, pos))). A
+       boilerplate paragraph repeated on 10^9 pages is the textbook
+       hot key; an aggregate (unlike a row_number window, which must
+       co-locate the whole partition) combines map-side, so the hot
+       key collapses to ONE row per input partition before the
+       exchange. Grouping on the paragraph text itself (not a 60-bit
+       hash) keeps the op exact; the shuffle would carry the text
+       either way (winners must emit it for reassembly).
+    2. reassembly: groupBy(id) — bounded by single-document size.
+    Short paragraphs skip both the winner shuffle and the dedup
+    entirely (filter fork, union after — no extra exchange)."""
+    # \Q...\E: split takes a REGEX; quote so sep is always literal
+    # (DuckDB's string_split mirror is literal by definition)
+    parts = df.select(
+        F.col(id_col).alias("__pid"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("__pos", "__para"),
+    )
+    elig = F.length(F.trim(F.col("__para"))) >= min_chars
+    winners = (
+        parts.filter(elig)
+        .groupBy("__para")
+        .agg(F.min(F.struct("__pid", "__pos")).alias("__w"))
+        .select(
+            F.col("__w.__pid").alias("__pid"),
+            F.col("__w.__pos").alias("__pos"),
+            "__para",
+        )
+    )
+    kept = winners.unionByName(
+        parts.filter(~elig).select("__pid", "__pos", "__para")
+    )
+    return (
+        kept.groupBy("__pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__para"))
+                    ),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.count("*").alias("n_kept"),
+        )
+        .withColumnRenamed("__pid", id_col)
+    )
+
+
 def with_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:

@@ -270,6 +270,55 @@ _BUDGET_RATE = (
     + " ELSE 0.0 END"
 )
 
+# ---- q64 'para' branch: corpus-level paragraph dedup ------------------
+
+#: the boilerplate footer every manufactured page shares — the repeated
+#: paragraph the dedup must strip everywhere but its first occurrence
+_PARA_FOOTER = "follow the data feed for table updates"
+
+#: each doc becomes a 4-paragraph page: own text, the shared footer, a
+#: 40-char self-excerpt, the footer AGAIN (within-doc repeat). The
+#: synthetic docs are single-line, so paragraph structure is
+#: manufactured in-query (the q90/q70 pattern) with '¶' as sep.
+_PARA_CTES = f"""
+    para_parts AS (
+        SELECT doc_id, i - 1 AS pos, p AS para,
+               length(trim(p)) >= 1 AS elig
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(ptext, '¶')) AS p,
+                   generate_subscripts(string_split(ptext, '¶'), 1) AS i
+            FROM (
+                SELECT doc_id,
+                       text || '¶{_PARA_FOOTER}¶'
+                            || substring(text, 1, 40)
+                            || '¶{_PARA_FOOTER}' AS ptext
+                FROM documents
+            )
+        )
+    ),
+    para_kept AS (
+        -- keep-first = rank 1 by (doc_id, pos) per exact paragraph;
+        -- short/whitespace paragraphs bypass (elig mirrors the
+        -- operator's min_chars=1). An independent formulation: the
+        -- operator computes winners as min(struct), not row_number
+        SELECT doc_id, pos, para FROM (
+            SELECT doc_id, pos, para,
+                   CASE WHEN elig THEN ROW_NUMBER() OVER (
+                       PARTITION BY para ORDER BY doc_id, pos)
+                        ELSE 1 END AS rn
+            FROM para_parts
+        ) WHERE rn = 1
+    ),
+    para_out AS (
+        SELECT doc_id,
+               string_agg(para, '¶' ORDER BY pos) AS rebuilt,
+               COUNT(*) AS n_kept
+        FROM para_kept GROUP BY doc_id
+    )
+"""
+
+
 # ---- q64 'bpe' branches: fixed merge list + encode -------------------
 
 #: the fixed training corpus (literals — sf-independent, like q90's
@@ -331,6 +380,7 @@ _BPE_JOINED = (
     "q64_binary_plumbing",
     oracle=f"""
     WITH RECURSIVE {_PK_CTES},
+    {_PARA_CTES},
     bpe AS (SELECT doc_id, {_BPE_JOINED} AS joined FROM documents)
     SELECT 'doc' AS kind, doc_id, CAST(0 AS BIGINT) AS part_id,
            octet_length(CAST(text AS BLOB)) AS byte_len,
@@ -365,6 +415,13 @@ _BPE_JOINED = (
     UNION ALL
     SELECT * FROM (VALUES {_BPE_TRAIN_VALUES})
         t(kind, doc_id, part_id, byte_len, content_md5)
+    UNION ALL
+    SELECT 'para' AS kind, doc_id, n_kept AS part_id,
+           -- encode(), not CAST AS BLOB: the page text contains the
+           -- non-ASCII '¶' sep, which the cast rejects
+           octet_length(encode(rebuilt)) AS byte_len,
+           md5(rebuilt) AS content_md5
+    FROM para_out
     UNION ALL
     SELECT 'budget' AS kind, doc_id,
            CAST(len({_W_NE}) AS BIGINT) AS part_id,
@@ -475,12 +532,41 @@ def q64_binary_plumbing(spark, sf_dir):
         F.length(jb).cast("bigint").alias("byte_len"),
         F.md5(jb).alias("content_md5"),
     )
+    # 'para' (round 8, late): corpus-level paragraph dedup
+    # (`dedup.paragraph_dedup`) over manufactured 4-paragraph pages —
+    # own text ¶ shared footer ¶ 40-char self-excerpt ¶ footer again.
+    # Cross-doc the footer survives only in the first doc; within-doc
+    # the repeated footer drops; empty/whitespace paragraphs (the
+    # degenerate-doc shapes) bypass. The md5 of every rebuilt page
+    # hash-verifies the keep-first rule + reassembly order; NULL docs
+    # emit no row on either engine.
+    from ..operators.dedup import paragraph_dedup
+
+    psrc = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(f"¶{_PARA_FOOTER}¶"),
+            F.substring(F.col("text"), 1, 40),
+            F.lit(f"¶{_PARA_FOOTER}"),
+        ).alias("text"),
+    )
+    pdd = paragraph_dedup(psrc, "text", "doc_id", sep="¶")
+    pb = F.col("text").cast("binary")
+    para = pdd.select(
+        F.lit("para").alias("kind"),
+        "doc_id",
+        F.col("n_kept").cast("bigint").alias("part_id"),
+        F.length(pb).cast("bigint").alias("byte_len"),
+        F.md5(pb).alias("content_md5"),
+    )
     return (
         doc.unionByName(chunk)
         .unionByName(pack)
         .unionByName(bpe)
         .unionByName(train_rows)
         .unionByName(budget)
+        .unionByName(para)
     )
 
 
