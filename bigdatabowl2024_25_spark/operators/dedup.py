@@ -46,10 +46,14 @@ def paragraph_dedup(
     id_col: str,
     sep: str = "\n\n",
     min_chars: int = 1,
+    scope: str = "corpus",
 ) -> DataFrame:
-    """Corpus-level paragraph dedup (the CCNet / RefinedWeb pass):
-    split every document on ``sep``, keep only the FIRST occurrence of
-    each exact paragraph corpus-wide (first = minimum (id, position)),
+    """Paragraph-level dedup (the CCNet / RefinedWeb passes): split
+    every document on ``sep``, keep only the FIRST occurrence of each
+    exact paragraph — corpus-wide (``scope="corpus"``, first = minimum
+    (id, position): the boilerplate strip) or within each document
+    (``scope="document"``, first = minimum position per (id,
+    paragraph): RefinedWeb's intra-document repeated-line removal) —
     and reassemble each document from its surviving paragraphs in
     original order. Returns (id_col, text_col rebuilt, n_kept).
 
@@ -81,7 +85,12 @@ def paragraph_dedup(
        either way (winners must emit it for reassembly).
     2. reassembly: groupBy(id) — bounded by single-document size.
     Short paragraphs skip both the winner shuffle and the dedup
-    entirely (filter fork, union after — no extra exchange)."""
+    entirely (filter fork, union after — no extra exchange).
+    Document scope groups winners by (id, paragraph) instead — the
+    same two exchanges, and AQE can even collapse them into one
+    partitioning since both key on id-bearing columns."""
+    if scope not in ("corpus", "document"):
+        raise ValueError(f"scope must be corpus|document, got {scope!r}")
     # \Q...\E: split takes a REGEX; quote so sep is always literal
     # (DuckDB's string_split mirror is literal by definition)
     parts = df.select(
@@ -91,9 +100,12 @@ def paragraph_dedup(
         ).alias("__pos", "__para"),
     )
     elig = F.length(F.trim(F.col("__para"))) >= min_chars
+    winner_key = (
+        ["__para"] if scope == "corpus" else ["__pid", "__para"]
+    )
     winners = (
         parts.filter(elig)
-        .groupBy("__para")
+        .groupBy(*winner_key)
         .agg(F.min(F.struct("__pid", "__pos")).alias("__w"))
         .select(
             F.col("__w.__pid").alias("__pid"),

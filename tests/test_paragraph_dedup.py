@@ -33,15 +33,19 @@ def ref_paragraph_dedup(
     docs: list[tuple[int, str | None]],
     sep: str = SEP,
     min_chars: int = 1,
+    scope: str = "corpus",
 ) -> dict[int, tuple[str, int]]:
     """Direct from the definition: walk docs in (id, pos) order, keep
     a paragraph iff it is short (< min_chars after strip) or its exact
-    text is unseen; rebuild each doc from its kept paragraphs."""
+    text is unseen (corpus-wide or within the doc, per scope); rebuild
+    each doc from its kept paragraphs."""
     seen: set[str] = set()
     out: dict[int, tuple[str, int]] = {}
     for doc_id, text in sorted(docs):
         if text is None:
             continue
+        if scope == "document":
+            seen = set()
         kept = []
         for para in text.split(sep):
             if len(para.strip()) < min_chars:
@@ -111,6 +115,35 @@ def test_randomized_against_reference(spark):
         for i in range(40)
     ]
     assert run(spark, docs) == ref_paragraph_dedup(docs)
+
+
+def test_document_scope_keeps_cross_doc_repeats(spark):
+    """scope='document' (RefinedWeb intra-doc line removal): the
+    footer survives in EVERY doc, only within-doc repeats drop."""
+    got = run(spark, CORPUS, scope="document")
+    want = ref_paragraph_dedup(CORPUS, scope="document")
+    assert got == want
+    # doc 2 keeps the footer and 'alpha beta' (cross-doc repeats OK)
+    assert got[2] == (f"delta{SEP}boilerplate footer{SEP}alpha beta", 3)
+    assert got[5] == ("zz", 1)  # within-doc repeat still drops
+    assert got[6] == (f"boilerplate footer{SEP}zz", 2)
+
+
+def test_randomized_document_scope(spark):
+    rng = random.Random(88)
+    vocab = ["aa", "bb", "cc", " "]
+    docs = [
+        (
+            i,
+            SEP.join(
+                rng.choice(vocab) for _ in range(rng.randint(1, 7))
+            ),
+        )
+        for i in range(30)
+    ]
+    assert run(spark, docs, scope="document") == ref_paragraph_dedup(
+        docs, scope="document"
+    )
 
 
 def test_min_chars_widens_bypass(spark):
