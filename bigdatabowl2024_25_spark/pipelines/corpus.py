@@ -1,0 +1,221 @@
+"""End-to-end training-corpus preparation: the engine's LLM-data
+layers composed into the pipeline a pretraining run actually executes,
+in the order that minimizes data movement at 100 TB.
+
+Stage order IS the design (cheapest first, movement last):
+
+1. profile + filter — language ID, token-count band, Gopher
+   repetition fractions: pure codegen column maps. Every row dropped
+   here never pays a downstream shuffle.
+2. PII redaction — regexp chain, still a map. Runs BEFORE dedup so
+   two pages differing only in a phone number hash identically.
+3. paragraph dedup (optional) — strips cross-page boilerplate BEFORE
+   whole-document hashing, so template pages collapse into exact
+   duplicates the cheap stage 4 catches. Metadata columns rejoin on
+   the id the reassembly just partitioned by.
+4. exact dedup — keep-first by normalized content hash; one
+   8-byte-key shuffle + one id semi-join.
+5. near-dup funnel (optional) — MinHash → LSH bands → exact-Jaccard
+   verify → connected components → keep each cluster's min-id. The
+   shingle hash relation is built ONCE and shared by the signature
+   and verify stages; the component table is contamination-sized and
+   broadcasts (the q75 pattern).
+6. benchmark decontamination (optional) — eval-set grams broadcast,
+   corpus grams die map-side; contaminated ids anti-join out.
+7. mixture (optional) — per-domain Bernoulli rates folded into one
+   codegen CASE filter; no join, no shuffle.
+
+The tail (epoch ordering + sequence packing) is `to_sequences`:
+per-shard next-fit packing with a deterministic per-bin shuffle key —
+training pipelines shuffle at bin granularity (sequential IO within a
+bin, random order across bins), so the corpus never pays a global
+row-level sort.
+
+Every stage is individually driver-verified by its own oracle branch
+(q60 profile/PII, q64 'para'/'pack', q70 exact/decontam/LM,
+q71-q75 funnel, q95 mix/shuffle); this module pins the COMPOSITION —
+stage contracts connect, planted-defect documents flow to the right
+fate, and the result is deterministic under repartitioning
+(tests/test_corpus_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.components import connected_components
+from ..operators.dedup import (
+    exact_dedup,
+    decontaminate,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_signatures,
+    paragraph_dedup,
+    shingle_hashes,
+    with_shingles,
+)
+from ..operators.sampling import hash_uniform, weighted_domain_sample
+from ..operators.text import (
+    pack_documents,
+    predict_lang,
+    redact_pii,
+    repetition_features,
+    tokens,
+)
+
+
+@dataclass(frozen=True)
+class CorpusConfig:
+    """Knobs for `prepare_corpus`; defaults are the standard
+    pretraining-hygiene settings (Gopher-band repetition thresholds,
+    5-gram decontamination, 0.8-Jaccard near-dup)."""
+
+    min_tokens: int = 5
+    max_tokens: int | None = None
+    langs: tuple[str, ...] | None = None
+    max_dup_word_frac: float = 0.5
+    max_top_bigram_frac: float = 0.25
+    redact: bool = True
+    paragraph_sep: str | None = None  # None = skip paragraph dedup
+    near_dup: bool = True
+    minhash_k: int = 8
+    bands: int = 4
+    jaccard: float = 0.8
+    decontam_ngram: int = 5
+    mixture: dict[str, float] | None = None
+    domain_col: str = "source"
+
+
+def _n_tokens(text_col: str):
+    w = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    return F.size(w)
+
+
+def prepare_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark: DataFrame | None = None,
+    cfg: CorpusConfig | None = None,
+) -> DataFrame:
+    """Run stages 1-7 over a (id, text, ...metadata) corpus; returns
+    the surviving rows with `text_col` cleaned (redacted, optionally
+    paragraph-deduped) plus profile columns (lang, n_tokens,
+    dup_word_frac, top_bigram_frac). Metadata columns pass through.
+
+    `benchmark` is the eval set to decontaminate against (same id/text
+    schema); None skips stage 6. One DataFrame in, one out — the whole
+    pipeline is a single lazy plan except `connected_components`'
+    bounded iterative step (only when near_dup and candidates exist).
+    """
+    cfg = cfg or CorpusConfig()
+
+    # 1. profile + filter (pure maps)
+    rep = repetition_features(F.col(text_col))
+    d = (
+        df.withColumn("lang", predict_lang(tokens(F.col(text_col))))
+        .withColumn("n_tokens", _n_tokens(text_col))
+        .withColumn("dup_word_frac", rep["dup_word_frac"])
+        .withColumn("top_bigram_frac", rep["top_bigram_frac"])
+    )
+    cond = (
+        (F.col("n_tokens") >= cfg.min_tokens)
+        & (F.col("dup_word_frac") <= cfg.max_dup_word_frac)
+        & (F.col("top_bigram_frac") <= cfg.max_top_bigram_frac)
+    )
+    if cfg.max_tokens is not None:
+        cond &= F.col("n_tokens") <= cfg.max_tokens
+    if cfg.langs is not None:
+        cond &= F.col("lang").isin(list(cfg.langs))
+    d = d.filter(cond)
+
+    # 2. redact before any hashing (see module docstring)
+    if cfg.redact:
+        d = d.withColumn(text_col, redact_pii(F.col(text_col)))
+
+    # 3. paragraph-level boilerplate strip; metadata rejoins on the
+    # id the reassembly just hash-partitioned by (AQE reuses it)
+    if cfg.paragraph_sep is not None:
+        rebuilt = paragraph_dedup(
+            d, text_col, id_col, sep=cfg.paragraph_sep
+        )
+        meta = d.drop(text_col, "n_tokens")
+        d = (
+            rebuilt.select(id_col, text_col)
+            .join(meta, id_col)
+            .withColumn("n_tokens", _n_tokens(text_col))
+        )
+
+    # 4. exact keep-first (content-hash groupBy + id semi-join)
+    keepers = exact_dedup(d, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    d = d.join(keepers, id_col, "semi")
+
+    # 5. near-dup funnel; shingle hashes shared across both stages
+    if cfg.near_dup:
+        sh = with_shingles(d, text_col, id_col)
+        hashes = shingle_hashes(sh, id_col)
+        sigs = minhash_signatures(
+            sh, id_col, cfg.minhash_k, hashes=hashes
+        )
+        cand = lsh_candidates(sigs, id_col, cfg.minhash_k, cfg.bands)
+        pairs = jaccard_pairs(
+            cand, sh, id_col, cfg.jaccard, hashes=hashes
+        ).select("id_a", "id_b")
+        comp = connected_components(pairs)
+        d = (
+            d.join(
+                F.broadcast(comp), d[id_col] == comp["node"], "left"
+            )
+            .filter(
+                F.col("node").isNull()
+                | (F.col("component") == F.col(id_col))
+            )
+            .drop("node", "component")
+        )
+
+    # 6. decontaminate (broadcast eval grams; anti-join the hits)
+    if benchmark is not None:
+        hits = decontaminate(
+            d, benchmark, text_col, id_col, cfg.decontam_ngram
+        )
+        d = d.join(hits.select(id_col), id_col, "anti")
+
+    # 7. mixture (codegen CASE filter)
+    if cfg.mixture:
+        d = weighted_domain_sample(
+            d, id_col, cfg.domain_col, cfg.mixture
+        )
+    return d
+
+
+def to_sequences(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 512,
+    shard_col: str = "lang",
+    seed: str = "epoch:0",
+) -> DataFrame:
+    """Stage 8: pack the cleaned corpus into fixed-token-budget bins
+    (per-shard next-fit) and attach `bin_order`, a deterministic
+    pseudorandom training-order key per (shard, bin). Order an epoch
+    by `bin_order` — bins stream sequentially (IO-friendly) in a
+    reproducible random order that reshuffles per `seed`; the corpus
+    never pays a global row-level sort."""
+    packed = pack_documents(
+        corpus, text_col, id_col, capacity, shard_col=shard_col
+    )
+    return packed.withColumn(
+        "bin_order",
+        hash_uniform(
+            F.concat_ws(
+                "\x1f", F.col(shard_col), F.col("bin").cast("string")
+            ),
+            seed,
+        ),
+    )

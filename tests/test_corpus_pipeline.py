@@ -1,0 +1,136 @@
+"""Composition test for `pipelines.corpus.prepare_corpus`: every
+stage is individually oracle-verified by its own driver branch, so
+this suite pins what only the composition can break — stage contracts
+connect, each planted-defect document flows to its designed fate in
+ONE run, and the result is deterministic under repartitioning.
+"""
+
+from __future__ import annotations
+
+from bigdatabowl2024_25_spark.pipelines.corpus import (
+    CorpusConfig,
+    prepare_corpus,
+    to_sequences,
+)
+
+GOOD = "the quick brown fox jumps over the lazy dog near a riverbank"
+NEAR = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+#: each row plants exactly one defect (or none) — ids encode the fate
+CORPUS = [
+    # survives untouched
+    (1, GOOD, "web"),
+    # too short (< 5 tokens)
+    (2, "tiny doc here", "web"),
+    # repetitive (dup_word_frac 5/6 > 0.5)
+    (3, "spam spam spam spam spam spam", "web"),
+    # PII: survives with the email redacted
+    (4, "contact me at bob@example.com for the full data table", "web"),
+    # exact duplicate of 1 modulo case -> loses keep-first to id 1
+    (5, GOOD.upper(), "web"),
+    # near-dup pair: 11 is 10 + one appended word (3-gram jaccard
+    # 8/9 = 0.89 >= 0.8) -> 11 loses to the cluster keeper 10
+    (10, NEAR, "web"),
+    (11, NEAR + " lambda", "web"),
+    # contaminated: shares a 5-gram with the benchmark
+    (20, "watch the secret eval answer string appear verbatim here", "web"),
+    # wrong domain for the mixture
+    (30, GOOD + " but from a dropped source", "junk"),
+]
+
+BENCH = [(900, "the secret eval answer string is forty two")]
+
+CFG = CorpusConfig(mixture={"web": 1.0})
+
+
+def run(spark, n_partitions=None):
+    df = spark.createDataFrame(
+        CORPUS, "doc_id long, text string, source string"
+    )
+    if n_partitions:
+        df = df.repartition(n_partitions)
+    bench = spark.createDataFrame(BENCH, "doc_id long, text string")
+    out = prepare_corpus(df, benchmark=bench, cfg=CFG)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_every_planted_fate(spark):
+    got = run(spark)
+    assert sorted(got) == [1, 4, 10]
+    # stage 2: the email is gone, the placeholder is present
+    assert "[EMAIL]" in got[4]["text"]
+    assert "bob@example.com" not in got[4]["text"]
+    # profile columns materialized for downstream consumers
+    assert got[1]["lang"] == "en"
+    assert got[1]["n_tokens"] == 12
+    assert got[1]["dup_word_frac"] < 0.5
+    # metadata passes through
+    assert got[10]["source"] == "web"
+
+
+def test_deterministic_under_repartitioning(spark):
+    base = run(spark)
+    for n in (1, 3, 7):
+        assert run(spark, n_partitions=n) == base
+
+
+def test_optional_stages_off(spark):
+    """near_dup=False keeps both members of the near-dup pair; no
+    benchmark keeps the contaminated doc; no mixture keeps 'junk'."""
+    df = spark.createDataFrame(
+        CORPUS, "doc_id long, text string, source string"
+    )
+    out = prepare_corpus(
+        df, cfg=CorpusConfig(near_dup=False, mixture=None)
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 4, 10, 11, 20, 30]
+
+
+def test_paragraph_stage_composes(spark):
+    """paragraph_sep wired in: the shared footer survives only in the
+    min-id doc, metadata rejoins, and the recomputed n_tokens reflects
+    the stripped text."""
+    docs = [
+        (1, f"{GOOD}¶shared footer paragraph here today", "web"),
+        (2, f"{NEAR}¶shared footer paragraph here today", "web"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    )
+    out = prepare_corpus(
+        df,
+        cfg=CorpusConfig(paragraph_sep="¶", near_dup=False),
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert "shared footer" in got[1]["text"]
+    assert "shared footer" not in got[2]["text"]
+    assert got[2]["text"] == NEAR
+    assert got[2]["n_tokens"] == 10
+    assert got[2]["source"] == "web"
+
+
+def test_to_sequences_bins_and_order(spark):
+    df2 = spark.createDataFrame(
+        [(i, f"{GOOD} variant {i}", "web") for i in range(8)],
+        "doc_id long, text string, source string",
+    )
+    corpus = prepare_corpus(df2, cfg=CorpusConfig(near_dup=False))
+    seq = to_sequences(corpus, capacity=30, shard_col="lang")
+    rows = seq.collect()
+    assert len(rows) == 8
+    # capacity 30 with 14-token docs -> 2 docs per bin, 4 bins
+    bins = {}
+    for r in rows:
+        bins.setdefault(r["bin"], []).append(r)
+    assert all(sum(x["n_tokens"] for x in b) <= 30 for b in bins.values())
+    # bin_order: deterministic, constant within a bin
+    for b in bins.values():
+        assert len({x["bin_order"] for x in b}) == 1
+    again = {
+        (r["doc_id"], r["bin"], r["bin_order"])
+        for r in to_sequences(
+            corpus, capacity=30, shard_col="lang"
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["bin"], r["bin_order"]) for r in rows}
