@@ -110,6 +110,27 @@ def test_paragraph_stage_composes(spark):
     assert got[2]["source"] == "web"
 
 
+def test_real_documents_table(spark):
+    """The whole pipeline over the real documents parquet: rows
+    survive, the planted benchmark subset (which is itself in the
+    corpus) decontaminates out, and the plan stays JVM-side (no
+    row-at-a-time Python anywhere in the composition)."""
+    from bigdatabowl2024_25_spark.sources.io import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = d.filter("doc_id % 17 = 0").select("doc_id", "text")
+    out = prepare_corpus(d, benchmark=bench)
+    ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+    assert 0 < len(ids) < d.count()
+    assert not any(i % 17 == 0 for i in ids)
+
+    sc = out.sparkSession.sparkContext
+    plan = sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan
+
+
 def test_to_sequences_bins_and_order(spark):
     df2 = spark.createDataFrame(
         [(i, f"{GOOD} variant {i}", "web") for i in range(8)],
