@@ -9,6 +9,9 @@ Stage order IS the design (cheapest first, movement last):
    here never pays a downstream shuffle.
 2. PII redaction — regexp chain, still a map. Runs BEFORE dedup so
    two pages differing only in a phone number hash identically.
+   2b (optional): the CCNet LM-perplexity band — bigram model of a
+   curated reference (or the corpus itself) broadcasts, every doc
+   gets a `perplexity` profile column, outliers drop.
 3. paragraph dedup (optional) — strips cross-page boilerplate BEFORE
    whole-document hashing, so template pages collapse into exact
    duplicates the cheap stage 4 catches. Metadata columns rejoin on
@@ -57,6 +60,7 @@ from ..operators.dedup import (
     shingle_hashes,
     with_shingles,
 )
+from ..operators.ngram_lm import lm_perplexity, lm_train
 from ..operators.sampling import hash_uniform, weighted_domain_sample
 from ..operators.text import (
     pack_documents,
@@ -79,6 +83,9 @@ class CorpusConfig:
     max_dup_word_frac: float = 0.5
     max_top_bigram_frac: float = 0.25
     redact: bool = True
+    max_perplexity: float | None = None  # None = skip the LM band
+    lm_alpha: float = 0.1
+    lm_min_count: int = 1
     paragraph_sep: str | None = None  # None = skip paragraph dedup
     near_dup: bool = True
     minhash_k: int = 8
@@ -99,6 +106,7 @@ def prepare_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     benchmark: DataFrame | None = None,
+    lm_reference: DataFrame | None = None,
     cfg: CorpusConfig | None = None,
 ) -> DataFrame:
     """Run stages 1-7 over a (id, text, ...metadata) corpus; returns
@@ -107,7 +115,10 @@ def prepare_corpus(
     dup_word_frac, top_bigram_frac). Metadata columns pass through.
 
     `benchmark` is the eval set to decontaminate against (same id/text
-    schema); None skips stage 6. One DataFrame in, one out — the whole
+    schema); None skips stage 6. `lm_reference` is the curated corpus
+    the perplexity band trains on (used only when
+    `cfg.max_perplexity` is set; defaults to the filtered corpus
+    itself — self-scoring, the within-distribution outlier cut). One DataFrame in, one out — the whole
     pipeline is a single lazy plan except `connected_components`'
     bounded iterative step (only when near_dup and candidates exist).
     """
@@ -135,6 +146,27 @@ def prepare_corpus(
     # 2. redact before any hashing (see module docstring)
     if cfg.redact:
         d = d.withColumn(text_col, redact_pii(F.col(text_col)))
+
+    # 2b. LM perplexity band (the CCNet quality cut): score every doc
+    # against a bigram model of `lm_reference` (a curated corpus —
+    # the CCNet recipe) or, absent one, of the filtered corpus itself,
+    # and drop high-perplexity outliers. The pruned model broadcasts;
+    # scoring re-aggregates the corpus by its own id (one keyed
+    # shuffle), and `perplexity` stays as a profile column. Inner
+    # join: token-less docs score nothing — stage 1's min_tokens
+    # already removed them.
+    if cfg.max_perplexity is not None:
+        ref = lm_reference if lm_reference is not None else d
+        bigrams, contexts, vocab = lm_train(
+            ref, text_col, id_col, min_count=cfg.lm_min_count
+        )
+        perp = lm_perplexity(
+            d, text_col, id_col, bigrams, contexts, vocab,
+            alpha=cfg.lm_alpha,
+        ).select(id_col, "perplexity")
+        d = d.join(perp, id_col).filter(
+            F.col("perplexity") <= cfg.max_perplexity
+        )
 
     # 3. paragraph-level boilerplate strip; metadata rejoins on the
     # id the reassembly just hash-partitioned by (AQE reuses it)

@@ -110,6 +110,32 @@ def test_paragraph_stage_composes(spark):
     assert got[2]["source"] == "web"
 
 
+def test_lm_perplexity_band(spark):
+    """max_perplexity + an explicit lm_reference: the gibberish doc
+    (no bigram ever seen by the reference model) scores ~11x the
+    in-distribution doc (15.3 vs 1.4 bits-derived perplexity) and
+    drops at the 5.0 band; survivors carry the perplexity
+    profile column."""
+    ref = spark.createDataFrame(
+        [(100 + i, GOOD) for i in range(4)], "doc_id long, text string"
+    )
+    docs = [
+        (1, GOOD, "web"),
+        (2, "zxq vbn mkl pqr stu wvy", "web"),  # out-of-distribution
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    )
+    out = prepare_corpus(
+        df,
+        lm_reference=ref,
+        cfg=CorpusConfig(near_dup=False, max_perplexity=5.0),
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert sorted(got) == [1]
+    assert got[1]["perplexity"] <= 5.0
+
+
 def test_real_documents_table(spark):
     """The whole pipeline over the real documents parquet: rows
     survive, the planted benchmark subset (which is itself in the
