@@ -65,6 +65,7 @@ from ..operators.sampling import hash_uniform, weighted_domain_sample
 from ..operators.text import (
     pack_documents,
     predict_lang,
+    quality_features,
     redact_pii,
     repetition_features,
     tokens,
@@ -82,6 +83,11 @@ class CorpusConfig:
     langs: tuple[str, ...] | None = None
     max_dup_word_frac: float = 0.5
     max_top_bigram_frac: float = 0.25
+    # Gopher word-shape bounds — None = off (the synthetic corpus is
+    # word soup; real-web defaults would be ~(3, 10) and 0.05)
+    min_avg_word_len: float | None = None
+    max_avg_word_len: float | None = None
+    min_stopword_ratio: float | None = None
     redact: bool = True
     max_perplexity: float | None = None  # None = skip the LM band
     lm_alpha: float = 0.1
@@ -126,6 +132,7 @@ def prepare_corpus(
 
     # 1. profile + filter (pure maps)
     rep = repetition_features(F.col(text_col))
+    qf = quality_features(F.col(text_col))
     d = (
         df.withColumn("lang", predict_lang(tokens(F.col(text_col))))
         .withColumn("n_tokens", _n_tokens(text_col))
@@ -141,6 +148,12 @@ def prepare_corpus(
         cond &= F.col("n_tokens") <= cfg.max_tokens
     if cfg.langs is not None:
         cond &= F.col("lang").isin(list(cfg.langs))
+    if cfg.min_avg_word_len is not None:
+        cond &= qf["avg_word_len"] >= cfg.min_avg_word_len
+    if cfg.max_avg_word_len is not None:
+        cond &= qf["avg_word_len"] <= cfg.max_avg_word_len
+    if cfg.min_stopword_ratio is not None:
+        cond &= qf["stopword_ratio"] >= cfg.min_stopword_ratio
     d = d.filter(cond)
 
     # 2. redact before any hashing (see module docstring)

@@ -110,6 +110,29 @@ def test_paragraph_stage_composes(spark):
     assert got[2]["source"] == "web"
 
 
+def test_gopher_word_shape_knobs(spark):
+    """Optional Gopher bounds: the all-single-letter doc fails the
+    min-avg-word-length floor, the no-stopword doc fails the
+    stopword-ratio floor; GOOD passes both."""
+    docs = [
+        (1, GOOD, "web"),
+        (2, "a b c d e f g h", "web"),
+        (3, "quick brown foxes jump around tall fences", "web"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    )
+    out = prepare_corpus(
+        df,
+        cfg=CorpusConfig(
+            near_dup=False,
+            min_avg_word_len=2.0,
+            min_stopword_ratio=0.05,
+        ),
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1]
+
+
 def test_lm_perplexity_band(spark):
     """max_perplexity + an explicit lm_reference: the gibberish doc
     (no bigram ever seen by the reference model) scores ~11x the
