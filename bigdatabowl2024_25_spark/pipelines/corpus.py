@@ -46,6 +46,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -100,11 +101,31 @@ class CorpusConfig:
     decontam_ngram: int = 5
     mixture: dict[str, float] | None = None
     domain_col: str = "source"
+    persist_boundaries: bool = True
 
 
 def _n_tokens(text_col: str):
     w = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
     return F.size(w)
+
+
+def _fanout(d: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    """Persist a stage boundary that is consumed more than once
+    downstream, so consumers plan against the cached relation instead
+    of replicating the upstream tree. Without this the logical plan
+    DOUBLES at every self-referencing stage (keepers ⋈ corpus, LM
+    train + score + join, the funnel's ~10 references) — ~100 copies
+    of the scan subtree by the funnel, and the driver OOMs
+    SERIALIZING task binaries long before data size matters (observed
+    at sf0.1 under the default 1g heap); with it, plan size stays
+    linear in stage count. At 100 TB the cache is MEMORY_AND_DISK:
+    spilling a boundary beats recomputing the whole upstream pipeline
+    once per consumer on every axis. Caches stay owned by the caller
+    (spark.catalog.clearCache() to drop them); `persist_boundaries=
+    False` opts out for single-action plans on small corpora."""
+    if cfg.persist_boundaries:
+        return d.persist(StorageLevel.MEMORY_AND_DISK)
+    return d
 
 
 def prepare_corpus(
@@ -169,6 +190,7 @@ def prepare_corpus(
     # join: token-less docs score nothing — stage 1's min_tokens
     # already removed them.
     if cfg.max_perplexity is not None:
+        d = _fanout(d, cfg)  # train + score + join read d
         ref = lm_reference if lm_reference is not None else d
         bigrams, contexts, vocab = lm_train(
             ref, text_col, id_col, min_count=cfg.lm_min_count
@@ -184,6 +206,7 @@ def prepare_corpus(
     # 3. paragraph-level boilerplate strip; metadata rejoins on the
     # id the reassembly just hash-partitioned by (AQE reuses it)
     if cfg.paragraph_sep is not None:
+        d = _fanout(d, cfg)  # rebuilt + meta both read d
         rebuilt = paragraph_dedup(
             d, text_col, id_col, sep=cfg.paragraph_sep
         )
@@ -195,6 +218,7 @@ def prepare_corpus(
         )
 
     # 4. exact keep-first (content-hash groupBy + id semi-join)
+    d = _fanout(d, cfg)  # keepers + the semi-join both read d
     keepers = exact_dedup(d, text_col, id_col).select(
         F.col("keeper_id").alias(id_col)
     )
@@ -202,6 +226,7 @@ def prepare_corpus(
 
     # 5. near-dup funnel; shingle hashes shared across both stages
     if cfg.near_dup:
+        d = _fanout(d, cfg)  # the funnel references d ~10 times
         sh = with_shingles(d, text_col, id_col)
         hashes = shingle_hashes(sh, id_col)
         sigs = minhash_signatures(
@@ -225,6 +250,7 @@ def prepare_corpus(
 
     # 6. decontaminate (broadcast eval grams; anti-join the hits)
     if benchmark is not None:
+        d = _fanout(d, cfg)  # gram explode + anti-join both read d
         hits = decontaminate(
             d, benchmark, text_col, id_col, cfg.decontam_ngram
         )

@@ -36,6 +36,14 @@ def get_spark(
 ) -> SparkSession:
     cpus = default_parallelism()
     conf = {
+        # local mode: driver == all 32 executor threads in ONE JVM.
+        # Spark's 1g default heap is sized for a driver that only
+        # coordinates; here it also holds every task + cached
+        # boundary of a composed pipeline, and 32 concurrent tasks
+        # in 1g GC-thrash into OOM (observed on pipelines/corpus at
+        # sf0.1). Applies only when this factory launches the JVM —
+        # a cluster deployment sizes executors via spark-submit.
+        "spark.driver.memory": os.environ.get("BDB_DRIVER_MEM", "8g"),
         "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
