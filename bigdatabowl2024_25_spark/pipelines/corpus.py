@@ -34,8 +34,13 @@ training pipelines shuffle at bin granularity (sequential IO within a
 bin, random order across bins), so the corpus never pays a global
 row-level sort.
 
+`prepare_batch` is the DAILY-CRAWL twin: the same profile/redaction
+stages, but dedup runs against the running `CorpusState` (8-byte
+content keys + 16-byte band keys — history text never reloads) so
+each day pays batch-sized work, never history-sized.
+
 Every stage is individually driver-verified by its own oracle branch
-(q60 profile/PII, q64 'para'/'pack', q70 exact/decontam/LM,
+(q60 profile/PII, q64 'para'/'pack', q70 exact/incr/decontam/LM,
 q71-q75 funnel, q95 mix/shuffle); this module pins the COMPOSITION —
 stage contracts connect, planted-defect documents flow to the right
 fate, and the result is deterministic under repartitioning
@@ -54,6 +59,8 @@ from ..operators.components import connected_components
 from ..operators.dedup import (
     exact_dedup,
     decontaminate,
+    incremental_exact_dedup,
+    incremental_lsh_candidates,
     jaccard_pairs,
     lsh_candidates,
     minhash_signatures,
@@ -128,30 +135,12 @@ def _fanout(d: DataFrame, cfg: CorpusConfig) -> DataFrame:
     return d
 
 
-def prepare_corpus(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    benchmark: DataFrame | None = None,
-    lm_reference: DataFrame | None = None,
-    cfg: CorpusConfig | None = None,
+def _profile_and_redact(
+    df: DataFrame, text_col: str, cfg: CorpusConfig
 ) -> DataFrame:
-    """Run stages 1-7 over a (id, text, ...metadata) corpus; returns
-    the surviving rows with `text_col` cleaned (redacted, optionally
-    paragraph-deduped) plus profile columns (lang, n_tokens,
-    dup_word_frac, top_bigram_frac). Metadata columns pass through.
-
-    `benchmark` is the eval set to decontaminate against (same id/text
-    schema); None skips stage 6. `lm_reference` is the curated corpus
-    the perplexity band trains on (used only when
-    `cfg.max_perplexity` is set; defaults to the filtered corpus
-    itself — self-scoring, the within-distribution outlier cut). One DataFrame in, one out — the whole
-    pipeline is a single lazy plan except `connected_components`'
-    bounded iterative step (only when near_dup and candidates exist).
-    """
-    cfg = cfg or CorpusConfig()
-
-    # 1. profile + filter (pure maps)
+    """Stages 1-2, shared by the full-corpus and daily-batch entry
+    points: profile columns + codegen quality filters, then PII
+    redaction (before any hashing, so dedup keys see clean text)."""
     rep = repetition_features(F.col(text_col))
     qf = quality_features(F.col(text_col))
     d = (
@@ -176,10 +165,34 @@ def prepare_corpus(
     if cfg.min_stopword_ratio is not None:
         cond &= qf["stopword_ratio"] >= cfg.min_stopword_ratio
     d = d.filter(cond)
-
-    # 2. redact before any hashing (see module docstring)
     if cfg.redact:
         d = d.withColumn(text_col, redact_pii(F.col(text_col)))
+    return d
+
+
+def prepare_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark: DataFrame | None = None,
+    lm_reference: DataFrame | None = None,
+    cfg: CorpusConfig | None = None,
+) -> DataFrame:
+    """Run stages 1-7 over a (id, text, ...metadata) corpus; returns
+    the surviving rows with `text_col` cleaned (redacted, optionally
+    paragraph-deduped) plus profile columns (lang, n_tokens,
+    dup_word_frac, top_bigram_frac). Metadata columns pass through.
+
+    `benchmark` is the eval set to decontaminate against (same id/text
+    schema); None skips stage 6. `lm_reference` is the curated corpus
+    the perplexity band trains on (used only when
+    `cfg.max_perplexity` is set; defaults to the filtered corpus
+    itself — self-scoring, the within-distribution outlier cut). One DataFrame in, one out — the whole
+    pipeline is a single lazy plan except `connected_components`'
+    bounded iterative step (only when near_dup and candidates exist).
+    """
+    cfg = cfg or CorpusConfig()
+    d = _profile_and_redact(df, text_col, cfg)
 
     # 2b. LM perplexity band (the CCNet quality cut): score every doc
     # against a bigram model of `lm_reference` (a curated corpus —
@@ -262,6 +275,86 @@ def prepare_corpus(
             d, id_col, cfg.domain_col, cfg.mixture
         )
     return d
+
+
+@dataclass(frozen=True)
+class CorpusState:
+    """Running dedup state between daily batches — the ONLY thing
+    history contributes (its text never reloads): `seen_keys` is one
+    8-byte content hash per kept doc, `banded` is the append-only
+    (doc, band_key) LSH table (None when near-dup is off). Persist
+    both as bucketed tables between batches; at 100 TB the batch side
+    alone moves in the state joins."""
+
+    seen_keys: DataFrame
+    banded: DataFrame | None
+
+
+def empty_state(spark, near_dup: bool = True) -> CorpusState:
+    """Day-0 state: typed empty frames matching the operators'
+    layouts."""
+    return CorpusState(
+        seen_keys=spark.createDataFrame([], "content_key bigint"),
+        banded=(
+            spark.createDataFrame([], "doc bigint, band_key string")
+            if near_dup
+            else None
+        ),
+    )
+
+
+def prepare_batch(
+    new_df: DataFrame,
+    state: CorpusState,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: CorpusConfig | None = None,
+) -> tuple[DataFrame, CorpusState]:
+    """The daily-crawl update path: run a NEW batch through the same
+    profile/redaction stages, then dedup it against the running state
+    instead of re-deduplicating history. Returns (clean batch, next
+    state). History×history work never re-runs; each batch pays only
+    batch-sized joins against 8/16-byte state keys.
+
+    Near-dup policy is CANDIDATE-level (the BigCode/SlimPajama-style
+    LSH drop): a new doc sharing any band key with history or with a
+    kept batch doc drops — no exact-Jaccard verify, because history
+    shingles are gone by design (the state keeps band keys only).
+    Assumes ids grow monotonically across batches (crawl ids do), so
+    the greater id of a colliding pair is always the newcomer.
+    `cfg.jaccard` is therefore unused here; tune `bands`/`minhash_k`
+    to set the collision-probability threshold instead."""
+    cfg = cfg or CorpusConfig()
+    d = _profile_and_redact(new_df, text_col, cfg)
+    d = _fanout(d, cfg)  # keyed twice below + the survivors join
+
+    survivors, updated_keys = incremental_exact_dedup(
+        d, state.seen_keys, text_col, id_col
+    )
+    clean = survivors.drop("content_key", "n_copies")
+    banded = state.banded
+    if cfg.near_dup:
+        if banded is None:
+            raise ValueError(
+                "prepare_batch: cfg.near_dup=True but state has no "
+                "banded table — build the state with "
+                "empty_state(spark, near_dup=True)"
+            )
+        clean = _fanout(clean, cfg)
+        cands, new_banded = incremental_lsh_candidates(
+            clean, banded, id_col, text_col,
+            k=cfg.minhash_k, bands=cfg.bands,
+        )
+        losers = cands.select(F.col("id_b").alias(id_col)).distinct()
+        clean = clean.join(losers, id_col, "anti")
+        # append-only: state rows for DROPPED newcomers must not
+        # enter the table, or tomorrow's batch would collide with
+        # ghosts — keep only the kept docs' band keys
+        new_banded = new_banded.join(
+            clean.select(F.col(id_col).alias("doc")), "doc", "semi"
+        )
+        banded = banded.unionByName(new_banded)
+    return clean, CorpusState(seen_keys=updated_keys, banded=banded)
 
 
 def to_sequences(

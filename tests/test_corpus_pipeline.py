@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from bigdatabowl2024_25_spark.pipelines.corpus import (
     CorpusConfig,
+    empty_state,
+    prepare_batch,
     prepare_corpus,
     to_sequences,
 )
@@ -178,6 +180,53 @@ def test_real_documents_table(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_prepare_batch_two_day_replay(spark):
+    """The daily-crawl loop: day 2 dedups against day 1's state only
+    (8-byte keys + band keys — never day-1 text). Planted fates:
+    exact re-crawl drops, near-dup of a day-1 page drops at candidate
+    level, within-batch dup keeps first, fresh docs survive, and the
+    state grows append-only with kept docs only."""
+    schema = "doc_id long, text string, source string"
+    day1 = spark.createDataFrame(
+        [(1, GOOD, "web"), (2, NEAR, "web")], schema
+    )
+    day2 = spark.createDataFrame(
+        [
+            (10, GOOD, "web"),             # exact re-crawl of 1
+            (11, NEAR + " lambda", "web"),  # near-dup of 2 (bands)
+            (12, "fresh unique page about brown riverbank dogs", "web"),
+            (13, "fresh unique page about brown riverbank dogs", "web"),
+        ],
+        schema,
+    )
+    cfg = CorpusConfig()
+    s0 = empty_state(spark)
+    kept1, s1 = prepare_batch(day1, s0, cfg=cfg)
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [1, 2]
+    assert s1.seen_keys.count() == 2
+
+    kept2, s2 = prepare_batch(day2, s1, cfg=cfg)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [12]
+    # seen-content keys grow by the exact-survivor set (11, 12): 11
+    # was dropped later at the near-dup stage but its CONTENT was
+    # seen, so a day-3 identical re-crawl short-circuits at the
+    # cheap exact stage
+    assert s2.seen_keys.count() == 4
+    # band state grows append-only with KEPT docs only — dropped
+    # newcomers must not become ghosts that collide tomorrow
+    docs_in_state = {
+        r["doc"] for r in s2.banded.select("doc").distinct().collect()
+    }
+    assert docs_in_state == {1, 2, 12}
+
+    # day 3 re-crawls of both dropped shapes still drop
+    day3 = spark.createDataFrame(
+        [(20, NEAR + " lambda", "web"), (21, GOOD, "web")], schema
+    )
+    kept3, _ = prepare_batch(day3, s2, cfg=cfg)
+    assert kept3.count() == 0
 
 
 def test_to_sequences_bins_and_order(spark):
