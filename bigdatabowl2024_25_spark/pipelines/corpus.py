@@ -357,6 +357,119 @@ def prepare_batch(
     return clean, CorpusState(seen_keys=updated_keys, banded=banded)
 
 
+def _list_delta_ids(spark, path: str) -> list[int]:
+    """Committed d=<batch_id> delta partitions under `path`, listed
+    through the Hadoop FS API — works on any Hadoop-compatible
+    filesystem (local, HDFS, S3A), not just the local disk."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("d="):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def _read_deltas(spark, path: str, upto: int, schema: str) -> DataFrame:
+    """Union of delta partitions with d < upto (STRICTLY less: a
+    retried micro-batch must not see its own half-written prior
+    attempt), empty-typed when none exist yet."""
+    ids = [i for i in _list_delta_ids(spark, path) if i < upto]
+    if not ids:
+        return spark.createDataFrame([], schema)
+    cols = [f.split(" ")[0] for f in schema.split(", ")]
+    return (
+        spark.read.option("basePath", path)
+        .parquet(*[f"{path}/d={i}" for i in ids])
+        .select(*cols)
+    )
+
+
+def stream_prepare(
+    stream: DataFrame,
+    sink_dir: str,
+    state_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: CorpusConfig | None = None,
+) -> None:
+    """The daily-crawl loop as a STREAM: `foreachBatch` runs each
+    arriving micro-batch through the `prepare_batch` stages against
+    the state committed by earlier batches, then writes three
+    batch-id-partitioned outputs — clean docs to `sink_dir/d=<n>`,
+    the exact-survivor content keys to `<state>/seen/d=<n>`, and the
+    kept docs' band keys to `<state>/banded/d=<n>`.
+
+    Exactly-once by idempotent partitions: foreachBatch is
+    at-least-once, so every write targets the batch's OWN d=<n>
+    directory with overwrite — a retried batch rewrites exactly its
+    partitions, and state reads take only d < n, never a half-written
+    own attempt. The streaming checkpoint (source WAL) guarantees a
+    file is assigned to one batch id forever, so re-running the drain
+    after a crash resumes with the same assignment. State stays
+    append-only deltas — no batch ever rewrites history, the
+    100 TB-critical property (the per-batch read of prior key deltas
+    is an 8/16-byte-column scan with partition pruning).
+
+    Same dedup policy as `prepare_batch` (candidate-level LSH drop,
+    seen-content keys include near-dup losers)."""
+    cfg = cfg or CorpusConfig()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        seen = _read_deltas(
+            spark, f"{state_dir}/seen", batch_id, "content_key bigint"
+        )
+        d = _fanout(_profile_and_redact(batch_df, text_col, cfg), cfg)
+        survivors, _ = incremental_exact_dedup(
+            d, seen, text_col, id_col
+        )
+        survivors = _fanout(survivors, cfg)
+        key_delta = survivors.select("content_key")
+        clean = survivors.drop("content_key", "n_copies")
+        band_delta = None
+        if cfg.near_dup:
+            banded = _read_deltas(
+                spark,
+                f"{state_dir}/banded",
+                batch_id,
+                "doc bigint, band_key string",
+            )
+            clean = _fanout(clean, cfg)
+            cands, new_banded = incremental_lsh_candidates(
+                clean, banded, id_col, text_col,
+                k=cfg.minhash_k, bands=cfg.bands,
+            )
+            losers = cands.select(
+                F.col("id_b").alias(id_col)
+            ).distinct()
+            clean = clean.join(losers, id_col, "anti")
+            band_delta = new_banded.join(
+                clean.select(F.col(id_col).alias("doc")), "doc", "semi"
+            )
+        clean.write.mode("overwrite").parquet(f"{sink_dir}/d={batch_id}")
+        key_delta.write.mode("overwrite").parquet(
+            f"{state_dir}/seen/d={batch_id}"
+        )
+        if band_delta is not None:
+            band_delta.write.mode("overwrite").parquet(
+                f"{state_dir}/banded/d={batch_id}"
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def to_sequences(
     corpus: DataFrame,
     id_col: str = "doc_id",

@@ -229,6 +229,61 @@ def test_prepare_batch_two_day_replay(spark):
     assert kept3.count() == 0
 
 
+def test_stream_prepare_daily_loop(spark, tmp_path):
+    """The streaming daily-crawl loop: two file arrivals drained as
+    separate micro-batches must reproduce prepare_batch's fates, the
+    state must grow as append-only deltas, and a no-new-input re-run
+    must be a no-op (checkpoint WAL)."""
+    from bigdatabowl2024_25_spark.pipelines.corpus import stream_prepare
+    from bigdatabowl2024_25_spark.streaming.replay import stream_from_dir
+
+    schema = "doc_id long, text string, source string"
+    day1 = spark.createDataFrame(
+        [(1, GOOD, "web"), (2, NEAR, "web")], schema
+    )
+    day2 = spark.createDataFrame(
+        [
+            (10, GOOD, "web"),
+            (11, NEAR + " lambda", "web"),
+            (12, "fresh unique page about brown riverbank dogs", "web"),
+            (13, "fresh unique page about brown riverbank dogs", "web"),
+        ],
+        schema,
+    )
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream_prepare(
+            stream_from_dir(
+                spark, src, spark.read.parquet(src).schema
+            ),
+            sink, state, ckpt,
+        )
+        return {
+            r["doc_id"] for r in spark.read.parquet(sink).collect()
+        }
+
+    day1.coalesce(1).write.mode("append").parquet(src)
+    assert drain() == {1, 2}
+    day2.coalesce(1).write.mode("append").parquet(src)
+    assert drain() == {1, 2, 12}
+    # no new input -> no new micro-batch, sink unchanged
+    assert drain() == {1, 2, 12}
+    # state: two committed key deltas (day 1: 2 keys; day 2: exact
+    # survivors 11+12), band deltas carry kept docs only
+    seen = spark.read.parquet(f"{state}/seen")
+    assert seen.count() == 4
+    banded_docs = {
+        r["doc"]
+        for r in spark.read.parquet(f"{state}/banded")
+        .select("doc").distinct().collect()
+    }
+    assert banded_docs == {1, 2, 12}
+
+
 def test_to_sequences_bins_and_order(spark):
     df2 = spark.createDataFrame(
         [(i, f"{GOOD} variant {i}", "web") for i in range(8)],
