@@ -477,16 +477,57 @@ def to_sequences(
     capacity: int = 512,
     shard_col: str = "lang",
     seed: str = "epoch:0",
+    chunk_long: bool = False,
 ) -> DataFrame:
     """Stage 8: pack the cleaned corpus into fixed-token-budget bins
     (per-shard next-fit) and attach `bin_order`, a deterministic
     pseudorandom training-order key per (shard, bin). Order an epoch
     by `bin_order` — bins stream sequentially (IO-friendly) in a
     reproducible random order that reshuffles per `seed`; the corpus
-    never pays a global row-level sort."""
-    packed = pack_documents(
-        corpus, text_col, id_col, capacity, shard_col=shard_col
-    )
+    never pays a global row-level sort.
+
+    `chunk_long=False` (default): a doc longer than `capacity` gets a
+    bin of its own (pack_documents' rule). `chunk_long=True` is the
+    standard training path instead: every doc first splits into
+    ≤capacity token windows (`chunk_documents`, codegen explode — a
+    short doc is exactly one window), then the WINDOWS pack, so no
+    bin ever exceeds capacity. Output then carries (doc_id, chunk_id)
+    per packed piece instead of the bare id. Chunks keep next-fit's
+    doc-contiguity: a doc's windows pack consecutively in order, so a
+    sequence boundary never interleaves two documents' text."""
+    if chunk_long:
+        from ..operators.text import chunk_documents
+
+        # synthetic orderable piece id = id·10^6 + chunk_id keeps the
+        # (doc, window) order under ONE sort key; 10^6 windows/doc ≈
+        # a 500M-token document at capacity 512 — assert, don't trust
+        pieces = chunk_documents(corpus, text_col, id_col, capacity)
+        pieces = pieces.join(
+            corpus.select(id_col, shard_col), id_col
+        ).select(
+            (F.col(id_col) * F.lit(1_000_000) + F.col("chunk_id"))
+            .alias("__piece"),
+            F.col("chunk_text").alias(text_col),
+            shard_col,
+        )
+        packed = pack_documents(
+            pieces, text_col, "__piece", capacity, shard_col=shard_col
+        )
+        packed = packed.select(
+            shard_col,
+            F.floor(F.col("__piece") / 1_000_000)
+            .cast("long")
+            .alias(id_col),
+            F.pmod(F.col("__piece"), F.lit(1_000_000))
+            .cast("int")
+            .alias("chunk_id"),
+            "n_tokens",
+            "bin",
+        )
+    else:
+        packed = pack_documents(
+            corpus, text_col, id_col, capacity, shard_col=shard_col
+        )
     return packed.withColumn(
         "bin_order",
         hash_uniform(

@@ -308,3 +308,34 @@ def test_to_sequences_bins_and_order(spark):
         ).collect()
     }
     assert again == {(r["doc_id"], r["bin"], r["bin_order"]) for r in rows}
+
+
+def test_to_sequences_chunk_long(spark):
+    """chunk_long=True: 14-token docs at capacity 10 split into a
+    10-token and a 4-token window; every bin respects capacity, every
+    doc's windows are complete and consecutive (chunk 0 before chunk
+    1 in the same or the next bin — next-fit keeps doc contiguity)."""
+    df = spark.createDataFrame(
+        [(i, f"{GOOD} variant {i}", "web") for i in range(4)],
+        "doc_id long, text string, source string",
+    )
+    corpus = prepare_corpus(df, cfg=CorpusConfig(near_dup=False))
+    rows = to_sequences(
+        corpus, capacity=10, shard_col="lang", chunk_long=True
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        assert r["n_tokens"] <= 10
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(by_doc) == [0, 1, 2, 3]
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == [0, 1]
+        assert [c["n_tokens"] for c in chunks] == [10, 4]
+        # doc contiguity: the second window's bin is the same or next
+        assert chunks[0]["bin"] <= chunks[1]["bin"] <= chunks[0]["bin"] + 1
+    bins = {}
+    for r in rows:
+        bins.setdefault(r["bin"], 0)
+        bins[r["bin"]] += r["n_tokens"]
+    assert all(v <= 10 for v in bins.values())
