@@ -66,20 +66,30 @@ def _tf_sql(t: str) -> str:
 # redaction chain — the md5 of the redacted text then verifies every
 # pattern actually fired, in the operator's EMAIL→CARD→PHONE→IP order.
 
-_PII_SRC_SQL = (
-    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
-    " || '@example.com or +1 (555) 123-'"
-    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
-    " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
-    " || ' card 4111 1111 1111 1111 end'"
-)
-
-_PII_RED_SQL = _PII_SRC_SQL
-for _name in ("EMAIL", "CARD", "PHONE", "IP"):
-    _PII_RED_SQL = (
-        f"regexp_replace({_PII_RED_SQL}, "
-        f"'{PII_PATTERNS[_name]}', '[{_name}]', 'g')"
+def _pii_src_sql(id_expr: str) -> str:
+    return (
+        f"text || ' contact user' || CAST({id_expr} AS VARCHAR)"
+        " || '@example.com or +1 (555) 123-'"
+        f" || lpad(CAST(({id_expr}) % 10000 AS VARCHAR), 4, '0')"
+        f" || ' ip 10.0.' || CAST(({id_expr}) % 256 AS VARCHAR) || '.7'"
+        " || ' card 4111 1111 1111 1111 end'"
     )
+
+
+def _redact_sql(expr: str) -> str:
+    """DuckDB mirror of operators.text.redact_pii over `expr` (same
+    pattern order)."""
+    out = expr
+    for name in ("EMAIL", "CARD", "PHONE", "IP"):
+        out = (
+            f"regexp_replace({out}, "
+            f"'{PII_PATTERNS[name]}', '[{name}]', 'g')"
+        )
+    return out
+
+
+_PII_SRC_SQL = _pii_src_sql("doc_id")
+_PII_RED_SQL = _redact_sql(_PII_SRC_SQL)
 
 
 def _pii_source(doc_id, text):
@@ -319,6 +329,73 @@ _PARA_CTES = f"""
 """
 
 
+# ---- q64 'clean' branch: the corpus PIPELINE composition --------------
+
+#: mixture rates over the real source domains; unlisted sources drop
+_CLEAN_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_CLEAN_MIN_TOK, _CLEAN_MAX_DUP = 30, 0.6
+
+#: mirror of sampling.hash_uniform(doc_id, "mix:v1")
+_CLEAN_U = (
+    "CAST(concat('0x', substring(md5(concat('mix:v1', chr(31), "
+    "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+    " / 1152921504606846976.0"
+)
+
+_CLEAN_RATE = (
+    "CASE source "
+    + " ".join(
+        f"WHEN '{d}' THEN {r!r}" for d, r in sorted(_CLEAN_RATES.items())
+    )
+    + " ELSE 0.0 END"
+)
+
+#: the manufactured corpus: every doc plus an exact CLONE at id+100000
+#: whose PII span is keyed by the ORIGINAL id (id % 100000), so each
+#: original/clone pair redacts to identical pages and the exact-dedup
+#: stage provably fires (keep-first keeps the original). The span also
+#: makes redaction observable (synthetic docs carry no PII).
+_CLEAN_CTES = f"""
+    clean_pages AS (
+        SELECT doc_id, source, {_pii_src_sql("doc_id % 100000")} AS text
+        FROM (
+            SELECT doc_id, source, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, source, text FROM documents
+        )
+    ),
+    clean_filtered AS (
+        SELECT doc_id, source,
+               CAST(len({_W_NE}) AS BIGINT) AS n_tokens,
+               {_redact_sql("text")} AS rtext
+        FROM clean_pages
+        WHERE len({_W_NE}) >= {_CLEAN_MIN_TOK}
+          AND (CASE WHEN len({_W_NE}) > 0 THEN
+                   1.0 - CAST(len(list_distinct({_W_NE})) AS DOUBLE)
+                         / len({_W_NE})
+               ELSE 0.0 END) <= {_CLEAN_MAX_DUP!r}
+    ),
+    clean_kept AS (
+        -- exact keep-first on the NORMALIZED REDACTED text (the
+        -- pipeline dedups after redaction, so pages differing only
+        -- in PII collapse); min doc_id wins
+        SELECT doc_id, source, n_tokens, rtext FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY md5(trim(regexp_replace(regexp_replace(
+                    lower(rtext), '[^a-z0-9 ]', '', 'g'),
+                    ' +', ' ', 'g')))
+                ORDER BY doc_id) AS rn
+            FROM clean_filtered
+        ) WHERE rn = 1
+    ),
+    clean_out AS (
+        SELECT doc_id, n_tokens, rtext
+        FROM clean_kept
+        WHERE {_CLEAN_U} < ({_CLEAN_RATE})
+    )
+"""
+
+
 # ---- q64 'bpe' branches: fixed merge list + encode -------------------
 
 #: the fixed training corpus (literals — sf-independent, like q90's
@@ -381,6 +458,7 @@ _BPE_JOINED = (
     oracle=f"""
     WITH RECURSIVE {_PK_CTES},
     {_PARA_CTES},
+    {_CLEAN_CTES},
     bpe AS (SELECT doc_id, {_BPE_JOINED} AS joined FROM documents)
     SELECT 'doc' AS kind, doc_id, CAST(0 AS BIGINT) AS part_id,
            octet_length(CAST(text AS BLOB)) AS byte_len,
@@ -415,6 +493,11 @@ _BPE_JOINED = (
     UNION ALL
     SELECT * FROM (VALUES {_BPE_TRAIN_VALUES})
         t(kind, doc_id, part_id, byte_len, content_md5)
+    UNION ALL
+    SELECT 'clean' AS kind, doc_id, n_tokens AS part_id,
+           octet_length(encode(rtext)) AS byte_len,
+           md5(rtext) AS content_md5
+    FROM clean_out
     UNION ALL
     SELECT 'para' AS kind, doc_id, n_kept AS part_id,
            -- encode(), not CAST AS BLOB: the page text contains the
@@ -560,6 +643,48 @@ def q64_binary_plumbing(spark, sf_dir):
         F.length(pb).cast("bigint").alias("byte_len"),
         F.md5(pb).alias("content_md5"),
     )
+    # 'clean' (round 8, late): the corpus-pipeline COMPOSITION itself
+    # under the oracle — pipelines.corpus.prepare_corpus with the
+    # SQL-expressible stages on (profile filters → PII redaction →
+    # exact keep-first → domain mixture; LM/paragraph/funnel off).
+    # The corpus is every doc plus an exact clone at id+100000 whose
+    # PII span is keyed by the original id, so each pair redacts to
+    # the same page and the dedup stage provably fires; the oracle
+    # re-derives the full four-stage walk, value-hashing every
+    # survivor's redacted page.
+    from ..pipelines.corpus import CorpusConfig, prepare_corpus
+
+    base = d.select("doc_id", "text", "source")
+    pages = base.unionByName(
+        base.select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+        )
+    ).select(
+        "doc_id",
+        "source",
+        _pii_source(F.col("doc_id") % 100000, F.col("text")).alias(
+            "text"
+        ),
+    )
+    cleaned = prepare_corpus(
+        pages,
+        cfg=CorpusConfig(
+            min_tokens=_CLEAN_MIN_TOK,
+            max_dup_word_frac=_CLEAN_MAX_DUP,
+            max_top_bigram_frac=1.0,
+            near_dup=False,
+            mixture=_CLEAN_RATES,
+            persist_boundaries=False,
+        ),
+    )
+    clb = F.col("text").cast("binary")
+    clean = cleaned.select(
+        F.lit("clean").alias("kind"),
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("part_id"),
+        F.length(clb).cast("bigint").alias("byte_len"),
+        F.md5(clb).alias("content_md5"),
+    )
     return (
         doc.unionByName(chunk)
         .unionByName(pack)
@@ -567,6 +692,7 @@ def q64_binary_plumbing(spark, sf_dir):
         .unionByName(train_rows)
         .unionByName(budget)
         .unionByName(para)
+        .unionByName(clean)
     )
 
 
