@@ -470,6 +470,45 @@ def stream_prepare(
     q.awaitTermination()
 
 
+def compact_state(spark, state_dir: str) -> None:
+    """Offline maintenance for the streaming state: fold every delta
+    partition of each state table into the NEWEST one, then delete
+    the older directories. Months of daily d=<n> deltas otherwise
+    accumulate as many small files; after compaction each table is one
+    partition whose id is the highest committed batch, so `_read_deltas`'
+    d < n contract for future batches is untouched.
+
+    Crash-safe by idempotent SEMANTICS, not by atomicity: the fold
+    writes the union into the newest delta first and deletes older
+    dirs after, so a crash between the two leaves duplicate state
+    rows — which are harmless here (seen_keys feeds an anti-join,
+    band keys feed a distinct-ed candidate join), and re-running the
+    compaction converges. Run it between drains, not concurrently
+    with one."""
+    for sub, schema in (
+        ("seen", "content_key bigint"),
+        ("banded", "doc bigint, band_key string"),
+    ):
+        path = f"{state_dir}/{sub}"
+        ids = _list_delta_ids(spark, path)
+        if len(ids) < 2:
+            continue
+        top = max(ids)
+        merged = _read_deltas(spark, path, top + 1, schema)
+        # materialize BEFORE overwriting a directory being read
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").parquet(f"{path}/d={top}")
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        for i in ids:
+            if i != top:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(f"{path}/d={i}"), True
+                )
+
+
 def to_sequences(
     corpus: DataFrame,
     id_col: str = "doc_id",

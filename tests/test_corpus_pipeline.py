@@ -284,6 +284,66 @@ def test_stream_prepare_daily_loop(spark, tmp_path):
     assert banded_docs == {1, 2, 12}
 
 
+def test_compact_state_preserves_dedup(spark, tmp_path):
+    """Folding the state deltas into one partition must not change
+    any future batch's dedup outcome — day 3's re-crawls still drop
+    after compaction, and each state table is down to one delta."""
+    from bigdatabowl2024_25_spark.pipelines.corpus import (
+        compact_state,
+        stream_prepare,
+    )
+    from bigdatabowl2024_25_spark.streaming.replay import stream_from_dir
+
+    schema = "doc_id long, text string, source string"
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream_prepare(
+            stream_from_dir(
+                spark, src, spark.read.parquet(src).schema
+            ),
+            sink, state, ckpt,
+        )
+
+    spark.createDataFrame(
+        [(1, GOOD, "web"), (2, NEAR, "web")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    spark.createDataFrame(
+        [(12, "fresh unique page about brown riverbank dogs", "web")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    compact_state(spark, state)
+    for sub in ("seen", "banded"):
+        dirs = [
+            p.name
+            for p in (tmp_path / "state" / sub).iterdir()
+            if p.name.startswith("d=")
+        ]
+        assert len(dirs) == 1
+    assert spark.read.parquet(f"{state}/seen").count() == 3
+
+    # day 3: one re-crawl of each prior day + one near-dup -> only
+    # the fresh doc survives, proving the folded state still covers
+    # both original deltas
+    spark.createDataFrame(
+        [
+            (20, GOOD, "web"),
+            (21, NEAR + " lambda", "web"),
+            (22, "a genuinely new page with plenty of words inside", "web"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    kept = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert kept == {1, 2, 12, 22}
+
+
 def test_to_sequences_bins_and_order(spark):
     df2 = spark.createDataFrame(
         [(i, f"{GOOD} variant {i}", "web") for i in range(8)],
