@@ -161,6 +161,56 @@ def test_lm_perplexity_band(spark):
     assert got[1]["perplexity"] <= 5.0
 
 
+def test_every_stage_on_at_once(spark):
+    """All eight stages enabled in ONE run — the configuration no
+    other test exercises together: profile filters + word-shape
+    knobs, redaction, LM band, paragraph strip, exact dedup, near-dup
+    funnel, decontamination, and mixture. Pins inter-stage contracts
+    (column handoffs, fanout persists) end to end."""
+    docs = [
+        (1, f"{GOOD}¶shared footer paragraph here today", "web"),
+        (2, f"{NEAR}¶shared footer paragraph here today", "web"),
+        # near-dup of 2 after its footer is stripped corpus-wide
+        (3, f"{NEAR} lambda¶shared footer paragraph here today", "web"),
+        # case variant of GOOD with no footer: NOT an exact dup of
+        # doc 1 (which keeps the footer, so their normalized texts
+        # differ) and not a near-dup either (shingles are
+        # case-sensitive) -> survives every stage
+        (4, GOOD.upper(), "web"),
+        (20, "watch the secret eval answer string appear verbatim here today", "web"),
+        (30, f"{GOOD} but the wrong domain", "junk"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    )
+    bench = spark.createDataFrame(BENCH, "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(100 + i, GOOD + " " + NEAR) for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = prepare_corpus(
+        df,
+        benchmark=bench,
+        lm_reference=ref,
+        cfg=CorpusConfig(
+            min_tokens=5,
+            max_perplexity=60.0,
+            paragraph_sep="¶",
+            near_dup=True,
+            mixture={"web": 1.0},
+            min_avg_word_len=1.5,
+        ),
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    # 1 survives with its footer (first owner); 2 survives stripped;
+    # 3 loses to 2 at the funnel; 4 survives (see above);
+    # 20 decontaminates; 30 mixes out
+    assert 20 not in got and 30 not in got and 3 not in got
+    assert got[1]["text"].endswith("shared footer paragraph here today")
+    assert got[2]["text"] == NEAR
+    assert set(got) == {1, 2, 4}
+
+
 def test_real_documents_table(spark):
     """The whole pipeline over the real documents parquet: rows
     survive, the planted benchmark subset (which is itself in the
