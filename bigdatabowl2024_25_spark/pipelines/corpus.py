@@ -422,44 +422,67 @@ def stream_prepare(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        seen = _read_deltas(
-            spark, f"{state_dir}/seen", batch_id, "content_key bigint"
-        )
-        d = _fanout(_profile_and_redact(batch_df, text_col, cfg), cfg)
-        survivors, _ = incremental_exact_dedup(
-            d, seen, text_col, id_col
-        )
-        survivors = _fanout(survivors, cfg)
-        key_delta = survivors.select("content_key")
-        clean = survivors.drop("content_key", "n_copies")
-        band_delta = None
-        if cfg.near_dup:
-            banded = _read_deltas(
+        # batch-scoped fanout caches: a long-running stream would
+        # otherwise accumulate every batch's boundary persists in the
+        # executors until the process dies — release them once this
+        # batch's writes are committed
+        cached: list[DataFrame] = []
+
+        def fan(df: DataFrame) -> DataFrame:
+            if cfg.persist_boundaries:
+                df = df.persist(StorageLevel.MEMORY_AND_DISK)
+                cached.append(df)
+            return df
+
+        try:
+            seen = _read_deltas(
                 spark,
-                f"{state_dir}/banded",
+                f"{state_dir}/seen",
                 batch_id,
-                "doc bigint, band_key string",
+                "content_key bigint",
             )
-            clean = _fanout(clean, cfg)
-            cands, new_banded = incremental_lsh_candidates(
-                clean, banded, id_col, text_col,
-                k=cfg.minhash_k, bands=cfg.bands,
+            d = fan(_profile_and_redact(batch_df, text_col, cfg))
+            survivors, _ = incremental_exact_dedup(
+                d, seen, text_col, id_col
             )
-            losers = cands.select(
-                F.col("id_b").alias(id_col)
-            ).distinct()
-            clean = clean.join(losers, id_col, "anti")
-            band_delta = new_banded.join(
-                clean.select(F.col(id_col).alias("doc")), "doc", "semi"
+            survivors = fan(survivors)
+            key_delta = survivors.select("content_key")
+            clean = survivors.drop("content_key", "n_copies")
+            band_delta = None
+            if cfg.near_dup:
+                banded = _read_deltas(
+                    spark,
+                    f"{state_dir}/banded",
+                    batch_id,
+                    "doc bigint, band_key string",
+                )
+                clean = fan(clean)
+                cands, new_banded = incremental_lsh_candidates(
+                    clean, banded, id_col, text_col,
+                    k=cfg.minhash_k, bands=cfg.bands,
+                )
+                losers = cands.select(
+                    F.col("id_b").alias(id_col)
+                ).distinct()
+                clean = clean.join(losers, id_col, "anti")
+                band_delta = new_banded.join(
+                    clean.select(F.col(id_col).alias("doc")),
+                    "doc",
+                    "semi",
+                )
+            clean.write.mode("overwrite").parquet(
+                f"{sink_dir}/d={batch_id}"
             )
-        clean.write.mode("overwrite").parquet(f"{sink_dir}/d={batch_id}")
-        key_delta.write.mode("overwrite").parquet(
-            f"{state_dir}/seen/d={batch_id}"
-        )
-        if band_delta is not None:
-            band_delta.write.mode("overwrite").parquet(
-                f"{state_dir}/banded/d={batch_id}"
+            key_delta.write.mode("overwrite").parquet(
+                f"{state_dir}/seen/d={batch_id}"
             )
+            if band_delta is not None:
+                band_delta.write.mode("overwrite").parquet(
+                    f"{state_dir}/banded/d={batch_id}"
+                )
+        finally:
+            for c in cached:
+                c.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(process)
