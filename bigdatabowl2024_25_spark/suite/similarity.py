@@ -406,6 +406,20 @@ _PQ_CTES = f"""
     UNION ALL
     SELECT 'pq' AS kind, q_id, d_id, cosine, rank FROM pqranked
     WHERE rank <= 5 AND q_id <> d_id
+    UNION ALL
+    SELECT 'diverse' AS kind, CAST(list_id AS BIGINT) AS q_id,
+           vec_id AS d_id, CAST(NULL AS DOUBLE) AS cosine,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT vec_id, list_id, ROW_NUMBER() OVER (
+            PARTITION BY list_id
+            ORDER BY CAST(concat('0x', substring(md5(concat(
+                'strata:v1', chr(31), CAST(vec_id AS VARCHAR))),
+                1, 15)) AS BIGINT) / 1152921504606846976.0,
+                vec_id
+        ) AS rn
+        FROM assign
+    ) WHERE rn <= 3
     """,
 )
 def q83_ann_ivf_topk(spark, sf_dir):
@@ -457,6 +471,33 @@ def q83_ann_ivf_topk(spark, sf_dir):
     ivf = ivf.filter(F.col("q_id") != F.col("d_id")).select(
         F.lit("ivf").alias("kind"), "q_id", "d_id", "cosine", "rank"
     )
+    # round 8 (late): 'diverse' — cluster-balanced diversity sampling
+    # (the SemDeDup-adjacent pass): exactly 3 vectors per inverted
+    # list via `sampling.stratified_fixed_k` over the SAME coarse
+    # assignment the ivf branch probes. Topic balance for a training
+    # subset: every cluster contributes equally regardless of size,
+    # membership a pure (seed, key) function — re-runnable,
+    # append-stable for untouched clusters. The oracle re-ranks with
+    # the identical keyed-hash order (division included: the
+    # double rounding is part of the order), so membership AND rank
+    # are value-hash-checked.
+    from pyspark.sql import Window
+
+    from ..operators.sampling import hash_uniform, stratified_fixed_k
+
+    kept = stratified_fixed_k(
+        assigned.select("vec_id", "__list"), "vec_id", "__list", 3
+    )
+    w = Window.partitionBy("__list").orderBy(
+        hash_uniform(F.col("vec_id"), "strata:v1"), F.col("vec_id")
+    )
+    diverse = kept.withColumn("rank", F.row_number().over(w)).select(
+        F.lit("diverse").alias("kind"),
+        F.col("__list").cast("bigint").alias("q_id"),
+        F.col("vec_id").alias("d_id"),
+        F.lit(None).cast("double").alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
     # share the coarse-quantizer subtrees with the ivf branch instead
     # of recomputing the corpus×16 assignment and the probe windows
     pq = pq_adc_topk(
@@ -467,4 +508,4 @@ def q83_ann_ivf_topk(spark, sf_dir):
     pq = pq.filter(F.col("q_id") != F.col("d_id")).select(
         F.lit("pq").alias("kind"), "q_id", "d_id", "cosine", "rank"
     )
-    return ivf.unionByName(pq)
+    return ivf.unionByName(pq).unionByName(diverse)
