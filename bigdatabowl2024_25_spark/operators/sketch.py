@@ -205,6 +205,125 @@ def hll_estimate(
     )
 
 
+# ---- portable Bloom filter — the membership sketch ---------------------
+
+#: Bloom geometry: m bits over k md5-seeded positions. 2 KiB of
+#: registers; for n distinct keys the false-positive rate is
+#: (1 − e^(−k·n/m))^k — ~1.2% at n = m/8 with k = 4.
+BLOOM_M = 16384
+BLOOM_K = 4
+
+#: bits per int64 register word — 63, not 64: the DuckDB oracle
+#: overflow-checks `1::BIGINT << 63`, and the sign bit buys nothing
+_BLOOM_W = 63
+
+
+def _bloom_positions(col: Column, m: int, k: int) -> list[Column]:
+    """The k bit positions of a value: seeded portable hashes mod m —
+    reproducible by the oracle byte-for-byte (seed i prefixes 'i:')."""
+    s = col.cast("string")
+    return [
+        F.pmod(portable_hash64(s, seed=i), F.lit(m)) for i in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """PORTABLE Bloom filter of a column: (word, bits) int64 register
+    rows — ≤⌈m/63⌉ of them, built with ONE aggregate (explode the k
+    positions, bit_or per word; bit_or is idempotent/order-free, so
+    the build is partition-deterministic and needs no distinct).
+    Fifth member of the sketch family (CMS frequencies, HLL
+    cardinality, KMV set algebra, histogram distribution — Bloom
+    MEMBERSHIP): the "have we ever seen this key" prefilter that lets
+    a daily-crawl dedup skip the state anti-join for the ~all-new
+    majority of a batch. Merge across partitions/days with
+    `bloom_merge` (bit-wise OR — the same decomposable algebra).
+    NULLs are ignored; no false negatives, false-positive rate
+    (1 − e^(−k·n/m))^k, and every verdict is DETERMINISTIC (md5
+    positions), so even the false positives are oracle-reproducible."""
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(value_col), m, k))
+    ).alias("pos")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(pos)
+        .select(
+            F.floor(F.col("pos") / _BLOOM_W).cast("bigint").alias(
+                "word"
+            ),
+            F.pmod(F.col("pos"), F.lit(_BLOOM_W)).cast("int").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(cast(1 as bigint), bit)")
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """OR register tables from different partitions/days/sources —
+    exactly equals the filter of the unioned inputs."""
+    merged = reduce(lambda a, b: a.unionByName(b), sketches)
+    return merged.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_contains(
+    regs: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """(value_col, maybe_present) per distinct probe: TRUE iff every
+    one of the value's k bit positions is set. The register table is
+    a few KB and broadcasts; probes never shuffle for the check
+    itself (one distinct + one aggregate keyed by the probe). A
+    duplicate position among a value's k seeds is counted once
+    (distinct before the tally), so the all-bits test is exact."""
+    ppos = (
+        probes.select(F.col(value_col))
+        .filter(F.col(value_col).isNotNull())
+        .distinct()
+        .select(
+            value_col,
+            F.explode(
+                F.array(*_bloom_positions(F.col(value_col), m, k))
+            ).alias("pos"),
+        )
+        .select(
+            value_col,
+            F.floor(F.col("pos") / _BLOOM_W).cast("bigint").alias(
+                "word"
+            ),
+            F.pmod(F.col("pos"), F.lit(_BLOOM_W)).cast("int").alias(
+                "bit"
+            ),
+        )
+        .distinct()
+    )
+    # coalesce, not a bare expression: a probe word ABSENT from the
+    # register table left-joins to NULL bits, and min() skips NULLs —
+    # the miss must count as an explicit 0
+    hit = F.coalesce(
+        F.expr(
+            "cast((bits & shiftleft(cast(1 as bigint), bit)) != 0 "
+            "as int)"
+        ),
+        F.lit(0),
+    )
+    return (
+        ppos.join(F.broadcast(regs), "word", "left")
+        .groupBy(value_col)
+        .agg((F.min(hit) == 1).alias("maybe_present"))
+    )
+
+
 # ---- fixed-bin histogram — the distribution sketch ---------------------
 
 

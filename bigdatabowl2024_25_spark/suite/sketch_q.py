@@ -10,9 +10,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.sketch import (
+    BLOOM_K,
+    BLOOM_M,
     HLL_P,
     KMV_K,
     KMV_SPAN,
+    bloom_build,
+    bloom_contains,
     cms_build,
     cms_query,
     hll_build,
@@ -177,6 +181,61 @@ _KMV_CTES = f"""
     )
 """
 
+# ---- Bloom oracle fragments (mirror operators.sketch bloom ops) ------
+
+_BN_PROBE = 250  # probe ids 0..249: 150 present, 100 absent at sf0.01
+
+
+def _bloom_pos_sql(val_expr: str) -> str:
+    """All k seeded positions of a value (seed i prefixes 'i:' —
+    portable_hash64's seed layout)."""
+    return " UNION ALL ".join(
+        f"SELECT {{key}}, "
+        + _h(f"concat('{i}:', CAST({val_expr} AS VARCHAR))")
+        + f" % {BLOOM_M} AS pos FROM {{src}}"
+        for i in range(BLOOM_K)
+    )
+
+
+_BLOOM_CTES = f"""
+    bloompos AS (
+        {_bloom_pos_sql("user_id").format(
+            key="0 AS z",
+            src="events WHERE user_id IS NOT NULL")}
+    ),
+    bloomregs AS (
+        SELECT CAST(pos // 63 AS BIGINT) AS word,
+               bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+        FROM bloompos GROUP BY 1
+    ),
+    bloomchk AS (
+        SELECT id, MIN(CASE WHEN r.bits IS NOT NULL
+                    AND (r.bits & (1::BIGINT
+                        << CAST(p.pos % 63 AS INT))) != 0
+                   THEN 1 ELSE 0 END) AS present
+        FROM (
+            SELECT DISTINCT id, pos FROM (
+                {_bloom_pos_sql("id").format(
+                    key="id", src=f"range({_BN_PROBE}) t(id)")}
+            )
+        ) p LEFT JOIN bloomregs r
+          ON r.word = CAST(p.pos // 63 AS BIGINT)
+        GROUP BY id
+    )
+"""
+
+_BLOOM_ARMS = """
+    UNION ALL
+    SELECT 'bloomreg' AS kind, word AS user_id, bits AS est_count,
+           CAST(NULL AS BIGINT) AS exact_n,
+           CAST(NULL AS BOOLEAN) AS within
+    FROM bloomregs
+    UNION ALL
+    SELECT 'bloom', id, CAST(present AS BIGINT), NULL, NULL
+    FROM bloomchk
+"""
+
+
 # ---- histogram oracle fragments (mirror operators.sketch hist ops) ---
 
 _HB = 64
@@ -288,6 +347,7 @@ _ORACLE = f"""
     ),
     {_HLL_CTES},
     {_KMV_CTES},
+    {_BLOOM_CTES},
     {_HIST_CTES}
     SELECT 'cms' AS kind, CAST(p.v AS BIGINT) AS user_id,
            MIN(COALESCE(c.cnt, 0)) AS est_count,
@@ -302,6 +362,7 @@ _ORACLE = f"""
     SELECT 'quantile', NULL, NULL, COUNT(*), TRUE FROM events
     {_HLL_ARMS}
     {_KMV_ARMS}
+    {_BLOOM_ARMS}
     {_HIST_ARMS}
 """
 
@@ -447,6 +508,30 @@ def q38_cms_point_counts(spark, sf_dir):
         .unionByName(one_val("kmvint", ov, "inter_micro"))
     )
 
+    # round 8 (late): the MEMBERSHIP sketch — portable Bloom filter.
+    # 'bloomreg' value-hashes every (word, bits) register; 'bloom'
+    # checks 250 probe ids (150 present, 100 absent) — no false
+    # negatives by construction, and the false positives are
+    # DETERMINISTIC (md5 positions), so both engines compute the
+    # identical verdict vector and even the FP pattern is
+    # hash-verified.
+    bregs = bloom_build(e, "user_id")
+    bloomreg = bregs.select(
+        F.lit("bloomreg").alias("kind"),
+        F.col("word").alias("user_id"),
+        F.col("bits").alias("est_count"),
+        *null_flags,
+    )
+    bprobes = spark.range(_BN_PROBE).select(
+        F.col("id").alias("user_id")
+    )
+    bloomchk = bloom_contains(bregs, bprobes, "user_id").select(
+        F.lit("bloom").alias("kind"),
+        F.col("user_id"),
+        F.col("maybe_present").cast("bigint").alias("est_count"),
+        *null_flags,
+    )
+
     # round 8: the distribution sketch — equi-width histogram
     # registers over data-derived bounds ('hist', register-exact) and
     # interpolated quantiles at 25/50/90 ('histq', micro-units; error
@@ -481,6 +566,8 @@ def q38_cms_point_counts(spark, sf_dir):
         .unionByName(kmvreg)
         .unionByName(kmvest)
         .unionByName(kmv_over)
+        .unionByName(bloomreg)
+        .unionByName(bloomchk)
         .unionByName(hist_rows)
         .unionByName(histq)
     )

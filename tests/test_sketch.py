@@ -285,3 +285,57 @@ def test_hist_quantiles_within_bin_width(spark):
     wide = spark.createDataFrame([(-1e9,), (1e9,)], "v double")
     bins = {r.bin for r in hist_build(wide, "v", (0.0, 100.0), 64).collect()}
     assert bins == {0, 63}
+
+
+def test_bloom_membership(spark):
+    """Portable Bloom: no false negatives ever, deterministic
+    verdicts, merge ≡ whole, and a sane false-positive rate at the
+    designed load."""
+    from bigdatabowl2024_25_spark.operators.sketch import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_build,
+        bloom_contains,
+        bloom_merge,
+    )
+
+    present = list(range(500))
+    df = spark.createDataFrame([(v,) for v in present], "v long")
+    regs = bloom_build(df, "v")
+
+    probes = spark.range(0, 2000).select(F.col("id").alias("v"))
+    got = {
+        r["v"]: r["maybe_present"]
+        for r in bloom_contains(regs, probes, "v").collect()
+    }
+    # no false negatives: every inserted key answers TRUE
+    assert all(got[v] for v in present)
+    # false positives exist but stay near theory:
+    # (1 - e^(-k n / m))^k ≈ 0.12% at n=500, m=16384, k=4
+    import math
+
+    fp = sum(1 for v in range(500, 2000) if got[v])
+    bound = (1 - math.exp(-BLOOM_K * 500 / BLOOM_M)) ** BLOOM_K
+    assert fp / 1500 <= bound * 5 + 0.01
+
+    # merge of disjoint halves == filter of the union, register-exact
+    a = spark.createDataFrame([(v,) for v in present[:250]], "v long")
+    b = spark.createDataFrame([(v,) for v in present[250:]], "v long")
+    merged = bloom_merge(bloom_build(a, "v"), bloom_build(b, "v"))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, regs.collect())
+    )
+
+    # determinism under repartitioning (bit_or is order-free)
+    again = bloom_build(df.repartition(7), "v")
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, regs.collect())
+    )
+
+    # NULLs ignored on both sides
+    withnull = spark.createDataFrame(
+        [(1,), (None,)], "v long"
+    )
+    assert bloom_build(withnull, "v").count() <= 4
+    out = bloom_contains(regs, withnull, "v").collect()
+    assert [r["v"] for r in out] == [1]
