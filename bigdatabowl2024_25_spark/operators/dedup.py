@@ -293,6 +293,7 @@ def incremental_exact_dedup(
     seen_keys: DataFrame,
     text_col: str,
     id_col: str,
+    seen_bloom: list[int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Exact dedup of a NEW batch against an already-deduplicated
     corpus — the daily-crawl update path, where re-deduplicating 100 TB
@@ -312,7 +313,17 @@ def incremental_exact_dedup(
     8-byte keys — or broadcast while the key set is small) plus the
     batch-internal groupBy. History is touched only through its key
     column; with the key table bucketed by content_key the anti-join's
-    history side never reshuffles either."""
+    history side never reshuffles either.
+
+    `seen_bloom` (a `sketch.bloom_literal` word array built over the
+    SAME keys as `seen_keys` — it must cover every one of them, or
+    dups slip through) turns the anti-join into a two-tier check:
+    rows whose key the Bloom rules out are certainly new (no false
+    negatives) and skip the join entirely inside the scan; only
+    "maybe seen" rows — the true dups plus the deterministic FP
+    remainder — pay the exact anti-join. For a mostly-new daily batch
+    against a 100 TB history key set, that is the difference between
+    shuffling the whole batch and shuffling a sliver."""
     reserved = {"content_key", "n_copies", "__keep"} & set(new_df.columns)
     if reserved:
         # e.g. a batch re-fed from a prior pass's survivors: its stale
@@ -324,7 +335,19 @@ def incremental_exact_dedup(
         )
     h = portable_hash64(normalize_text(F.col(text_col)))
     keyed = new_df.withColumn("content_key", h)
-    fresh = keyed.join(seen_keys, "content_key", "left_anti")
+    if seen_bloom is not None:
+        from .sketch import bloom_maybe_contains
+
+        maybe = bloom_maybe_contains(
+            seen_bloom, F.col("content_key")
+        )
+        fresh = keyed.filter(~maybe).unionByName(
+            keyed.filter(maybe).join(
+                seen_keys, "content_key", "left_anti"
+            )
+        )
+    else:
+        fresh = keyed.join(seen_keys, "content_key", "left_anti")
     w_min = fresh.groupBy("content_key").agg(
         F.min(id_col).alias("__keep"),
         F.count("*").alias("n_copies"),

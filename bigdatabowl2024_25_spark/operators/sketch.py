@@ -324,6 +324,52 @@ def bloom_contains(
     )
 
 
+def bloom_literal(
+    regs: DataFrame, m: int = BLOOM_M
+) -> list[int]:
+    """Collect the register table into a dense Python word array —
+    the form `bloom_maybe_contains` folds into a plan literal.
+    JUSTIFIED driver collect: ≤⌈m/63⌉ rows (261 at the default m —
+    2 KB), the same class as the IVF centroid and BPE merge-list
+    collects; the point of a Bloom filter is precisely that its
+    whole state fits anywhere."""
+    n_words = (m + _BLOOM_W - 1) // _BLOOM_W
+    arr = [0] * n_words
+    for r in regs.collect():
+        arr[int(r["word"])] = int(r["bits"])
+    return arr
+
+
+def bloom_maybe_contains(
+    words: list[int],
+    col: Column,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> Column:
+    """MAP-SIDE membership test: TRUE iff every seeded position's bit
+    is set in the literal word array. Pure codegen (array literal +
+    shifts) — no join, no shuffle, no distinct — which is what makes
+    the Bloom useful as a dedup prefilter at 100 TB: the ~all-new
+    majority of a daily batch is cleared row-by-row inside the scan,
+    and only "maybe seen" rows (true dups + the deterministic FP
+    remainder) proceed to the exact state anti-join. No false
+    negatives, so the split is lossless."""
+    lit_words = F.array(
+        *[F.lit(w).cast("bigint") for w in words]
+    )
+    checks = []
+    for p in _bloom_positions(col, m, k):
+        word = F.floor(p / _BLOOM_W).cast("int")
+        bit = F.pmod(p, F.lit(_BLOOM_W)).cast("int")
+        bits = F.element_at(lit_words, word + F.lit(1))
+        # 2.0^bit is EXACT for bit ≤ 62 (powers of two carry no
+        # mantissa), and F.shiftleft only takes a literal shift — the
+        # double round-trip is the codegen-safe column-shift spelling
+        mask = F.pow(F.lit(2.0), bit).cast("bigint")
+        checks.append(bits.bitwiseAND(mask) != 0)
+    return reduce(lambda a, b: a & b, checks)
+
+
 # ---- fixed-bin histogram — the distribution sketch ---------------------
 
 

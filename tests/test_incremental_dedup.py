@@ -114,3 +114,61 @@ def test_incremental_lsh_candidates_no_history_pairs(spark):
         if r.id_a >= 10 or r.id_b >= 10
     }
     assert got == want
+
+
+def test_bloom_prefiltered_path_is_identical(spark):
+    """The seen_bloom prefilter must be semantically invisible: for
+    any batch, (survivors, updated keys) equal the plain anti-join
+    path exactly — no false negatives means certainly-new rows skip
+    the join losslessly. Also pins the two-tier split: with a Bloom
+    over day-1 keys, only the true re-crawls (plus deterministic FPs
+    — none at this load) reach the 'maybe' side."""
+    from bigdatabowl2024_25_spark.operators.sketch import (
+        bloom_build,
+        bloom_literal,
+        bloom_maybe_contains,
+    )
+    from bigdatabowl2024_25_spark.operators.text import (
+        normalize_text,
+        portable_hash64,
+    )
+
+    day1 = _docs(
+        spark,
+        [(i, f"doc number {i} words {i * 7}") for i in range(40)],
+    )
+    empty = spark.createDataFrame([], "content_key long")
+    s1, keys1 = incremental_exact_dedup(day1, empty, "text", "doc_id")
+    keys1 = keys1.localCheckpoint()
+    bloom = bloom_literal(bloom_build(keys1, "content_key"))
+
+    day2 = _docs(
+        spark,
+        # 5 exact re-crawls of day 1, 5 fresh, 1 within-batch dup pair
+        [(100 + i, f"doc number {i} words {i * 7}") for i in range(5)]
+        + [(200 + i, f"fresh page {i} content") for i in range(5)]
+        + [(300, "twin page"), (301, "twin page")],
+    )
+    plain_s, plain_k = incremental_exact_dedup(
+        day2, keys1, "text", "doc_id"
+    )
+    bloom_s, bloom_k = incremental_exact_dedup(
+        day2, keys1, "text", "doc_id", seen_bloom=bloom
+    )
+    key = lambda df: sorted(
+        (r.doc_id, r.content_key, r.n_copies) for r in df.collect()
+    )
+    assert key(bloom_s) == key(plain_s)
+    assert sorted(r.content_key for r in bloom_k.collect()) == sorted(
+        r.content_key for r in plain_k.collect()
+    )
+    assert {r.doc_id for r in bloom_s.collect()} == {
+        200, 201, 202, 203, 204, 300
+    }
+
+    # the split itself: exactly the 5 re-crawl keys are 'maybe seen'
+    h = portable_hash64(normalize_text(F.col("text")))
+    maybe = day2.withColumn("content_key", h).filter(
+        bloom_maybe_contains(bloom, F.col("content_key"))
+    )
+    assert {r.doc_id for r in maybe.collect()} == {100, 101, 102, 103, 104}
