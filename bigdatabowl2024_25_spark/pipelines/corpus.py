@@ -70,6 +70,7 @@ from ..operators.dedup import (
 )
 from ..operators.ngram_lm import lm_perplexity, lm_train
 from ..operators.sampling import hash_uniform, weighted_domain_sample
+from ..operators.sketch import bloom_build, bloom_literal, bloom_merge
 from ..operators.text import (
     pack_documents,
     predict_lang,
@@ -282,17 +283,22 @@ class CorpusState:
     """Running dedup state between daily batches — the ONLY thing
     history contributes (its text never reloads): `seen_keys` is one
     8-byte content hash per kept doc, `banded` is the append-only
-    (doc, band_key) LSH table (None when near-dup is off). Persist
-    both as bucketed tables between batches; at 100 TB the batch side
-    alone moves in the state joins."""
+    (doc, band_key) LSH table (None when near-dup is off), and
+    `bloom` is the 2 KB (word, bits) Bloom register table over the
+    same keys — when present, certainly-new batch rows skip the
+    exact anti-join map-side (no false negatives, so the split is
+    lossless). Persist all three as tables between batches; at
+    100 TB the batch side alone moves in the state joins."""
 
     seen_keys: DataFrame
     banded: DataFrame | None
+    bloom: DataFrame | None = None
 
 
 def empty_state(spark, near_dup: bool = True) -> CorpusState:
     """Day-0 state: typed empty frames matching the operators'
-    layouts."""
+    layouts. The Bloom register table starts empty and accretes by
+    OR-merge with each batch's survivor keys."""
     return CorpusState(
         seen_keys=spark.createDataFrame([], "content_key bigint"),
         banded=(
@@ -300,6 +306,7 @@ def empty_state(spark, near_dup: bool = True) -> CorpusState:
             if near_dup
             else None
         ),
+        bloom=spark.createDataFrame([], "word bigint, bits bigint"),
     )
 
 
@@ -328,9 +335,21 @@ def prepare_batch(
     d = _profile_and_redact(new_df, text_col, cfg)
     d = _fanout(d, cfg)  # keyed twice below + the survivors join
 
-    survivors, updated_keys = incremental_exact_dedup(
-        d, state.seen_keys, text_col, id_col
+    lit_bloom = (
+        bloom_literal(state.bloom) if state.bloom is not None else None
     )
+    survivors, updated_keys = incremental_exact_dedup(
+        d, state.seen_keys, text_col, id_col, seen_bloom=lit_bloom
+    )
+    survivors = _fanout(survivors, cfg)  # clean + the bloom delta
+    next_bloom = state.bloom
+    if state.bloom is not None:
+        next_bloom = bloom_merge(
+            state.bloom,
+            bloom_build(
+                survivors.select("content_key"), "content_key"
+            ),
+        )
     clean = survivors.drop("content_key", "n_copies")
     banded = state.banded
     if cfg.near_dup:
@@ -354,7 +373,9 @@ def prepare_batch(
             clean.select(F.col(id_col).alias("doc")), "doc", "semi"
         )
         banded = banded.unionByName(new_banded)
-    return clean, CorpusState(seen_keys=updated_keys, banded=banded)
+    return clean, CorpusState(
+        seen_keys=updated_keys, banded=banded, bloom=next_bloom
+    )
 
 
 def _list_delta_ids(spark, path: str) -> list[int]:
@@ -441,9 +462,27 @@ def stream_prepare(
                 batch_id,
                 "content_key bigint",
             )
+            # the Bloom deltas OR-fold into one literal word array —
+            # reading ≤⌈m/63⌉ register rows per committed batch, a
+            # KB-scale scan that saves shuffling the all-new majority
+            # of this batch through the exact anti-join
+            bloom_regs = (
+                _read_deltas(
+                    spark,
+                    f"{state_dir}/bloom",
+                    batch_id,
+                    "word bigint, bits bigint",
+                )
+                .groupBy("word")
+                .agg(F.bit_or("bits").alias("bits"))
+            )
             d = fan(_profile_and_redact(batch_df, text_col, cfg))
             survivors, _ = incremental_exact_dedup(
-                d, seen, text_col, id_col
+                d,
+                seen,
+                text_col,
+                id_col,
+                seen_bloom=bloom_literal(bloom_regs),
             )
             survivors = fan(survivors)
             key_delta = survivors.select("content_key")
@@ -476,6 +515,9 @@ def stream_prepare(
             key_delta.write.mode("overwrite").parquet(
                 f"{state_dir}/seen/d={batch_id}"
             )
+            bloom_build(key_delta, "content_key").write.mode(
+                "overwrite"
+            ).parquet(f"{state_dir}/bloom/d={batch_id}")
             if band_delta is not None:
                 band_delta.write.mode("overwrite").parquet(
                     f"{state_dir}/banded/d={batch_id}"
@@ -511,6 +553,7 @@ def compact_state(spark, state_dir: str) -> None:
     for sub, schema in (
         ("seen", "content_key bigint"),
         ("banded", "doc bigint, band_key string"),
+        ("bloom", "word bigint, bits bigint"),
     ):
         path = f"{state_dir}/{sub}"
         ids = _list_delta_ids(spark, path)
@@ -518,6 +561,12 @@ def compact_state(spark, state_dir: str) -> None:
             continue
         top = max(ids)
         merged = _read_deltas(spark, path, top + 1, schema)
+        if sub == "bloom":
+            # registers fold by OR (readers bit_or anyway; folding
+            # here shrinks months of deltas to ≤⌈m/63⌉ rows)
+            merged = merged.groupBy("word").agg(
+                F.bit_or("bits").alias("bits")
+            )
         # materialize BEFORE overwriting a directory being read
         merged = merged.localCheckpoint()
         merged.write.mode("overwrite").parquet(f"{path}/d={top}")
