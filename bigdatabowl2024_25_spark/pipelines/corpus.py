@@ -330,7 +330,13 @@ def prepare_batch(
     Assumes ids grow monotonically across batches (crawl ids do), so
     the greater id of a colliding pair is always the newcomer.
     `cfg.jaccard` is therefore unused here; tune `bands`/`minhash_k`
-    to set the collision-probability threshold instead."""
+    to set the collision-probability threshold instead.
+
+    When the state carries a Bloom register table (`empty_state`
+    includes one), it folds into the plan as a 2 KB literal and the
+    exact anti-join only sees 'maybe seen' rows; `bloom_literal` is
+    an eager KB-scale collect at composition time (the one driver
+    round-trip this function makes)."""
     cfg = cfg or CorpusConfig()
     d = _profile_and_redact(new_df, text_col, cfg)
     d = _fanout(d, cfg)  # keyed twice below + the survivors join
