@@ -325,6 +325,24 @@ _PARA_CTES = f"""
                string_agg(para, '¶' ORDER BY pos) AS rebuilt,
                COUNT(*) AS n_kept
         FROM para_kept GROUP BY doc_id
+    ),
+    parad_kept AS (
+        -- document scope: keep-first WITHIN each doc — the shared
+        -- footer survives in every page, only the within-page repeat
+        -- drops (RefinedWeb's intra-document line removal)
+        SELECT doc_id, pos, para FROM (
+            SELECT doc_id, pos, para,
+                   CASE WHEN elig THEN ROW_NUMBER() OVER (
+                       PARTITION BY doc_id, para ORDER BY pos)
+                        ELSE 1 END AS rn
+            FROM para_parts
+        ) WHERE rn = 1
+    ),
+    parad_out AS (
+        SELECT doc_id,
+               string_agg(para, '¶' ORDER BY pos) AS rebuilt,
+               COUNT(*) AS n_kept
+        FROM parad_kept GROUP BY doc_id
     )
 """
 
@@ -506,6 +524,11 @@ _BPE_JOINED = (
            md5(rebuilt) AS content_md5
     FROM para_out
     UNION ALL
+    SELECT 'parad' AS kind, doc_id, n_kept AS part_id,
+           octet_length(encode(rebuilt)) AS byte_len,
+           md5(rebuilt) AS content_md5
+    FROM parad_out
+    UNION ALL
     SELECT 'budget' AS kind, doc_id,
            CAST(len({_W_NE}) AS BIGINT) AS part_id,
            length(text) AS byte_len, source AS content_md5
@@ -643,6 +666,19 @@ def q64_binary_plumbing(spark, sf_dir):
         F.length(pb).cast("bigint").alias("byte_len"),
         F.md5(pb).alias("content_md5"),
     )
+    # 'parad' (round 8, late): the DOCUMENT scope of the same
+    # operator — the footer survives on every page, only the
+    # within-page repeat drops; keep-first is min pos per (doc,
+    # paragraph) instead of corpus-wide
+    parad = paragraph_dedup(
+        psrc, "text", "doc_id", sep="¶", scope="document"
+    ).select(
+        F.lit("parad").alias("kind"),
+        "doc_id",
+        F.col("n_kept").cast("bigint").alias("part_id"),
+        F.length(pb).cast("bigint").alias("byte_len"),
+        F.md5(pb).alias("content_md5"),
+    )
     # 'clean' (round 8, late): the corpus-pipeline COMPOSITION itself
     # under the oracle — pipelines.corpus.prepare_corpus with the
     # SQL-expressible stages on (profile filters → PII redaction →
@@ -692,6 +728,7 @@ def q64_binary_plumbing(spark, sf_dir):
         .unionByName(train_rows)
         .unionByName(budget)
         .unionByName(para)
+        .unionByName(parad)
         .unionByName(clean)
     )
 
