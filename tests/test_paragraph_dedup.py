@@ -165,3 +165,31 @@ def test_plan_two_skew_resistant_shuffles(spark):
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2
     assert "HashAggregate" in plan
     assert "Window" not in plan
+
+
+def test_hypothesis_reference_parity(spark):
+    """Property: for ANY corpus over a small alphabet (maximizing
+    collisions, empties, and whitespace-only paragraphs), both scopes
+    equal the from-the-definition reference walk."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    para = st.sampled_from(["aa", "bb", "cc aa", " ", "", "aa bb"])
+    corpus = st.lists(
+        st.lists(para, min_size=1, max_size=5),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(corpus)
+    def check(paras_per_doc):
+        docs = [
+            (i, SEP.join(ps)) for i, ps in enumerate(paras_per_doc)
+        ]
+        for scope in ("corpus", "document"):
+            assert run(spark, docs, scope=scope) == ref_paragraph_dedup(
+                docs, scope=scope
+            )
+
+    check()
