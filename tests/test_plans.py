@@ -348,6 +348,21 @@ def test_q70_query_level_no_smj_and_bounded_exchanges(spark):
     assert shuffles(plan) <= 20
 
 
+def test_q38_query_level_no_smj_and_bounded_exchanges(spark):
+    """The 15-branch sketch query stays join-light: every sketch
+    build is its own small aggregate exchange (register tables are
+    KBs), point-queries/containment checks join only BROADCAST
+    register tables, and nothing should ever fall back to a
+    SortMergeJoin. Measured shape at round-8 close: 21 exchanges,
+    10 broadcasts — the bound leaves headroom for AQE variance, the
+    zero-SMJ and zero-Python assertions are exact."""
+    spark.catalog.clearCache()
+    plan = plan_of(suite.QUERIES["q38_cms_point_counts"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert shuffles(plan) <= 25
+
+
 def test_sketch_operator_plans(spark):
     """Round-8 sketch/corpus operators keep their claimed shapes:
 
