@@ -47,6 +47,15 @@ HEADLINE = [
                                   # incremental exact/banded dedup
                                   # (round 8 — wall-time signal for
                                   # the LLM-data layer)
+    "q64_binary_plumbing",        # corpus COMPOSITION flagship
+                                  # (round 9): prepare_corpus 4-stage
+                                  # walk, paragraph dedup, BPE
+                                  # train+encode, packing, chunking,
+                                  # token-budget mixing
+    "q95_source_sink_roundtrip",  # sources/sinks + sampling (round
+                                  # 9): parquet/csv/jsonl/orc
+                                  # roundtrips, z-order write, hash
+                                  # split/sample/strata/shuffle
     # q91 (five-stage DAG) deliberately NOT here: it runs on a
     # fixed-size synthetic parity world, so its wall time is pure DAG
     # scheduling overhead and never scales with sf — including it

@@ -309,11 +309,51 @@ def confusion_matrix(pred: DataFrame) -> DataFrame:
     )
 
 
+class RuleCoverageModel:
+    """A deterministic rule 'model' with the MLlib Transformer calling
+    convention: `transform` appends a `probabilities` map column
+    (class → prob) from a single feature threshold. Not learned — it
+    exists so the X9 inference PATH (`predict_for_play`: filter-first
+    per-play scoring returning class→prob maps, `DefPosModel.ipynb`
+    cell 7's contract) can run under the driver's value-hash oracle
+    (q92 'x9' columns), where an iterative fitted model could only get
+    a tolerance band. Real fitted-model scoring through the same
+    `predict_for_play` stays pytest-side (tests/test_ml.py)."""
+
+    def __init__(
+        self,
+        feature: str = "def_s_mean",
+        threshold: float = 5.0,
+        classes: tuple[str, str] = ("Cover-1", "other"),
+        p_hit: float = 0.75,
+    ) -> None:
+        self.feature = feature
+        self.threshold = threshold
+        self.classes = classes
+        self.p_hit = p_hit
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        p1 = (
+            F.when(F.col(self.feature) > self.threshold, F.lit(self.p_hit))
+            .otherwise(F.lit(1.0 - self.p_hit))
+            .cast("double")
+        )
+        return df.withColumn(
+            "probabilities",
+            F.create_map(
+                F.lit(self.classes[0]), p1,
+                F.lit(self.classes[1]), F.lit(1.0) - p1,
+            ),
+        )
+
+
 def predict_for_play(
-    model: PipelineModel, features: DataFrame, game_id: int, play_id: int
+    model, features: DataFrame, game_id: int, play_id: int
 ) -> DataFrame:
     """X9: per-play inference (`DefPosModel.ipynb` cell 7) — filter
-    first so only the play's rows are scored."""
+    first so only the play's rows are scored. `model` is anything with
+    the Transformer calling convention (a fitted `PipelineModel`, or
+    `RuleCoverageModel` for the hash-checked driver path)."""
     rows = features.filter(
         (F.col("gameId") == game_id) & (F.col("playId") == play_id)
     )

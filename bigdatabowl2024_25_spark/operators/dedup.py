@@ -63,10 +63,12 @@ def paragraph_dedup(
     (nav text, footers) repeated across billions of pages.
 
     Semantics:
-    - paragraphs with fewer than ``min_chars`` non-space characters
-      (default: empty/whitespace-only) BYPASS dedup — they are
-      structural, not content, and deduping them corpus-wide would
-      delete every blank line but one;
+    - paragraphs with fewer than ``min_chars`` non-whitespace
+      characters (default: empty/whitespace-only) BYPASS dedup — they
+      are structural, not content, and deduping them corpus-wide would
+      delete every blank line but one. Eligibility counts NON-WHITESPACE
+      characters (``'a b'`` has 2, not its trimmed length 3), so raising
+      ``min_chars`` measures content, not layout;
     - a document whose every paragraph loses (an exact composite
       duplicate of earlier documents) drops from the output entirely —
       the exact_dedup semantic at paragraph granularity; left-join the
@@ -99,7 +101,9 @@ def paragraph_dedup(
             F.split(F.col(text_col), "\\Q" + sep + "\\E")
         ).alias("__pos", "__para"),
     )
-    elig = F.length(F.trim(F.col("__para"))) >= min_chars
+    elig = (
+        F.length(F.regexp_replace(F.col("__para"), r"\s", "")) >= min_chars
+    )
     winner_key = (
         ["__para"] if scope == "corpus" else ["__pid", "__para"]
     )

@@ -98,21 +98,35 @@ def token_budget_sample(
     combined, rows = domain cardinality) broadcast back; membership is
     then the same pure keyed-hash filter as `hash_sample` — stable
     under re-runs and corpus growth of OTHER domains (a domain's own
-    growth rescales its rate, as a fixed budget demands)."""
+    growth rescales its rate, as a fixed budget demands).
+
+    Weights sum through fixed-scale decimal (exact + associative to
+    6 dp, so fractional weights neither truncate nor drift with
+    partition order); a budgeted domain whose weights are entirely
+    NULL has no measurable mass and falls back to `default_rate` —
+    Spark's `least()` skips NULLs, so without the explicit coalesce
+    the NULL division would silently evaluate to rate 1.0 and keep
+    the whole domain despite a finite budget."""
     if "__tot" in df.columns:
         raise ValueError(
             "token_budget_sample: df already carries reserved column "
             "'__tot'; drop or rename it first"
         )
     totals = df.groupBy(domain_col).agg(
-        F.sum(F.col(weight_col).cast("bigint")).alias("__tot")
+        F.sum(F.col(weight_col).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("__tot")
     )
     rate = F.lit(float(default_rate))
     for dom, b in sorted(budgets.items()):
         rate = F.when(
             F.col(domain_col) == dom,
             F.least(
-                F.lit(1.0), F.lit(float(b)) / F.col("__tot").cast("double")
+                F.lit(1.0),
+                F.coalesce(
+                    F.lit(float(b)) / F.col("__tot"),
+                    F.lit(float(default_rate)),
+                ),
             ),
         ).otherwise(rate)
     # LEFT join: a NULL domain matches no totals row and must fall

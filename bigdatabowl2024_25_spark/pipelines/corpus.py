@@ -117,7 +117,51 @@ def _n_tokens(text_col: str):
     return F.size(w)
 
 
-def _fanout(d: DataFrame, cfg: CorpusConfig) -> DataFrame:
+class BoundaryCaches:
+    """Owns the `_fanout` stage-boundary persists of one pipeline
+    composition, so a long-lived session (a service calling
+    `prepare_corpus`/`prepare_batch` per request) can release them
+    once the composed plan's actions have run, instead of accreting
+    executor storage until `spark.catalog.clearCache()` — the same
+    per-batch release `stream_prepare` does in its `finally` block.
+
+    Use as a context manager when the pipeline output is consumed
+    inside the block::
+
+        with BoundaryCaches() as bc:
+            out = prepare_corpus(df, caches=bc)
+            out.write.parquet(dest)   # actions run while caches live
+        # boundaries released here
+
+    or keep it open across actions and call `release()` explicitly.
+    Releasing before the output DataFrame's LAST action is safe but
+    wasteful (Spark recomputes the boundary from lineage)."""
+
+    def __init__(self) -> None:
+        self._dfs: list[DataFrame] = []
+
+    def add(self, df: DataFrame) -> DataFrame:
+        self._dfs.append(df)
+        return df
+
+    def release(self) -> None:
+        for d in self._dfs:
+            d.unpersist()
+        self._dfs.clear()
+
+    def __len__(self) -> int:
+        return len(self._dfs)
+
+    def __enter__(self) -> "BoundaryCaches":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+def _fanout(
+    d: DataFrame, cfg: CorpusConfig, caches: BoundaryCaches | None = None
+) -> DataFrame:
     """Persist a stage boundary that is consumed more than once
     downstream, so consumers plan against the cached relation instead
     of replicating the upstream tree. Without this the logical plan
@@ -128,11 +172,15 @@ def _fanout(d: DataFrame, cfg: CorpusConfig) -> DataFrame:
     at sf0.1 under the default 1g heap); with it, plan size stays
     linear in stage count. At 100 TB the cache is MEMORY_AND_DISK:
     spilling a boundary beats recomputing the whole upstream pipeline
-    once per consumer on every axis. Caches stay owned by the caller
-    (spark.catalog.clearCache() to drop them); `persist_boundaries=
+    once per consumer on every axis. Ownership: when the caller passes
+    a `BoundaryCaches`, every persist registers there for scoped
+    release; otherwise caches stay caller-owned session-wide
+    (spark.catalog.clearCache() to drop them). `persist_boundaries=
     False` opts out for single-action plans on small corpora."""
     if cfg.persist_boundaries:
-        return d.persist(StorageLevel.MEMORY_AND_DISK)
+        d = d.persist(StorageLevel.MEMORY_AND_DISK)
+        if caches is not None:
+            caches.add(d)
     return d
 
 
@@ -178,6 +226,7 @@ def prepare_corpus(
     benchmark: DataFrame | None = None,
     lm_reference: DataFrame | None = None,
     cfg: CorpusConfig | None = None,
+    caches: BoundaryCaches | None = None,
 ) -> DataFrame:
     """Run stages 1-7 over a (id, text, ...metadata) corpus; returns
     the surviving rows with `text_col` cleaned (redacted, optionally
@@ -204,7 +253,7 @@ def prepare_corpus(
     # join: token-less docs score nothing — stage 1's min_tokens
     # already removed them.
     if cfg.max_perplexity is not None:
-        d = _fanout(d, cfg)  # train + score + join read d
+        d = _fanout(d, cfg, caches)  # train + score + join read d
         ref = lm_reference if lm_reference is not None else d
         bigrams, contexts, vocab = lm_train(
             ref, text_col, id_col, min_count=cfg.lm_min_count
@@ -220,7 +269,7 @@ def prepare_corpus(
     # 3. paragraph-level boilerplate strip; metadata rejoins on the
     # id the reassembly just hash-partitioned by (AQE reuses it)
     if cfg.paragraph_sep is not None:
-        d = _fanout(d, cfg)  # rebuilt + meta both read d
+        d = _fanout(d, cfg, caches)  # rebuilt + meta both read d
         rebuilt = paragraph_dedup(
             d, text_col, id_col, sep=cfg.paragraph_sep
         )
@@ -232,7 +281,7 @@ def prepare_corpus(
         )
 
     # 4. exact keep-first (content-hash groupBy + id semi-join)
-    d = _fanout(d, cfg)  # keepers + the semi-join both read d
+    d = _fanout(d, cfg, caches)  # keepers + the semi-join both read d
     keepers = exact_dedup(d, text_col, id_col).select(
         F.col("keeper_id").alias(id_col)
     )
@@ -240,7 +289,7 @@ def prepare_corpus(
 
     # 5. near-dup funnel; shingle hashes shared across both stages
     if cfg.near_dup:
-        d = _fanout(d, cfg)  # the funnel references d ~10 times
+        d = _fanout(d, cfg, caches)  # the funnel references d ~10 times
         sh = with_shingles(d, text_col, id_col)
         hashes = shingle_hashes(sh, id_col)
         sigs = minhash_signatures(
@@ -264,7 +313,7 @@ def prepare_corpus(
 
     # 6. decontaminate (broadcast eval grams; anti-join the hits)
     if benchmark is not None:
-        d = _fanout(d, cfg)  # gram explode + anti-join both read d
+        d = _fanout(d, cfg, caches)  # gram explode + anti-join both read d
         hits = decontaminate(
             d, benchmark, text_col, id_col, cfg.decontam_ngram
         )
@@ -316,6 +365,7 @@ def prepare_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     cfg: CorpusConfig | None = None,
+    caches: BoundaryCaches | None = None,
 ) -> tuple[DataFrame, CorpusState]:
     """The daily-crawl update path: run a NEW batch through the same
     profile/redaction stages, then dedup it against the running state
@@ -339,7 +389,7 @@ def prepare_batch(
     round-trip this function makes)."""
     cfg = cfg or CorpusConfig()
     d = _profile_and_redact(new_df, text_col, cfg)
-    d = _fanout(d, cfg)  # keyed twice below + the survivors join
+    d = _fanout(d, cfg, caches)  # keyed twice below + the survivors join
 
     lit_bloom = (
         bloom_literal(state.bloom) if state.bloom is not None else None
@@ -347,7 +397,7 @@ def prepare_batch(
     survivors, updated_keys = incremental_exact_dedup(
         d, state.seen_keys, text_col, id_col, seen_bloom=lit_bloom
     )
-    survivors = _fanout(survivors, cfg)  # clean + the bloom delta
+    survivors = _fanout(survivors, cfg, caches)  # clean + the bloom delta
     next_bloom = state.bloom
     if state.bloom is not None:
         next_bloom = bloom_merge(
@@ -365,7 +415,7 @@ def prepare_batch(
                 "banded table — build the state with "
                 "empty_state(spark, near_dup=True)"
             )
-        clean = _fanout(clean, cfg)
+        clean = _fanout(clean, cfg, caches)
         cands, new_banded = incremental_lsh_candidates(
             clean, banded, id_col, text_col,
             k=cfg.minhash_k, bands=cfg.bands,
@@ -595,6 +645,7 @@ def to_sequences(
     shard_col: str = "lang",
     seed: str = "epoch:0",
     chunk_long: bool = False,
+    piece_base: int = 1_000_000,
 ) -> DataFrame:
     """Stage 8: pack the cleaned corpus into fixed-token-budget bins
     (per-shard next-fit) and attach `bin_order`, a deterministic
@@ -611,19 +662,41 @@ def to_sequences(
     bin ever exceeds capacity. Output then carries (doc_id, chunk_id)
     per packed piece instead of the bare id. Chunks keep next-fit's
     doc-contiguity: a doc's windows pack consecutively in order, so a
-    sequence boundary never interleaves two documents' text."""
+    sequence boundary never interleaves two documents' text.
+
+    `piece_base` bounds the windows-per-doc of the synthetic piece id
+    (below); the default 10^6 admits a ~500M-token document at
+    capacity 512. It is exposed so tests can exercise the guard
+    without generating a million chunks."""
     if chunk_long:
         from ..operators.text import chunk_documents
 
-        # synthetic orderable piece id = id·10^6 + chunk_id keeps the
-        # (doc, window) order under ONE sort key; 10^6 windows/doc ≈
-        # a 500M-token document at capacity 512 — assert, don't trust
+        # synthetic orderable piece id = id·piece_base + chunk_id
+        # keeps the (doc, window) order under ONE sort key — valid
+        # ONLY while chunk_id < piece_base, or two documents' windows
+        # would silently collide into the same id space and scramble
+        # bin contents. ENFORCED row-by-row: assert_true evaluates
+        # inside the piece-id projection itself (a detached assert
+        # column would be pruned as dead code), so a doc with
+        # ≥piece_base windows fails the job loudly instead of
+        # corrupting the packing.
         pieces = chunk_documents(corpus, text_col, id_col, capacity)
+        guard = F.assert_true(
+            F.col("chunk_id") < F.lit(piece_base),
+            F.concat(
+                F.lit(
+                    "to_sequences: document exceeds piece_base="
+                    f"{piece_base} windows (doc "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(f", capacity {capacity}); raise piece_base"),
+            ),
+        )
+        piece = F.col(id_col) * F.lit(piece_base) + F.col("chunk_id")
         pieces = pieces.join(
             corpus.select(id_col, shard_col), id_col
         ).select(
-            (F.col(id_col) * F.lit(1_000_000) + F.col("chunk_id"))
-            .alias("__piece"),
+            F.when(guard.isNull(), piece).alias("__piece"),
             F.col("chunk_text").alias(text_col),
             shard_col,
         )
@@ -632,10 +705,10 @@ def to_sequences(
         )
         packed = packed.select(
             shard_col,
-            F.floor(F.col("__piece") / 1_000_000)
+            F.floor(F.col("__piece") / piece_base)
             .cast("long")
             .alias(id_col),
-            F.pmod(F.col("__piece"), F.lit(1_000_000))
+            F.pmod(F.col("__piece"), F.lit(piece_base))
             .cast("int")
             .alias("chunk_id"),
             "n_tokens",

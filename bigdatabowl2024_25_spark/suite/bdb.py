@@ -643,7 +643,13 @@ _STD_SQL = (
            COUNT(*) OVER (PARTITION BY label_index, pred) AS confusion_n,
            ROUND(CAST(SUM(CASE WHEN pred = label_index THEN 1 ELSE 0 END)
                           OVER () AS DOUBLE)
-                 / COUNT(*) OVER (), 6) AS accuracy
+                 / COUNT(*) OVER (), 6) AS accuracy,
+           CASE WHEN gameId = 0 AND playId = 0 THEN
+                CASE WHEN def_s_mean > 5.0 THEN 0.75 ELSE 0.25 END
+           END AS x9_prob_cover1,
+           CASE WHEN gameId = 0 AND playId = 0 THEN
+                1.0 - CASE WHEN def_s_mean > 5.0 THEN 0.75 ELSE 0.25 END
+           END AS x9_prob_other
     FROM labeled
     """,
 )
@@ -735,12 +741,31 @@ def q92_ml_features(spark, sf_dir):
         F.col("__pred_s").cast("double").alias("pred"),
         "confusion_n",
     )
-    return scaled.join(
-        F.broadcast(cm_long), ["label_index", "pred"]
-    ).select(
-        *[c for c in scaled.columns],
-        F.col("confusion_n").cast("bigint").alias("confusion_n"),
-        # F.round (HALF_UP) matches DuckDB ROUND; Python's round would
-        # bankers-round ties differently
-        F.round(F.lit(acc), 6).alias("accuracy"),
+    # X9 (round 9, VERDICT item 5): per-play inference through the
+    # REAL `ml.predict_for_play` path with the deterministic
+    # `RuleCoverageModel` — filter-first scoring of play (0, 0), class
+    # probabilities emitted as a map and projected back out by key
+    # (rows of other plays carry NULL), so the inference path is
+    # value-hash-checked instead of pytest-only. Fitted-model scoring
+    # through the same function stays in tests/test_ml.py.
+    from ..ml import RuleCoverageModel, predict_for_play
+
+    x9 = predict_for_play(RuleCoverageModel(), base, 0, 0).select(
+        "gameId",
+        "playId",
+        F.col("probabilities")["Cover-1"].alias("x9_prob_cover1"),
+        F.col("probabilities")["other"].alias("x9_prob_other"),
+    )
+    return (
+        scaled.join(F.broadcast(cm_long), ["label_index", "pred"])
+        .join(F.broadcast(x9), ["gameId", "playId"], "left")
+        .select(
+            *[c for c in scaled.columns],
+            F.col("confusion_n").cast("bigint").alias("confusion_n"),
+            # F.round (HALF_UP) matches DuckDB ROUND; Python's round
+            # would bankers-round ties differently
+            F.round(F.lit(acc), 6).alias("accuracy"),
+            "x9_prob_cover1",
+            "x9_prob_other",
+        )
     )

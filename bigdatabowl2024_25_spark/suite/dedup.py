@@ -510,11 +510,26 @@ def q74_near_dup_clusters(spark, sf_dir):
     components (iterative min-label propagation) → (node, component).
     The component id IS the keeper (min doc id). Oracle re-derives
     components via a recursive transitive-closure CTE — an independent
-    algorithm for the same semantics."""
+    algorithm for the same semantics.
+
+    Round 9: this parity run routes through
+    `checkpoint_mode="reliable"` (eager `checkpoint()` to a real
+    checkpoint dir — the fault-tolerant production path for long CC
+    runs) so that mode stays under the driver's value-hash oracle
+    instead of bit-rotting behind the default `local` mode. The graph
+    is funnel-sized, so the extra disk write is a few KB."""
+    import tempfile
+
     from ..operators.components import connected_components
 
+    if spark.sparkContext.getCheckpointDir() is None:
+        # leaked per-run on purpose: the returned DataFrame is backed
+        # by these checkpoint files until the driver collects it
+        spark.sparkContext.setCheckpointDir(
+            tempfile.mkdtemp(prefix="bdb_q74_ckpt_")
+        )
     pairs = q72_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
-    return connected_components(pairs)
+    return connected_components(pairs, checkpoint_mode="reliable")
 
 
 @query(

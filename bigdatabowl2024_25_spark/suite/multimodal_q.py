@@ -39,9 +39,61 @@ from .registry import query
 _N_DOCS = 64
 
 
+# ---- dhash branches: perceptual-hash near-dup over REAL PNG bytes ----
+# 32 formula images at the hash grid's own 8×9 geometry (resize =
+# identity, so the oracle can re-derive every pooled value exactly;
+# the resize path is pytest-verified in tests/test_phash.py). Images
+# depend on doc_id % 16 only, so each d and d+16 are exact twins —
+# the planted Hamming-0 near-dup pairs — while cross-formula band
+# collisions are deterministic and mirrored by the same SQL banding.
+_DH_N, _DH_BANDS, _DH_MAXHAM = 32, 4, 6
+
+_DH_CTES = f"""
+    dh_px AS (
+        SELECT d, y, x, ((x*5 + y*3 + (d%16)*7) % 32) * 8 AS v
+        FROM range(0, {_DH_N}) t(d), range(0, 8) ty(y), range(0, 9) tx(x)
+    ),
+    dh_bits AS (
+        -- dHash bit b = y*8+x set iff pixel(y,x+1) > pixel(y,x)
+        SELECT a.d, a.y*8 + a.x AS b
+        FROM dh_px a
+        JOIN dh_px nx ON nx.d = a.d AND nx.y = a.y AND nx.x = a.x + 1
+        WHERE a.x < 8 AND nx.v > a.v
+    ),
+    dh_hash AS (
+        -- signed int64 packing: bits 0-62 sum directly, bit 63 is the
+        -- two's-complement sign contribution. The outer CAST matters:
+        -- DuckDB's SUM(BIGINT) returns HUGEINT, and 128-bit xor of a
+        -- mixed-sign pair carries 64 set sign-extension bits into
+        -- bit_count (observed: every mixed-sign near-dup pair
+        -- silently failed the Hamming cut)
+        SELECT t.d,
+               CAST(
+                   COALESCE(SUM(CASE WHEN b.b < 63
+                                THEN (CAST(1 AS BIGINT) << b.b) END), 0)
+                   + CASE WHEN MAX(b.b) = 63
+                          THEN (-9223372036854775807 - 1) ELSE 0 END
+               AS BIGINT) AS h
+        FROM range(0, {_DH_N}) t(d) LEFT JOIN dh_bits b ON b.d = t.d
+        GROUP BY t.d
+    ),
+    dh_band AS (
+        -- arithmetic shift + mask == Spark's shiftright + bitwiseAND
+        SELECT d, h, i, (h >> (i*16)) & 65535 AS bk
+        FROM dh_hash, range(0, {_DH_BANDS}) ti(i)
+    ),
+    dh_cand AS (
+        SELECT DISTINCT a.d AS id_a, b.d AS id_b, a.h AS ha, b.h AS hb
+        FROM dh_band a JOIN dh_band b
+          ON a.i = b.i AND a.bk = b.bk AND a.d < b.d
+    )
+"""
+
+
 @query(
     "q94_codec_roundtrip",
     oracle=f"""
+    WITH {_DH_CTES}
     SELECT doc_id,
            CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                            WHEN 2 THEN 'wav' ELSE 'mjpeg' END AS codec,
@@ -56,6 +108,16 @@ _N_DOCS = 64
                 END AS BIGINT) AS d3,
            TRUE AS ok
     FROM documents WHERE doc_id < {_N_DOCS}
+    UNION ALL
+    SELECT d AS doc_id, 'dhash64' AS codec, h AS d1,
+           CAST(0 AS BIGINT) AS d2, CAST(0 AS BIGINT) AS d3, TRUE AS ok
+    FROM dh_hash
+    UNION ALL
+    SELECT id_a AS doc_id, 'dhash' AS codec, id_b AS d1,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS d2,
+           CAST(0 AS BIGINT) AS d3, TRUE AS ok
+    FROM dh_cand
+    WHERE bit_count(xor(ha, hb)) <= {_DH_MAXHAM}
     """,
 )
 def q94_codec_roundtrip(spark, sf_dir):
@@ -144,7 +206,62 @@ def q94_codec_roundtrip(spark, sf_dir):
         F.col("height").cast("long").alias("d2"),
         F.col("n_frames").cast("long").alias("d3"), "ok",
     )
+    # dhash branches (round 9): the perceptual-hash near-dup funnel
+    # over real PNG bytes — formula images encoded, decoded by the
+    # first-party codec, dHashed, LSH-banded, Hamming-verified
+    # (operators/phash.py); the oracle re-derives hashes/bands/pairs
+    # straight from the pixel formula (see _DH_CTES)
+    from ..operators.phash import dhash_images, phash_near_dup
+
+    def make_dhash_payloads(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                d = int(mid)
+                yy, xx = np.mgrid[0:8, 0:9]
+                img = (((xx * 5 + yy * 3 + (d % 16) * 7) % 32) * 8).astype(
+                    np.uint8
+                )[..., None]
+                ids.append(d)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "image",
+                    "payload": payloads,
+                    "source": "synthetic",
+                }
+            )
+
+    dh_media = (
+        spark.range(_DH_N)
+        .select(F.col("id").alias("media_id"))
+        .mapInPandas(make_dhash_payloads, schema=MEDIA_SCHEMA)
+    )
+    hashes = dhash_images(dh_media, id_col="media_id", codec="png")
+    dh64 = hashes.select(
+        F.col("media_id").alias("doc_id"),
+        F.lit("dhash64").alias("codec"),
+        F.col("dhash").alias("d1"),
+        F.lit(0).cast("long").alias("d2"),
+        F.lit(0).cast("long").alias("d3"),
+        F.lit(True).alias("ok"),
+    )
+    dh_pairs = phash_near_dup(
+        hashes, id_col="media_id", bands=_DH_BANDS, max_hamming=_DH_MAXHAM
+    ).select(
+        F.col("id_a").alias("doc_id"),
+        F.lit("dhash").alias("codec"),
+        F.col("id_b").alias("d1"),
+        F.col("hamming").cast("long").alias("d2"),
+        F.lit(0).cast("long").alias("d3"),
+        F.lit(True).alias("ok"),
+    )
+
     out = png.unionByName(jpg).unionByName(wav).unionByName(vid)
-    return out.select(
+    out = out.select(
         F.col("media_id").alias("doc_id"), "codec", "d1", "d2", "d3", "ok"
     )
+    return out.unionByName(dh64).unionByName(dh_pairs)

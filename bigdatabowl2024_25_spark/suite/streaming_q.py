@@ -68,11 +68,46 @@ def _drain(agg, prefix, mode="complete"):
 #: the identical registers/estimate
 from .sketch_q import _HLL_CTES  # noqa: E402
 
+# ---- 'corpus' branch: the daily-crawl streaming loop -----------------
+# `pipelines.corpus.stream_prepare` replayed over two micro-batches
+# (originals, then exact clones under shifted ids). The surviving
+# CONTENT-KEY SET is batch-order-free — whichever era lands in batch 0,
+# exactly one doc per distinct content survives across the union of
+# d=<n> sink partitions — so the oracle re-derives the expected keys
+# (profile filter on raw text, key on the redacted+normalized text)
+# without depending on the file source's batch assignment. Winner
+# identity and delta-state layout stay pytest-side
+# (tests/test_corpus_pipeline.py), which ARE order-dependent.
+from .dedup import _h64  # noqa: E402
+from .text import _W_NE, _redact_sql  # noqa: E402
+
+_CORP_MIN_TOK = 5
+_CORP_MAX_DUP = 0.5
+_CORP_DUP_FRAC = (
+    f"CASE WHEN len({_W_NE}) > 0 THEN "
+    f"1.0 - CAST(len(list_distinct({_W_NE})) AS DOUBLE) / len({_W_NE}) "
+    f"ELSE 0.0 END"
+)
+_CORP_NORM_RED = (
+    "trim(regexp_replace(regexp_replace(lower("
+    + _redact_sql("text")
+    + "), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+_CORP_CTE = f"""
+    corpus_keys AS (
+        SELECT DISTINCT {_h64(_CORP_NORM_RED)} AS ck
+        FROM documents
+        WHERE len({_W_NE}) >= {_CORP_MIN_TOK}
+          AND ({_CORP_DUP_FRAC}) <= {_CORP_MAX_DUP!r}
+    )
+"""
+
 
 @query(
     "q93_streaming_windows",
     oracle=f"""
-    WITH {_HLL_CTES}
+    WITH {_HLL_CTES},
+    {_CORP_CTE}
     SELECT 'tumbling' AS kind, user_id,
            (epoch_us(ts) // {_W_US}) * {_W_US} AS win_start_us,
            COUNT(*) AS n_events,
@@ -128,6 +163,12 @@ from .sketch_q import _HLL_CTES  # noqa: E402
     SELECT 'hll_est' AS kind, NULL, NULL, est_micro,
            CAST(n_empty AS DOUBLE)
     FROM hest
+    UNION ALL
+    SELECT 'corpus' AS kind, ck AS user_id,
+           CAST(NULL AS BIGINT) AS win_start_us,
+           CAST(1 AS BIGINT) AS n_events,
+           CAST(NULL AS DOUBLE) AS sum_value
+    FROM corpus_keys
     """,
 )
 def q93_streaming_windows(spark, sf_dir):
@@ -323,6 +364,56 @@ def q93_streaming_windows(spark, sf_dir):
             F.col("n_empty").cast("double").alias("sum_value"),
         )
 
+        # 'corpus' branch (round 9, VERDICT item 6): the exactly-once
+        # daily-crawl loop (`pipelines.corpus.stream_prepare` —
+        # foreachBatch + idempotent d=<n> delta partitions + Bloom
+        # delta folds) replayed over TWO real micro-batches: the
+        # documents table, then exact clones under +1e6 ids, written
+        # as two parquet files so cross-batch exact dedup must fire
+        # through the d<n state reads. The branch hashes the surviving
+        # content-key set with a per-key survivor count (must be 1) —
+        # batch-order-free, so the file source's mtime-based batch
+        # assignment can't flake the row (see _CORP_CTE).
+        from ..operators.text import normalize_text, portable_hash64
+        from ..pipelines.corpus import CorpusConfig, stream_prepare
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        docs.coalesce(1).write.mode("append").parquet(f"{tmp}/corp_in")
+        docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        ).coalesce(1).write.mode("append").parquet(f"{tmp}/corp_in")
+        corp_schema = spark.read.parquet(f"{tmp}/corp_in").schema
+        stream_prepare(
+            stream_from_dir(spark, f"{tmp}/corp_in", corp_schema),
+            sink_dir=f"{tmp}/corp_out",
+            state_dir=f"{tmp}/corp_state",
+            checkpoint=f"{tmp}/corp_ckpt",
+            cfg=CorpusConfig(
+                min_tokens=_CORP_MIN_TOK,
+                max_dup_word_frac=_CORP_MAX_DUP,
+                max_top_bigram_frac=1.0,
+                near_dup=False,
+            ),
+        )
+        corpus = (
+            spark.read.parquet(f"{tmp}/corp_out")
+            .groupBy(
+                portable_hash64(normalize_text(F.col("text"))).alias(
+                    "user_id"
+                )
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.lit("corpus").alias("kind"),
+                "user_id",
+                F.lit(None).cast("bigint").alias("win_start_us"),
+                "n_events",
+                F.lit(None).cast("double").alias("sum_value"),
+            )
+        )
+
         # the memory sink tables are driver-resident and tiny (one row
         # per user×window); localCheckpoint pins the rows so the temp
         # dir and memory sinks can be torn down
@@ -333,6 +424,7 @@ def q93_streaming_windows(spark, sf_dir):
             .unionByName(deduped)
             .unionByName(hll_regs)
             .unionByName(hll_est)
+            .unionByName(corpus)
             .localCheckpoint()
         )
         q1.stop()

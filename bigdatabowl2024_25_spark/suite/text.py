@@ -293,7 +293,9 @@ _PARA_FOOTER = "follow the data feed for table updates"
 _PARA_CTES = f"""
     para_parts AS (
         SELECT doc_id, i - 1 AS pos, p AS para,
-               length(trim(p)) >= 1 AS elig
+               -- mirror the operator's min_chars contract: count
+               -- NON-WHITESPACE chars, not trimmed length
+               length(regexp_replace(p, '\\s', '', 'g')) >= 1 AS elig
         FROM (
             SELECT doc_id,
                    unnest(string_split(ptext, '¶')) AS p,

@@ -36,9 +36,10 @@ def ref_paragraph_dedup(
     scope: str = "corpus",
 ) -> dict[int, tuple[str, int]]:
     """Direct from the definition: walk docs in (id, pos) order, keep
-    a paragraph iff it is short (< min_chars after strip) or its exact
-    text is unseen (corpus-wide or within the doc, per scope); rebuild
-    each doc from its kept paragraphs."""
+    a paragraph iff it is short (< min_chars NON-WHITESPACE chars —
+    the operator's content-not-layout contract) or its exact text is
+    unseen (corpus-wide or within the doc, per scope); rebuild each
+    doc from its kept paragraphs."""
     seen: set[str] = set()
     out: dict[int, tuple[str, int]] = {}
     for doc_id, text in sorted(docs):
@@ -48,7 +49,7 @@ def ref_paragraph_dedup(
             seen = set()
         kept = []
         for para in text.split(sep):
-            if len(para.strip()) < min_chars:
+            if len(re.sub(r"\s", "", para)) < min_chars:
                 kept.append(para)
             elif para not in seen:
                 seen.add(para)
@@ -148,11 +149,16 @@ def test_randomized_document_scope(spark):
 
 def test_min_chars_widens_bypass(spark):
     """min_chars=3: one- and two-char paragraphs become structural
-    (kept everywhere); longer ones still dedup."""
-    docs = [(1, f"ab{SEP}long paragraph"), (2, f"ab{SEP}long paragraph")]
+    (kept everywhere); longer ones still dedup. Eligibility counts
+    NON-WHITESPACE characters — 'a b' (2 content chars, trimmed
+    length 3) bypasses at min_chars=3, the round-8 ADVICE fix."""
+    docs = [
+        (1, f"ab{SEP}a b{SEP}long paragraph"),
+        (2, f"ab{SEP}a b{SEP}long paragraph"),
+    ]
     got = run(spark, docs, min_chars=3)
     assert got == ref_paragraph_dedup(docs, min_chars=3)
-    assert got[2] == ("ab", 1)
+    assert got[2] == (f"ab{SEP}a b", 2)
 
 
 def test_plan_two_skew_resistant_shuffles(spark):

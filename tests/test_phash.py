@@ -1,0 +1,158 @@
+"""Perceptual-hash image near-dup (`operators.phash`): the numpy
+kernel against a from-the-definition reference, the resize pooling,
+and end-to-end recall on planted near-duplicate PNGs through the real
+encode → decode → dhash → LSH-band → Hamming pipeline.
+
+The q94 'dhash64'/'dhash' branches value-hash the identity-resize
+path against a DuckDB pixel-formula re-derivation; these tests cover
+what SQL can't reach — the area-average resize and the robustness
+properties (brightness invariance, noise tolerance) that make dHash a
+NEAR-dup hash rather than an exact one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bigdatabowl2024_25_spark.operators.phash import (
+    area_resize,
+    dhash64,
+    gray_f64,
+)
+
+
+def ref_dhash(img: np.ndarray, hs: int = 8) -> int:
+    """Independent reference: explicit loops, int arithmetic."""
+    a = np.asarray(img, dtype=np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=-1)
+    h, w = a.shape
+    pooled = np.zeros((hs, hs + 1))
+    for oy in range(hs):
+        for ox in range(hs + 1):
+            y0, y1 = oy * h // hs, (oy + 1) * h // hs
+            x0, x1 = ox * w // (hs + 1), (ox + 1) * w // (hs + 1)
+            pooled[oy, ox] = a[y0:y1, x0:x1].mean()
+    acc = 0
+    for y in range(hs):
+        for x in range(hs):
+            if pooled[y, x + 1] > pooled[y, x]:
+                acc |= 1 << (y * hs + x)
+    return acc - (1 << 64) if acc >= 1 << 63 else acc
+
+
+def _rand_img(rng, h, w, c=3):
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+def test_dhash_matches_reference_and_is_signed64():
+    rng = np.random.default_rng(7)
+    for h, w, c in [(8, 9, 1), (8, 9, 3), (16, 18, 3), (37, 53, 3), (64, 56, 1)]:
+        img = _rand_img(rng, h, w, c)
+        got = dhash64(img)
+        assert got == ref_dhash(img)
+        assert -(1 << 63) <= got < (1 << 63)
+
+
+def test_area_resize_identity_and_blocks():
+    rng = np.random.default_rng(3)
+    a = rng.random((8, 9))
+    assert np.array_equal(area_resize(a, 8, 9), a)
+    b = rng.random((16, 18))
+    out = area_resize(b, 8, 9)
+    assert out.shape == (8, 9)
+    assert np.allclose(out[0, 0], b[0:2, 0:2].mean())
+    assert np.allclose(out[7, 8], b[14:16, 16:18].mean())
+    import pytest
+
+    with pytest.raises(ValueError, match="smaller"):
+        area_resize(a, 16, 18)
+
+
+def test_brightness_shift_invariance():
+    """dHash compares ADJACENT pooled values, so a uniform brightness
+    shift (no clipping) never flips a bit — the re-encode/levels-tweak
+    family of near-dups hashes identically."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 200, size=(32, 36, 3), dtype=np.uint8)
+    assert dhash64(img) == dhash64(img + np.uint8(40))
+
+
+def test_small_noise_low_hamming():
+    """Flipping a few pixels by ±1 moves each pooled mean by ≪ the
+    typical adjacent difference: the hash moves ≤ a few bits."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(64, 72, 1), dtype=np.uint8)
+    noisy = img.astype(np.int16)
+    for _ in range(20):
+        y, x = rng.integers(0, 64), rng.integers(0, 72)
+        noisy[y, x, 0] += rng.choice([-1, 1])
+    noisy = noisy.clip(0, 255).astype(np.uint8)
+    ham = bin((dhash64(img) ^ dhash64(noisy)) & ((1 << 64) - 1)).count("1")
+    assert ham <= 6
+
+
+def test_end_to_end_recall_through_real_png(spark):
+    """The full funnel over real bytes: 20 distinct random 64×56
+    images + a brightness-shifted clone of each (ids +1000), encoded
+    to PNG, decoded and hashed by dhash_images, banded and verified by
+    phash_near_dup. Every planted (i, i+1000) pair must be recalled at
+    Hamming 0; survivors keep exactly one per cluster."""
+    import pandas as pd
+    from bigdatabowl2024_25_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+    )
+    from bigdatabowl2024_25_spark.operators.phash import (
+        dhash_images,
+        phash_near_dup,
+        phash_survivors,
+    )
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(20):
+        img = rng.integers(0, 200, size=(64, 56, 3), dtype=np.uint8)
+        rows.append((i, encode_png(img)))
+        rows.append((i + 1000, encode_png(img + np.uint8(30))))
+    pdf = pd.DataFrame(
+        {
+            "media_id": [r[0] for r in rows],
+            "media_type": "image",
+            "payload": [r[1] for r in rows],
+            "source": "t",
+        }
+    )
+    media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    hashes = dhash_images(media, id_col="media_id", codec="png")
+    pairs = phash_near_dup(hashes, id_col="media_id", max_hamming=6)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    for i in range(20):
+        assert got.get((i, i + 1000)) == 0, f"planted pair {i} missed"
+    surv = {
+        r.media_id
+        for r in phash_survivors(media, pairs, "media_id")
+        .select("media_id")
+        .collect()
+    }
+    # each planted cluster keeps its min id; chance cross-image
+    # collisions can only merge clusters (still ≥1 survivor each)
+    assert surv <= set(range(20))
+    assert len(surv) >= 1 and 0 in surv or min(surv) < 20
+
+
+def test_phash_plan_no_python_in_band_join(spark):
+    """The banding/verify stages stay JVM-side: hashing is the one
+    mapInPandas (decode lives there); the self-join + bit_count carry
+    no BatchEvalPython/ArrowEval nodes."""
+    import pandas as pd
+    from bigdatabowl2024_25_spark.operators.phash import phash_near_dup
+
+    hashes = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2, 3], "dhash": [5, 5, -9]})
+    )
+    plan = hashes.sparkSession.sparkContext._jvm.PythonSQLUtils.explainString(
+        phash_near_dup(hashes)._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

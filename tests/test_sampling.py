@@ -181,3 +181,36 @@ def test_token_budget_sample_null_domain_gets_default_rate(spark):
     assert {r.k for r in kept.collect()} == {1, 2, 3}
     dropped = token_budget_sample(df, "k", "dom", "w", {"a": 1000.0})
     assert {r.k for r in dropped.collect()} == {1}
+
+
+def test_token_budget_sample_all_null_weights_and_fractions(spark):
+    """Round-8 ADVICE fixes: (a) a budgeted domain whose weights are
+    ALL NULL has no measurable mass and follows default_rate — before
+    the fix, least() skipped the NULL division and silently kept the
+    whole domain at rate 1.0; (b) fractional weights sum exactly
+    (decimal, not a bigint cast that truncated 0.5 to 0)."""
+    from bigdatabowl2024_25_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "nullw", None), (2, "nullw", None), (3, "a", 10.0)],
+        "k long, dom string, w double",
+    )
+    budgets = {"nullw": 5.0, "a": 1000.0}
+    dropped = token_budget_sample(df, "k", "dom", "w", budgets)
+    assert {r.k for r in dropped.collect()} == {3}
+    kept = token_budget_sample(
+        df, "k", "dom", "w", budgets, default_rate=1.0
+    )
+    assert {r.k for r in kept.collect()} == {1, 2, 3}
+
+    # fractional weights: 4000 rows x 0.5 tokens = 2000 total; budget
+    # 500 => rate 0.25. The old bigint cast truncated every weight to
+    # 0 => NULL-free zero total => rate 1.0 (kept all 4000)
+    frac = spark.createDataFrame(
+        [(i, "f", 0.5) for i in range(4000)], "k long, dom string, w double"
+    )
+    out = token_budget_sample(frac, "k", "dom", "w", {"f": 500.0})
+    n = out.count()
+    assert 700 <= n <= 1300  # ~1000 expected; 5 sigma ~ 140
