@@ -386,6 +386,76 @@ def nearest_lists_exact(
     )
 
 
+def incremental_ivf_near_dup(
+    new_df: DataFrame,
+    state: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    nprobe: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Daily-batch EMBEDDING near-dup against a persisted IVF state —
+    the embedding sibling of `dedup.incremental_lsh_candidates`
+    (SemDeDup for a rolling crawl). `state` is the append-only
+    (doc bigint, __list int, iv array<bigint>) table of KEPT history
+    vectors in quantized micro-int form: history floats never reload,
+    and the state row is ~8·dims bytes of exactly the data scoring
+    needs.
+
+    Each new vector probes its `nprobe` nearest centroid lists and
+    scores EXACTLY (int64 cosine) against history ∪ new-batch rows in
+    those lists — never history×history. Candidate volume is bounded
+    by list occupancy, not corpus size. Returns (pairs, new_rows):
+
+    - pairs: (id_a, id_b, cosine) with id_a < id_b and cosine ≥
+      threshold. Crawl ids grow monotonically, so the greater id of a
+      pair is always the newcomer → dedup policy is "drop id_b" (the
+      `prepare_batch` convention).
+    - new_rows: the batch's (doc, __list, iv) state rows. The caller
+      appends only the KEPT docs' rows (semi-join against the
+      survivors — the q70 'incr_near' ghost rule: state rows for
+      dropped newcomers would make tomorrow's batch collide with
+      ghosts).
+
+    100 TB shape: the batch side (probes) BROADCASTS; the state table
+    is scanned in place by a broadcast hash join on `__list` — with a
+    `__list`-bucketed/partitioned state table the probe is a pruned
+    scan, and history never shuffles."""
+    probes = nearest_lists_exact(new_df, cents, id_col, vec_col, nprobe)
+    own = ivf_assign_exact(new_df, cents, id_col, vec_col)
+    new_rows = own.select(
+        F.col(id_col).alias("doc"),
+        "__list",
+        quantized(F.col(vec_col)).alias("iv"),
+    )
+    n = probes.select(
+        F.col(id_col).alias("__nid"),
+        quantized(F.col(vec_col)).alias("__niv"),
+        "__list",
+    )
+    pool = state.unionByName(new_rows)
+    cos = int_dot(F.col("__niv"), F.col("iv")).cast("double") / (
+        F.sqrt(int_dot(F.col("__niv"), F.col("__niv")).cast("double"))
+        * F.sqrt(int_dot(F.col("iv"), F.col("iv")).cast("double"))
+    )
+    pairs = (
+        pool.join(F.broadcast(n), ["__list"])
+        .filter(F.col("doc") != F.col("__nid"))
+        .select(
+            F.least("doc", "__nid").alias("id_a"),
+            F.greatest("doc", "__nid").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        # a pair reachable through several probed lists (nprobe > 1,
+        # or two new vectors probing each other's list) scores the
+        # same exact int64 cosine every time — distinct collapses it
+        .distinct()
+    )
+    return pairs, new_rows
+
+
 def pq_codebooks(
     cents: DataFrame, vec_col: str, m: int, dsub: int
 ) -> list[list[list[int]]]:

@@ -400,12 +400,48 @@ _PQ_CTES = f"""
         FROM probes p JOIN assign a ON a.list_id = p.list_id
     ),
     {_ANN_CTES},
-    {_PQ_CTES}
+    {_PQ_CTES},
+    newb AS (
+        SELECT vec_id + 100000 AS nid, iv FROM emb WHERE vec_id < 20
+    ),
+    nassign AS (
+        -- each new vector's single nearest list (nprobe=1), same
+        -- quantized L2 + lower-list tie-break as the assign CTE
+        SELECT nid, list_id, iv FROM (
+            SELECT e.nid, c.list_id, e.iv,
+                   ROW_NUMBER() OVER (PARTITION BY e.nid
+                       ORDER BY {_D2} ASC, c.list_id ASC) AS rn
+            FROM newb e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    pool AS (
+        SELECT a.vec_id AS doc, a.list_id, e.iv
+        FROM assign a JOIN emb e ON e.vec_id = a.vec_id
+        UNION ALL
+        SELECT nid AS doc, list_id, iv FROM nassign
+    ),
+    incr_pairs AS (
+        SELECT DISTINCT least(p.doc, n.nid) AS id_a,
+               greatest(p.doc, n.nid) AS id_b,
+               CAST(CAST(list_sum(list_transform(range(1,65),
+                    i -> n.iv[i] * p.iv[i])) AS BIGINT) AS DOUBLE)
+               / (SQRT(CAST(CAST(list_sum(list_transform(range(1,65),
+                      i -> n.iv[i] * n.iv[i])) AS BIGINT) AS DOUBLE))
+                  * SQRT(CAST(CAST(list_sum(list_transform(range(1,65),
+                      i -> p.iv[i] * p.iv[i])) AS BIGINT) AS DOUBLE)))
+                 AS cosine
+        FROM nassign n JOIN pool p
+          ON p.list_id = n.list_id AND p.doc <> n.nid
+    )
     SELECT 'ivf' AS kind, q_id, d_id, cosine, rank FROM ranked
     WHERE rank <= 5 AND q_id <> d_id
     UNION ALL
     SELECT 'pq' AS kind, q_id, d_id, cosine, rank FROM pqranked
     WHERE rank <= 5 AND q_id <> d_id
+    UNION ALL
+    SELECT 'incr' AS kind, id_a AS q_id, id_b AS d_id, cosine,
+           CAST(NULL AS BIGINT) AS rank
+    FROM incr_pairs WHERE cosine >= 0.99
     UNION ALL
     SELECT 'diverse' AS kind, CAST(list_id AS BIGINT) AS q_id,
            vec_id AS d_id, CAST(NULL AS DOUBLE) AS cosine,
@@ -508,4 +544,32 @@ def q83_ann_ivf_topk(spark, sf_dir):
     pq = pq.filter(F.col("q_id") != F.col("d_id")).select(
         F.lit("pq").alias("kind"), "q_id", "d_id", "cosine", "rank"
     )
-    return ivf.unionByName(pq).unionByName(diverse)
+    # 'incr' (round 9): the daily-batch EMBEDDING near-dup —
+    # `incremental_ivf_near_dup` pairs a new batch (exact clones of
+    # vec_id < 20 under +100000 ids, so each must collide with its
+    # original: identical vector ⇒ identical nearest list) against
+    # the persisted state built from the SAME coarse assignment the
+    # ivf branch uses, never history×history. The oracle re-derives
+    # assignment, pooling, and the int64 cosine verify.
+    from ..operators.similarity import incremental_ivf_near_dup
+
+    state = assigned.select(
+        F.col("vec_id").alias("doc"),
+        "__list",
+        quantized(F.col("embedding")).alias("iv"),
+    )
+    newb = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    incr_pairs, _new_rows = incremental_ivf_near_dup(
+        newb, state, cents, "vec_id", "embedding",
+        threshold=0.99, nprobe=1,
+    )
+    incr = incr_pairs.select(
+        F.lit("incr").alias("kind"),
+        F.col("id_a").alias("q_id"),
+        F.col("id_b").alias("d_id"),
+        "cosine",
+        F.lit(None).cast("bigint").alias("rank"),
+    )
+    return ivf.unionByName(pq).unionByName(diverse).unionByName(incr)

@@ -347,3 +347,78 @@ def test_sq8_recall_and_exactness(spark):
         .collect()[0]
     )
     assert bounds.hi <= 127 and bounds.lo >= -127
+
+
+def test_incremental_ivf_near_dup_two_day_replay(spark):
+    """The embedding daily-crawl loop (round 9): day-1 corpus becomes
+    IVF state; day 2 brings exact clones (must pair with their
+    originals), a fresh orthogonal-ish vector (must pair with
+    nothing), and a batch-internal clone pair (must pair within the
+    batch). Ghost rule: only KEPT docs' rows enter the next state, so
+    day 3's re-send of a dropped clone still collides with the
+    ORIGINAL, not a ghost."""
+    from bigdatabowl2024_25_spark.operators.similarity import (
+        incremental_ivf_near_dup,
+        ivf_assign_exact,
+        quantized,
+    )
+
+    dims = 8
+
+    def vec(seed):
+        return [float((seed * (i + 3)) % 7 - 3) + 0.25 for i in range(dims)]
+
+    day1 = spark.createDataFrame(
+        [(i, vec(i + 1)) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = day1.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("__list"), "embedding"
+    )
+    state = ivf_assign_exact(day1, cents, "vec_id", "embedding").select(
+        F.col("vec_id").alias("doc"),
+        "__list",
+        quantized(F.col("embedding")).alias("iv"),
+    )
+    # day 2: clones of 0 and 3 (ids 100/103), one fresh vector (110),
+    # and an internal clone pair (120, 121). vec() is periodic mod 7,
+    # so fresh/internal vectors are explicit — not vec(seed) — to
+    # guarantee they differ from every day-1 vector
+    fresh = [9.0, 0.0, -7.0, 0.5, 0.0, 3.0, 0.0, -1.0]
+    internal = [0.0, 8.0, 0.0, -6.0, 1.5, 0.0, -2.0, 0.0]
+    day2 = spark.createDataFrame(
+        [
+            (100, vec(1)),
+            (103, vec(4)),
+            (110, fresh),
+            (120, internal),
+            (121, internal),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs, new_rows = incremental_ivf_near_dup(
+        day2, state, cents, "vec_id", "embedding", threshold=0.999
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 100) in got
+    assert (3, 103) in got
+    assert (120, 121) in got
+    assert not any(110 in p for p in got)
+    # never history x history
+    assert not any(a < 100 and b < 100 for a, b in got)
+    # ghost rule: drop the greater id of each pair, append kept only
+    losers = {b for _a, b in got}
+    kept_rows = new_rows.filter(~F.col("doc").isin(list(losers)))
+    state2 = state.unionByName(kept_rows)
+    assert {r.doc for r in kept_rows.collect()} == {110, 120}
+    # day 3 re-sends the dropped clone of 0: it must pair with the
+    # ORIGINAL doc 0 (still in state), not with a ghost of 100
+    day3 = spark.createDataFrame(
+        [(200, vec(1))], "vec_id long, embedding array<float>"
+    )
+    pairs3, _ = incremental_ivf_near_dup(
+        day3, state2, cents, "vec_id", "embedding", threshold=0.999
+    )
+    got3 = {(r.id_a, r.id_b) for r in pairs3.collect()}
+    assert (0, 200) in got3
+    assert not any(a == 100 or b == 100 for a, b in got3 if b == 200)
