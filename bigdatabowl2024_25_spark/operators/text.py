@@ -394,6 +394,80 @@ def redact_pii(text: Column) -> Column:
     return out
 
 
+#: C4's line-drop phrase list (Raffel et al. 2020 §2.2, the published
+#: heuristics): lines mentioning javascript/cookies/policy boilerplate
+#: are navigation chrome, not prose. Matched case-insensitively.
+C4_LINE_PHRASES: tuple[str, ...] = (
+    "javascript",
+    "cookie policy",
+    "privacy policy",
+    "terms of use",
+    "uses cookies",
+)
+
+#: page-level kill phrases: template filler and source-code pages
+C4_DOC_PHRASES: tuple[str, ...] = ("lorem ipsum",)
+
+
+def c4_clean_lines(
+    df,
+    text_col: str,
+    id_col: str,
+    line_sep: str = "\n",
+    min_words: int = 5,
+    min_lines: int = 3,
+):
+    """The C4 line-level cleaning pass (Raffel et al. 2020 §2.2) —
+    the published web-cleaning recipe the reference's row-level
+    `distinct` passes scale up to for training data:
+
+    - keep only lines that END in terminal punctuation (. ! ? ");
+    - keep only lines with ≥ `min_words` whitespace words;
+    - drop lines containing any `C4_LINE_PHRASES` entry
+      (case-insensitive) — navigation/cookie chrome;
+    - drop the whole page if it contains a curly brace (source code)
+      or any `C4_DOC_PHRASES` entry, or if fewer than `min_lines`
+      lines survive.
+
+    Returns the input rows (metadata columns pass through) with
+    `text_col` rebuilt from the surviving lines in order plus an
+    appended `n_kept`; dropped pages emit NO row (the paragraph_dedup
+    convention — left-join back to see the drops).
+
+    Spark shape: one codegen map per page — split, one array filter
+    with JVM lambda predicates, array_join. No explode, no shuffle,
+    no Python; at 100 TB this is a free rider on whatever scan feeds
+    it (the same posture as `quality_features`). C4's fourth rule —
+    corpus-wide three-sentence dedup — is `paragraph_dedup` composed
+    after this pass, not re-implemented here."""
+    lines = F.split(F.col(text_col), "\\Q" + line_sep + "\\E")
+
+    def keep(line: Column) -> Column:
+        words = F.size(
+            F.filter(F.split(line, " "), lambda w: w != F.lit(""))
+        )
+        cond = line.rlike('[.!?"]$') & (words >= F.lit(min_words))
+        low = F.lower(line)
+        for ph in C4_LINE_PHRASES:
+            cond &= F.instr(low, ph) == 0
+        return cond
+
+    kept = F.filter(lines, keep)
+    doc_ok = F.instr(F.col(text_col), "{") == 0
+    for ph in C4_DOC_PHRASES:
+        doc_ok &= F.instr(F.lower(F.col(text_col)), ph) == 0
+    passthrough = [c for c in df.columns if c != text_col]
+    return (
+        df.withColumn("__kept", kept)
+        .filter(doc_ok & (F.size("__kept") >= min_lines))
+        .select(
+            *passthrough,
+            F.array_join("__kept", line_sep).alias(text_col),
+            F.size("__kept").cast("bigint").alias("n_kept"),
+        )
+    )
+
+
 def pack_documents(
     df,
     text_col: str,

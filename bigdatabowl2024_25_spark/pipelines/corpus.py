@@ -72,6 +72,7 @@ from ..operators.ngram_lm import lm_perplexity, lm_train
 from ..operators.sampling import hash_uniform, weighted_domain_sample
 from ..operators.sketch import bloom_build, bloom_literal, bloom_merge
 from ..operators.text import (
+    c4_clean_lines,
     pack_documents,
     predict_lang,
     quality_features,
@@ -89,6 +90,11 @@ class CorpusConfig:
 
     min_tokens: int = 5
     max_tokens: int | None = None
+    # C4 line-level cleaning (stage 0): off by default — the synthetic
+    # corpus is single-line; real web pages want it ON
+    c4_lines: bool = False
+    c4_min_words: int = 5
+    c4_min_lines: int = 3
     langs: tuple[str, ...] | None = None
     max_dup_word_frac: float = 0.5
     max_top_bigram_frac: float = 0.25
@@ -187,9 +193,19 @@ def _fanout(
 def _profile_and_redact(
     df: DataFrame, text_col: str, cfg: CorpusConfig
 ) -> DataFrame:
-    """Stages 1-2, shared by the full-corpus and daily-batch entry
-    points: profile columns + codegen quality filters, then PII
+    """Stages 0-2, shared by the full-corpus and daily-batch entry
+    points: optional C4 line cleaning (page-level structure first, so
+    boilerplate lines never pollute the token/repetition profile),
+    then profile columns + codegen quality filters, then PII
     redaction (before any hashing, so dedup keys see clean text)."""
+    if cfg.c4_lines:
+        df = c4_clean_lines(
+            df,
+            text_col,
+            "__unused_id",
+            min_words=cfg.c4_min_words,
+            min_lines=cfg.c4_min_lines,
+        ).drop("n_kept")
     rep = repetition_features(F.col(text_col))
     qf = quality_features(F.col(text_col))
     d = (

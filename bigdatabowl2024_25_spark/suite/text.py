@@ -416,6 +416,53 @@ _CLEAN_CTES = f"""
 """
 
 
+# ---- q64 'c4' branch: C4 line-level cleaning --------------------------
+
+#: the manufactured page: a punctuated excerpt line, a javascript
+#: boilerplate line (phrase-dropped), a tiny line (<5 words), an
+#: unpunctuated excerpt (terminal-punct-dropped), and a keeper line;
+#: docs at %13==0 get a curly brace (page-level drop), %17==5 get
+#: 'lorem ipsum' (ditto)
+_C4_PAGE = (
+    "substring(text, 1, 60) || ' end of excerpt line.' || chr(10)"
+    " || 'please enable javascript to view this page.' || chr(10)"
+    " || 'tiny line.' || chr(10)"
+    " || substring(text, 61, 40) || chr(10)"
+    " || 'the final line has five words total.'"
+    " || CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END"
+    " || CASE WHEN doc_id % 17 = 5 THEN chr(10) || 'lorem ipsum text.'"
+    " ELSE '' END"
+)
+
+_C4_KEEP = (
+    "l -> regexp_matches(l, '[.!?\"]$')"
+    " AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5"
+    " AND NOT contains(lower(l), 'javascript')"
+    " AND NOT contains(lower(l), 'cookie policy')"
+    " AND NOT contains(lower(l), 'privacy policy')"
+    " AND NOT contains(lower(l), 'terms of use')"
+    " AND NOT contains(lower(l), 'uses cookies')"
+)
+
+_C4_CTES = f"""
+    c4_pages AS (SELECT doc_id, {_C4_PAGE} AS ptext FROM documents),
+    c4_kept AS (
+        SELECT doc_id,
+               list_filter(string_split(ptext, chr(10)), {_C4_KEEP})
+                 AS kept
+        FROM c4_pages
+        WHERE NOT contains(ptext, '{{')
+          AND NOT contains(lower(ptext), 'lorem ipsum')
+    ),
+    c4_out AS (
+        SELECT doc_id,
+               list_aggregate(kept, 'string_agg', chr(10)) AS cleaned,
+               len(kept) AS n_kept
+        FROM c4_kept WHERE len(kept) >= 2
+    )
+"""
+
+
 # ---- q64 'bpe' branches: fixed merge list + encode -------------------
 
 #: the fixed training corpus (literals — sf-independent, like q90's
@@ -479,6 +526,7 @@ _BPE_JOINED = (
     WITH RECURSIVE {_PK_CTES},
     {_PARA_CTES},
     {_CLEAN_CTES},
+    {_C4_CTES},
     bpe AS (SELECT doc_id, {_BPE_JOINED} AS joined FROM documents)
     SELECT 'doc' AS kind, doc_id, CAST(0 AS BIGINT) AS part_id,
            octet_length(CAST(text AS BLOB)) AS byte_len,
@@ -530,6 +578,11 @@ _BPE_JOINED = (
            octet_length(encode(rebuilt)) AS byte_len,
            md5(rebuilt) AS content_md5
     FROM parad_out
+    UNION ALL
+    SELECT 'c4' AS kind, doc_id, n_kept AS part_id,
+           octet_length(encode(cleaned)) AS byte_len,
+           md5(cleaned) AS content_md5
+    FROM c4_out
     UNION ALL
     SELECT 'budget' AS kind, doc_id,
            CAST(len({_W_NE}) AS BIGINT) AS part_id,
@@ -723,6 +776,38 @@ def q64_binary_plumbing(spark, sf_dir):
         F.length(clb).cast("bigint").alias("byte_len"),
         F.md5(clb).alias("content_md5"),
     )
+    # 'c4' (round 9): C4 line-level cleaning (`text.c4_clean_lines` —
+    # Raffel et al.'s published recipe: terminal punctuation, ≥5-word
+    # lines, boilerplate-phrase drops, curly-brace / lorem-ipsum page
+    # kills) over manufactured 5-line pages; the md5 of every cleaned
+    # page hash-verifies line selection + rebuild order, and dropped
+    # pages emit no row on either engine.
+    from ..operators.text import c4_clean_lines
+
+    c4src = d.select(
+        "doc_id",
+        F.concat(
+            F.substring(F.col("text"), 1, 60),
+            F.lit(" end of excerpt line.\n"),
+            F.lit("please enable javascript to view this page.\n"),
+            F.lit("tiny line.\n"),
+            F.substring(F.col("text"), 61, 40),
+            F.lit("\nthe final line has five words total."),
+            F.when(F.col("doc_id") % 13 == 0, " {").otherwise(""),
+            F.when(
+                F.col("doc_id") % 17 == 5, "\nlorem ipsum text."
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    c4d = c4_clean_lines(c4src, "text", "doc_id", min_lines=2)
+    c4b = F.col("text").cast("binary")
+    c4 = c4d.select(
+        F.lit("c4").alias("kind"),
+        "doc_id",
+        F.col("n_kept").alias("part_id"),
+        F.length(c4b).cast("bigint").alias("byte_len"),
+        F.md5(c4b).alias("content_md5"),
+    )
     return (
         doc.unionByName(chunk)
         .unionByName(pack)
@@ -732,6 +817,7 @@ def q64_binary_plumbing(spark, sf_dir):
         .unionByName(para)
         .unionByName(parad)
         .unionByName(clean)
+        .unionByName(c4)
     )
 
 

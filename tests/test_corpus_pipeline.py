@@ -522,3 +522,28 @@ def test_boundary_caches_released(spark):
             # dup(5, loses to 1) = 6 batch survivors
             assert clean.count() == (0 if i else 6)
         assert n_persisted() <= before  # released at EVERY scope exit
+
+
+def test_c4_stage_composes(spark):
+    """cfg.c4_lines runs C4 line cleaning as stage 0: boilerplate
+    lines vanish before profiling (so they can't skew token counts),
+    brace pages die entirely, and metadata columns survive."""
+    k1 = "this line has enough words to survive."
+    k2 = "another line with plenty of distinct words here."
+    k3 = "a third keeper sentence closes the page today."
+    docs = [
+        (1, f"{k1}\nplease enable javascript now ok.\n{k2}\n{k3}", "web"),
+        (2, f"{k1}\ncode {{ page }}\n{k2}", "web"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = prepare_corpus(
+        df,
+        cfg=CorpusConfig(
+            c4_lines=True, near_dup=False, persist_boundaries=False
+        ),
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1}
+    assert "javascript" not in rows[1]["text"]
+    assert rows[1]["text"].count("\n") == 2  # 3 keeper lines rebuilt
+    assert rows[1]["source"] == "web"

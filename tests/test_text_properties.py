@@ -645,3 +645,53 @@ def test_redact_pii_matches_python_re(spark, docs):
     }
     want = {i: ref(d) for i, d in enumerate(docs)}
     assert got == want
+
+
+def test_c4_clean_lines_reference(spark):
+    """C4 line rules against a from-the-definition Python walk: keep
+    lines ending in terminal punctuation with >=5 words and no
+    boilerplate phrase; kill pages with braces / lorem ipsum / too few
+    surviving lines; rebuild preserves line order."""
+    import re
+
+    from bigdatabowl2024_25_spark.operators.text import (
+        C4_DOC_PHRASES,
+        C4_LINE_PHRASES,
+        c4_clean_lines,
+    )
+
+    def ref(docs, min_words=5, min_lines=3):
+        out = {}
+        for i, text in docs:
+            if "{" in text or any(p in text.lower() for p in C4_DOC_PHRASES):
+                continue
+            kept = [
+                l
+                for l in text.split("\n")
+                if re.search(r'[.!?"]$', l)
+                and len([w for w in l.split(" ") if w]) >= min_words
+                and not any(p in l.lower() for p in C4_LINE_PHRASES)
+            ]
+            if len(kept) >= min_lines:
+                out[i] = ("\n".join(kept), len(kept))
+        return out
+
+    GOOD = "this line has enough words to survive."
+    docs = [
+        (1, f"{GOOD}\nshort one.\n{GOOD}\nno terminal punctuation here\n{GOOD}"),
+        (2, f"{GOOD}\nplease enable javascript for this.\n{GOOD}\n{GOOD}"),
+        (3, f"{GOOD}\n{GOOD}\nsome code {{ inside }}"),      # brace kill
+        (4, f"{GOOD}\nlorem ipsum dolor sit amet etc.\n{GOOD}"),  # filler kill
+        (5, f"{GOOD}\n{GOOD}"),                               # < min_lines
+        (6, f"{GOOD}\nthis one ends with a question mark ok?\n"
+            f'he said "quoted line with five words."'),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_kept)
+        for r in c4_clean_lines(df, "text", "doc_id").collect()
+    }
+    want = ref(docs)
+    assert got == want
+    assert set(got) == {1, 2, 6}
+    assert got[1][1] == 3  # order-preserving, 3 survivors
