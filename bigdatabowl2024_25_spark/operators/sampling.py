@@ -140,6 +140,81 @@ def token_budget_sample(
     )
 
 
+def temperature_domain_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    weight_col: str,
+    alpha: float,
+    total_budget: float,
+    seed: str = "tmix:v1",
+) -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual α-sampling
+    recipe: sample domain d with probability ∝ mass_d^α, α<1 damping
+    the head so low-resource domains are over-represented relative to
+    their raw share). Given a `total_budget` of weight units, each
+    domain keeps rows at rate
+
+        rate_d = min(1, total_budget · p_d / mass_d),
+        p_d    = mass_d^α / Σ mass^α
+
+    so the sampled mass approximates the temperature-flattened
+    mixture. α=1 reduces to proportional (uniform rate); α=0 to equal
+    mass per domain (`token_budget_sample` with equal budgets).
+
+    Spark shape: one tiny per-domain aggregate (decimal-summed,
+    domain-cardinality rows) joined back broadcast with the α-powered
+    share computed per row; membership is the usual keyed-hash codegen
+    filter — rows never shuffle, and membership is stable under
+    re-runs (same guarantees as `hash_sample`). Zero- or NULL-mass
+    domains drop (no measurable mass ⇒ nothing to budget).
+
+    Engine-parity note: `pow(mass, α)` is correctly-rounded only for
+    dyadic α like 0.5 (= sqrt); arbitrary α may drift 1 ulp between
+    engines, which matters only if a row's 60-bit hash lands inside
+    that ulp of its domain's rate — vanishing at corpus scale, but
+    the q64 parity branch pins α=0.5 where both engines are exact."""
+    if "__mass" in df.columns or "__sa" in df.columns:
+        raise ValueError(
+            "temperature_domain_sample: df carries a reserved column "
+            "('__mass'/'__sa'); drop or rename it first"
+        )
+    mass = F.sum(F.col(weight_col).cast("decimal(25,6)")).cast("double")
+    totals = df.groupBy(domain_col).agg(mass.alias("__mass"))
+    powed = totals.select(
+        domain_col,
+        "__mass",
+        F.pow(F.col("__mass"), F.lit(float(alpha))).alias("__sa"),
+    )
+    # Σ mass^α folded in ASCENDING value order: collect_list order is
+    # partition-dependent and float addition is not associative, so a
+    # plain sum could differ between runs (and engines) in the last
+    # ulp; the sorted fold is bit-deterministic and the domain list is
+    # tiny (domain cardinality, not rows)
+    denom = powed.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("__sa")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__den")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(total_budget))
+        * (F.col("__sa") / F.col("__den"))
+        / F.col("__mass"),
+    )
+    return (
+        df.join(F.broadcast(powed), domain_col)
+        .crossJoin(F.broadcast(denom))
+        .filter(
+            (F.col("__mass") > 0)
+            & (hash_uniform(F.col(key_col), seed) < rate)
+        )
+        .drop("__mass", "__sa", "__den")
+    )
+
+
 def stratified_fixed_k(
     df: DataFrame,
     key_col: str,

@@ -416,6 +416,44 @@ _CLEAN_CTES = f"""
 """
 
 
+# ---- q64 'tmix' branch: temperature (α=0.5) domain mixing -------------
+
+_TMIX_BUDGET = 1200.0
+
+_TMIX_U = (
+    "CAST(concat('0x', substring(md5(concat('tmix:v1', chr(31), "
+    "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+    " / 1152921504606846976.0"
+)
+
+#: α=0.5 ⇒ pow = sqrt, correctly rounded in every engine; the
+#: denominator folds the per-domain sqrt masses in ASCENDING order on
+#: both sides (list_sort here, array_sort in the operator) so the
+#: float sum is bit-identical
+_TMIX_CTES = f"""
+    tmix_tot AS (
+        SELECT source,
+               CAST(SUM(CAST(len({_W_NE}) AS DECIMAL(25,6))) AS DOUBLE)
+                 AS mass
+        FROM documents GROUP BY source
+    ),
+    tmix_den AS (
+        SELECT list_aggregate(list_sort(list(sqrt(mass))), 'sum') AS den
+        FROM tmix_tot
+    ),
+    tmix_out AS (
+        SELECT d.doc_id, d.source,
+               CAST(len({_W_NE}) AS BIGINT) AS w,
+               length(d.text) AS bl
+        FROM documents d
+        JOIN tmix_tot t USING (source) CROSS JOIN tmix_den
+        WHERE t.mass > 0
+          AND {_TMIX_U} < least(1.0,
+              {_TMIX_BUDGET!r} * (sqrt(t.mass) / den) / t.mass)
+    )
+"""
+
+
 # ---- q64 'c4' branch: C4 line-level cleaning --------------------------
 
 #: the manufactured page: a punctuated excerpt line, a javascript
@@ -527,6 +565,7 @@ _BPE_JOINED = (
     {_PARA_CTES},
     {_CLEAN_CTES},
     {_C4_CTES},
+    {_TMIX_CTES},
     bpe AS (SELECT doc_id, {_BPE_JOINED} AS joined FROM documents)
     SELECT 'doc' AS kind, doc_id, CAST(0 AS BIGINT) AS part_id,
            octet_length(CAST(text AS BLOB)) AS byte_len,
@@ -578,6 +617,10 @@ _BPE_JOINED = (
            octet_length(encode(rebuilt)) AS byte_len,
            md5(rebuilt) AS content_md5
     FROM parad_out
+    UNION ALL
+    SELECT 'tmix' AS kind, doc_id, w AS part_id, bl AS byte_len,
+           source AS content_md5
+    FROM tmix_out
     UNION ALL
     SELECT 'c4' AS kind, doc_id, n_kept AS part_id,
            octet_length(encode(cleaned)) AS byte_len,
@@ -776,6 +819,24 @@ def q64_binary_plumbing(spark, sf_dir):
         F.length(clb).cast("bigint").alias("byte_len"),
         F.md5(clb).alias("content_md5"),
     )
+    # 'tmix' (round 9): temperature mixing (`sampling.
+    # temperature_domain_sample`, the multilingual α-sampling recipe)
+    # at α=0.5 over per-source token masses — sqrt is correctly
+    # rounded in both engines and the denominator folds in sorted
+    # order, so membership is value-hash-checked end to end
+    from ..operators.sampling import temperature_domain_sample
+
+    tmix_kept = temperature_domain_sample(
+        weighted, "doc_id", "source", "__w",
+        alpha=0.5, total_budget=_TMIX_BUDGET,
+    )
+    tmix = tmix_kept.select(
+        F.lit("tmix").alias("kind"),
+        "doc_id",
+        F.col("__w").alias("part_id"),
+        F.length(F.col("text")).cast("bigint").alias("byte_len"),
+        F.col("source").alias("content_md5"),
+    )
     # 'c4' (round 9): C4 line-level cleaning (`text.c4_clean_lines` —
     # Raffel et al.'s published recipe: terminal punctuation, ≥5-word
     # lines, boilerplate-phrase drops, curly-brace / lorem-ipsum page
@@ -817,6 +878,7 @@ def q64_binary_plumbing(spark, sf_dir):
         .unionByName(para)
         .unionByName(parad)
         .unionByName(clean)
+        .unionByName(tmix)
         .unionByName(c4)
     )
 
