@@ -138,6 +138,112 @@ def paragraph_dedup(
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """ExactSubstr deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): remove every
+    repeated k-token span from the corpus EXCEPT its first occurrence
+    — finer-grained than document dedup (a quoted paragraph inside an
+    otherwise-unique page is cut without dropping the page) and
+    stricter than MinHash (exact spans, not similarity).
+
+    Semantics (token granularity, whitespace-normalized rebuild):
+    - occurrences = every k-token window of every doc, keyed by the
+      portable hash of its space-joined tokens;
+    - a window whose hash occurs more than once corpus-wide keeps only
+      the global minimum (id, pos) occurrence (ties impossible: (id,
+      pos) is unique); every other occurrence's [pos, pos+k) span is
+      cut. Overlapping duplicated windows merge naturally: a repeated
+      passage of length L yields L−k+1 loser windows whose union
+      covers the whole passage. Within-doc repeats cut too (the later
+      position loses).
+    - returns (id_col, text_col rebuilt from surviving tokens in
+      order, n_kept tokens); docs shorter than k tokens pass through
+      untouched; docs whose every token is cut emit a row with empty
+      text and n_kept = 0 (filter on n_kept to drop them).
+
+    Spark shape, 100 TB posture:
+    - window hashing is the q65 winnowing discipline: posexplode
+      tokens, k−1 `lead()`s folded into concat_ws on ONE (id, pos)
+      window — all JVM projections, no per-element interpreted
+      lambdas on the corpus-sized path;
+    - duplicated hashes are found by ONE groupBy on the 8-byte hash
+      with map-side combine (min(struct) + count), the paragraph-dedup
+      hot-key discipline: a boilerplate span on 10^9 pages collapses
+      to one row per input partition before the exchange;
+    - losers join back on the hash (8-byte keys; spans, not text);
+    - the cut itself is per-doc: loser starts collect into one array
+      (bounded by dup volume per doc) and the keep-mask is an array
+      filter over token indices — O(n·|spans|) per doc, lambdas over
+      a DOC-sized domain, not corpus-sized.
+    The rebuild joins tokens with single spaces (the same
+    normalization contract as `exact_dedup`'s hashing); byte-exact
+    original spacing would require offset bookkeeping the training
+    pipeline doesn't need."""
+    from pyspark.sql import Window
+
+    w = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    base = df.select(F.col(id_col).alias("__sid"), w.alias("__w"))
+    ex = base.select(
+        "__sid",
+        F.posexplode("__w").alias("__pos", "__tok"),
+        F.size("__w").alias("__n"),
+    )
+    ws = Window.partitionBy("__sid").orderBy("__pos")
+    gram = F.concat_ws(
+        " ",
+        F.col("__tok"),
+        *[F.lead("__tok", j).over(ws) for j in range(1, k)],
+    )
+    occ = (
+        ex.withColumn("__h", portable_hash64(gram))
+        .filter(F.col("__pos") <= F.col("__n") - k)
+        .select("__sid", "__pos", "__h")
+    )
+    dups = (
+        occ.groupBy("__h")
+        .agg(
+            F.min(F.struct("__sid", "__pos")).alias("__win"),
+            F.count("*").alias("__cnt"),
+        )
+        .filter(F.col("__cnt") > 1)
+        .select("__h", "__win")
+    )
+    losers = (
+        occ.join(dups, "__h")
+        .filter(
+            (F.col("__sid") != F.col("__win.__sid"))
+            | (F.col("__pos") != F.col("__win.__pos"))
+        )
+        .groupBy("__sid")
+        .agg(F.collect_list("__pos").alias("__cuts"))
+    )
+    cuts = F.coalesce("__cuts", F.array().cast("array<int>"))
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.size("__w") - 1),
+        lambda i: ~F.exists(
+            cuts, lambda s: (i >= s) & (i < s + F.lit(k))
+        ),
+    )
+    return (
+        base.join(losers, "__sid", "left")
+        .select(
+            F.col("__sid").alias(id_col),
+            F.array_join(
+                F.transform(
+                    kept_idx, lambda i: F.element_at("__w", i + 1)
+                ),
+                " ",
+            ).alias(text_col),
+            F.size(kept_idx).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
 def with_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:

@@ -108,6 +108,7 @@ class CorpusConfig:
     lm_alpha: float = 0.1
     lm_min_count: int = 1
     paragraph_sep: str | None = None  # None = skip paragraph dedup
+    substr_k: int | None = None  # ExactSubstr span dedup window; None = skip
     near_dup: bool = True
     minhash_k: int = 8
     bands: int = 4
@@ -289,6 +290,27 @@ def prepare_corpus(
         rebuilt = paragraph_dedup(
             d, text_col, id_col, sep=cfg.paragraph_sep
         )
+        meta = d.drop(text_col, "n_tokens")
+        d = (
+            rebuilt.select(id_col, text_col)
+            .join(meta, id_col)
+            .withColumn("n_tokens", _n_tokens(text_col))
+        )
+
+    # 3b. ExactSubstr span dedup (Lee et al. 2022): repeated k-token
+    # spans keep only their first occurrence — finer-grained than the
+    # whole-document stages around it. Runs AFTER the paragraph strip
+    # (boilerplate already gone = fewer duplicated windows to shuffle)
+    # and BEFORE exact dedup (a doc reduced to an exact twin by span
+    # cuts collapses in the cheap hash stage). Fully-cut docs drop;
+    # metadata rejoins on id like the paragraph stage.
+    if cfg.substr_k is not None:
+        from ..operators.dedup import exact_substring_dedup
+
+        d = _fanout(d, cfg, caches)  # rebuilt + meta both read d
+        rebuilt = exact_substring_dedup(
+            d, text_col, id_col, k=cfg.substr_k
+        ).filter(F.col("n_kept") > 0)
         meta = d.drop(text_col, "n_tokens")
         d = (
             rebuilt.select(id_col, text_col)

@@ -140,6 +140,59 @@ def _oracle_band_keys(sigs_cte: str = "sigs") -> str:
     return " UNION ALL ".join(pieces)
 
 
+# ---- q70 'substr' branch: ExactSubstr span dedup (k=8 tokens) --------
+# Every repeated 8-token window keeps only its global-min (doc, pos)
+# occurrence; the +100000 exact copies lose every window (fully cut,
+# no row), the +200000 tail variants keep exactly their 3-token tail,
+# originals keep everything. Chance cross-doc window repeats among the
+# word-soup originals are deterministic and mirrored.
+_SS_K = 8
+
+_SS_CTES = f"""
+    ssw AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '')
+          AS w
+        FROM corpus
+    ),
+    ssocc AS (
+        SELECT doc_id, i - 1 AS pos,
+               {{h}} AS h
+        FROM (SELECT doc_id, w,
+                     unnest(range(1, len(w) - {_SS_K} + 2)) AS i
+              FROM ssw)
+    ),
+    ssr AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY h) AS cnt
+        FROM ssocc
+    ),
+    sslosers AS (SELECT doc_id, pos FROM ssr WHERE cnt > 1 AND rn > 1),
+    ssidx AS (
+        SELECT doc_id, unnest(w) AS word,
+               generate_subscripts(w, 1) - 1 AS idx
+        FROM ssw
+    ),
+    sskept AS (
+        SELECT i.doc_id, i.idx, i.word
+        FROM ssidx i
+        LEFT JOIN sslosers l
+          ON l.doc_id = i.doc_id
+         AND i.idx BETWEEN l.pos AND l.pos + {_SS_K} - 1
+        WHERE l.pos IS NULL
+    ),
+    ssout AS (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS rebuilt,
+               COUNT(*) AS n_kept
+        FROM (SELECT DISTINCT doc_id, idx, word FROM sskept)
+        GROUP BY doc_id
+    )
+""".format(
+    h=_h64(f"array_to_string(w[i:i+{_SS_K - 1}], ' ')")
+)
+
+
 #: the manufactured corpus: originals ∪ exact copies ∪ near-dup variants
 _CORPUS = """
     SELECT doc_id, text FROM documents
@@ -167,6 +220,7 @@ def _corpus_df(spark, sf_dir):
     "q70_corpus_hygiene",
     oracle=f"""
     WITH corpus AS ({_CORPUS}),
+    {_SS_CTES},
     bgrams AS (
         SELECT DISTINCT {_h64('gram')} AS g
         FROM (SELECT unnest({_grams_sql(_DECON_N)}) AS gram
@@ -238,6 +292,12 @@ def _corpus_df(spark, sf_dir):
            id_b AS keeper_id,
            CAST(1 AS BIGINT) AS n
     FROM incr_cands
+    UNION ALL
+    SELECT 'substr' AS branch,
+           doc_id AS grp_key,
+           n_kept AS keeper_id,
+           {_h64('rebuilt')} AS n
+    FROM ssout
     """,
 )
 def q70_corpus_hygiene(spark, sf_dir):
@@ -341,6 +401,21 @@ def q70_corpus_hygiene(spark, sf_dir):
         F.lit(1).cast("bigint").alias("n"),
     )
 
+    # 'substr' (round 9): ExactSubstr span dedup (`dedup.
+    # exact_substring_dedup`, Lee et al. 2022) at k=8 tokens over the
+    # manufactured corpus — exact copies are fully cut (emit no row),
+    # tail variants keep exactly their appended tail, originals pass
+    # through; the rebuilt text of every survivor is value-hashed.
+    from ..operators.dedup import exact_substring_dedup
+
+    ess = exact_substring_dedup(corpus, "text", "doc_id", k=_SS_K)
+    substr = ess.filter(F.col("n_kept") > 0).select(
+        F.lit("substr").alias("branch"),
+        F.col("doc_id").alias("grp_key"),
+        F.col("n_kept").alias("keeper_id"),
+        portable_hash64(F.col("text")).alias("n"),
+    )
+
     # lm_train is fully lazy since round 8 (the vocab size rides as a
     # broadcast 1-row frame); only the persist() of the vocab-bounded
     # count table carries across the plan — tiny, LRU-evictable.
@@ -360,6 +435,7 @@ def q70_corpus_hygiene(spark, sf_dir):
         .unionByName(lm)
         .unionByName(incr)
         .unionByName(incr_near)
+        .unionByName(substr)
     )
 
 

@@ -547,3 +547,29 @@ def test_c4_stage_composes(spark):
     assert "javascript" not in rows[1]["text"]
     assert rows[1]["text"].count("\n") == 2  # 3 keeper lines rebuilt
     assert rows[1]["source"] == "web"
+
+
+def test_substr_stage_composes(spark):
+    """cfg.substr_k wires ExactSubstr between the paragraph strip and
+    exact dedup: a doc embedding a copied 8-token passage keeps only
+    its unique remainder, a full copy drops (cut to nothing), and
+    metadata plus recomputed n_tokens survive the rejoin."""
+    passage = "one two three four five six seven eight"
+    docs = [
+        (1, f"{GOOD} {passage}", "web"),
+        (2, f"{passage} totally different unique ending words here", "web"),
+        (3, passage, "web"),  # nothing but the passage -> fully cut
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = prepare_corpus(
+        df,
+        cfg=CorpusConfig(
+            substr_k=8, near_dup=False, persist_boundaries=False
+        ),
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2}
+    assert passage in got[1]["text"]           # first occurrence kept
+    assert passage not in got[2]["text"]       # later occurrence cut
+    assert got[2]["n_tokens"] == 6
+    assert got[2]["source"] == "web"
