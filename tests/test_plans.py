@@ -329,11 +329,14 @@ def test_q70_query_level_no_smj_and_bounded_exchanges(spark):
     join in every branch (decontam broadcast filter, LM scoring's
     broadcast model, incr anti-join/keep-min, incr_near band join)
     must stay off SortMergeJoin, and the total exchange count is
-    pinned at its as-designed value of 20 (15 through round 7; +4 in
+    pinned at its as-designed value of 23 (15 through round 7; +4 in
     round 8 for the incr_near branch's two banding funnels — per era:
     one shingle-hash distinct + one signature aggregate; +1 for the
     LM's lazy single-row vocab aggregate, which replaced an eager
-    2 s driver collect at plan-build time) — a
+    2 s driver collect at plan-build time; +3 in round 9 for the
+    ExactSubstr branch: the (doc, pos) lead-fold window, the
+    duplicated-window hash groupBy, and the per-doc loser-span
+    collect — the loser join itself must stay broadcast) — a
     regression here means a corpus-side shuffle or join-strategy
     change crept into the suite wiring, which the operator-scoped test
     above cannot see.
@@ -345,7 +348,7 @@ def test_q70_query_level_no_smj_and_bounded_exchanges(spark):
     spark.catalog.clearCache()
     plan = plan_of(suite.QUERIES["q70_corpus_hygiene"](spark, SF))
     assert "SortMergeJoin" not in plan
-    assert shuffles(plan) <= 20
+    assert shuffles(plan) <= 23
 
 
 def test_q38_query_level_no_smj_and_bounded_exchanges(spark):
