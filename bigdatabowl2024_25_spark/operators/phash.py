@@ -201,6 +201,83 @@ def phash_near_dup(
     )
 
 
+def incremental_phash_candidates(
+    new_hashes: DataFrame,
+    state: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """The daily-crawl loop for IMAGES — the phash sibling of
+    `dedup.incremental_lsh_candidates` (text bands) and
+    `similarity.incremental_ivf_near_dup` (embeddings): pair a new
+    batch's dhashes against the running state, never history×history.
+
+    `state` is the append-only (doc bigint, dhash bigint) table of
+    KEPT history images — 16 bytes per image; payloads never reload.
+    Returns (pairs, new_rows): pairs (id_a, id_b, hamming) with
+    id_a < id_b over new×(history ∪ new) band collisions, Hamming ≤
+    `max_hamming`; new_rows is the batch's (doc, dhash) rows — the
+    caller appends only the KEPT docs' rows (the ghost rule: a
+    dropped newcomer's state row would collide tomorrow's batch with
+    a ghost).
+
+    100 TB shape: the batch side explodes ×`bands` 8-byte keys and
+    BROADCASTS; history is scanned in place (band keys derived in the
+    scan projection — with the state bucketed by dhash prefix the
+    probe prunes). Verify is codegen bit_count(xor)."""
+    assert 64 % bands == 0, "bands must divide 64"
+    width = 64 // bands
+
+    def banded(df: DataFrame, idc: str, hc: str) -> DataFrame:
+        h = F.col(hc)
+        return df.select(
+            F.col(idc).alias("doc"),
+            h.alias("__h"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(h, i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ])
+            ).alias("bk"),
+        ).select("doc", "__h", "bk.band", "bk.key")
+
+    new_rows = new_hashes.select(
+        F.col(id_col).alias("doc"), F.col(hash_col).alias("dhash")
+    )
+    nb = banded(new_hashes, id_col, hash_col)
+    pool = banded(state, "doc", "dhash").unionByName(
+        banded(new_rows, "doc", "dhash")
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    pairs = (
+        pool.alias("p")
+        .join(
+            F.broadcast(nb.alias("n")),
+            (F.col("p.band") == F.col("n.band"))
+            & (F.col("p.key") == F.col("n.key"))
+            & (F.col("p.doc") != F.col("n.doc")),
+        )
+        .select(
+            F.least("p.doc", "n.doc").alias("id_a"),
+            F.greatest("p.doc", "n.doc").alias("id_b"),
+            F.col("p.__h").alias("__ha"),
+            F.col("n.__h").alias("__hb"),
+        )
+        .distinct()
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs, new_rows
+
+
 def phash_survivors(
     media: DataFrame,
     pairs: DataFrame,

@@ -13,6 +13,7 @@ NEAR-dup hash rather than an exact one.
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from bigdatabowl2024_25_spark.operators.phash import (
     area_resize,
@@ -156,3 +157,43 @@ def test_phash_plan_no_python_in_band_join(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_incremental_phash_two_day_replay(spark):
+    """The image daily-crawl loop: day-1 hashes become state; day 2's
+    exact re-crawl pairs at Hamming 0, a fresh image pairs with
+    nothing, a batch-internal twin pair is caught; ghost rule keeps
+    dropped newcomers out of tomorrow's state."""
+    import pandas as pd
+    from bigdatabowl2024_25_spark.operators.phash import (
+        incremental_phash_candidates,
+    )
+
+    # distinct hashes far apart; twins share a hash exactly
+    H = {0: 7, 1: -(1 << 62) + 5, 2: 0x0F0F0F0F0F0F0F0F}
+    state = spark.createDataFrame(
+        pd.DataFrame({"doc": [0, 1, 2], "dhash": [H[0], H[1], H[2]]})
+    )
+    day2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [100, 110, 120, 121],
+                "dhash": [H[0], 0x123456789ABCDEF, H[2] ^ 3, H[2] ^ 3],
+            }
+        )
+    )
+    pairs, new_rows = incremental_phash_candidates(day2, state)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got.get((0, 100)) == 0           # re-crawl vs history
+    assert got.get((120, 121)) == 0         # batch-internal twins
+    assert got.get((2, 120)) == 2 and got.get((2, 121)) == 2  # near
+    assert not any(110 in p for p in got)   # fresh image clean
+    assert not any(a < 100 and b < 100 for a, b in got)  # no hist x hist
+    # every newcomer with a pair drops: 100 (re-crawl of 0), and BOTH
+    # twins 120/121 (each within Hamming 2 of history image 2 — the
+    # greater-id-loses rule applies per pair, and (2, 120)/(2, 121)
+    # out-vote the internal twin pair)
+    losers = {b for _a, b in got}
+    assert losers == {100, 120, 121}
+    kept = new_rows.filter(~F.col("doc").isin(list(losers)))
+    assert {r.doc for r in kept.collect()} == {110}
