@@ -1,0 +1,248 @@
+"""MERGE / CDC / SCD2 — table-maintenance operators.
+
+The reference maintains its derived tables by full rewrite (R scripts
+re-run `dbWriteTable(..., overwrite=TRUE)`; e.g. the openness frame is
+rebuilt from scratch in `Openness_Data_Frame_Prep.R`). At 100 TB a full
+rewrite per update is untenable; the standard lakehouse answer is a
+keyed MERGE (upsert/delete) applied to the current snapshot, with CDC
+batches compacted to latest-per-key first. These operators provide that
+layer Spark-first:
+
+- ``merge_into``: ANSI/Delta-style MERGE semantics as one full-outer
+  join + conditional projection — WHEN MATCHED [AND cond] THEN
+  UPDATE/DELETE, WHEN NOT MATCHED [AND cond] THEN INSERT, else keep.
+- ``latest_changes``: collapse a CDC batch to one latest row per key
+  (skew-safe ``max_by``-style aggregate — no window, map-side combine
+  absorbs hot keys, mirroring ``dedup.paragraph_dedup``'s winner
+  pattern).
+- ``scd2_build``: slowly-changing-dimension type-2 history from a
+  change log (compress no-op changes, effective_from/effective_to via
+  one window, is_current flag).
+
+Scale: ``merge_into`` costs one shuffle per side on the merge key (or
+zero for the target when the source broadcasts); updates/deletes/
+inserts are all projections inside that join — no second pass, no
+window over the target. The ANSI cardinality check (a source key
+matching the same target row twice must error, not silently duplicate)
+rides the source's own keyed exchange, so it adds no extra shuffle.
+The output is the merged snapshot as a DataFrame; pair it with
+``sources.io.write_table`` (partitioned/bucketed) for copy-on-write
+persistence — at cluster scale you'd overwrite only the partitions the
+join touched (dynamic partition overwrite), which this plan enables by
+keeping the target's partition column in the output untouched.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_T_PRESENT = "__t_present"
+_S_PRESENT = "__s_present"
+_S_DUP = "__s_dup"
+
+
+def _as_col(expr: Column | str) -> Column:
+    return F.expr(expr) if isinstance(expr, str) else expr
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    *,
+    update_set: dict[str, Column | str] | None = None,
+    update_condition: Column | str | None = None,
+    delete_condition: Column | str | None = None,
+    insert_values: dict[str, Column | str] | None = None,
+    insert_condition: Column | str | None = None,
+    broadcast_source: bool = False,
+    assert_unique_source: bool = True,
+) -> DataFrame:
+    """MERGE INTO target USING source ON key — as a single join plan.
+
+    Clause semantics follow ANSI/Delta MERGE:
+
+    - matched and ``delete_condition`` → row removed;
+    - matched and ``update_condition`` (default: always) →
+      ``update_set`` columns replace the target's (refer to sides as
+      ``t.col`` / ``s.col`` in string expressions);
+    - matched otherwise → target row kept unchanged;
+    - source-only and ``insert_condition`` (default: always) →
+      ``insert_values`` row inserted (unlisted columns become NULL);
+    - source-only without ``insert_values`` → dropped (update-only
+      merge);
+    - target-only → kept unchanged.
+
+    ``delete_condition`` is evaluated before ``update_condition``,
+    matching Delta's first-matching-clause rule for
+    ``whenMatchedDelete().whenMatchedUpdate(...)``.
+
+    With ``assert_unique_source`` (default), a source key that matches
+    the same target row more than once raises at execution time (the
+    ANSI "cardinality violation" — silently picking one update would
+    corrupt the table). The multiplicity count is a window over the
+    source keyed exactly like the join, so Catalyst reuses the same
+    exchange; it costs a sort within the already-shuffled source
+    partitions, nothing more.
+
+    Output schema is exactly ``target``'s columns, in order.
+    """
+    out_cols = list(target.columns)
+    for k in on:
+        if k not in out_cols:
+            raise ValueError(f"merge key {k!r} not in target columns")
+        if k not in source.columns:
+            raise ValueError(f"merge key {k!r} not in source columns")
+
+    t = target.withColumn(_T_PRESENT, F.lit(1)).alias("t")
+    s = source.withColumn(_S_PRESENT, F.lit(1))
+    if assert_unique_source:
+        s = s.withColumn(
+            _S_DUP, F.count("*").over(Window.partitionBy(*on))
+        )
+    else:
+        s = s.withColumn(_S_DUP, F.lit(1))
+    s = s.alias("s")
+    if broadcast_source:
+        s = F.broadcast(s)
+
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on],
+    )
+    j = t.join(s, cond, "full_outer")
+
+    matched = F.col(f"t.{_T_PRESENT}").isNotNull() & F.col(
+        f"s.{_S_PRESENT}"
+    ).isNotNull()
+    if assert_unique_source:
+        # Cardinality guard: a duplicated source key either updates the
+        # same target row twice (ANSI violation) or double-inserts a
+        # new key — both corrupt the table, both error here. A plain
+        # filter evaluates the when() on every row, so the raise is
+        # not at the mercy of boolean short-circuit order.
+        dup = F.col(f"s.{_S_PRESENT}").isNotNull() & (
+            F.col(f"s.{_S_DUP}") > 1
+        )
+        j = j.filter(
+            F.when(
+                dup,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "merge_into: source has multiple rows "
+                            "for merge key "
+                        ),
+                        F.concat_ws(
+                            ",",
+                            *[F.col(f"s.{k}").cast("string") for k in on],
+                        ),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+
+    source_only = F.col(f"t.{_T_PRESENT}").isNull()
+    del_c = _as_col(delete_condition) if delete_condition is not None else F.lit(False)
+    upd_c = _as_col(update_condition) if update_condition is not None else F.lit(True)
+    ins_c = _as_col(insert_condition) if insert_condition is not None else F.lit(True)
+
+    keep = ~(matched & del_c) & ~(
+        source_only & (
+            F.lit(insert_values is None) | ~ins_c
+        )
+    )
+    j = j.filter(keep)
+
+    upd = {c: _as_col(e) for c, e in (update_set or {}).items()}
+    ins = {c: _as_col(e) for c, e in (insert_values or {}).items()}
+    for c in list(upd) + list(ins):
+        if c not in out_cols:
+            raise ValueError(f"merge assigns unknown column {c!r}")
+
+    proj = []
+    for c in out_cols:
+        dtype = target.schema[c].dataType
+        tcol = F.col(f"t.{c}")
+        col = tcol
+        if c in upd:
+            col = F.when(matched & upd_c, upd[c].cast(dtype)).otherwise(tcol)
+        icol = ins.get(c, F.lit(None))
+        col = F.when(source_only, icol.cast(dtype)).otherwise(col)
+        proj.append(col.alias(c))
+    return j.select(*proj)
+
+
+def latest_changes(
+    changes: DataFrame, key: list[str], seq_col: str
+) -> DataFrame:
+    """Collapse a CDC batch to its latest row per key (highest
+    ``seq_col``; ties broken by the full row struct for determinism).
+
+    Skew-safe: winners come from ``groupBy(key).agg(max(struct(...)))``
+    — partial aggregation combines map-side, so a hot key (one entity
+    updated millions of times in a batch) never concentrates its rows
+    in a single task the way a ``row_number`` window would. Same
+    pattern as ``dedup.paragraph_dedup``'s winner selection.
+    """
+    rest = [c for c in changes.columns if c not in key]
+    if seq_col not in rest:
+        raise ValueError(f"seq_col {seq_col!r} must be a non-key column")
+    ordered = [seq_col] + [c for c in rest if c != seq_col]
+    win = (
+        changes.groupBy(*key)
+        .agg(F.max(F.struct(*ordered)).alias("__w"))
+    )
+    return win.select(
+        *key, *[F.col(f"__w.{c}").alias(c) for c in rest]
+    )
+
+
+def scd2_build(
+    changes: DataFrame,
+    key: list[str],
+    seq_col: str,
+    attr_cols: list[str],
+    *,
+    compress: bool = True,
+    from_col: str = "eff_from",
+    to_col: str = "eff_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Type-2 slowly-changing dimension from a change log.
+
+    Each input row is an observation ``(key, seq, attrs…)``. Output is
+    one row per attribute *version*: ``eff_from`` = the seq where the
+    version began, ``eff_to`` = the seq where the next version begins
+    (NULL while current), ``is_current`` on the open row. With
+    ``compress`` (default), consecutive observations with identical
+    attrs collapse into one version — re-stating the same value does
+    not close and reopen a row.
+
+    Scale: one shuffle (window partitioned by key, ordered by seq);
+    both the compress LAG and the close-out LEAD share that single
+    sort. Per-key history is small by construction (versions, not
+    events), so no skew concern; the heavy change log should be
+    compacted with ``latest_changes`` per batch *before* appending to
+    the log this reads.
+    """
+    w = Window.partitionBy(*key).orderBy(seq_col)
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    df = changes.select(*key, seq_col, *attr_cols)
+    if compress:
+        df = (
+            df.withColumn("__prev", F.lag(attrs).over(w))
+            .filter(~attrs.eqNullSafe(F.col("__prev")))
+            .drop("__prev")
+        )
+    # post-filter row_numbers change, so LEAD needs a fresh window pass
+    # — same partitioning+ordering, so it reuses the same exchange+sort.
+    return (
+        df.withColumn(to_col, F.lead(seq_col).over(w))
+        .withColumn(current_col, F.col(to_col).isNull())
+        .withColumnRenamed(seq_col, from_col)
+        .select(*key, *attr_cols, from_col, to_col, current_col)
+    )

@@ -27,8 +27,17 @@ from ..operators.dedup import (
     simhash,
     with_shingles,
 )
+from ..operators.graph import oracle_pagerank_sql, pagerank
 from ..sources.io import load_table
 from .registry import query
+
+#: customer→supplier bipartite link graph (supplier ids offset into
+#: their own node-id space); shared by the q74 'pr' branch and oracle
+_PR_EDGES_CTE = (
+    "SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+)
+_PAGERANK_BLOCK = oracle_pagerank_sql(_PR_EDGES_CTE, iterations=3)
 
 # ---- shared SQL fragments (DuckDB side) --------------------------------
 
@@ -577,8 +586,13 @@ def q73_simhash(spark, sf_dir):
         SELECT a, a FROM edges
         UNION
         SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
-    )
-    SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    ),
+    {_PAGERANK_BLOCK}
+    SELECT 'cc' AS kind, node, MIN(label) AS component,
+           CAST(NULL AS BIGINT) AS rank_scaled
+    FROM reach GROUP BY node
+    UNION ALL
+    SELECT 'pr', node, NULL, r FROM pr_r3
     """,
 )
 def q74_near_dup_clusters(spark, sf_dir):
@@ -605,7 +619,39 @@ def q74_near_dup_clusters(spark, sf_dir):
             tempfile.mkdtemp(prefix="bdb_q74_ckpt_")
         )
     pairs = q72_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
-    return connected_components(pairs, checkpoint_mode="reliable")
+    cc = connected_components(pairs, checkpoint_mode="reliable").select(
+        F.lit("cc").alias("kind"),
+        "node",
+        "component",
+        F.lit(None).cast("bigint").alias("rank_scaled"),
+    )
+
+    # 'pr' (round 9): fixed-point PageRank (`graph.pagerank`) over the
+    # customer→supplier link graph — the web-graph centrality signal a
+    # corpus pipeline uses for domain-quality weighting. Integer
+    # arithmetic end-to-end, so the DuckDB oracle re-derives it with
+    # the same unrolled recurrence (`oracle_pagerank_sql`).
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pr_edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(pr_edges, iterations=3).select(
+        F.lit("pr").alias("kind"),
+        "node",
+        F.lit(None).cast("bigint").alias("component"),
+        "rank_scaled",
+    )
+    return cc.unionByName(pr)
 
 
 @query(

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators.merge import latest_changes, merge_into, scd2_build
 from ..operators.relational import asym_join
 from ..sources.io import load_table, register_views
 from .registry import query
@@ -156,25 +157,97 @@ def q17_sql_text_entry(spark, sf_dir):
 @query(
     "q18_fact_fact_join",
     oracle="""
-    SELECT a.user_id,
-           epoch_us(a.ts) // 86400000000 AS day,
-           COUNT(*) AS n_pairs,
-           MIN(epoch_us(b.ts) - epoch_us(a.ts)) AS min_gap_us
-    FROM events a
-    JOIN events b
-      ON a.user_id = b.user_id
-     AND epoch_us(a.ts) // 86400000000 = epoch_us(b.ts) // 86400000000
-     AND a.event_type = 'view' AND b.event_type = 'purchase'
-     AND epoch_us(b.ts) > epoch_us(a.ts)
-    GROUP BY a.user_id, epoch_us(a.ts) // 86400000000
+    WITH pairs AS (
+        SELECT a.user_id,
+               epoch_us(a.ts) // 86400000000 AS day,
+               COUNT(*) AS n_pairs,
+               MIN(epoch_us(b.ts) - epoch_us(a.ts)) AS min_gap_us
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND epoch_us(a.ts) // 86400000000 = epoch_us(b.ts) // 86400000000
+         AND a.event_type = 'view' AND b.event_type = 'purchase'
+         AND epoch_us(b.ts) > epoch_us(a.ts)
+        GROUP BY a.user_id, epoch_us(a.ts) // 86400000000
+    ),
+    tgt AS (
+        SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal
+        FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    latest AS (
+        SELECT o_custkey AS k, arg_max(o_totalprice, o_orderkey) AS price
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_custkey
+    ),
+    merged AS (
+        SELECT COALESCE(t.k, s.k) AS user_id,
+               CASE WHEN t.k IS NULL THEN 'NEW' ELSE t.name END AS name,
+               CASE WHEN t.k IS NULL THEN s.price
+                    WHEN s.k IS NULL THEN t.bal
+                    ELSE t.bal + s.price END AS bal
+        FROM tgt t FULL OUTER JOIN latest s ON t.k = s.k
+        WHERE NOT (t.k IS NOT NULL AND s.k IS NOT NULL
+                   AND s.price < 30000)
+    ),
+    purch AS (
+        SELECT user_id, epoch_us(ts) AS seq,
+               arg_max(CASE WHEN value < 33 THEN 'low'
+                            WHEN value < 66 THEN 'mid'
+                            ELSE 'high' END, event_id) AS tier
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, epoch_us(ts)
+    ),
+    compressed AS (
+        SELECT user_id, seq, tier
+        FROM (SELECT user_id, seq, tier,
+                     LAG(tier) OVER (PARTITION BY user_id
+                                     ORDER BY seq) AS prev
+              FROM purch)
+        WHERE prev IS NULL OR prev <> tier
+    ),
+    hist AS (
+        SELECT user_id, tier, seq AS eff_from,
+               LEAD(seq) OVER (PARTITION BY user_id
+                               ORDER BY seq) AS eff_to
+        FROM compressed
+    )
+    SELECT 'pairs' AS kind, user_id, day, n_pairs, min_gap_us,
+           CAST(NULL AS VARCHAR) AS name, CAST(NULL AS DOUBLE) AS bal,
+           CAST(NULL AS BIGINT) AS eff_from,
+           CAST(NULL AS BIGINT) AS eff_to,
+           CAST(NULL AS BOOLEAN) AS is_current
+    FROM pairs
+    UNION ALL
+    SELECT 'merge', user_id, NULL, NULL, NULL, name, bal,
+           NULL, NULL, NULL
+    FROM merged
+    UNION ALL
+    SELECT 'scd2', user_id, NULL, NULL, NULL, tier, NULL,
+           eff_from, eff_to, eff_to IS NULL
+    FROM hist
     """,
 )
 def q18_fact_fact_join(spark, sf_dir):
-    """J10: the one genuinely large fact-to-fact join — defender ⋈
-    offense tracking on (gameId, playId, frameId)
-    (`DefPosModel.ipynb` cell 1, 12.9M-row output). Here: view→purchase
-    pairings per (user, day). Both sides are big at scale → shuffle
-    join on the composite key, skew-handled by AQE."""
+    """J10 + table maintenance. 'pairs': the one genuinely large
+    fact-to-fact join — defender ⋈ offense tracking on
+    (gameId, playId, frameId) (`DefPosModel.ipynb` cell 1, 12.9M-row
+    output); here view→purchase pairings per (user, day). Both sides
+    are big at scale → shuffle join on the composite key, skew-handled
+    by AQE.
+
+    'merge' (round 9): `merge.merge_into` — the reference rebuilds its
+    derived tables wholesale (`dbWriteTable(..., overwrite=TRUE)`); at
+    100 TB the incremental path is a keyed MERGE. The CDC batch (latest
+    urgent order per customer via `latest_changes` — skew-safe
+    aggregate winners) is applied to a customer snapshot: cheap orders
+    delete the account, others add to its balance, unseen customers
+    insert. The DuckDB oracle re-derives all four fates from a full
+    outer join, so the clause projection itself is value-hashed.
+
+    'scd2' (round 9): `merge.scd2_build` — type-2 dimension history of
+    each user's purchase-value tier: no-op restatements compressed,
+    effective ranges chained by one LEAD, open rows flagged current;
+    oracle mirrors with LAG/LEAD."""
     e = load_table(spark, sf_dir, "events").withColumn(
         "day", F.expr("ts_us div 86400000000")
     )
@@ -185,10 +258,90 @@ def q18_fact_fact_join(spark, sf_dir):
         "user_id", "day", F.col("ts_us").alias("b_ts")
     )
     j = a.join(b, ["user_id", "day"]).filter(F.col("b_ts") > F.col("a_ts"))
-    return j.groupBy("user_id", "day").agg(
-        F.count("*").alias("n_pairs"),
-        F.min(F.col("b_ts") - F.col("a_ts")).alias("min_gap_us"),
+    nb = F.lit(None).cast("bigint")
+    pairs = (
+        j.groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min(F.col("b_ts") - F.col("a_ts")).alias("min_gap_us"),
+        )
+        .select(
+            F.lit("pairs").alias("kind"),
+            "user_id",
+            "day",
+            "n_pairs",
+            "min_gap_us",
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("double").alias("bal"),
+            nb.alias("eff_from"),
+            nb.alias("eff_to"),
+            F.lit(None).cast("boolean").alias("is_current"),
+        )
     )
+
+    c = load_table(spark, sf_dir, "customer")
+    target = c.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"), "o_orderkey", "o_totalprice")
+    )
+    src = latest_changes(urgent, ["k"], "o_orderkey")
+    merged = merge_into(
+        target,
+        src,
+        ["k"],
+        update_set={"bal": "t.bal + s.o_totalprice"},
+        delete_condition="s.o_totalprice < 30000",
+        insert_values={
+            "k": "s.k",
+            "name": "'NEW'",
+            "bal": "s.o_totalprice",
+        },
+    ).select(
+        F.lit("merge").alias("kind"),
+        F.col("k").alias("user_id"),
+        nb.alias("day"),
+        nb.alias("n_pairs"),
+        nb.alias("min_gap_us"),
+        "name",
+        "bal",
+        nb.alias("eff_from"),
+        nb.alias("eff_to"),
+        F.lit(None).cast("boolean").alias("is_current"),
+    )
+
+    purch = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts_us", "event_id", "value")
+    )
+    one = latest_changes(purch, ["user_id", "ts_us"], "event_id")
+    tiers = one.select(
+        "user_id",
+        "ts_us",
+        F.when(F.col("value") < 33, "low")
+        .when(F.col("value") < 66, "mid")
+        .otherwise("high")
+        .alias("tier"),
+    )
+    scd2 = scd2_build(tiers, ["user_id"], "ts_us", ["tier"]).select(
+        F.lit("scd2").alias("kind"),
+        "user_id",
+        nb.alias("day"),
+        nb.alias("n_pairs"),
+        nb.alias("min_gap_us"),
+        F.col("tier").alias("name"),
+        F.lit(None).cast("double").alias("bal"),
+        "eff_from",
+        "eff_to",
+        "is_current",
+    )
+    return pairs.unionByName(merged).unionByName(scd2)
 
 
 @query(

@@ -1,0 +1,145 @@
+"""merge_into / latest_changes / scd2_build semantics.
+
+Parity query: q18 'merge' / 'scd2' branches (suite/relational2.py)
+oracle the same operators against DuckDB full-outer-join / LAG-LEAD
+re-derivations at sf0.01; these tests pin the clause semantics on
+hand-built rows where every fate is known.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from bigdatabowl2024_25_spark.operators.merge import (
+    latest_changes,
+    merge_into,
+    scd2_build,
+)
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k bigint, name string, bal double",
+    )
+
+
+def test_merge_update_delete_insert_fates(spark):
+    src = spark.createDataFrame(
+        [(2, 5.0, "upd"), (3, 0.0, "del"), (4, 7.0, "ins")],
+        "k bigint, delta double, op string",
+    )
+    out = merge_into(
+        _target(spark),
+        src,
+        ["k"],
+        update_set={"bal": F.col("t.bal") + F.col("s.delta")},
+        delete_condition=F.col("s.op") == "del",
+        insert_values={
+            "k": F.col("s.k"),
+            "name": F.lit("NEW"),
+            "bal": F.col("s.delta"),
+        },
+    )
+    rows = {r.k: (r.name, r.bal) for r in out.collect()}
+    assert rows == {
+        1: ("a", 10.0),  # target-only: untouched
+        2: ("b", 25.0),  # matched: updated
+        4: ("NEW", 7.0),  # source-only: inserted
+    }  # 3 deleted
+
+
+def test_merge_update_condition_and_update_only(spark):
+    src = spark.createDataFrame(
+        [(1, 100.0, "x"), (2, 1.0, "x"), (9, 9.0, "x")],
+        "k bigint, delta double, op string",
+    )
+    out = merge_into(
+        _target(spark),
+        src,
+        ["k"],
+        update_set={"bal": "t.bal + s.delta"},
+        update_condition="s.delta > 50",
+        # no insert_values: update-only merge drops source-only rows
+    )
+    rows = {r.k: r.bal for r in out.collect()}
+    assert rows == {1: 110.0, 2: 20.0, 3: 30.0}
+
+
+def test_merge_duplicate_source_key_raises(spark):
+    src = spark.createDataFrame(
+        [(2, 1.0, "x"), (2, 2.0, "x")], "k bigint, delta double, op string"
+    )
+    out = merge_into(
+        _target(spark), src, ["k"], update_set={"bal": "s.delta"}
+    )
+    with pytest.raises(Exception, match="multiple rows for merge key"):
+        out.collect()
+    # compacting the batch first is the documented fix
+    ok = merge_into(
+        _target(spark),
+        latest_changes(src, ["k"], "delta"),
+        ["k"],
+        update_set={"bal": "s.delta"},
+    )
+    assert {r.k: r.bal for r in ok.collect()}[2] == 2.0
+
+
+def test_merge_output_schema_is_target_schema(spark):
+    src = spark.createDataFrame([(2, 5.0, "x")], "k bigint, delta double, op string")
+    out = merge_into(
+        _target(spark), src, ["k"], update_set={"bal": "s.delta"}
+    )
+    assert out.columns == ["k", "name", "bal"]
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint",
+        "string",
+        "double",
+    ]
+
+
+def test_latest_changes_latest_wins_and_partition_invariance(spark):
+    rows = [(1, i, f"v{i}") for i in range(50)] + [(2, 7, "only")]
+    df = spark.createDataFrame(rows, "k bigint, seq bigint, val string")
+    for parts in (1, 7):
+        got = {
+            r.k: (r.seq, r.val)
+            for r in latest_changes(
+                df.repartition(parts), ["k"], "seq"
+            ).collect()
+        }
+        assert got == {1: (49, "v49"), 2: (7, "only")}
+
+
+def test_scd2_compress_and_effective_ranges(spark):
+    log = spark.createDataFrame(
+        [
+            (1, 10, "bronze"),
+            (1, 20, "bronze"),  # no-op restatement: compressed away
+            (1, 30, "gold"),
+            (1, 40, "bronze"),  # back to bronze: NEW version (order matters)
+            (2, 5, "silver"),
+        ],
+        "user bigint, seq bigint, tier string",
+    )
+    out = scd2_build(log, ["user"], "seq", ["tier"])
+    got = sorted(
+        (r.user, r.tier, r.eff_from, r.eff_to, r.is_current)
+        for r in out.collect()
+    )
+    assert got == [
+        (1, "bronze", 10, 30, False),
+        (1, "bronze", 40, None, True),
+        (1, "gold", 30, 40, False),
+        (2, "silver", 5, None, True),
+    ]
+
+
+def test_scd2_no_compress_keeps_restatements(spark):
+    log = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "a")], "user bigint, seq bigint, tier string"
+    )
+    out = scd2_build(log, ["user"], "seq", ["tier"], compress=False)
+    assert out.count() == 2
