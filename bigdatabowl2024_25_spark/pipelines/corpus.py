@@ -69,7 +69,11 @@ from ..operators.dedup import (
     with_shingles,
 )
 from ..operators.ngram_lm import lm_perplexity, lm_train
-from ..operators.sampling import hash_uniform, weighted_domain_sample
+from ..operators.sampling import (
+    hash_uniform,
+    stratified_fixed_k,
+    weighted_domain_sample,
+)
 from ..operators.sketch import bloom_build, bloom_literal, bloom_merge
 from ..operators.text import (
     c4_clean_lines,
@@ -90,6 +94,14 @@ class CorpusConfig:
 
     min_tokens: int = 5
     max_tokens: int | None = None
+    # URL stage (RefinedWeb stage 0a, `operators.urls`): off unless
+    # url_col names a column; runs FIRST — a pure codegen filter that
+    # shrinks every later stage's input for free
+    url_col: str | None = None
+    url_blocked_domains: tuple[str, ...] = ()
+    url_blocked_pattern: str | None = None
+    url_schemes: tuple[str, ...] = ("http", "https")
+    max_per_domain: int | None = None  # per-eTLD+1 doc cap
     # C4 line-level cleaning (stage 0): off by default — the synthetic
     # corpus is single-line; real web pages want it ON
     c4_lines: bool = False
@@ -192,13 +204,42 @@ def _fanout(
 
 
 def _profile_and_redact(
-    df: DataFrame, text_col: str, cfg: CorpusConfig
+    df: DataFrame, text_col: str, cfg: CorpusConfig, id_col: str = "doc_id"
 ) -> DataFrame:
     """Stages 0-2, shared by the full-corpus and daily-batch entry
-    points: optional C4 line cleaning (page-level structure first, so
-    boilerplate lines never pollute the token/repetition profile),
+    points: optional URL filtering (cheapest cut of all — a codegen
+    predicate on a metadata column, so it runs before the text is even
+    touched), optional C4 line cleaning (page-level structure first,
+    so boilerplate lines never pollute the token/repetition profile),
     then profile columns + codegen quality filters, then PII
     redaction (before any hashing, so dedup keys see clean text)."""
+    if cfg.url_col is not None:
+        from ..operators.urls import (
+            filter_by_url,
+            registered_domain,
+            url_host,
+        )
+
+        df = filter_by_url(
+            df,
+            cfg.url_col,
+            blocked_domains=cfg.url_blocked_domains,
+            blocked_url_pattern=cfg.url_blocked_pattern,
+            schemes=cfg.url_schemes,
+        )
+        if cfg.max_per_domain is not None:
+            # RefinedWeb's per-domain cap: no host may dominate the
+            # corpus. Deterministic keyed-hash rank per eTLD+1 — one
+            # shuffle, append-stable for untouched domains.
+            df = stratified_fixed_k(
+                df.withColumn(
+                    "__dom",
+                    registered_domain(url_host(F.col(cfg.url_col))),
+                ),
+                id_col,
+                "__dom",
+                cfg.max_per_domain,
+            ).drop("__dom")
     if cfg.c4_lines:
         df = c4_clean_lines(
             df,
@@ -259,7 +300,7 @@ def prepare_corpus(
     bounded iterative step (only when near_dup and candidates exist).
     """
     cfg = cfg or CorpusConfig()
-    d = _profile_and_redact(df, text_col, cfg)
+    d = _profile_and_redact(df, text_col, cfg, id_col)
 
     # 2b. LM perplexity band (the CCNet quality cut): score every doc
     # against a bigram model of `lm_reference` (a curated corpus —
@@ -426,7 +467,7 @@ def prepare_batch(
     an eager KB-scale collect at composition time (the one driver
     round-trip this function makes)."""
     cfg = cfg or CorpusConfig()
-    d = _profile_and_redact(new_df, text_col, cfg)
+    d = _profile_and_redact(new_df, text_col, cfg, id_col)
     d = _fanout(d, cfg, caches)  # keyed twice below + the survivors join
 
     lit_bloom = (
@@ -570,7 +611,7 @@ def stream_prepare(
                 .groupBy("word")
                 .agg(F.bit_or("bits").alias("bits"))
             )
-            d = fan(_profile_and_redact(batch_df, text_col, cfg))
+            d = fan(_profile_and_redact(batch_df, text_col, cfg, id_col))
             survivors, _ = incremental_exact_dedup(
                 d,
                 seen,

@@ -20,8 +20,75 @@ from ..operators.text import (
     repetition_features,
     tokens,
 )
+from ..operators.urls import (
+    registered_domain,
+    url_host,
+    url_keep,
+    url_path_depth,
+)
 from ..sources.io import load_table
 from .registry import query
+
+# ---- q60 URL branch: manufactured per-doc URLs (synthetic docs have
+# none), same construction on both engines — schemes, ad subdomains,
+# two-level TLDs, spam paths all occur so every filter rule fires ----
+
+_URL_BLOCKED = ("src3.com", "src7.co.uk")
+_URL_SPAM_RE = "/spam/"
+
+_URL_SQL = (
+    "concat(CASE WHEN doc_id % 11 = 0 THEN 'ftp://' ELSE 'https://' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN 'ads.'"
+    " WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END,"
+    " source,"
+    " CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END,"
+    " '/p/', CAST(doc_id AS VARCHAR),"
+    " CASE WHEN doc_id % 13 = 0 THEN '/spam/x' ELSE '' END)"
+)
+
+#: DuckDB mirrors of operators.urls (suffix list inlined; __url/__host
+#: are pre-computed in the oracle's FROM subquery)
+_URL_2L_IN = "('co.uk','org.uk','gov.uk','ac.uk','com.au','co.jp','co.in','com.br','com.cn','com.mx')"
+_URL_PARTS = "string_split(__host, '.')"
+_URL_DOMAIN_SQL = (
+    f"CASE WHEN len({_URL_PARTS}) >= 3"
+    f" AND ({_URL_PARTS}[-2] || '.' || {_URL_PARTS}[-1]) IN {_URL_2L_IN}"
+    f" THEN {_URL_PARTS}[-3] || '.' || {_URL_PARTS}[-2] || '.' || {_URL_PARTS}[-1]"
+    f" WHEN len({_URL_PARTS}) >= 2"
+    f" THEN {_URL_PARTS}[-2] || '.' || {_URL_PARTS}[-1]"
+    f" ELSE __host END"
+)
+_URL_PATH_SQL = (
+    "regexp_extract(__url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1)"
+)
+_URL_DEPTH_SQL = (
+    f"length({_URL_PATH_SQL})"
+    f" - length(replace({_URL_PATH_SQL}, '/', ''))"
+)
+_URL_KEEP_SQL = (
+    "regexp_extract(__url, '^([a-z][a-z0-9+.-]*)://', 1)"
+    " IN ('http','https')"
+    f" AND NOT ({_URL_DOMAIN_SQL}) IN "
+    + "('" + "','".join(_URL_BLOCKED) + "')"
+    f" AND NOT regexp_matches(__url, '{_URL_SPAM_RE}')"
+)
+
+
+def _url_source(doc_id):
+    """Deterministic URL per document, lowercase by construction."""
+    return F.concat(
+        F.when(doc_id % 11 == 0, F.lit("ftp://")).otherwise(
+            F.lit("https://")
+        ),
+        F.when(doc_id % 5 == 0, F.lit("ads."))
+        .when(doc_id % 4 == 0, F.lit("www."))
+        .otherwise(F.lit("")),
+        F.col("source"),
+        F.when(doc_id % 3 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.lit("/p/"),
+        doc_id.cast("string"),
+        F.when(doc_id % 13 == 0, F.lit("/spam/x")).otherwise(F.lit("")),
+    )
 
 
 _HITS = {
@@ -164,8 +231,16 @@ _BM25_SCORE = " + ".join(
                     g -> len(list_filter({_GRAMS2}, x -> x = g))))
                     AS DOUBLE) / len({_GRAMS2})
            ELSE 0.0 END AS top_bigram_frac,
-           md5({_PII_RED_SQL}) AS pii_md5
-    FROM documents CROSS JOIN ({_BM25_STATS}) s
+           md5({_PII_RED_SQL}) AS pii_md5,
+           __host AS url_host,
+           {_URL_DOMAIN_SQL} AS url_domain,
+           {_URL_DEPTH_SQL} AS url_depth,
+           {_URL_KEEP_SQL} AS url_keep
+    FROM (SELECT *, lower({_URL_SQL}) AS __url,
+                 regexp_extract(lower({_URL_SQL}),
+                     '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS __host
+          FROM documents) documents
+    CROSS JOIN ({_BM25_STATS}) s
     """,
 )
 def q60_text_profile(spark, sf_dir):
@@ -192,6 +267,7 @@ def q60_text_profile(spark, sf_dir):
     q = quality_features(t)
     rep = repetition_features(t)
     pred = predict_lang(tokens(t))
+    _url = _url_source(F.col("doc_id"))
     return d.select(
         "doc_id",
         "lang",
@@ -215,6 +291,18 @@ def q60_text_profile(spark, sf_dir):
         F.md5(
             redact_pii(_pii_source(F.col("doc_id"), t)).cast("binary")
         ).alias("pii_md5"),
+        # round 9: URL filtering (`operators.urls`) — the RefinedWeb
+        # stage-0 columns on manufactured per-doc URLs: host extract,
+        # eTLD+1, path depth, and the scheme/blocklist/pattern keep
+        # flag; every rule fires somewhere in the id space
+        url_host(_url).alias("url_host"),
+        registered_domain(url_host(_url)).alias("url_domain"),
+        url_path_depth(_url).alias("url_depth"),
+        url_keep(
+            _url,
+            blocked_domains=_URL_BLOCKED,
+            blocked_url_pattern=_URL_SPAM_RE,
+        ).alias("url_keep"),
     )
 
 
