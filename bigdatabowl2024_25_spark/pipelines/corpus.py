@@ -115,6 +115,10 @@ class CorpusConfig:
     min_avg_word_len: float | None = None
     max_avg_word_len: float | None = None
     min_stopword_ratio: float | None = None
+    # fastText-style model-based quality gate (`operators.quality_clf`):
+    # pinned int-scaled weights + mean-token-logit threshold; None = off
+    qcls_weights: tuple[int, ...] | None = None
+    qcls_threshold: float = 0.0
     redact: bool = True
     max_perplexity: float | None = None  # None = skip the LM band
     lm_alpha: float = 0.1
@@ -272,6 +276,16 @@ def _profile_and_redact(
     if cfg.min_stopword_ratio is not None:
         cond &= qf["stopword_ratio"] >= cfg.min_stopword_ratio
     d = d.filter(cond)
+    if cfg.qcls_weights is not None:
+        from ..operators.quality_clf import quality_keep
+
+        d = d.filter(
+            quality_keep(
+                F.col(text_col),
+                list(cfg.qcls_weights),
+                threshold=cfg.qcls_threshold,
+            )
+        )
     if cfg.redact:
         d = d.withColumn(text_col, redact_pii(F.col(text_col)))
     return d

@@ -20,6 +20,7 @@ from ..operators.text import (
     repetition_features,
     tokens,
 )
+from ..operators.quality_clf import quality_keep, text_logit_scaled
 from ..operators.urls import (
     registered_domain,
     url_host,
@@ -114,6 +115,26 @@ _BM25_TERMS = ["data", "spark", "window"]
 #: non-empty words (repetition features drop ''-tokens from irregular
 #: whitespace, mirroring operators.text.repetition_features)
 _W_NE = "list_filter(string_split(text,' '), w -> w <> '')"
+
+# ---- q60 quality-classifier columns: pinned fastText-style weights --
+# (a real deployment trains them via quality_clf.train_quality_weights;
+# the driver branch pins a deterministic literal vector so scoring —
+# the 100 TB path — is what the oracle hashes)
+
+_QCLS_DIM = 64
+_QCLS_W = [((i * 2654435761) % 2000001) - 1000000 for i in range(_QCLS_DIM)]
+_QCLS_ARR = "[" + ", ".join(str(w) for w in _QCLS_W) + "]"
+_QCLS_BUCKET = (
+    "(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)"
+    f" % {_QCLS_DIM})"
+)
+_QCLS_LOGIT_SQL = (
+    f"CAST(COALESCE(list_sum(list_transform({_W_NE},"
+    f" t -> {_QCLS_ARR}[{_QCLS_BUCKET} + 1])), 0) AS BIGINT)"
+)
+_QCLS_KEEP_SQL = f"(len({_W_NE}) > 0 AND {_QCLS_LOGIT_SQL} >= 0)"
+
+
 
 #: word bigrams (mirror of operators.text.word_shingles(w, 2))
 _GRAMS2 = (
@@ -235,7 +256,9 @@ _BM25_SCORE = " + ".join(
            __host AS url_host,
            {_URL_DOMAIN_SQL} AS url_domain,
            {_URL_DEPTH_SQL} AS url_depth,
-           {_URL_KEEP_SQL} AS url_keep
+           {_URL_KEEP_SQL} AS url_keep,
+           {_QCLS_LOGIT_SQL} AS qcls_logit,
+           {_QCLS_KEEP_SQL} AS qcls_keep
     FROM (SELECT *, lower({_URL_SQL}) AS __url,
                  regexp_extract(lower({_URL_SQL}),
                      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS __host
@@ -303,6 +326,12 @@ def q60_text_profile(spark, sf_dir):
             blocked_domains=_URL_BLOCKED,
             blocked_url_pattern=_URL_SPAM_RE,
         ).alias("url_keep"),
+        # round 9: fastText-style quality classifier (`quality_clf`) —
+        # pinned hashed-bag-of-words weights, integer-exact logit and
+        # keep decision (scoring is the 100 TB path; training is the
+        # offline MLlib fit in test_quality_clf)
+        text_logit_scaled(t, _QCLS_W).alias("qcls_logit"),
+        quality_keep(t, _QCLS_W, threshold=0.0).alias("qcls_keep"),
     )
 
 

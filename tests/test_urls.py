@@ -112,3 +112,34 @@ def test_prepare_corpus_url_stage_and_domain_cap(spark):
     # deterministic: same survivors on re-run with different partitioning
     out2 = prepare_corpus(df.repartition(7), cfg=cfg).collect()
     assert {r.doc_id for r in out2} == ids
+
+
+def test_prepare_corpus_qcls_stage(spark):
+    from bigdatabowl2024_25_spark.operators.quality_clf import (
+        quantize_weights,
+        token_bucket,
+    )
+
+    # weights that punish the word 'junk' and reward everything else:
+    # find junk's bucket via the operator itself, then pin weights
+    dim = 16
+    b = (
+        spark.range(1)
+        .select(token_bucket(F.lit("junk"), dim).alias("b"))
+        .collect()[0]
+        .b
+    )
+    w = [1000000] * dim
+    w[b] = -5000000
+    rows = [
+        (1, "clean words only here today", "https://ok.com/a"),
+        (2, "junk junk junk junk junk junk", "https://ok.com/b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, url string")
+    cfg = CorpusConfig(
+        qcls_weights=tuple(quantize_weights([x / 10**6 for x in w])),
+        qcls_threshold=0.0,
+        near_dup=False,
+    )
+    out = prepare_corpus(df, cfg=cfg).collect()
+    assert [r.doc_id for r in out] == [1]
