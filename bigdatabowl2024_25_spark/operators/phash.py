@@ -300,3 +300,113 @@ def phash_survivors(
         )
         .drop("node", "component")
     )
+
+
+def dhash_video_frames(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    every_n: int = 1,
+    hash_size: int = 8,
+) -> DataFrame:
+    """(id, frame, dhash) for a binary MJPEG-AVI column — the video
+    leg of the perceptual funnel. Frames are sampled container-side
+    (`media_av.sample_avi_frames` slices chunk lists BEFORE the JPEG
+    decode — the row-group-pruning analogue), so skipped frames are
+    never decoded; each kept frame gets the same `dhash64` the image
+    leg uses. One mapInPandas pass; payloads never shuffle — the
+    (frame, 8-byte hash) rows do."""
+    from .media_av import sample_avi_frames
+
+    schema = f"{id_col} long, frame long, dhash long"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, frs, hs = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                for fi, img in enumerate(
+                    sample_avi_frames(bytes(payload), every_n)
+                ):
+                    ids.append(int(mid))
+                    frs.append(fi)
+                    hs.append(dhash64(img, hash_size))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame": pd.Series(frs, dtype="int64"),
+                    "dhash": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=schema
+    )
+
+
+def video_near_dup(
+    frame_hashes: DataFrame,
+    id_col: str = "media_id",
+    frame_col: str = "frame",
+    hash_col: str = "dhash",
+    bands: int = 4,
+    max_hamming: int = 6,
+    min_matching_frames: int = 2,
+) -> DataFrame:
+    """Near-duplicate video pairs from per-frame dhashes: band join on
+    (frame, band, key) — candidates must collide at the SAME sampled
+    frame position, which keeps bucket volume per-frame-bounded — then
+    per aligned frame verify Hamming ≤ `max_hamming`, and keep pairs
+    with ≥ `min_matching_frames` matching positions. Returns
+    (id_a, id_b, n_match).
+
+    Same 100 TB discipline as the image leg: both sides shuffle
+    (frame, band, 8-byte key) rows only, never payloads, never
+    all-pairs; the final count is one aggregate over the verified
+    collisions."""
+    assert 64 % bands == 0, "bands must divide 64"
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = F.col(hash_col)
+    banded = frame_hashes.select(
+        F.col(id_col).alias("doc"),
+        F.col(frame_col).alias("__f"),
+        h.alias("__h"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(h, i * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc", "__f", "__h", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    frame_pairs = (
+        a.join(
+            b,
+            (F.col("a.__f") == F.col("b.__f"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.__f").alias("frame"),
+            F.col("a.__h").alias("__ha"),
+            F.col("b.__h").alias("__hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        frame_pairs.filter(ham <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_match"))
+        .filter(F.col("n_match") >= min_matching_frames)
+    )

@@ -90,10 +90,219 @@ _DH_CTES = f"""
 """
 
 
+# ---- afp branches: audio energy-delta fingerprints over REAL WAV ----
+# 32 formula clips, mono, n = 90 + (d%16)*3 samples in [-20, 20];
+# clip d depends on d % 16 only, so d and d+16 are exact twins — the
+# planted Hamming-0 pairs. The oracle re-derives the two-band
+# fingerprint (|x| and |Δx| block-energy deltas, block = i*33 div n)
+# and the same 16-bit banding/Hamming funnel the image leg uses.
+_AF_N, _AF_BANDS, _AF_MAXHAM = 32, 4, 6
+
+_AF_CTES = f"""
+    af_s AS (
+        SELECT d, i, ((i*7 + (d%16)*13) % 41) - 20 AS v
+        FROM range(0, {_AF_N}) t(d), range(0, 138) ti(i)
+        WHERE i < 90 + (d%16)*3
+    ),
+    af_d AS (
+        SELECT d, i, ABS(v) AS lo,
+               CASE WHEN i = 0 THEN 0
+                    ELSE ABS(v - LAG(v) OVER (PARTITION BY d ORDER BY i))
+               END AS hi
+        FROM af_s
+    ),
+    af_sum AS (
+        SELECT d, (i * 33) // (90 + (d%16)*3) AS b,
+               CAST(SUM(lo) AS BIGINT) AS lo,
+               CAST(SUM(hi) AS BIGINT) AS hi
+        FROM af_d GROUP BY d, (i * 33) // (90 + (d%16)*3)
+    ),
+    af_bits AS (
+        SELECT a.d, a.b AS k FROM af_sum a
+        JOIN af_sum n ON n.d = a.d AND n.b = a.b + 1
+        WHERE a.b < 32 AND n.lo > a.lo
+        UNION ALL
+        SELECT a.d, a.b + 32 AS k FROM af_sum a
+        JOIN af_sum n ON n.d = a.d AND n.b = a.b + 1
+        WHERE a.b < 32 AND n.hi > a.hi
+    ),
+    af_hash AS (
+        SELECT t.d,
+               CAST(
+                   COALESCE(SUM(CASE WHEN b.k < 63
+                                THEN (CAST(1 AS BIGINT) << b.k) END), 0)
+                   + CASE WHEN MAX(b.k) = 63
+                          THEN (-9223372036854775807 - 1) ELSE 0 END
+               AS BIGINT) AS h
+        FROM range(0, {_AF_N}) t(d) LEFT JOIN af_bits b ON b.d = t.d
+        GROUP BY t.d
+    ),
+    af_band AS (
+        SELECT d, h, i, (h >> (i*16)) & 65535 AS bk
+        FROM af_hash, range(0, {_AF_BANDS}) ti(i)
+    ),
+    af_cand AS (
+        SELECT DISTINCT a.d AS id_a, b.d AS id_b, a.h AS ha, b.h AS hb
+        FROM af_band a JOIN af_band b
+          ON a.i = b.i AND a.bk = b.bk AND a.d < b.d
+    )
+"""
+
+
+
+#: pinned expectations for the 'vfp64'/'vfp' branches (q90 pattern:
+#: MJPEG decode is not SQL-expressible, so the oracle pins the
+#: deterministic per-frame dhashes and verified pairs as literals —
+#: regenerate with the script in the commit body if the formula,
+#: codec, or funnel parameters change)
+_VFP_HASHES = """VALUES
+        (0, 0, -289365106781855809),
+        (0, 1, -4630124837082499089),
+        (1, 0, 9114720479506591727),
+        (1, 1, -1161999353951421445),
+        (1, 2, -290491041316880450),
+        (2, 0, -2323929434358547465),
+        (2, 1, -580982082096955779),
+        (2, 2, 9078689466283978719),
+        (2, 3, -2323929432211063817),
+        (3, 0, -1157460564583219717),
+        (3, 1, -289365106781855809),
+        (4, 0, -290499837409902978),
+        (4, 1, 9114720479506591727),
+        (4, 2, -1161999353951421445),
+        (5, 0, 9078126516330553311),
+        (5, 1, -2323929434358547465),
+        (5, 2, -580982082096955779),
+        (5, 3, 9078689466283978719),
+        (6, 0, -4720196829630171153),
+        (6, 1, -1157460564583219717),
+        (7, 0, -2314920858566657029),
+        (7, 1, -290499837409902978),
+        (7, 2, 9114720479506591727),
+        (8, 0, -580982082633826691),
+        (8, 1, 9078126516330553311),
+        (8, 2, -2323929434358547465),
+        (8, 3, -580982082096955779),
+        (9, 0, -289365141141594178),
+        (9, 1, -4720196829630171153),
+        (10, 0, 9114718280483336159),
+        (10, 1, -2314920858566657029),
+        (10, 2, -290499837409902978),
+        (11, 0, -2324281278079436809),
+        (11, 1, -580982082633826691),
+        (11, 2, 9078126516330553311),
+        (11, 3, -2323929434358547465),
+        (12, 0, -1161964164210622981),
+        (12, 1, -289365141141594178),
+        (13, 0, -578730213563711874),
+        (13, 1, 9114718280483336159),
+        (13, 2, -2314920858566657029),
+        (14, 0, -145245520658440225),
+        (14, 1, -2324281278079436809),
+        (14, 2, -580982082633826691),
+        (14, 3, 9078126516330553311),
+        (15, 0, -4720196838220105745),
+        (15, 1, -1161964164210622981),
+        (16, 0, -289365106781855809),
+        (16, 1, -4630124837082499089),
+        (17, 0, 9114720479506591727),
+        (17, 1, -1161999353951421445),
+        (17, 2, -290491041316880450),
+        (18, 0, -2323929434358547465),
+        (18, 1, -580982082096955779),
+        (18, 2, 9078689466283978719),
+        (18, 3, -2323929432211063817),
+        (19, 0, -1157460564583219717),
+        (19, 1, -289365106781855809),
+        (20, 0, -290499837409902978),
+        (20, 1, 9114720479506591727),
+        (20, 2, -1161999353951421445),
+        (21, 0, 9078126516330553311),
+        (21, 1, -2323929434358547465),
+        (21, 2, -580982082096955779),
+        (21, 3, 9078689466283978719),
+        (22, 0, -4720196829630171153),
+        (22, 1, -1157460564583219717),
+        (23, 0, -2314920858566657029),
+        (23, 1, -290499837409902978),
+        (23, 2, 9114720479506591727),
+        (24, 0, -580982082633826691),
+        (24, 1, 9078126516330553311),
+        (24, 2, -2323929434358547465),
+        (24, 3, -580982082096955779),
+        (25, 0, -289365141141594178),
+        (25, 1, -4720196829630171153),
+        (26, 0, 9114718280483336159),
+        (26, 1, -2314920858566657029),
+        (26, 2, -290499837409902978),
+        (27, 0, -2324281278079436809),
+        (27, 1, -580982082633826691),
+        (27, 2, 9078126516330553311),
+        (27, 3, -2323929434358547465),
+        (28, 0, -1161964164210622981),
+        (28, 1, -289365141141594178),
+        (29, 0, -578730213563711874),
+        (29, 1, 9114718280483336159),
+        (29, 2, -2314920858566657029),
+        (30, 0, -145245520658440225),
+        (30, 1, -2324281278079436809),
+        (30, 2, -580982082633826691),
+        (30, 3, 9078126516330553311),
+        (31, 0, -4720196838220105745),
+        (31, 1, -1161964164210622981)"""
+
+_VFP_PAIRS = """VALUES
+        (0, 9, 2),
+        (0, 16, 2),
+        (0, 25, 2),
+        (1, 10, 3),
+        (1, 17, 3),
+        (1, 26, 3),
+        (2, 11, 4),
+        (2, 18, 4),
+        (2, 27, 4),
+        (3, 12, 2),
+        (3, 19, 2),
+        (3, 28, 2),
+        (4, 13, 3),
+        (4, 20, 3),
+        (4, 29, 3),
+        (5, 14, 4),
+        (5, 21, 4),
+        (5, 30, 4),
+        (6, 15, 2),
+        (6, 22, 2),
+        (6, 31, 2),
+        (7, 23, 3),
+        (8, 24, 4),
+        (9, 16, 2),
+        (9, 25, 2),
+        (10, 17, 3),
+        (10, 26, 3),
+        (11, 18, 4),
+        (11, 27, 4),
+        (12, 19, 2),
+        (12, 28, 2),
+        (13, 20, 3),
+        (13, 29, 3),
+        (14, 21, 4),
+        (14, 30, 4),
+        (15, 22, 2),
+        (15, 31, 2),
+        (16, 25, 2),
+        (17, 26, 3),
+        (18, 27, 4),
+        (19, 28, 2),
+        (20, 29, 3),
+        (21, 30, 4),
+        (22, 31, 2)"""
+
+
 @query(
     "q94_codec_roundtrip",
     oracle=f"""
-    WITH {_DH_CTES}
+    WITH {_DH_CTES},
+    {_AF_CTES}
     SELECT doc_id,
            CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                            WHEN 2 THEN 'wav' ELSE 'mjpeg' END AS codec,
@@ -118,6 +327,24 @@ _DH_CTES = f"""
            CAST(0 AS BIGINT) AS d3, TRUE AS ok
     FROM dh_cand
     WHERE bit_count(xor(ha, hb)) <= {_DH_MAXHAM}
+    UNION ALL
+    SELECT d AS doc_id, 'afp64' AS codec, h AS d1,
+           CAST(0 AS BIGINT) AS d2, CAST(0 AS BIGINT) AS d3, TRUE AS ok
+    FROM af_hash
+    UNION ALL
+    SELECT id_a AS doc_id, 'afp' AS codec, id_b AS d1,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS d2,
+           CAST(0 AS BIGINT) AS d3, TRUE AS ok
+    FROM af_cand
+    WHERE bit_count(xor(ha, hb)) <= {_AF_MAXHAM}
+    UNION ALL
+    SELECT v.d AS doc_id, 'vfp64' AS codec, v.f AS d1, v.h AS d2,
+           CAST(0 AS BIGINT) AS d3, TRUE AS ok
+    FROM ({_VFP_HASHES}) v(d, f, h)
+    UNION ALL
+    SELECT v.a AS doc_id, 'vfp' AS codec, v.b AS d1, v.n AS d2,
+           CAST(0 AS BIGINT) AS d3, TRUE AS ok
+    FROM ({_VFP_PAIRS}) v(a, b, n)
     """,
 )
 def q94_codec_roundtrip(spark, sf_dir):
@@ -260,8 +487,137 @@ def q94_codec_roundtrip(spark, sf_dir):
         F.lit(True).alias("ok"),
     )
 
+    # afp branches (round 9): the audio leg — formula PCM encoded to
+    # real WAV, decoded + fingerprinted by `audio_fp`, then the SAME
+    # generic banded-Hamming funnel as images (phash_near_dup over the
+    # afp column); the oracle re-derives fingerprints/bands/pairs from
+    # the sample formula (see _AF_CTES)
+    from ..operators.audio_fp import fingerprint_audio
+
+    def make_afp_payloads(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                d = int(mid)
+                n = 90 + (d % 16) * 3
+                i = np.arange(n, dtype=np.int64)
+                sig = (((i * 7 + (d % 16) * 13) % 41) - 20).astype(
+                    np.int16
+                )
+                ids.append(d)
+                payloads.append(encode_wav(sig.reshape(-1, 1), 8000))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "source": "synthetic",
+                }
+            )
+
+    af_media = (
+        spark.range(_AF_N)
+        .select(F.col("id").alias("media_id"))
+        .mapInPandas(make_afp_payloads, schema=MEDIA_SCHEMA)
+    )
+    afps = fingerprint_audio(af_media, id_col="media_id")
+    af64 = afps.select(
+        F.col("media_id").alias("doc_id"),
+        F.lit("afp64").alias("codec"),
+        F.col("afp").alias("d1"),
+        F.lit(0).cast("long").alias("d2"),
+        F.lit(0).cast("long").alias("d3"),
+        F.lit(True).alias("ok"),
+    )
+    af_pairs = phash_near_dup(
+        afps,
+        id_col="media_id",
+        hash_col="afp",
+        bands=_AF_BANDS,
+        max_hamming=_AF_MAXHAM,
+    ).select(
+        F.col("id_a").alias("doc_id"),
+        F.lit("afp").alias("codec"),
+        F.col("id_b").alias("d1"),
+        F.col("hamming").cast("long").alias("d2"),
+        F.lit(0).cast("long").alias("d3"),
+        F.lit(True).alias("ok"),
+    )
+
+    # vfp branches (round 9): the video leg — formula frame stacks
+    # encoded to real MJPEG-AVI, container-side frame sampling + per-
+    # frame dHash (`phash.dhash_video_frames`), aligned-frame banded
+    # Hamming funnel (`phash.video_near_dup`). JPEG decode is not
+    # SQL-expressible, so the oracle pins the deterministic hashes and
+    # verified pairs as literals (the q90 MC-kernel pattern).
+    from ..operators.phash import dhash_video_frames, video_near_dup
+
+    def make_vfp_payloads(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                d = int(mid)
+                s = d % 16
+                yy, xx = np.mgrid[0:8, 0:9]
+                imgs = [
+                    (((xx * 5 + yy * 3 + s * 7 + f * 11) % 32) * 8)
+                    .astype(np.uint8)[..., None]
+                    .repeat(3, axis=-1)
+                    for f in range(2 + s % 3)
+                ]
+                ids.append(d)
+                payloads.append(encode_avi_mjpeg(imgs, fps=5))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "video",
+                    "payload": payloads,
+                    "source": "synthetic",
+                }
+            )
+
+    vf_media = (
+        spark.range(_DH_N)
+        .select(F.col("id").alias("media_id"))
+        .mapInPandas(make_vfp_payloads, schema=MEDIA_SCHEMA)
+    )
+    vf_hashes = dhash_video_frames(vf_media, id_col="media_id")
+    vf64 = vf_hashes.select(
+        F.col("media_id").alias("doc_id"),
+        F.lit("vfp64").alias("codec"),
+        F.col("frame").alias("d1"),
+        F.col("dhash").alias("d2"),
+        F.lit(0).cast("long").alias("d3"),
+        F.lit(True).alias("ok"),
+    )
+    vf_pairs = video_near_dup(
+        vf_hashes,
+        id_col="media_id",
+        bands=_DH_BANDS,
+        max_hamming=_DH_MAXHAM,
+        min_matching_frames=2,
+    ).select(
+        F.col("id_a").alias("doc_id"),
+        F.lit("vfp").alias("codec"),
+        F.col("id_b").alias("d1"),
+        F.col("n_match").alias("d2"),
+        F.lit(0).cast("long").alias("d3"),
+        F.lit(True).alias("ok"),
+    )
+
     out = png.unionByName(jpg).unionByName(wav).unionByName(vid)
     out = out.select(
         F.col("media_id").alias("doc_id"), "codec", "d1", "d2", "d3", "ok"
     )
-    return out.unionByName(dh64).unionByName(dh_pairs)
+    return (
+        out.unionByName(dh64)
+        .unionByName(dh_pairs)
+        .unionByName(af64)
+        .unionByName(af_pairs)
+        .unionByName(vf64)
+        .unionByName(vf_pairs)
+    )

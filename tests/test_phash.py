@@ -197,3 +197,70 @@ def test_incremental_phash_two_day_replay(spark):
     assert losers == {100, 120, 121}
     kept = new_rows.filter(~F.col("doc").isin(list(losers)))
     assert {r.doc for r in kept.collect()} == {110}
+
+
+def test_video_near_dup_aligned_frames(spark):
+    import numpy as np
+
+    from bigdatabowl2024_25_spark.operators.media_av import encode_avi_mjpeg
+    from bigdatabowl2024_25_spark.operators.phash import (
+        dhash_video_frames,
+        video_near_dup,
+    )
+
+    def frames(seed, nf):
+        yy, xx = np.mgrid[0:8, 0:9]
+        return [
+            (((xx * 5 + yy * 3 + seed * 7 + f * 11) % 32) * 8)
+            .astype(np.uint8)[..., None]
+            .repeat(3, axis=-1)
+            for f in range(nf)
+        ]
+
+    rows = [
+        (0, bytearray(encode_avi_mjpeg(frames(1, 3), fps=5))),
+        (1, bytearray(encode_avi_mjpeg(frames(1, 3), fps=5))),  # twin of 0
+        (2, bytearray(encode_avi_mjpeg(frames(9, 3), fps=5))),  # unrelated
+        # shares only frame 0 with videos 0/1 (then diverges hard)
+        (3, bytearray(encode_avi_mjpeg(frames(1, 1) + frames(5, 2)[0:2], fps=5))),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    fh = dhash_video_frames(df)
+    got = {(r.media_id, r.frame): r.dhash for r in fh.collect()}
+    assert {m for m, _ in got} == {0, 1, 2, 3}
+    assert all(got[(0, f)] == got[(1, f)] for f in range(3))
+
+    pairs = {
+        (r.id_a, r.id_b): r.n_match
+        for r in video_near_dup(
+            fh, max_hamming=0, min_matching_frames=2
+        ).collect()
+    }
+    assert pairs == {(0, 1): 3}  # 3 needs >=2 matches: only frame 0 aligns
+
+    # with min_matching_frames=1 the single-frame overlap appears too
+    pairs1 = {
+        (r.id_a, r.id_b): r.n_match
+        for r in video_near_dup(
+            fh, max_hamming=0, min_matching_frames=1
+        ).collect()
+    }
+    assert pairs1[(0, 3)] == 1 and pairs1[(1, 3)] == 1
+
+
+def test_video_frame_sampling_stride(spark):
+    import numpy as np
+
+    from bigdatabowl2024_25_spark.operators.media_av import encode_avi_mjpeg
+    from bigdatabowl2024_25_spark.operators.phash import dhash_video_frames
+
+    imgs = [
+        np.full((8, 9, 3), 30 * f, dtype=np.uint8) for f in range(6)
+    ]
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_avi_mjpeg(imgs, fps=5)))],
+        "media_id bigint, payload binary",
+    )
+    out = dhash_video_frames(df, every_n=3).collect()
+    assert len(out) == 2  # frames 0 and 3 only
