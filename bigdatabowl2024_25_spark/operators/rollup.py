@@ -68,3 +68,83 @@ def rollup_cascade(
         ).agg(*phase2)
         out[w] = level
     return out
+
+
+def gapfill(
+    buckets: DataFrame,
+    keys: list[str],
+    bucket_col: str,
+    width: int,
+    fills: dict[str, str],
+) -> DataFrame:
+    """`time_bucket_gapfill`: densify a bucketed series so every key
+    has a row for EVERY bucket between its first and last observation,
+    with per-column fill policy:
+
+    - ``"zero"``  → missing buckets get 0 (counts);
+    - ``"locf"``  → last observation carried forward (gauges);
+    - ``"interp"``→ linear interpolation between the neighboring
+      observations (leading/trailing edges carry the nearest value,
+      since one side has no anchor).
+
+    Returns keys + bucket_col + the filled columns + ``is_gap``.
+
+    Scale: the dense grid is SYNTHESIZED, not scanned — one tiny
+    per-key (min, max) aggregate explodes into `sequence()` rows, so
+    no IO amplification; the grid joins the data on (keys, bucket)
+    — one keyed shuffle each side — and every fill is a window over
+    the (keys) partition ordered by bucket, sharing ONE sort. LOCF
+    and interpolation read only observed values (`ignoreNulls`), so
+    the result is independent of how many gap rows the grid added.
+    Interpolation arithmetic is a single IEEE expression mirrored by
+    the q37 oracle; everything else is exact.
+    """
+    for c, how in fills.items():
+        if how not in ("zero", "locf", "interp"):
+            raise ValueError(f"unknown fill {how!r} for column {c!r}")
+    from pyspark.sql import Window
+
+    span = buckets.groupBy(*keys).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    grid = span.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(width))
+        ).alias(bucket_col),
+    )
+    d = grid.join(buckets, [*keys, bucket_col], "left").withColumn(
+        "is_gap", F.col(list(fills)[0]).isNull()
+    )
+    w = Window.partitionBy(*keys).orderBy(bucket_col)
+    back = w.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    out_cols = []
+    for c, how in fills.items():
+        col = F.col(c)
+        if how == "zero":
+            filled = F.coalesce(
+                col, F.lit(0).cast(buckets.schema[c].dataType)
+            )
+        elif how == "locf":
+            filled = F.last(col, ignorenulls=True).over(back)
+        else:  # interp
+            pv = F.last(col, ignorenulls=True).over(back)
+            nv = F.first(col, ignorenulls=True).over(fwd)
+            pt = F.last(
+                F.when(col.isNotNull(), F.col(bucket_col)), ignorenulls=True
+            ).over(back)
+            nt = F.first(
+                F.when(col.isNotNull(), F.col(bucket_col)), ignorenulls=True
+            ).over(fwd)
+            frac = (F.col(bucket_col) - pt).cast("double") / (
+                nt - pt
+            ).cast("double")
+            filled = (
+                F.when(col.isNotNull(), col)
+                .when(pv.isNull(), nv)
+                .when(nv.isNull(), pv)
+                .otherwise(pv + (nv - pv) * frac)
+            )
+        out_cols.append(filled.alias(c))
+    return d.select(*keys, bucket_col, *out_cols, "is_gap")

@@ -132,8 +132,23 @@ def q41_priority_price_profile(spark, sf_dir):
         SELECT user_id, ROUND(-SUM(p * LOG2(p)), 6) AS entropy
         FROM probs GROUP BY user_id
     )
-    SELECT se.user_id, se.start_value, se.end_value, ent.entropy
+    , cr_e AS (
+        SELECT user_id AS u, epoch_us(ts) // 604800000000 AS b
+        FROM events
+    ),
+    cr_first AS (SELECT u, MIN(b) AS cohort FROM cr_e GROUP BY 1),
+    cr_act AS (SELECT DISTINCT u, b FROM cr_e),
+    cohorts AS (
+        SELECT cohort, b - cohort AS k, COUNT(DISTINCT u) AS n_users
+        FROM cr_act JOIN cr_first USING (u) GROUP BY 1, 2
+    )
+    SELECT 'profile' AS kind, se.user_id, se.start_value, se.end_value,
+           ent.entropy, CAST(NULL AS BIGINT) AS cohort,
+           CAST(NULL AS BIGINT) AS k, CAST(NULL AS BIGINT) AS n_users
     FROM se JOIN ent ON ent.user_id = se.user_id
+    UNION ALL
+    SELECT 'cohort', NULL, NULL, NULL, NULL, cohort, k, n_users
+    FROM cohorts
     """,
 )
 def q42_user_value_profile(spark, sf_dir):
@@ -157,16 +172,69 @@ def q42_user_value_profile(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy"))
     )
-    return se.join(ent, ["user_id"])
+    nb = F.lit(None).cast("bigint")
+    profile = se.join(ent, ["user_id"]).select(
+        F.lit("profile").alias("kind"),
+        "user_id",
+        "start_value",
+        "end_value",
+        "entropy",
+        nb.alias("cohort"),
+        nb.alias("k"),
+        nb.alias("n_users"),
+    )
+    # 'cohort' (round 9): `funnel.cohort_retention` — weekly cohorts
+    # by first activity, distinct-user retention per offset week;
+    # oracle mirrors with two aggregates + a join.
+    from ..operators.funnel import cohort_retention
+
+    cohorts = cohort_retention(e, "user_id", "ts_us", 604_800_000_000)
+    nd = F.lit(None).cast("double")
+    cohort_rows = cohorts.select(
+        F.lit("cohort").alias("kind"),
+        nb.alias("user_id"),
+        nd.alias("start_value"),
+        nd.alias("end_value"),
+        nd.alias("entropy"),
+        "cohort",
+        "k",
+        "n_users",
+    )
+    return profile.unionByName(cohort_rows)
 
 
 @query(
     "q43_event_tree",
     oracle="""
-    SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+    WITH f0 AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t0
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    f1 AS (
+        SELECT e.user_id, MIN(epoch_us(ts)) AS t1
+        FROM events e JOIN f0 ON f0.user_id = e.user_id
+        WHERE e.event_type = 'click' AND epoch_us(ts) > f0.t0
+        GROUP BY 1
+    ),
+    f2 AS (
+        SELECT e.user_id, MIN(epoch_us(ts)) AS t2
+        FROM events e JOIN f1 ON f1.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(ts) > f1.t1
+        GROUP BY 1
+    )
+    SELECT 'tree' AS kind, user_id, epoch_us(ts) // 86400000000 AS day,
            STRING_AGG(event_type, ' ' ORDER BY epoch_us(ts), event_id)
-             AS event_tree
+             AS event_tree,
+           CAST(NULL AS BIGINT) AS t0, CAST(NULL AS BIGINT) AS t1,
+           CAST(NULL AS BIGINT) AS t2, CAST(NULL AS INT) AS reached
     FROM events GROUP BY user_id, epoch_us(ts) // 86400000000
+    UNION ALL
+    SELECT 'funnel', f0.user_id, NULL, NULL, f0.t0, f1.t1, f2.t2,
+           CAST(1 + CASE WHEN f1.t1 IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN f2.t2 IS NOT NULL THEN 1 ELSE 0 END AS INT)
+    FROM f0
+    LEFT JOIN f1 ON f1.user_id = f0.user_id
+    LEFT JOIN f2 ON f2.user_id = f0.user_id
     """,
 )
 def q43_event_tree(spark, sf_dir):
@@ -178,7 +246,8 @@ def q43_event_tree(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").withColumn(
         "day", F.expr("ts_us div 86400000000")
     )
-    return e.groupBy("user_id", "day").agg(
+    nb = F.lit(None).cast("bigint")
+    tree = e.groupBy("user_id", "day").agg(
         F.array_join(
             F.transform(
                 F.array_sort(
@@ -192,7 +261,35 @@ def q43_event_tree(spark, sf_dir):
             ),
             " ",
         ).alias("event_tree")
+    ).select(
+        F.lit("tree").alias("kind"),
+        "user_id",
+        "day",
+        "event_tree",
+        nb.alias("t0"),
+        nb.alias("t1"),
+        nb.alias("t2"),
+        F.lit(None).cast("int").alias("reached"),
     )
+    # 'funnel' (round 9): `funnel.funnel_steps` — the ordered
+    # view→click→purchase recurrence (the read-order generalization);
+    # every step anchors on the previous step's min timestamp, oracle
+    # mirrors with a chain of min-aggregate CTEs.
+    from ..operators.funnel import funnel_steps
+
+    fun = funnel_steps(
+        e, "user_id", "ts_us", "event_type", ["view", "click", "purchase"]
+    ).select(
+        F.lit("funnel").alias("kind"),
+        "user_id",
+        nb.alias("day"),
+        F.lit(None).cast("string").alias("event_tree"),
+        "t0",
+        "t1",
+        "t2",
+        "reached",
+    )
+    return tree.unionByName(fun)
 
 
 @query(

@@ -1,0 +1,68 @@
+"""time_bucket_gapfill semantics: grid synthesis, zero/locf/interp
+fills, edges, partition invariance.
+
+Parity query: q37 'gapfill' branch runs the operator over sparse
+hourly buckets at sf0.01 against a generate_series + IGNORE NULLS
+window oracle.
+"""
+
+from __future__ import annotations
+
+from bigdatabowl2024_25_spark.operators.rollup import gapfill
+
+
+def _series(spark):
+    rows = [
+        ("a", 0, 10.0, 2),
+        ("a", 30, 40.0, 1),
+        ("a", 40, 20.0, 3),
+        ("b", 100, 7.0, 5),  # single observation: no gaps
+    ]
+    return spark.createDataFrame(
+        rows, "k string, b bigint, v double, n bigint"
+    )
+
+
+def test_gapfill_policies(spark):
+    out = gapfill(
+        _series(spark),
+        ["k"],
+        "b",
+        10,
+        {"v": "interp", "n": "zero"},
+    )
+    got = {(r.k, r.b): (r.v, r.n, r.is_gap) for r in out.collect()}
+    assert got == {
+        ("a", 0): (10.0, 2, False),
+        ("a", 10): (20.0, 0, True),  # interp 10→40 over 3 steps
+        ("a", 20): (30.0, 0, True),
+        ("a", 30): (40.0, 1, False),
+        ("a", 40): (20.0, 3, False),
+        ("b", 100): (7.0, 5, False),
+    }
+    # n stayed bigint, v stayed double
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types["n"] == "bigint" and types["v"] == "double"
+
+
+def test_gapfill_locf_and_edges(spark):
+    rows = [("a", 10, None), ("a", 30, 5.0), ("a", 50, None)]
+    df = spark.createDataFrame(rows, "k string, b bigint, v double")
+    out = gapfill(df, ["k"], "b", 10, {"v": "locf"})
+    got = {r.b: r.v for r in out.collect()}
+    # leading NULL observation has nothing to carry; 30 onward carries 5
+    assert got == {10: None, 20: None, 30: 5.0, 40: 5.0, 50: 5.0}
+
+    out2 = gapfill(df, ["k"], "b", 10, {"v": "interp"})
+    got2 = {r.b: r.v for r in out2.collect()}
+    # single anchor: every bucket carries the nearest (only) value
+    assert got2 == {10: 5.0, 20: 5.0, 30: 5.0, 40: 5.0, 50: 5.0}
+
+
+def test_gapfill_partition_invariance(spark):
+    df = _series(spark)
+    a = gapfill(df, ["k"], "b", 10, {"v": "interp", "n": "zero"})
+    b = gapfill(
+        df.repartition(7), ["k"], "b", 10, {"v": "interp", "n": "zero"}
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
