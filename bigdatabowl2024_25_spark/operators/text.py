@@ -533,3 +533,117 @@ def pack_documents(
         return pdf
 
     return base.groupBy(shard_name).applyInPandas(pack, out_schema)
+
+
+def bm25_topk(
+    df,
+    text_col: str,
+    id_col: str,
+    queries: dict[int, list[str]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Multi-query BM25 retrieval: top-k documents per query — the
+    lexical-search sibling of `similarity.brute_force_topk` (and the
+    retrieval half of a RAG data pipeline; `bm25` above scores one
+    fixed term set as a column, this ranks a query WORKLOAD).
+
+    Spark-first inverted shape (one corpus scan, no per-query rescans):
+    1. each document explodes to (doc, term, tf) rows for the UNION of
+       all query terms only, filtered map-side to tf > 0 — the
+       scan-side inverted index;
+    2. corpus stats (N, Σdl) are one single-row aggregate; per-term df
+       is an exact count over the term-cardinality matched table —
+       both broadcast;
+    3. the (q_id, term) workload table broadcasts onto the matched
+       rows; per-term contributions use the same Robertson/Zaragoza
+       +1-IDF expression as `bm25`;
+    4. per (q_id, doc) the contributions fold in TERM-SORTED order
+       (float addition is not associative; the sorted fold is
+       bit-deterministic across partitionings and engines — the
+       `sampling.temperature_domain_sample` discipline);
+    5. scores round to 6 decimals BEFORE ranking (ln may differ in the
+       last ulp across engines; ranking on the rounded value with a
+       doc-id tie-break keeps the top-k list engine-deterministic),
+       then one row_number window per query keeps k.
+
+    Shuffle bill: 1 tiny df aggregate, 1 (q,doc) aggregate, 1 window
+    on q — the corpus itself never shuffles; only matched (doc, term,
+    tf) rows move. Returns (q_id, `id_col`, score, rank).
+    """
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    if not all_terms:
+        raise ValueError("queries carry no terms")
+    toks = tokens(F.col(text_col))
+    dl = F.size(toks)
+
+    term_arr = F.array(*[F.lit(t) for t in all_terms])
+    entries = F.filter(
+        F.transform(
+            term_arr,
+            lambda t: F.struct(
+                t.alias("term"),
+                F.size(F.filter(toks, lambda w: w == t)).alias("tf"),
+            ),
+        ),
+        lambda s: s["tf"] > 0,
+    )
+    matched = df.select(
+        F.col(id_col),
+        dl.alias("__dl"),
+        F.explode(entries).alias("__e"),
+    ).select(
+        id_col, "__dl", F.col("__e.term").alias("term"),
+        F.col("__e.tf").alias("tf"),
+    )
+
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum(dl.cast("decimal(25,6)")).cast("double").alias("__sum_dl"),
+    )
+    dft = matched.groupBy("term").agg(F.count("*").alias("__df"))
+
+    spark = df.sparkSession
+    qrows = [(int(q), t) for q, ts in queries.items() for t in ts]
+    qtable = spark.createDataFrame(qrows, "q_id bigint, term string")
+
+    n = F.col("__n_docs").cast("double")
+    avgdl = F.col("__sum_dl") / n
+    dfd = F.col("__df").cast("double")
+    idf = F.log(F.lit(1.0) + (n - dfd + 0.5) / (dfd + 0.5))
+    tfd = F.col("tf").cast("double")
+    contrib = idf * (
+        tfd * (k1 + 1.0)
+        / (tfd + k1 * (1.0 - b + b * F.col("__dl").cast("double") / avgdl))
+    )
+
+    scored = (
+        matched.join(F.broadcast(qtable), "term")
+        .join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("q_id", id_col, F.col("term"), contrib.alias("__c"))
+        .groupBy("q_id", id_col)
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct("term", "__c"))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["__c"],
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "score", "rank")
+    )

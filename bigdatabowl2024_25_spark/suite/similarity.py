@@ -95,6 +95,63 @@ _INORMS = (
     "i -> iv[i]*iv[i])) AS BIGINT) AS DOUBLE)) AS nrm FROM emb"
 )
 
+# ---- 'bm25' branch: lexical retrieval workload (text.bm25_topk) ------
+# pinned query workload over the documents vocabulary; query 2's term
+# matches nothing, so it must yield no rows on both engines
+_BMQ = {0: ["join", "hash"], 1: ["spark", "window", "scan"], 2: ["zzzmissing"]}
+_BM_K, _BM_K1, _BM_B = 5, 1.2, 0.75
+
+_BMQ_VALUES = ", ".join(
+    f"({q}, '{t}')" for q, ts in sorted(_BMQ.items()) for t in ts
+)
+
+#: contribution mirror of text.bm25_topk (q60 _BM25_SCORE conventions:
+#: Python-repr'd constants so both engines parse identical doubles)
+_BM_CONTRIB = (
+    "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+    " / (CAST(df AS DOUBLE) + 0.5))"
+    f" * (CAST(tf AS DOUBLE) * CAST({_BM_K1 + 1.0!r} AS DOUBLE)"
+    f" / (CAST(tf AS DOUBLE) + CAST({_BM_K1!r} AS DOUBLE)"
+    f" * (CAST({1.0 - _BM_B!r} AS DOUBLE) + CAST({_BM_B!r} AS DOUBLE)"
+    " * CAST(dl AS DOUBLE) / (sum_dl / CAST(n_docs AS DOUBLE)))))"
+)
+
+_BM_CTES = f"""
+    bq AS (SELECT * FROM (VALUES {_BMQ_VALUES}) AS t(q_id, term)),
+    bmatch AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl, t.term,
+               len(list_filter(string_split(text, ' '),
+                   w -> w = t.term)) AS tf
+        FROM documents, (SELECT DISTINCT term FROM bq) t
+        WHERE len(list_filter(string_split(text, ' '),
+                  w -> w = t.term)) > 0
+    ),
+    bstats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(string_split(text, ' '))
+                    AS DECIMAL(25,6))) AS DOUBLE) AS sum_dl
+        FROM documents
+    ),
+    bdf AS (SELECT term, COUNT(*) AS df FROM bmatch GROUP BY 1),
+    bscored AS (
+        SELECT q.q_id, m.doc_id,
+               ROUND(list_aggregate(list_transform(
+                   list_sort(list(struct_pack(
+                       term := m.term, c := {_BM_CONTRIB}))),
+                   x -> x.c), 'sum'), 6) AS score
+        FROM bmatch m
+        JOIN bq q USING (term)
+        JOIN bdf USING (term), bstats
+        GROUP BY q.q_id, m.doc_id
+    ),
+    branked AS (
+        SELECT q_id, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY score DESC, doc_id) AS rank
+        FROM bscored
+    )
+"""
+
 
 @query(
     "q80_cosine_search",
@@ -160,7 +217,8 @@ _INORMS = (
         JOIN q8 b ON a.vec_id < 8 AND b.vec_id <> a.vec_id
         JOIN q8n qn ON qn.vec_id = a.vec_id
         JOIN q8n dn ON dn.vec_id = b.vec_id
-    )
+    ),
+    {_BM_CTES}
     SELECT 'topk' AS kind, q_id, d_id, cosine, rank FROM (
         SELECT q_id, d_id, cosine,
                ROW_NUMBER() OVER (PARTITION BY q_id
@@ -183,6 +241,9 @@ _INORMS = (
            MAX(cosine) AS cosine, COUNT(*) AS rank
     FROM scored WHERE d_id >= 8 AND cosine >= 0.2
     GROUP BY d_id
+    UNION ALL
+    SELECT 'bm25' AS kind, q_id, doc_id AS d_id, score AS cosine, rank
+    FROM branked WHERE rank <= {_BM_K}
     """,
 )
 def q80_cosine_search(spark, sf_dir):
@@ -237,8 +298,27 @@ def q80_cosine_search(spark, sf_dir):
         F.col("max_cosine").alias("cosine"),
         F.col("n_hits").cast("bigint").alias("rank"),
     )
+    # 'bm25' (round 9): lexical retrieval — `text.bm25_topk` ranks the
+    # pinned query workload over the documents corpus via the inverted
+    # (doc, term, tf) shape; scores fold term-sorted and round to 6
+    # decimals BEFORE ranking so the top-k list is engine-exact.
+    from ..operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = bm25_topk(
+        docs, "text", "doc_id", _BMQ, k=_BM_K, k1=_BM_K1, b=_BM_B
+    ).select(
+        F.lit("bm25").alias("kind"),
+        "q_id",
+        F.col("doc_id").alias("d_id"),
+        F.col("score").alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
     return (
-        topk.unionByName(neardup).unionByName(sq8).unionByName(decon)
+        topk.unionByName(neardup)
+        .unionByName(sq8)
+        .unionByName(decon)
+        .unionByName(bm)
     )
 
 

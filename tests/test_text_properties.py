@@ -695,3 +695,52 @@ def test_c4_clean_lines_reference(spark):
     assert got == want
     assert set(got) == {1, 2, 6}
     assert got[1][1] == 3  # order-preserving, 3 survivors
+
+
+def test_bm25_topk_reference_and_edges(spark):
+    import math
+
+    from bigdatabowl2024_25_spark.operators.text import bm25_topk
+
+    corpus = [
+        (0, "join hash join scan"),
+        (1, "hash table small"),
+        (2, "scan scan scan scan scan"),
+        (3, "unrelated words only"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    queries = {7: ["join", "scan"], 8: ["missingterm"]}
+    out = bm25_topk(df, "text", "doc_id", queries, k=2)
+    got = {
+        (r.q_id, r.rank): (r.doc_id, r.score) for r in out.collect()
+    }
+
+    # pure-python reference (same formula, term-sorted fold, round 6)
+    def tf(text, t):
+        return sum(1 for w in text.split(" ") if w == t)
+
+    n = len(corpus)
+    sum_dl = sum(len(t.split(" ")) for _, t in corpus)
+    avgdl = sum_dl / float(n)
+    k1, b = 1.2, 0.75
+
+    def score(text, terms):
+        s = 0.0
+        for t in sorted(terms):
+            f = tf(text, t)
+            if f == 0:
+                continue
+            dfq = sum(1 for _, x in corpus if tf(x, t) > 0)
+            idf = math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+            dl = len(text.split(" "))
+            s += idf * (f * (k1 + 1.0) / (f + k1 * (1.0 - b + b * dl / avgdl)))
+        return round(s, 6)
+
+    want = sorted(
+        ((score(t, ["join", "scan"]), d) for d, t in corpus if score(t, ["join", "scan"]) > 0),
+        key=lambda x: (-x[0], x[1]),
+    )[:2]
+    assert got[(7, 1)] == (want[0][1], want[0][0])
+    assert got[(7, 2)] == (want[1][1], want[1][0])
+    # query with no matching docs yields no rows at all
+    assert not any(q == 8 for q, _ in got)
