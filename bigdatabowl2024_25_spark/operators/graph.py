@@ -134,8 +134,19 @@ def pagerank(
                 ).alias("rank_scaled"),
             )
         )
-        if (i + 1) % eager_every == 0 and (i + 1) < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+        # Each round references the previous ranks THREE times (share
+        # join, dangling aggregate, next-round base), so a lazy plan
+        # TRIPLES per round — 3^n subtree copies (observed: 9 KB → 28
+        # KB per extra round; the composed-pipeline OOM lesson from
+        # pipelines/corpus._fanout applies). A lazy localCheckpoint
+        # truncates the logical plan NOW and materializes at first
+        # use, keeping per-round plan size constant; `eager_every`
+        # additionally forces materialization so a failure mid-chain
+        # never recomputes more than that many rounds.
+        if (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(
+                eager=((i + 1) % eager_every == 0)
+            )
     return ranks.select("node", "rank_scaled")
 
 

@@ -45,26 +45,62 @@ from .registry import query
 @query(
     "q50_string_functions",
     oracle="""
-    SELECT p_partkey,
+    SELECT 'scalar' AS kind, p_partkey AS id_a,
            regexp_replace(p_type, '[ -]', '.', 'g') AS clean_type,
            concat_ws(' - ', p_brand, p_type) AS brand_type,
            array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
-             AS reversed_name
+             AS reversed_name,
+           CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS BIGINT) AS dist
     FROM part
+    UNION ALL
+    SELECT 'fuzzy', a.c_custkey, NULL, NULL, NULL, b.c_custkey,
+           levenshtein(a.c_name, b.c_name)
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE a.c_custkey < 200 AND b.c_custkey < 200
+      AND levenshtein(a.c_name, b.c_name) <= 2
     """,
 )
 def q50_string_functions(spark, sf_dir):
     """F4 regex replace-all (`cover_threshold.R:18-20`), F5 concat with
     sep (`Matchup Information.R:102`), F6 split/reverse/rejoin
     (`Matchup Information.R:75-77`). DuckDB needs the 'g' flag for
-    replace-all; Spark replaces all by default."""
+    replace-all; Spark replaces all by default.
+
+    'fuzzy' (round 9): `fuzzy.edit_distance_self_join` — q-gram count
+    blocking + exact levenshtein verify over near-identical customer
+    names (sequential key strings: the blocking's adversarial case).
+    The oracle is a BRUTE-FORCE cross-join levenshtein, so the
+    funnel's recall must be exactly 100% — a false negative in the
+    gram bound fails the hash compare."""
     p = load_table(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
+    nb = F.lit(None).cast("bigint")
+    scalar = p.select(
+        F.lit("scalar").alias("kind"),
+        F.col("p_partkey").alias("id_a"),
         clean_label(F.col("p_type")).alias("clean_type"),
         join_label(" - ", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
         reverse_words(F.col("p_name")).alias("reversed_name"),
+        nb.alias("id_b"),
+        nb.alias("dist"),
     )
+    from ..operators.fuzzy import edit_distance_self_join
+
+    names = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select("c_custkey", "c_name")
+    )
+    ns = F.lit(None).cast("string")
+    fz = edit_distance_self_join(names, "c_custkey", "c_name", k=2).select(
+        F.lit("fuzzy").alias("kind"),
+        "id_a",
+        ns.alias("clean_type"),
+        ns.alias("brand_type"),
+        ns.alias("reversed_name"),
+        "id_b",
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+    return scalar.unionByName(fz)
 
 
 @query(

@@ -423,3 +423,78 @@ def test_sketch_operator_plans(spark):
     assert "BroadcastHashJoin" in bud
     # one shuffle: the tiny per-domain totals aggregate
     assert shuffles(bud) == 1
+
+
+def test_merge_into_is_single_join_plan(spark):
+    """q18 'merge': every clause must resolve inside ONE full-outer
+    join — no second pass over the target, no extra target-side
+    exchange beyond the join's own."""
+    from pyspark.sql import functions as F
+
+    from bigdatabowl2024_25_spark.operators.merge import merge_into
+
+    t = spark.createDataFrame(
+        [(1, 1.0)], "k bigint, v double"
+    )
+    s = spark.createDataFrame([(1, 2.0)], "k bigint, d double")
+    out = merge_into(
+        t, s, ["k"],
+        update_set={"v": "t.v + s.d"},
+        insert_values={"k": "s.k", "v": "s.d"},
+    )
+    plan = plan_of(out)
+    assert "FullOuter" in plan
+    # exactly one numbered join node: the merge join itself
+    assert len(re.findall(r"\(\d+\) \w*Join", plan)) == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_round_is_join_plus_agg(spark):
+    """One pagerank round adds exactly one keyed shuffle join + one
+    groupBy(dst) aggregate + the 1-row dangling aggregate — nothing
+    quadratic, no cartesian product on the edge list."""
+    from bigdatabowl2024_25_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src bigint, dst bigint")
+    p1 = plan_of(pagerank(e, iterations=1))
+    p3 = plan_of(pagerank(e, iterations=3))
+    assert "CartesianProduct" not in p1 and "CartesianProduct" not in p3
+    # per-round lazy localCheckpoint keeps the visible plan CONSTANT
+    # per round (the previous lazy chain tripled: 3 refs -> 3^n)
+    assert len(p3) < 1.5 * len(p1)
+
+
+def test_bm25_topk_broadcasts_workload_and_stats(spark):
+    """q80 'bm25': the matched-postings side must join the workload,
+    df, and stats via broadcast — the corpus never shuffles before the
+    (q,doc) aggregate."""
+    from bigdatabowl2024_25_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(0, "join hash"), (1, "scan scan")], "doc_id bigint, text string"
+    )
+    out = bm25_topk(df, "text", "doc_id", {0: ["join"], 1: ["scan"]}, k=2)
+    plan = plan_of(out)
+    assert plan.count("BroadcastExchange") >= 3  # qtable, df_t, stats
+    assert "BatchEvalPython" not in plan
+    # shuffles: df_t agg + (q,doc) agg + window on q (+AQE coalesces)
+    assert shuffles(plan) <= 4
+
+
+def test_gapfill_single_window_sort(spark):
+    """All fills (zero/locf/interp) must share ONE sort per key — a
+    second Sort node per policy would triple the window cost."""
+    from bigdatabowl2024_25_spark.operators.rollup import gapfill
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0, 2)], "k string, b bigint, v double, n bigint"
+    )
+    out = gapfill(df, ["k"], "b", 10, {"v": "interp", "n": "zero"})
+    plan = plan_of(out)
+    # all policies + both frames fuse into ONE Window node (same
+    # partitioning/ordering), so the fills share a single window sort;
+    # the remaining Sorts belong to the grid SMJ, which broadcasts at
+    # real sizes
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    # span agg + both join sides + the (k)-window exchange
+    assert shuffles(plan) <= 4
