@@ -246,3 +246,61 @@ def scd2_build(
         .withColumnRenamed(seq_col, from_col)
         .select(*key, *attr_cols, from_col, to_col, current_col)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC feed generation — the inverse of `merge_into`: diff two
+    snapshots of the same keyed table into the change set that turns
+    ``old`` into ``new``. Returns (op, keys, new-value columns), with
+    op ∈ insert/update/delete (value columns NULL on delete);
+    unchanged rows are dropped. ``compare_cols`` defaults to every
+    non-key column shared by both snapshots; comparison is null-safe
+    field-wise (a NULL→value flip IS an update).
+
+    Scale: one full-outer join on the key (the same bill as the MERGE
+    that will consume the feed — bucket both snapshots by key and
+    neither moves); change detection is a struct eqNullSafe
+    projection. This is how a snapshot-only upstream becomes an
+    incremental source: diff yesterday/today once, then drive
+    `merge_into` (or a downstream stream) with the delta instead of
+    reprocessing the full table.
+    """
+    shared = [c for c in new.columns if c in old.columns and c not in key]
+    cols = compare_cols if compare_cols is not None else shared
+    for c in cols:
+        if c not in shared:
+            raise ValueError(f"compare column {c!r} not in both snapshots")
+    o = old.withColumn(_T_PRESENT, F.lit(1)).alias("o")
+    n = new.withColumn(_S_PRESENT, F.lit(1)).alias("n")
+    cond = reduce(
+        lambda x, y: x & y,
+        [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key],
+    )
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"o.{_T_PRESENT}").isNotNull()
+    in_new = F.col(f"n.{_S_PRESENT}").isNotNull()
+    changed = ~F.struct(*[F.col(f"o.{c}") for c in cols]).eqNullSafe(
+        F.struct(*[F.col(f"n.{c}") for c in cols])
+    )
+    op = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            "op",
+            *[
+                F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k)
+                for k in key
+            ],
+            *[F.col(f"n.{c}").alias(c) for c in cols],
+        )
+    )

@@ -6,7 +6,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.merge import latest_changes, merge_into, scd2_build
+from ..operators.merge import (
+    latest_changes,
+    merge_into,
+    scd2_build,
+    snapshot_diff,
+)
 from ..operators.relational import asym_join
 from ..sources.io import load_table, register_views
 from .registry import query
@@ -189,6 +194,24 @@ def q17_sql_text_entry(spark, sf_dir):
         WHERE NOT (t.k IS NOT NULL AND s.k IS NOT NULL
                    AND s.price < 30000)
     ),
+    snap_old AS (
+        SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal
+        FROM customer WHERE c_custkey % 5 <> 0
+    ),
+    snap_new AS (
+        SELECT c_custkey AS k, c_name AS name,
+               c_acctbal + (c_custkey % 11) AS bal
+        FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    diffed AS (
+        SELECT CASE WHEN o.k IS NULL THEN 'insert'
+                    WHEN n.k IS NULL THEN 'delete'
+                    WHEN NOT (o.name IS NOT DISTINCT FROM n.name
+                              AND o.bal IS NOT DISTINCT FROM n.bal)
+                    THEN 'update' END AS op,
+               COALESCE(n.k, o.k) AS k, n.name AS name, n.bal AS bal
+        FROM snap_old o FULL OUTER JOIN snap_new n ON o.k = n.k
+    ),
     purch AS (
         SELECT user_id, epoch_us(ts) AS seq,
                arg_max(CASE WHEN value < 33 THEN 'low'
@@ -225,6 +248,10 @@ def q17_sql_text_entry(spark, sf_dir):
     SELECT 'scd2', user_id, NULL, NULL, NULL, tier, NULL,
            eff_from, eff_to, eff_to IS NULL
     FROM hist
+    UNION ALL
+    SELECT concat('diff_', op), k, NULL, NULL, NULL, name, bal,
+           NULL, NULL, NULL
+    FROM diffed WHERE op IS NOT NULL
     """,
 )
 def q18_fact_fact_join(spark, sf_dir):
@@ -315,6 +342,32 @@ def q18_fact_fact_join(spark, sf_dir):
         F.lit(None).cast("boolean").alias("is_current"),
     )
 
+    # 'diff_*' (round 9): `merge.snapshot_diff` — CDC feed generation
+    # from two keyed snapshots (the inverse of the merge above); every
+    # op fate occurs by construction of the %5/%7/%11 membership.
+    snap_old = c.filter(F.col("c_custkey") % 5 != 0).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    snap_new = c.filter(F.col("c_custkey") % 7 != 0).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        (F.col("c_acctbal") + F.col("c_custkey") % 11).alias("bal"),
+    )
+    diffed = snapshot_diff(snap_old, snap_new, ["k"]).select(
+        F.concat(F.lit("diff_"), F.col("op")).alias("kind"),
+        F.col("k").alias("user_id"),
+        nb.alias("day"),
+        nb.alias("n_pairs"),
+        nb.alias("min_gap_us"),
+        "name",
+        "bal",
+        nb.alias("eff_from"),
+        nb.alias("eff_to"),
+        F.lit(None).cast("boolean").alias("is_current"),
+    )
+
     purch = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
@@ -341,7 +394,11 @@ def q18_fact_fact_join(spark, sf_dir):
         "eff_to",
         "is_current",
     )
-    return pairs.unionByName(merged).unionByName(scd2)
+    return (
+        pairs.unionByName(merged)
+        .unionByName(scd2)
+        .unionByName(diffed)
+    )
 
 
 @query(

@@ -143,3 +143,42 @@ def test_scd2_no_compress_keeps_restatements(spark):
     )
     out = scd2_build(log, ["user"], "seq", ["tier"], compress=False)
     assert out.count() == 2
+
+
+def test_snapshot_diff_ops_and_roundtrip(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "k bigint, name string, bal double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (3, "c", 1.0), (4, "d", 4.0)],
+        "k bigint, name string, bal double",
+    )
+    from bigdatabowl2024_25_spark.operators.merge import snapshot_diff
+
+    diff = snapshot_diff(old, new, ["k"])
+    got = {r.k: (r.op, r.name, r.bal) for r in diff.collect()}
+    assert got == {
+        2: ("update", "b", 25.0),
+        3: ("update", "c", 1.0),  # NULL -> value IS an update
+        4: ("insert", "d", 4.0),
+    }  # row 1 unchanged: absent
+
+    old2 = spark.createDataFrame(
+        [(1, "a", 1.0), (9, "z", 9.0)], "k bigint, name string, bal double"
+    )
+    d2 = snapshot_diff(old2, new, ["k"])
+    assert {r.k: r.op for r in d2.collect()}[9] == "delete"
+
+    # the defining invariant: merge_into(old, diff) == new, exactly
+    applied = merge_into(
+        old2,
+        d2,
+        ["k"],
+        update_set={"name": "s.name", "bal": "s.bal"},
+        delete_condition="s.op = 'delete'",
+        insert_values={"k": "s.k", "name": "s.name", "bal": "s.bal"},
+    )
+    assert sorted(map(tuple, applied.collect())) == sorted(
+        map(tuple, new.collect())
+    )
