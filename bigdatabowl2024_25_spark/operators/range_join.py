@@ -20,7 +20,7 @@ the window bounds come from another table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -50,4 +50,55 @@ def range_join(
             & (F.col(point_col) <= F.col(hi_col))
         )
         .drop("__band")
+    )
+
+
+def concurrency_profile(
+    df: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Sweep-line interval-overlap counting: how many intervals are
+    live at each moment. Returns (keys…, ts, concurrency) where
+    ``concurrency`` is the number of intervals covering
+    ``[ts, next boundary)`` — end-exclusive, so back-to-back
+    intervals never double-count at the seam. Max concurrency /
+    capacity sizing is ``F.max(concurrency)`` over this.
+
+    Shape: explode each interval into (+1 at lo, −1 at hi), aggregate
+    deltas per boundary timestamp FIRST (map-side combine — the
+    running sum then reads one row per DISTINCT boundary, not per
+    interval), then one cumulative-sum window.
+
+    Scale: with ``keys`` the window partitions per key — fully
+    parallel. The global profile (keys=None) is an inherently ordered
+    computation: Spark plans a single-partition window over the
+    boundary table, which is fine exactly because the delta
+    pre-aggregation has already collapsed the data to distinct
+    boundaries (bucket timestamps upstream — e.g. `rollup.time_bucket`
+    — to bound that cardinality at 100 TB; the alternative, a
+    range-partitioned two-phase prefix sum, trades that bound for a
+    sampled partitioner whose boundaries are not run-deterministic)."""
+    ks = keys or []
+    lo = df.select(
+        *ks, F.col(lo_col).alias("ts"), F.lit(1).alias("__d")
+    )
+    hi = df.select(
+        *ks, F.col(hi_col).alias("ts"), F.lit(-1).alias("__d")
+    )
+    deltas = (
+        lo.unionByName(hi)
+        .groupBy(*ks, "ts")
+        .agg(F.sum("__d").alias("__d"))
+    )
+    w = (
+        Window.partitionBy(*ks)
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return deltas.select(
+        *ks,
+        "ts",
+        F.sum("__d").over(w).cast("bigint").alias("concurrency"),
     )

@@ -25,11 +25,28 @@ _HOUR_US = 3_600_000_000
         SELECT user_id, event_id AS signup_event_id,
                epoch_us(ts) AS lo, epoch_us(ts) + {_HOUR_US} AS hi
         FROM events WHERE event_type = 'signup'
+    ),
+    cv AS (
+        SELECT user_id, lo AS t, 1 AS d FROM s
+        UNION ALL
+        SELECT user_id, hi, -1 FROM s
+    ),
+    cg AS (SELECT user_id, t, SUM(d) AS d FROM cv GROUP BY 1, 2),
+    prof AS (
+        SELECT user_id, t,
+               CAST(SUM(d) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS c
+        FROM cg
     )
-    SELECT p.user_id, p.event_id, p.ts_us, p.value,
-           s.signup_event_id, s.lo, s.hi
+    SELECT 'range' AS kind, p.user_id, p.event_id, p.ts_us, p.value,
+           s.signup_event_id, s.lo, s.hi,
+           CAST(NULL AS BIGINT) AS concurrency
     FROM p JOIN s
       ON p.user_id = s.user_id AND p.ts_us >= s.lo AND p.ts_us <= s.hi
+    UNION ALL
+    SELECT 'concur', user_id, NULL, t, NULL, NULL, NULL, NULL, c
+    FROM prof
     """,
 )
 def q36_range_join_signup_purchases(spark, sf_dir):
@@ -46,7 +63,36 @@ def q36_range_join_signup_purchases(spark, sf_dir):
         F.col("ts_us").alias("lo"),
         (F.col("ts_us") + _HOUR_US).alias("hi"),
     )
-    return range_join(
+    nb = F.lit(None).cast("bigint")
+    rj = range_join(
         p, s, keys=["user_id"], point_col="ts_us",
         lo_col="lo", hi_col="hi", band_width=_HOUR_US,
+    ).select(
+        F.lit("range").alias("kind"),
+        "user_id",
+        "event_id",
+        "ts_us",
+        "value",
+        "signup_event_id",
+        "lo",
+        "hi",
+        nb.alias("concurrency"),
     )
+    # 'concur' (round 9): `range_join.concurrency_profile` — sweep-line
+    # overlap counting of each user's signup sessions (end-exclusive:
+    # back-to-back sessions never double-count); oracle mirrors with
+    # a delta union + cumulative window.
+    from ..operators.range_join import concurrency_profile
+
+    prof = concurrency_profile(s, "lo", "hi", keys=["user_id"]).select(
+        F.lit("concur").alias("kind"),
+        "user_id",
+        nb.alias("event_id"),
+        F.col("ts").alias("ts_us"),
+        F.lit(None).cast("double").alias("value"),
+        nb.alias("signup_event_id"),
+        nb.alias("lo"),
+        nb.alias("hi"),
+        "concurrency",
+    )
+    return rj.unionByName(prof)

@@ -66,3 +66,33 @@ def test_gapfill_partition_invariance(spark):
         df.repartition(7), ["k"], "b", 10, {"v": "interp", "n": "zero"}
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_concurrency_profile_sweep(spark):
+    from bigdatabowl2024_25_spark.operators.range_join import (
+        concurrency_profile,
+    )
+
+    rows = [
+        ("a", 0, 10),
+        ("a", 5, 15),   # overlaps the first
+        ("a", 10, 20),  # starts exactly as #1 ends: no double count
+        ("b", 0, 100),
+    ]
+    df = spark.createDataFrame(rows, "k string, lo bigint, hi bigint")
+    out = concurrency_profile(df, "lo", "hi", keys=["k"])
+    got = {(r.k, r.ts): r.concurrency for r in out.collect()}
+    assert got == {
+        ("a", 0): 1,
+        ("a", 5): 2,
+        ("a", 10): 2,   # -1 (end of #1) +1 (start of #3)
+        ("a", 15): 1,
+        ("a", 20): 0,
+        ("b", 0): 1,
+        ("b", 100): 0,
+    }
+    # global profile (no keys) and max concurrency
+    g = concurrency_profile(df, "lo", "hi")
+    from pyspark.sql import functions as F
+
+    assert g.agg(F.max("concurrency")).collect()[0][0] == 3
