@@ -148,3 +148,63 @@ def gapfill(
             )
         out_cols.append(filled.alias(c))
     return d.select(*keys, bucket_col, *out_cols, "is_gap")
+
+
+def rollup_delta_merge(
+    existing: DataFrame,
+    new_events: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    width: int,
+    aggs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Incremental continuous-aggregate maintenance: fold a new batch
+    of raw events into an EXISTING rollup table without rescanning
+    history — aggregate the batch at bucket granularity, then merge
+    bucket-by-bucket with the decomposable re-aggregation algebra
+    (sum+sum, count+sum, min+min, max+max — the same `_DECOMPOSABLE`
+    table the cascade uses).
+
+    Scale: cost ∝ batch, never history. The batch collapses to its
+    touched (keys, bucket) rows map-side; the merge is one full-outer
+    join on (keys, bucket) — bucket both tables and neither moves.
+    This is the materialized-view maintenance loop: daily batch →
+    `rollup_delta_merge` → overwrite touched partitions. Late data
+    lands in whatever (old) bucket it belongs to — the merge is
+    bucket-keyed, so backfill needs no special path.
+    """
+    for name, (kind, _col) in aggs.items():
+        if kind not in _DECOMPOSABLE:
+            raise ValueError(f"{kind!r} is not decomposable ({name})")
+    bucket = time_bucket(ts_col, width).alias("bucket_start")
+    first = [
+        _DECOMPOSABLE[kind][0](col).alias(name)
+        for name, (kind, col) in aggs.items()
+    ]
+    delta = new_events.groupBy(*keys, bucket).agg(*first)
+
+    e, d = existing.alias("e"), delta.alias("d")
+    on = [*keys, "bucket_start"]
+    cond = None
+    for k in on:
+        c = F.col(f"e.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = c if cond is None else (cond & c)
+    j = e.join(d, cond, "full_outer")
+    merge_fn = {
+        "sum": lambda a, b: a + b,
+        "count": lambda a, b: a + b,
+        "min": F.least,
+        "max": F.greatest,
+    }
+    out = [
+        F.coalesce(F.col(f"e.{k}"), F.col(f"d.{k}")).alias(k) for k in on
+    ]
+    for name, (kind, _col) in aggs.items():
+        a, b = F.col(f"e.{name}"), F.col(f"d.{name}")
+        merged = (
+            F.when(a.isNull(), b)
+            .when(b.isNull(), a)
+            .otherwise(merge_fn[kind](a, b))
+        )
+        out.append(merged.alias(name))
+    return j.select(*out)

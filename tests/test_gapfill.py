@@ -96,3 +96,46 @@ def test_concurrency_profile_sweep(spark):
     from pyspark.sql import functions as F
 
     assert g.agg(F.max("concurrency")).collect()[0][0] == 3
+
+
+def test_rollup_delta_merge_equals_full_rebuild(spark):
+    from pyspark.sql import functions as F
+
+    from bigdatabowl2024_25_spark.operators.rollup import (
+        rollup_delta_merge,
+        time_bucket,
+    )
+
+    aggs = {
+        "n": ("count", "v"),
+        "s": ("sum", "v"),
+        "mn": ("min", "v"),
+        "mx": ("max", "v"),
+    }
+    day1 = spark.createDataFrame(
+        [("a", 5, 10), ("a", 15, 20), ("b", 7, 7)], "k string, ts bigint, v bigint"
+    )
+    day2 = spark.createDataFrame(
+        [("a", 8, 1), ("a", 95, 5), ("c", 3, 3)],  # old-bucket backfill + new key
+        "k string, ts bigint, v bigint",
+    )
+    first = day1.groupBy(
+        "k", time_bucket("ts", 10).alias("bucket_start")
+    ).agg(
+        F.count("v").alias("n"),
+        F.sum("v").alias("s"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    merged = rollup_delta_merge(first, day2, ["k"], "ts", 10, aggs)
+    rebuilt = day1.unionByName(day2).groupBy(
+        "k", time_bucket("ts", 10).alias("bucket_start")
+    ).agg(
+        F.count("v").alias("n"),
+        F.sum("v").alias("s"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
