@@ -225,6 +225,7 @@ def test_q74_pipeline_under_reliable_checkpointing(spark, tmp_path):
     expected = {
         (r.node, r.component)
         for r in suite.QUERIES["q74_near_dup_clusters"](spark, sf).collect()
+        if r.kind == "cc"  # round 9 added the 'pr' PageRank branch
     }
     sc = spark.sparkContext
     sc.setCheckpointDir(str(tmp_path / "cc_ckpt"))

@@ -178,17 +178,18 @@ def test_q80_neardup_is_bucket_join_not_all_pairs(spark):
     bucket key. q80's ONLY allowed nested-loops are the deliberate
     broadcast-small-side scorers: the topk branch's 8-query baseline
     (1), the sq8 branch's 1-row-scales joins + 8-query scoring pass
-    (3), and round 8's decon branch scoring the corpus against the
-    8-vector broadcast benchmark (1). A sixth one (or any cartesian)
-    means a corpus×corpus all-pairs scorer came back — the round-4
-    scale-killer."""
+    (3), round 8's decon branch scoring the corpus against the
+    8-vector broadcast benchmark (1), and round 9's bm25 branch
+    broadcasting its single-row stats table (1). A seventh one (or
+    any cartesian) means a corpus×corpus all-pairs scorer came back —
+    the round-4 scale-killer."""
     import re
 
     plan = plan_of(suite.QUERIES["q80_cosine_search"](spark, SF))
     assert "CartesianProduct" not in plan
     # formatted mode lists each node twice (tree + details): count
     # numbered tree entries
-    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 5
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 6
     # the funnel's bucket equi-join must exist as a HASH join keyed
     # on the bucket column
     assert re.search(r"\(\d+\) (Broadcast|SortMerge|ShuffledHash)?HashJoin", plan)
