@@ -116,3 +116,26 @@ def recode(col: Column, table: dict[str, str], default: Column | None = None) ->
         kv.extend([F.lit(k), F.lit(v)])
     out = F.create_map(*kv)[col]
     return F.coalesce(out, default) if default is not None else out
+
+
+def json_field(col: Column, schema: str, field: str) -> Column:
+    """Typed JSON parse + field extract: `from_json` with an explicit
+    schema (codegen Jackson parse, JVM-side — the engine's
+    semi-structured column story; the reference has no JSON surface,
+    its `props`-like payloads stay opaque strings). Malformed
+    documents yield NULL, the PERMISSIVE contract `sources.io`'s JSONL
+    reader shares."""
+    return F.from_json(col, schema)[field]
+
+
+def json_path(col: Column, path: str) -> Column:
+    """Untyped JSONPath probe (`get_json_object`): ad-hoc extraction
+    without declaring a schema — the exploratory sibling of
+    `json_field`; returns a string (cast at the call site)."""
+    return F.get_json_object(col, path)
+
+
+def json_n_keys(col: Column) -> Column:
+    """Top-level key count (schema drift detector for ingest
+    monitoring: alert when a producer adds/drops fields)."""
+    return F.size(F.json_object_keys(col))

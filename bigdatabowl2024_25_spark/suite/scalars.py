@@ -119,7 +119,18 @@ def q50_string_functions(spark, sf_dir):
            LEAST(CAST(FLOOR(value / 50) AS BIGINT) + 1, 6) AS bucket_formula,
            CASE WHEN event_type = 'error' THEN NULL
                 ELSE ((epoch_us(ts) // 1000000) % 86400) * 1000000
-                     + epoch_us(ts) % 1000000 END AS parsed_us
+                     + epoch_us(ts) % 1000000 END AS parsed_us,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS props_k,
+           CAST(json_extract(
+               concat('{"a": {"b": [',
+                      CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+                           AS VARCHAR),
+                      ',',
+                      CAST(CAST(json_extract(props, '$.k') AS BIGINT) * 2
+                           AS VARCHAR),
+                      ']}}'),
+               '$.a.b[1]') AS BIGINT) AS deep_v,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_json_keys
     FROM events
     """,
 )
@@ -173,6 +184,19 @@ def q51_time_scalars(spark, sf_dir):
         * 1_000_000
         + F.expr("CAST(extract(SECOND FROM __parsed) * 1000000 AS BIGINT)")
     )
+    # round 9: the semi-structured leg — events.props is a JSON
+    # document; typed parse (from_json), JSONPath probe over a
+    # manufactured nested document, and the key-count drift detector
+    from ..functions.scalar import json_field, json_n_keys, json_path
+
+    props_k = json_field(F.col("props"), "k INT", "k").cast("bigint")
+    nested = F.concat(
+        F.lit('{"a": {"b": ['),
+        props_k.cast("string"),
+        F.lit(","),
+        (props_k * 2).cast("string"),
+        F.lit("]}}"),
+    )
     return withp.select(
         "event_id",
         clock.alias("clock"),
@@ -183,6 +207,9 @@ def q51_time_scalars(spark, sf_dir):
             "bucket_formula"
         ),
         parsed_us.alias("parsed_us"),
+        props_k.alias("props_k"),
+        json_path(nested, "$.a.b[1]").cast("bigint").alias("deep_v"),
+        json_n_keys(F.col("props")).cast("bigint").alias("n_json_keys"),
     )
 
 
