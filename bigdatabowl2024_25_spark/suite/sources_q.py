@@ -184,6 +184,36 @@ def _z_sql() -> str:
         FROM supplier
     ) WHERE rn <= 3
     GROUP BY s_nationkey
+    UNION ALL
+    SELECT 'expect:not_null:s_name', CAST(NULL AS BIGINT),
+           CAST(SUM(CASE WHEN s_name IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM supplier
+    UNION ALL
+    SELECT 'expect:in_range:s_suppkey', NULL,
+           CAST(SUM(CASE WHEN s_suppkey IS NOT NULL
+                    AND (s_suppkey < 1 OR s_suppkey > 50)
+               THEN 1 ELSE 0 END) AS BIGINT), NULL, NULL
+    FROM supplier
+    UNION ALL
+    SELECT 'expect:matches:s_name', NULL,
+           CAST(SUM(CASE WHEN s_name IS NOT NULL
+                    AND NOT regexp_matches(s_name, 'Supplier#')
+               THEN 1 ELSE 0 END) AS BIGINT), NULL, NULL
+    FROM supplier
+    UNION ALL
+    SELECT 'expect:unique:s_nationkey', NULL,
+           CAST(COUNT(*) - COUNT(DISTINCT s_nationkey)
+                AS BIGINT), NULL, NULL
+    FROM supplier
+    UNION ALL
+    SELECT 'expect:foreign_key:s_suppkey', NULL,
+           CAST((SELECT COUNT(*) FROM supplier
+            WHERE s_suppkey IS NOT NULL
+              AND s_suppkey NOT IN (SELECT n_nationkey FROM nation))
+                AS BIGINT),
+           NULL, NULL
     """
     ),
 )
@@ -306,6 +336,35 @@ def q95_source_sink_roundtrip(spark, sf_dir):
             )
         )
 
+        # 'expect:*' (round 9): the data-quality layer — every row-
+        # level expectation rides ONE aggregate pass over supplier;
+        # unique/FK take their own bounded steps. Counts are exact,
+        # so the SQL mirror is a conditional-count re-derivation.
+        from ..sources.quality import expect
+
+        rep = expect(
+            sup,
+            not_null=["s_name"],
+            in_range={"s_suppkey": (1, 50)},
+            matches={"s_name": "Supplier#"},
+            unique=[["s_nationkey"]],
+            foreign_key={
+                "s_suppkey": (
+                    load_table(spark, sf_dir, "nation"),
+                    "n_nationkey",
+                )
+            },
+        )
+        expectd = rep.select(
+            F.concat_ws(
+                ":", F.lit("expect"), "expectation", "column"
+            ).alias("kind"),
+            F.lit(None).cast("bigint").alias("nation"),
+            F.col("n_violations").alias("n"),
+            F.lit(None).cast("bigint").alias("key_sum"),
+            F.lit(None).cast("bigint").alias("name_chars"),
+        )
+
         # digest is computed from the re-read frames; materialize NOW
         # (localCheckpoint would pin executors; the frames are tiny) so
         # the scratch dir can be removed before returning.
@@ -321,6 +380,7 @@ def q95_source_sink_roundtrip(spark, sf_dir):
             .unionByName(spl_tr)
             .unionByName(spl_te)
             .unionByName(zorder)
+            .unionByName(expectd)
         )
         rows = out.collect()
     finally:
