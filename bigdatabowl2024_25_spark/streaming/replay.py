@@ -280,3 +280,80 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_funnel(
+    stream: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming ordered funnel — the stateful twin of
+    `operators.funnel.funnel_steps`: per-user state is the timestamp
+    of each completed step (−1 = not reached); each micro-batch's
+    events advance the furthest step greedily in timestamp order.
+    Under in-order ingest (event time monotone per user across
+    batches — the replay source's file order, or a Kafka topic keyed
+    by user) the final emission per user equals the batch operator
+    exactly, which is what the pytest pins. Out-of-order streams need
+    a watermark + buffer stage upstream; greedy state CANNOT un-take
+    a step (documented limitation, same trade ClickHouse's
+    windowFunnel makes).
+
+    State: len(steps) int64s per user — fixed-width, key-cardinality
+    bound, hash-partitioned in the state store. Emission: one row per
+    user per touching batch (update semantics) with t0..tN + reached.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    n = len(steps)
+    out_schema = (
+        f"{user_col} long, "
+        + ", ".join(f"t{i} long" for i in range(n))
+        + ", reached int"
+    )
+    state_schema = ", ".join(f"t{i} long" for i in range(n))
+
+    def update(key_tuple, pdfs, state):
+        ts = list(state.get) if state.exists else [-1] * n
+        rows = []
+        for pdf in pdfs:
+            rows.append(pdf[[ts_col, type_col]])
+        ev = pd.concat(rows).sort_values(ts_col)
+        for t, ty in zip(ev[ts_col], ev[type_col]):
+            t = int(t)
+            if ty == steps[0] and ts[0] < 0:
+                ts[0] = t
+                continue
+            for k in range(1, n):
+                if (
+                    ty == steps[k]
+                    and ts[k] < 0
+                    and ts[k - 1] >= 0
+                    and t > ts[k - 1]
+                ):
+                    ts[k] = t
+                    break
+        state.update(tuple(ts))
+        # count the contiguous reached prefix (a step can't be taken
+        # without its predecessor by construction, but be explicit)
+        reached = 0
+        for v in ts:
+            if v < 0:
+                break
+            reached += 1
+        out = {user_col: [key_tuple[0]]}
+        for i in range(n):
+            out[f"t{i}"] = [ts[i] if ts[i] >= 0 else None]
+        out["reached"] = [reached]
+        yield pd.DataFrame(out)
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
