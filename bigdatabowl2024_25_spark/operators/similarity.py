@@ -150,6 +150,59 @@ def brute_force_topk(
     )
 
 
+def rrf_fuse(
+    dense: DataFrame,
+    lexical: DataFrame,
+    id_col: str = "d_id",
+    k_const: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of two
+    retrieval rank lists — the hybrid-search glue of a RAG pipeline:
+    a dense (embedding top-k, e.g. `brute_force_topk`/`ivf_topk`) and
+    a lexical (`text.bm25_topk`) list over the same corpus ids fuse to
+    one ranking per query without score calibration, since RRF reads
+    only RANK positions: score(d) = Σ_lists 1/(k_const + rank_d).
+
+    Inputs carry (q_id, `id_col`, rank); a document absent from one
+    list simply contributes nothing for it (full outer join +
+    coalesce-0 — the J11 discipline), so a query with an empty lexical
+    list degrades to pure dense ranking and vice versa.
+
+    Determinism: each term is one IEEE division 1.0/(k_const+rank) of
+    exact integers and the fused score is ONE fixed-order addition of
+    the two terms — bit-identical on any engine, no rounding needed
+    before the (score desc, id) re-rank.
+
+    100 TB shape: rank lists are (queries × k)-sized — retrieval
+    output, not corpus — so the join and the per-query window touch
+    KB-per-query data no matter the corpus size; the corpus-scale
+    work lives in the two retrievers feeding this. Returns
+    (q_id, `id_col`, rrf_score, rank)."""
+
+    def contrib(r: Column) -> Column:
+        return F.coalesce(
+            F.lit(1.0) / (F.lit(float(k_const)) + r.cast("double")),
+            F.lit(0.0),
+        )
+
+    d = dense.select("q_id", id_col, F.col("rank").alias("__rd"))
+    l = lexical.select("q_id", id_col, F.col("rank").alias("__rl"))
+    fused = (
+        d.join(l, ["q_id", id_col], "full_outer")
+        .select(
+            "q_id",
+            id_col,
+            (contrib(F.col("__rd")) + contrib(F.col("__rl"))).alias(
+                "rrf_score"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return fused.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def sq8_scales(data: DataFrame, vec_col: str, dims: int) -> DataFrame:
     """One-row frame with the per-dimension symmetric-quantization
     scale: sv[j] = max(|v_j|) over the corpus. MAX is comparison-only

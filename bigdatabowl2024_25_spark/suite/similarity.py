@@ -28,6 +28,7 @@ from ..operators.similarity import (
     pairwise_cosine,
     pq_adc_topk,
     quantized,
+    rrf_fuse,
     sq8_topk,
     topk_per_query,
 )
@@ -219,6 +220,31 @@ _BM_CTES = f"""
         JOIN q8n dn ON dn.vec_id = b.vec_id
     ),
     {_BM_CTES}
+    ,
+    drank5 AS (
+        SELECT q_id, d_id, rank FROM (
+            SELECT q_id, d_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY cosine DESC, d_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 5 AND q_id < 3
+    ),
+    lrank5 AS (
+        SELECT q_id, doc_id AS d_id, rank
+        FROM branked WHERE rank <= {_BM_K}
+    ),
+    rrf AS (
+        SELECT COALESCE(a.q_id, b.q_id) AS q_id,
+               COALESCE(a.d_id, b.d_id) AS d_id,
+               COALESCE(CAST(1.0 AS DOUBLE)
+                        / (CAST(60 AS DOUBLE) + CAST(a.rank AS DOUBLE)),
+                        CAST(0.0 AS DOUBLE))
+             + COALESCE(CAST(1.0 AS DOUBLE)
+                        / (CAST(60 AS DOUBLE) + CAST(b.rank AS DOUBLE)),
+                        CAST(0.0 AS DOUBLE)) AS score
+        FROM drank5 a
+        FULL JOIN lrank5 b ON a.q_id = b.q_id AND a.d_id = b.d_id
+    )
     SELECT 'topk' AS kind, q_id, d_id, cosine, rank FROM (
         SELECT q_id, d_id, cosine,
                ROW_NUMBER() OVER (PARTITION BY q_id
@@ -244,6 +270,11 @@ _BM_CTES = f"""
     UNION ALL
     SELECT 'bm25' AS kind, q_id, doc_id AS d_id, score AS cosine, rank
     FROM branked WHERE rank <= {_BM_K}
+    UNION ALL
+    SELECT 'rrf' AS kind, q_id, d_id, score AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY score DESC, d_id ASC) AS rank
+    FROM rrf
     """,
 )
 def q80_cosine_search(spark, sf_dir):
@@ -268,7 +299,8 @@ def q80_cosine_search(spark, sf_dir):
     scored = pairwise_cosine(q, e, "vec_id", "embedding").filter(
         F.col("q_id") != F.col("d_id")
     )
-    topk = topk_per_query(scored, k=5).select(
+    dense_ranked = topk_per_query(scored, k=5)
+    topk = dense_ranked.select(
         F.lit("topk").alias("kind"), "q_id", "d_id", "cosine",
         F.col("rank").cast("bigint").alias("rank"),
     )
@@ -305,20 +337,46 @@ def q80_cosine_search(spark, sf_dir):
     from ..operators.text import bm25_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    bm = bm25_topk(
+    bm_ranked = bm25_topk(
         docs, "text", "doc_id", _BMQ, k=_BM_K, k1=_BM_K1, b=_BM_B
-    ).select(
+    )
+    bm = bm_ranked.select(
         F.lit("bm25").alias("kind"),
         "q_id",
         F.col("doc_id").alias("d_id"),
         F.col("score").alias("cosine"),
         F.col("rank").cast("bigint").alias("rank"),
     )
+    # 'rrf' (round 9): hybrid retrieval — reciprocal-rank fusion of the
+    # dense top-5 list (queries 0-2 of the 'topk' branch, vec_id ≡
+    # doc_id corpus ids) with the 'bm25' lexical list for the same
+    # query ids (`similarity.rrf_fuse`). Query 2's lexical list is
+    # empty, so its fusion must degrade to pure dense ranking — the
+    # outer-join semantics are part of what the oracle checks.
+    rrf = rrf_fuse(
+        dense_ranked.filter(F.col("q_id") < 3).select(
+            F.col("q_id").cast("bigint").alias("q_id"),
+            F.col("d_id").cast("bigint").alias("d_id"),
+            "rank",
+        ),
+        bm_ranked.select(
+            F.col("q_id").cast("bigint").alias("q_id"),
+            F.col("doc_id").cast("bigint").alias("d_id"),
+            "rank",
+        ),
+    ).select(
+        F.lit("rrf").alias("kind"),
+        "q_id",
+        "d_id",
+        F.col("rrf_score").alias("cosine"),
+        "rank",
+    )
     return (
         topk.unionByName(neardup)
         .unionByName(sq8)
         .unionByName(decon)
         .unionByName(bm)
+        .unionByName(rrf)
     )
 
 

@@ -422,3 +422,35 @@ def test_incremental_ivf_near_dup_two_day_replay(spark):
     got3 = {(r.id_a, r.id_b) for r in pairs3.collect()}
     assert (0, 200) in got3
     assert not any(a == 100 or b == 100 for a, b in got3 if b == 200)
+
+
+def test_rrf_fuse_reference_and_outer_join(spark):
+    """RRF fusion vs a hand-walked reference, incl. a query present in
+    only one list (full-outer degradation) and a doc in both lists."""
+    from bigdatabowl2024_25_spark.operators.similarity import rrf_fuse
+
+    dense = spark.createDataFrame(
+        # q0: docs 10,11,12; q1: doc 20; q2 absent from dense
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1)],
+        "q_id long, d_id long, rank long",
+    )
+    lexical = spark.createDataFrame(
+        # q0: doc 11 (also dense) + doc 99 (lexical-only); q2 lexical-only
+        [(0, 11, 1), (0, 99, 2), (2, 30, 1)],
+        "q_id long, d_id long, rank long",
+    )
+    got = {
+        (r.q_id, r.d_id): (r.rrf_score, r.rank)
+        for r in rrf_fuse(dense, lexical).collect()
+    }
+    # doc 11 fuses both lists; doc 10 dense-only; doc 99 lexical-only
+    assert got[(0, 11)][0] == 1.0 / 62 + 1.0 / 61
+    assert got[(0, 10)][0] == 1.0 / 61
+    assert got[(0, 99)][0] == 1.0 / 62
+    # fused order for q0: 11 (both) > 10 (dense r1) > 12/99 (r3 dense vs
+    # r2 lexical: 1/63 < 1/62 so 99 before 12)
+    ranks = {d: got[(0, d)][1] for d in (10, 11, 12, 99)}
+    assert ranks == {11: 1, 10: 2, 99: 3, 12: 4}
+    # single-list queries degrade to that list's ranking
+    assert got[(1, 20)] == (1.0 / 61, 1)
+    assert got[(2, 30)] == (1.0 / 61, 1)
