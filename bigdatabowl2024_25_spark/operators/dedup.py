@@ -22,6 +22,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .text import normalize_text, portable_hash64, tokens, word_shingles
 
@@ -395,6 +396,83 @@ def jaccard_pairs(
     )
     return out.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
+    )
+
+
+def containment_pairs(
+    shingled: DataFrame,
+    id_col: str,
+    threshold: float,
+    hashes: DataFrame | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: ordered pairs (a, b) with
+    |S(a) ∩ S(b)| ≥ threshold·|S(a)| — "a's shingles are mostly inside
+    b" — the quote/partial-copy detector Jaccard misses by design
+    (a short doc fully embedded in a long one has low Jaccard but
+    containment 1.0; exactly the snippet-vs-page duplication a crawl
+    corpus is full of).
+
+    Candidate generation is PREFIX FILTERING (SSJoin/PPJoin family),
+    not MinHash banding — banding estimates the SYMMETRIC resemblance
+    and systematically under-recalls containment across unequal sizes.
+    If B holds ≥ ⌈t·|A|⌉ of A's shingles, it misses at most
+    |A| − ⌈t·|A|⌉ of them, so among A's first |A| − ⌈t·|A|⌉ + 1
+    shingles in ANY fixed global order at least one is in B. We order
+    rare-first (global doc-frequency asc, hash asc) so prefixes carry
+    the most selective shingles, and join a's prefix against the full
+    inverted index — provably false-negative-free (the q72 oracle is a
+    BRUTE-FORCE containment scan, so recall is driver-checked at
+    exactly 100%), with hot boilerplate shingles excluded from
+    prefixes by construction.
+
+    Shuffle bill: one df-count agg + one per-doc window + the prefix
+    candidate join + the shared verify joins — all on 8-byte shingle
+    hashes and doc ids; document text never moves. Candidate volume is
+    Σ_prefix df(h), bounded by the rare-first order, never n².
+    """
+    if hashes is None:
+        hashes = shingle_hashes(shingled, id_col)
+    ex = hashes.withColumnRenamed(id_col, "doc")
+    sizes = ex.groupBy("doc").agg(F.count("*").alias("n"))
+    dfreq = ex.groupBy("h").agg(F.count("*").alias("df"))
+    ranked = (
+        ex.join(dfreq, ["h"])
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy("df", "h")
+            ),
+        )
+        .join(sizes, ["doc"])
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("n")
+        - F.ceil(F.lit(float(threshold)) * F.col("n"))
+        + F.lit(1)
+    )
+    cand = (
+        prefix.select(F.col("doc").alias("id_a"), "h")
+        .join(ex.select(F.col("doc").alias("id_b"), "h"), ["h"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = ex.select(F.col("doc").alias("id_a"), "h")
+    eb = ex.select(F.col("doc").alias("id_b"), "h")
+    inter = (
+        cand.join(ea, ["id_a"])
+        .join(eb, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("n_a"))
+    out = inter.join(na, ["id_a"]).withColumn(
+        "containment",
+        F.col("n_inter").cast("double") / F.col("n_a").cast("double"),
+    )
+    return out.filter(F.col("containment") >= threshold).select(
+        "id_a", "id_b", "containment"
     )
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     MINHASH_P,
+    containment_pairs,
     decontaminate,
     exact_dedup,
     jaccard_pairs,
@@ -468,6 +469,10 @@ def q71_minhash_signatures(spark, sf_dir):
     return minhash_signatures(with_shingles(d, "text", "doc_id"), "doc_id", k=_K)
 
 
+#: containment threshold for the q72 'contain' branch
+_CONT_T = 0.9
+
+
 @query(
     "q72_near_dup_pairs",
     oracle=f"""
@@ -492,19 +497,39 @@ def q71_minhash_signatures(spark, sf_dir):
         JOIN hashes a ON a.doc_id = c.id_a
         JOIN hashes b ON b.doc_id = c.id_b AND b.h = a.h
         GROUP BY c.id_a, c.id_b
+    ),
+    cont_inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM hashes a
+        JOIN hashes b ON a.h = b.h AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
     )
-    SELECT i.id_a, i.id_b,
-           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+    SELECT 'jaccard' AS kind, i.id_a, i.id_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS score
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.id_a
     JOIN sizes sb ON sb.doc_id = i.id_b
     WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.4
+    UNION ALL
+    SELECT 'contain' AS kind, i.id_a, i.id_b,
+           CAST(i.n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS score
+    FROM cont_inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE)
+          >= CAST({_CONT_T!r} AS DOUBLE)
     """,
 )
 def q72_near_dup_pairs(spark, sf_dir):
-    """The full near-dup funnel: MinHash(k=8) → LSH banding (4 bands ×
-    2 rows) → candidate pairs → exact n-gram Jaccard verify ≥ 0.4.
-    Never materializes the O(n²) pair space — candidates only."""
+    """Two near-dup pair detectors over the manufactured corpus:
+    'jaccard' — the full symmetric funnel, MinHash(k=8) → LSH banding
+    (4 bands × 2 rows) → candidate pairs → exact n-gram Jaccard verify
+    ≥ 0.4; 'contain' (round 9) — ASYMMETRIC containment ≥ 0.9 via
+    rare-first prefix filtering (`dedup.containment_pairs`), catching
+    the original⊂tail-variant embeddings whose Jaccard may sit under
+    the symmetric threshold. The containment oracle is a BRUTE-FORCE
+    scan over all shingle-sharing pairs, so the prefix filter's
+    no-false-negative guarantee is driver-checked, not assumed.
+    Neither path ever materializes the O(n²) pair space."""
     corpus = _corpus_df(spark, sf_dir)
     shingled = with_shingles(corpus, "text", "doc_id")
     # one shared explode+hash+distinct relation: the signature stage
@@ -513,7 +538,23 @@ def q72_near_dup_pairs(spark, sf_dir):
     hashes = shingle_hashes(shingled, "doc_id")
     sigs = minhash_signatures(shingled, "doc_id", k=_K, hashes=hashes)
     cand = lsh_candidates(sigs, "doc_id", k=_K, bands=_BANDS)
-    return jaccard_pairs(cand, shingled, "doc_id", threshold=0.4, hashes=hashes)
+    jac = jaccard_pairs(
+        cand, shingled, "doc_id", threshold=0.4, hashes=hashes
+    ).select(
+        F.lit("jaccard").alias("kind"),
+        "id_a",
+        "id_b",
+        F.col("jaccard").alias("score"),
+    )
+    con = containment_pairs(
+        shingled, "doc_id", threshold=_CONT_T, hashes=hashes
+    ).select(
+        F.lit("contain").alias("kind"),
+        "id_a",
+        "id_b",
+        F.col("containment").alias("score"),
+    )
+    return jac.unionByName(con)
 
 
 _BITS = 16
@@ -618,7 +659,13 @@ def q74_near_dup_clusters(spark, sf_dir):
         spark.sparkContext.setCheckpointDir(
             tempfile.mkdtemp(prefix="bdb_q74_ckpt_")
         )
-    pairs = q72_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    # q74/q75 cluster on the SYMMETRIC jaccard pairs only — containment
+    # is an asymmetric report (quote detection), not an equivalence
+    pairs = (
+        q72_near_dup_pairs(spark, sf_dir)
+        .filter(F.col("kind") == "jaccard")
+        .select("id_a", "id_b")
+    )
     cc = connected_components(pairs, checkpoint_mode="reliable").select(
         F.lit("cc").alias("kind"),
         "node",
@@ -710,7 +757,9 @@ def q75_dedup_survivors(spark, sf_dir):
 
     corpus = _corpus_df(spark, sf_dir).select("doc_id")
     comp = connected_components(
-        q72_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+        q72_near_dup_pairs(spark, sf_dir)
+        .filter(F.col("kind") == "jaccard")
+        .select("id_a", "id_b")
     )
     return (
         corpus.join(
