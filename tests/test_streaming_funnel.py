@@ -35,13 +35,22 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
             str(path / f"b{i}")
         )
     import glob
+    import os
     import shutil
+    import time
 
     flat = tmp_path / "flat"
     flat.mkdir()
+    base = int(time.time())
     for i in range(3):
         (src,) = glob.glob(str(path / f"b{i}" / "part-*.parquet"))
-        shutil.copy(src, str(flat / f"{i:02d}.parquet"))
+        dst = flat / f"{i:02d}.parquet"
+        shutil.copy(src, str(dst))
+        # the file source replays in MODIFICATION-TIME order; back-to-
+        # back copies can tie on mtime and the tie-break may invert the
+        # batches, violating streaming_funnel's documented in-order
+        # precondition — pin strictly increasing mtimes explicitly
+        os.utime(dst, (base + i, base + i))
 
     stream = replay.stream_from_dir(spark, str(flat), events.schema)
     replay.run_to_memory(
