@@ -251,6 +251,58 @@ def stratified_fixed_k(
     )
 
 
+def weighted_fixed_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    seed: str = "wsample:v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): keep the k rows maximizing u^(1/w) — equivalently
+    minimizing −ln(u)/w — where u is the row's keyed-hash uniform and
+    w its weight. Inclusion probability is proportional-to-weight
+    without replacement: the quality-weighted eval-draw / curation
+    primitive ("3 docs per domain, preferring high-quality ones")
+    that `stratified_fixed_k` (uniform) can't express.
+
+    Deterministic like every sampler here: u is a pure function of
+    (seed, key) shifted to (0, 1] so ln never sees 0, and the ES key
+    rounds to 6 decimals before ranking with a `key_col` tie-break —
+    the bm25_topk discipline: ln may drift in the last ulp across
+    engines, the rounded rank key doesn't. Rows with NULL or ≤0
+    weight are never sampled (they have no mass).
+
+    Cost: grouped = ONE shuffle on `group_col` for the window rank
+    (identical to `stratified_fixed_k`); global (`group_col=None`) =
+    TakeOrderedAndProject (per-partition top-k + driver merge of k
+    rows, never a global sort) — both scale-safe at any corpus size.
+    """
+    u = (
+        tagged_hash64(seed, F.col(key_col).cast("string")) + F.lit(1)
+    ) / F.lit(float(HASH64_SPAN))
+    es = F.round(-F.log(u) / F.col(weight_col).cast("double"), 6)
+    eligible = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    )
+    if group_col is None:
+        return eligible.orderBy(es.asc(), F.col(key_col).asc()).limit(k)
+    from pyspark.sql import Window
+
+    if "__es_rn" in df.columns:
+        raise ValueError(
+            "weighted_fixed_k: df already carries reserved column "
+            "'__es_rn'; drop or rename it first"
+        )
+    w = Window.partitionBy(group_col).orderBy(es.asc(), F.col(key_col).asc())
+    return (
+        eligible.withColumn("__es_rn", F.row_number().over(w))
+        .filter(F.col("__es_rn") <= k)
+        .drop("__es_rn")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, key_col: str, seed: str = "shuffle:v1"
 ) -> DataFrame:

@@ -30,6 +30,7 @@ from ..operators.sampling import (
     hash_uniform,
     stratified_fixed_k,
     weighted_domain_sample,
+    weighted_fixed_k,
 )
 from ..sources.io import (
     assert_unique_key,
@@ -74,6 +75,21 @@ def _u_sql(seed: str) -> str:
         f"'{seed}', chr(31), CAST(s_suppkey AS VARCHAR))), 1, 15)) "
         "AS BIGINT) / 1152921504606846976.0"
     )
+
+
+#: mirror of weighted_fixed_k's (0,1] uniform (hash + 1, so ln never
+#: sees 0) and its rounded Efraimidis–Spirakis rank key
+def _es_key_sql(seed: str, weight_sql: str) -> str:
+    u = (
+        "((CAST(concat('0x', substring(md5(concat("
+        f"'{seed}', chr(31), CAST(s_suppkey AS VARCHAR))), 1, 15)) "
+        "AS BIGINT) + 1) / 1152921504606846976.0)"
+    )
+    return f"ROUND(-ln({u}) / ({weight_sql}), 6)"
+
+
+#: the q95 'wsample' branch's rank key: weight (s_suppkey % 7) + 1
+_WS_KEY = _es_key_sql("wsample:v1", "CAST((s_suppkey % 7) + 1 AS DOUBLE)")
 
 
 #: corpus-mixing recipe over the synthetic domain s_nationkey % 3
@@ -185,6 +201,18 @@ def _z_sql() -> str:
     ) WHERE rn <= 3
     GROUP BY s_nationkey
     UNION ALL
+    SELECT 'wsample' AS kind, CAST(s_nationkey AS BIGINT) AS nation,
+           COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+           CAST(SUM(LENGTH(s_name)) AS BIGINT) AS name_chars
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY s_nationkey
+            ORDER BY {_WS_KEY}, s_suppkey
+        ) AS rn
+        FROM supplier
+    ) WHERE rn <= 3
+    GROUP BY s_nationkey
+    UNION ALL
     SELECT 'expect:not_null:s_name', CAST(NULL AS BIGINT),
            CAST(SUM(CASE WHEN s_name IS NULL THEN 1 ELSE 0 END)
                 AS BIGINT),
@@ -271,6 +299,22 @@ def q95_source_sink_roundtrip(spark, sf_dir):
     )
     strata = _digest(
         stratified_fixed_k(sup, "s_suppkey", "s_nationkey", 3), "strata"
+    )
+    # 'wsample' (round 9): Efraimidis–Spirakis weighted draw — 3 per
+    # nation, weight (s_suppkey % 7) + 1, so inclusion skews toward
+    # high-weight keys; the oracle re-ranks with the same rounded
+    # −ln(u)/w expression
+    wsampled = _digest(
+        weighted_fixed_k(
+            sup.withColumn(
+                "wgt", (F.col("s_suppkey") % 7 + F.lit(1)).cast("double")
+            ),
+            "s_suppkey",
+            "wgt",
+            3,
+            group_col="s_nationkey",
+        ),
+        "wsample",
     )
     u = hash_uniform(F.col("s_suppkey"), "shuffle:v1")
     shuffled = (
@@ -377,6 +421,7 @@ def q95_source_sink_roundtrip(spark, sf_dir):
             .unionByName(mixed)
             .unionByName(shuffled)
             .unionByName(strata)
+            .unionByName(wsampled)
             .unionByName(spl_tr)
             .unionByName(spl_te)
             .unionByName(zorder)

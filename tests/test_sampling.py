@@ -261,3 +261,79 @@ def test_temperature_domain_sample(spark):
         temperature_domain_sample(
             df.withColumn("__sa", F.lit(1)), "k", "dom", "w", 0.5, 1.0
         )
+
+
+def test_weighted_fixed_k_matches_python_reference(spark):
+    """ES draw == python walk: rank by round(-ln((h+1)/2^60)/w, 6)
+    with key tie-break, keep 3 per group."""
+    import math
+
+    from bigdatabowl2024_25_spark.operators.sampling import weighted_fixed_k
+
+    rows = [(i, i % 4, float(i % 7 + 1)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, g long, w double")
+    got = {
+        (r.g, r.k)
+        for r in weighted_fixed_k(df, "k", "w", 3, group_col="g").collect()
+    }
+
+    def es_key(k, w):
+        s = f"wsample:v1\x1f{k}".encode()
+        h = int(hashlib.md5(s).hexdigest()[:15], 16)
+        return round(-math.log((h + 1) / 16**15) / w, 6)
+
+    want = set()
+    for g in range(4):
+        members = sorted(
+            ((es_key(k, w), k) for k, gg, w in rows if gg == g),
+        )[:3]
+        want |= {(g, k) for _es, k in members}
+    assert got == want
+
+
+def test_weighted_fixed_k_prefers_heavy_weights(spark):
+    """Across many independent seeds, heavy-weight rows must be drawn
+    measurably more often than light ones (the ES inclusion bias)."""
+    from bigdatabowl2024_25_spark.operators.sampling import weighted_fixed_k
+
+    # half the keys weight 10, half weight 1
+    df = spark.createDataFrame(
+        [(i, 10.0 if i < 50 else 1.0) for i in range(100)],
+        "k long, w double",
+    )
+    heavy = 0
+    for s in range(20):
+        picks = weighted_fixed_k(
+            df, "k", "w", 5, seed=f"wtest:{s}"
+        ).collect()
+        heavy += sum(1 for r in picks if r.w == 10.0)
+    # E[heavy share] ≈ 10/11 per pick; uniform would be 1/2 of 100
+    assert heavy > 60  # out of 100 picks
+
+
+def test_weighted_fixed_k_excludes_nonpositive_and_null(spark):
+    from bigdatabowl2024_25_spark.operators.sampling import weighted_fixed_k
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -5.0), (4, None), (5, 2.0)],
+        "k long, w double",
+    )
+    got = {r.k for r in weighted_fixed_k(df, "k", "w", 10).collect()}
+    assert got == {1, 5}
+
+
+def test_weighted_fixed_k_global_plan_is_take_ordered(spark):
+    """The global path must be TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a global Sort."""
+    from bigdatabowl2024_25_spark.operators.sampling import weighted_fixed_k
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 9 + 1).cast("double").alias("w")
+    )
+    plan = (
+        weighted_fixed_k(df, "k", "w", 7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
