@@ -218,3 +218,54 @@ def sessionize(
     ).otherwise(0)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(out, F.sum(boundary).over(run) - 1)
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    value_col: str,
+    partition: list[str],
+    order_by: list[Column | str],
+    n: int,
+    t_num: int = 2,
+    t_den: int = 1,
+    scale: int = 1_000_000,
+    out: str = "is_anomaly",
+) -> DataFrame:
+    """Trailing-window z-score anomaly flag — the time-series outlier
+    detector every metrics pipeline runs: a row is anomalous when its
+    value deviates from the mean of its key's previous `n` rows by
+    more than t = t_num/t_den population standard deviations.
+
+    INTEGER-EXACT: float mean/stddev drift across engines in the last
+    ulp, so the rule is evaluated in quantized micro-units with the
+    comparison cross-multiplied to clear every division —
+        |x − μ| > t·σ   ⟺   (q·c − S)²·t_den² > t_num²·c·(c·SS − S²)
+    with q = floor(value·scale), S = Σq, SS = Σq² over the trailing
+    window and c its row count. All terms are decimal(38,0): exact,
+    associative, bit-identical on any engine (the q38/q92
+    scaled-integer discipline). Rows with fewer than `n` trailing
+    values (series head) or a NULL value are never flagged.
+
+    Cost: ONE shuffle on `partition` — the stats, count, and flag all
+    ride a single window frame (ROWS n PRECEDING .. 1 PRECEDING), so
+    the operator adds no exchange beyond the keyed sort any rolling
+    statistic needs; skew is bounded by the streaming frame, state is
+    O(n) per open window."""
+    w = (
+        Window.partitionBy(*partition)
+        .orderBy(*order_by)
+        .rowsBetween(-n, -1)
+    )
+    q = F.floor(F.col(value_col) * F.lit(float(scale))).cast(
+        "decimal(20,0)"
+    )
+    s = F.sum(q).over(w)
+    ss = F.sum((q * q).cast("decimal(38,0)")).over(w)
+    c = F.count(q).over(w)
+    cd = c.cast("decimal(20,0)")
+    lhs = (q * cd - s).cast("decimal(38,0)")
+    flag = (c == F.lit(n)) & (
+        (lhs * lhs) * F.lit(t_den * t_den)
+        > F.lit(t_num * t_num) * cd * (cd * ss - s * s)
+    )
+    return df.withColumn(out, F.coalesce(flag, F.lit(False)))

@@ -31,6 +31,7 @@ from ..operators.windows import (
     event_anchored_range,
     event_time_window_filter,
     filter_to_group_extremes,
+    rolling_anomaly,
     filter_to_group_min,
     group_min_offset,
     row_number_by,
@@ -283,6 +284,21 @@ def q28_daily_label(spark, sf_dir):
                    OVER (PARTITION BY user_id) - 2000000 AS t1
         FROM events
     ) WHERE t BETWEEN t0 AND t1
+    UNION ALL
+    SELECT 'anomaly' AS kind, event_id, user_id, event_type FROM (
+        SELECT event_id, user_id, event_type,
+               CAST(FLOOR(value * 1000000.0) AS HUGEINT) AS q,
+               SUM(CAST(FLOOR(value * 1000000.0) AS HUGEINT)) OVER w AS s,
+               SUM(CAST(FLOOR(value * 1000000.0) AS HUGEINT)
+                   * CAST(FLOOR(value * 1000000.0) AS HUGEINT)) OVER w
+                 AS ss,
+               COUNT(value) OVER w AS c
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    ) WHERE c = 10
+      AND (q*c - s)*(q*c - s)*1 > 4*c*(c*ss - s*s)
     """,
 )
 def q29_anchored_windows(spark, sf_dir):
@@ -315,4 +331,27 @@ def q29_anchored_windows(spark, sf_dir):
     ).select(
         F.lit("slice").alias("kind"), "event_id", "user_id", "event_type"
     )
-    return anchored.unionByName(sliced)
+    # 'anomaly' (round 9): trailing-10 z-score outliers at t=2 over the
+    # per-user value series (`windows.rolling_anomaly`) — membership of
+    # the flagged set depends on the exact integer window stats, so the
+    # hash compare pins the whole cross-multiplied rule. Separate
+    # partitioning (user only, not user+signup anchor) rides the same
+    # exchange as the other two branches.
+    anomalies = (
+        rolling_anomaly(
+            e,
+            "value",
+            ["user_id"],
+            ["ts_us", "event_id"],
+            n=10,
+            t_num=2,
+        )
+        .filter(F.col("is_anomaly"))
+        .select(
+            F.lit("anomaly").alias("kind"),
+            "event_id",
+            "user_id",
+            "event_type",
+        )
+    )
+    return anchored.unionByName(sliced).unionByName(anomalies)

@@ -179,17 +179,20 @@ def test_q80_neardup_is_bucket_join_not_all_pairs(spark):
     broadcast-small-side scorers: the topk branch's 8-query baseline
     (1), the sq8 branch's 1-row-scales joins + 8-query scoring pass
     (3), round 8's decon branch scoring the corpus against the
-    8-vector broadcast benchmark (1), and round 9's bm25 branch
-    broadcasting its single-row stats table (1). A seventh one (or
-    any cartesian) means a corpus×corpus all-pairs scorer came back —
-    the round-4 scale-killer."""
+    8-vector broadcast benchmark (1), round 9's bm25 branch
+    broadcasting its single-row stats table (1), and the rrf branch's
+    second read of the dense-scoring and bm25-stats subtrees (2 — the
+    fused inputs are k-row rank lists; the underlying exchanges are
+    reused, only the plan-tree nodes repeat). A ninth one (or any
+    cartesian) means a corpus×corpus all-pairs scorer came back — the
+    round-4 scale-killer."""
     import re
 
     plan = plan_of(suite.QUERIES["q80_cosine_search"](spark, SF))
     assert "CartesianProduct" not in plan
     # formatted mode lists each node twice (tree + details): count
     # numbered tree entries
-    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 6
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 8
     # the funnel's bucket equi-join must exist as a HASH join keyed
     # on the bucket column
     assert re.search(r"\(\d+\) (Broadcast|SortMerge|ShuffledHash)?HashJoin", plan)

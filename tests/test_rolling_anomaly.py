@@ -1,0 +1,90 @@
+"""rolling_anomaly — integer-exact trailing z-score flag vs a python
+reference, head/NULL semantics, and the one-exchange plan shape."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bigdatabowl2024_25_spark.operators.windows import rolling_anomaly
+
+N = 4
+T = 2
+
+
+def _ref_flags(series: list[float | None]) -> list[bool]:
+    flags = []
+    for i, v in enumerate(series):
+        window = [x for x in series[max(0, i - N) : i] if x is not None]
+        if v is None or len(window) < N or (i - N) < 0:
+            flags.append(False)
+            continue
+        # exact integer rule on micro-units
+        qs = [math.floor(x * 1_000_000) for x in window]
+        q = math.floor(v * 1_000_000)
+        c, s, ss = len(qs), sum(qs), sum(x * x for x in qs)
+        flags.append((q * c - s) ** 2 > T * T * c * (c * ss - s * s))
+    return flags
+
+
+def test_rolling_anomaly_matches_reference(spark):
+    series = [10.0, 10.2, 9.9, 10.1, 10.0, 50.0, 10.05, 9.95, 10.0, 10.1]
+    rows = [(i, float(v)) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "i long, v double").withColumn(
+        "u", F.lit(1)
+    )
+    got = [
+        r.is_anomaly
+        for r in rolling_anomaly(df, "v", ["u"], ["i"], n=N, t_num=T)
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == _ref_flags(series)
+    assert got[5] is True  # the planted spike
+    assert not any(got[:N])  # head rows can't be judged
+
+
+def test_rolling_anomaly_null_value_never_flagged(spark):
+    series = [10.0, 10.1, 9.9, 10.0, None, 99.0, 9.9, 10.0, 10.1, 99.0]
+    rows = [(i, v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "i long, v double").withColumn(
+        "u", F.lit(1)
+    )
+    got = {
+        r.i: r.is_anomaly
+        for r in rolling_anomaly(df, "v", ["u"], ["i"], n=N, t_num=T)
+        .collect()
+    }
+    assert got[4] is False  # NULL value: judged false, not NULL
+    # the frame is POSITIONAL: row 5's trailing 4 rows include the NULL
+    # row, so only 3 values are countable -> conservatively unflagged
+    assert got[5] is False
+    # row 9's frame (rows 5..8) is NULL-free but contains the 99 spike;
+    # 99 vs mean ~32 is within 2 sigma of that wild window -> unflagged,
+    # per the exact reference walk
+    assert got[9] is _ref_flags(series)[9]
+
+
+def test_rolling_anomaly_constant_series_never_flags(spark):
+    """sigma = 0 and x == mu: the strict > must not fire (0 > 0)."""
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(20)], "i long, v double"
+    ).withColumn("u", F.lit(1))
+    got = rolling_anomaly(df, "v", ["u"], ["i"], n=N, t_num=T)
+    assert not any(r.is_anomaly for r in got.collect())
+
+
+def test_rolling_anomaly_single_exchange(spark):
+    df = spark.createDataFrame(
+        [(i % 3, i, float(i)) for i in range(30)],
+        "u long, i long, v double",
+    )
+    plan = (
+        rolling_anomaly(df, "v", ["u"], ["i"], n=N)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
