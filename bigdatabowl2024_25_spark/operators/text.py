@@ -268,6 +268,82 @@ def repetition_features(text: Column) -> dict[str, Column]:
     return {"dup_word_frac": dup, "top_bigram_frac": top_frac}
 
 
+#: Gopher rule 7's required English words (Rae et al. 2021 App. A:
+#: "contains at least 2 of the following")
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> dict[str, Column]:
+    """The Gopher document-quality rule set (Rae et al. 2021,
+    Appendix A) as SEVEN boolean columns plus an integer bitmask and
+    the conjunction ``keep`` — the published heuristic gate most LLM
+    pipelines run before any model-based filter (`quality_clf`,
+    `ngram_lm`, `dsir` here).
+
+    Rules (bit i set = rule i passed):
+      0. word count in [min_words, max_words]
+      1. mean word length in [3, 10] chars
+      2. symbol-to-word ratio ('#' or '...') ≤ 0.1
+      3. ≤ 90% of lines start with a bullet ('-', '*', '•')
+      4. ≤ 30% of lines end with an ellipsis
+      5. ≥ 80% of words contain ≥ 1 alphabetic character
+      6. ≥ 2 distinct words from GOPHER_REQUIRED_WORDS
+
+    Every ratio threshold is evaluated by INTEGER cross-multiplication
+    (3·n ≤ chars ≤ 10·n, 10·sym ≤ n, …) — no float division, so the
+    verdicts are bit-exact across engines and partitionings, the
+    `quality_clf` scaled-integer discipline. One codegen pass over the
+    row: no explode, no shuffle, no Python — linear at 100 TB."""
+    w = F.filter(tokens(text), lambda x: x != F.lit(""))
+    n = F.size(w)
+    chars = F.aggregate(
+        F.transform(w, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    n_sym = F.regexp_count(text, F.lit("#")) + F.regexp_count(
+        text, F.lit(r"\.\.\.")
+    )
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: F.ltrim(ln).rlike(r"^[-*•]"))
+    )
+    n_ell_end = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"\.\.\.$"))
+    )
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    n_req = sum(
+        (
+            F.when(F.array_contains(w, F.lit(s)), 1).otherwise(0)
+            for s in GOPHER_REQUIRED_WORDS
+        ),
+        F.lit(0),
+    )
+    rules = {
+        "r_word_count": (n >= min_words) & (n <= max_words),
+        "r_word_len": (3 * n <= chars) & (chars <= 10 * n),
+        "r_symbol": 10 * n_sym <= n,
+        "r_bullet": 10 * n_bullet <= 9 * n_lines,
+        "r_ellipsis": 10 * n_ell_end <= 3 * n_lines,
+        "r_alpha": 5 * n_alpha >= 4 * n,
+        "r_stopwords": n_req >= 2,
+    }
+    mask = sum(
+        (
+            F.when(r, F.lit(1 << i)).otherwise(0)
+            for i, r in enumerate(rules.values())
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    keep = rules["r_word_count"]
+    for r in list(rules.values())[1:]:
+        keep = keep & r
+    return {**rules, "gopher_mask": mask, "gopher_keep": keep}
+
+
 def chunk_documents(
     df,
     text_col: str,

@@ -449,24 +449,235 @@ def q70_corpus_hygiene(spark, sf_dir):
     )
 
 
+# ---- q71: signatures + selection filters --------------------------------
+
+#: DSIR configuration shared by the Spark query and its oracle
+_DSIR_DIM = 2048
+_DSIR_ALPHA = 1.0
+_DSIR_K = 25
+_DSIR_SEED = "dsir:v1"
+
+#: filtered raw-text words (the tokens()-then-drop-empties contract)
+_RAW_WORDS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+#: normalized filtered words for DSIR features (mirrors
+#: dsir.dsir_features: normalize_text → tokens → drop '')
+_NORM_WORDS = f"list_filter(string_split({_NORM}, ' '), t -> t <> '')"
+
+#: micro-unit encoding of the exact decimal logw (ROUND half away from
+#: zero on DECIMAL in both engines)
+_LOGW_MICRO = "CAST(ROUND(logw * 1000000, 0) AS BIGINT)"
+
+
+def _dsir_u_sql(id_expr: str) -> str:
+    """weighted_fixed_k's (0,1] uniform under the dsir seed."""
+    return (
+        "((CAST(concat('0x', substring(md5(concat("
+        f"'{_DSIR_SEED}', chr(31), CAST({id_expr} AS VARCHAR))), 1, 15)) "
+        "AS BIGINT) + 1) / 1152921504606846976.0)"
+    )
+
+
+def _gopher_sql() -> str:
+    """DuckDB mirror of operators.text.gopher_rules: same filtered
+    single-space tokenization, regexp counts, and integer
+    cross-multiplied thresholds; emits (doc_id, mask, keep)."""
+    stop = ", ".join(
+        f"'{s}'" for s in
+        ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    rules = [
+        "(n BETWEEN 50 AND 100000)",
+        "(3 * n <= chars AND chars <= 10 * n)",
+        "(10 * n_sym <= n)",
+        "(10 * n_bullet <= 9 * n_lines)",
+        "(10 * n_ell <= 3 * n_lines)",
+        "(5 * n_alpha >= 4 * n)",
+        "(n_req >= 2)",
+    ]
+    mask = " + ".join(
+        f"CASE WHEN {r} THEN {1 << i} ELSE 0 END"
+        for i, r in enumerate(rules)
+    )
+    keep = " AND ".join(rules)
+    return f"""
+    gstats AS (
+        SELECT doc_id,
+               len(w) AS n,
+               COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+                 AS chars,
+               len(regexp_extract_all(text, '#'))
+                 + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+               len(lns) AS n_lines,
+               len(list_filter(lns,
+                   l -> regexp_matches(ltrim(l), '^[-*•]'))) AS n_bullet,
+               len(list_filter(lns,
+                   l -> regexp_matches(rtrim(l), '\\.\\.\\.$'))) AS n_ell,
+               len(list_filter(w,
+                   x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+               len(list_filter([{stop}],
+                   s -> list_contains(w, s))) AS n_req
+        FROM (SELECT doc_id, {_RAW_WORDS} AS w,
+                     string_split(text, chr(10)) AS lns, text
+              FROM documents)
+    ),
+    gopher AS (
+        SELECT doc_id, CAST({mask} AS BIGINT) AS mask,
+               CASE WHEN {keep} THEN 1 ELSE 0 END AS keep
+        FROM gstats
+    )"""
+
+
+_SIG_FOLD = _h64(
+    "concat_ws('_', "
+    + ", ".join(f"CAST(mh_{i} AS VARCHAR)" for i in range(_K))
+    + ")"
+)
+
+
 @query(
-    "q71_minhash_signatures",
+    "q71_signatures_and_selection",
     oracle=f"""
     WITH sh AS (
         SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
     ),
-    hashes AS ({_HASHES})
-    SELECT doc_id,
-           {_SIG_MINS}
-    FROM hashes GROUP BY doc_id
+    hashes AS ({_HASHES}),
+    sigs AS (SELECT doc_id, {_SIG_MINS} FROM hashes GROUP BY doc_id),
+    dwords AS (
+        SELECT doc_id, lang, {_NORM_WORDS} AS w FROM documents
+    ),
+    dfeats AS (
+        SELECT doc_id, lang,
+               unnest(w || list_transform(
+                   range(1, greatest(len(w), 1)),
+                   i -> w[i] || ' ' || w[i+1])) AS feat
+        FROM dwords
+    ),
+    fb AS (
+        SELECT doc_id, lang, {_h64('feat')} % {_DSIR_DIM} AS bucket
+        FROM dfeats
+    ),
+    tcnt AS (SELECT bucket, COUNT(*) AS ct FROM fb
+             WHERE lang = 'en' GROUP BY 1),
+    rcnt AS (SELECT bucket, COUNT(*) AS cr FROM fb GROUP BY 1),
+    tot AS (SELECT (SELECT CAST(SUM(ct) AS DOUBLE) FROM tcnt) AS tt,
+                   (SELECT CAST(SUM(cr) AS DOUBLE) FROM rcnt) AS tr),
+    model AS (
+        SELECT r.range AS bucket,
+               CAST(ln((CAST(COALESCE(t.ct, 0) AS DOUBLE)
+                        + CAST({_DSIR_ALPHA!r} AS DOUBLE))
+                       / (tt + CAST({_DSIR_ALPHA * _DSIR_DIM!r} AS DOUBLE)))
+                    AS DECIMAL(38,15))
+               - CAST(ln((CAST(COALESCE(c.cr, 0) AS DOUBLE)
+                          + CAST({_DSIR_ALPHA!r} AS DOUBLE))
+                         / (tr + CAST({_DSIR_ALPHA * _DSIR_DIM!r} AS DOUBLE)))
+                      AS DECIMAL(38,15)) AS lr
+        FROM range(0, {_DSIR_DIM}) r
+        LEFT JOIN tcnt t ON t.bucket = r.range
+        LEFT JOIN rcnt c ON c.bucket = r.range
+        CROSS JOIN tot
+    ),
+    wts AS (
+        SELECT doc_id, COUNT(*) AS n_feats,
+               CAST(SUM(lr) AS DECIMAL(38,15)) AS logw
+        FROM fb JOIN model USING (bucket) GROUP BY doc_id
+    ),
+    keyed AS (
+        SELECT doc_id, logw,
+               ROUND(ln(-ln({_dsir_u_sql('doc_id')}))
+                     - CAST(logw AS DOUBLE), 6) AS gkey
+        FROM wts
+    ),
+    sel AS (
+        SELECT doc_id, gkey, logw FROM keyed
+        ORDER BY gkey NULLS LAST, doc_id LIMIT {_DSIR_K}
+    ),
+    {_gopher_sql()}
+    SELECT 'sig' AS branch, doc_id,
+           {_SIG_FOLD} AS a, CAST(NULL AS BIGINT) AS b
+    FROM sigs
+    UNION ALL
+    SELECT 'dsir', doc_id, n_feats, {_LOGW_MICRO} FROM wts
+    UNION ALL
+    SELECT 'dsirk', doc_id,
+           CAST(ROUND(gkey * 1000000.0) AS BIGINT), {_LOGW_MICRO}
+    FROM sel
+    UNION ALL
+    SELECT 'gopher', doc_id, mask, keep FROM gopher
     """,
 )
-def q71_minhash_signatures(spark, sf_dir):
-    """MinHash signatures (k=8): one md5 per shingle folded into the
-    2^31−1 domain, then ONE aggregate computing all k permutation mins
-    — not k hash passes. Docs with <3 words drop out (no shingles)."""
+def q71_signatures_and_selection(spark, sf_dir):
+    """Document signatures + the published selection-filter family
+    over `documents`, unified as (branch, doc_id, a, b) — the round-9
+    widening of the former q71_minhash_signatures:
+
+    - 'sig': MinHash signatures (k=8) — one md5 per shingle folded
+      into the 2^31−1 domain, ONE aggregate for all k permutation
+      mins; the 8 mins are folded into a single portable hash so any
+      signature change still flips the value hash. Docs with <3 words
+      drop out (no shingles).
+    - 'dsir'/'dsirk': DSIR importance weighting (`operators.dsir`,
+      Xie et al. 2023) with target = the lang='en' docs and raw = all
+      docs: per-doc (n_feats, logw micro-units), and the Gumbel top-25
+      resample with its rounded rank key — the WHOLE chain (hashed
+      unigram+bigram features, smoothed bucket multinomials, decimal
+      log-ratio sums, log-space ES selection) re-derived in SQL.
+    - 'gopher': the Gopher rule bitmask + keep verdict
+      (`text.gopher_rules`, Rae et al. 2021) — integer-exact rule
+      arithmetic, value-hashed per doc."""
+    from ..operators.dsir import (
+        dsir_bucket_counts,
+        dsir_gumbel_key,
+        dsir_model,
+        dsir_resample,
+        dsir_weights,
+    )
+    from ..operators.text import gopher_rules, portable_hash64
+
     d = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(with_shingles(d, "text", "doc_id"), "doc_id", k=_K)
+    sigs = minhash_signatures(with_shingles(d, "text", "doc_id"), "doc_id", k=_K)
+    sig = sigs.select(
+        F.lit("sig").alias("branch"),
+        "doc_id",
+        portable_hash64(
+            F.concat_ws(
+                "_", *[F.col(f"mh_{i}").cast("string") for i in range(_K)]
+            )
+        ).alias("a"),
+        F.lit(None).cast("bigint").alias("b"),
+    )
+
+    target = d.filter(F.col("lang") == "en")
+    raw_counts = dsir_bucket_counts(d, "text", dim=_DSIR_DIM)
+    tgt_counts = dsir_bucket_counts(target, "text", dim=_DSIR_DIM)
+    model = dsir_model(
+        tgt_counts, raw_counts, dim=_DSIR_DIM, alpha=_DSIR_ALPHA
+    )
+    wts = dsir_weights(d, "text", "doc_id", model, dim=_DSIR_DIM)
+    logw_micro = F.round(F.col("logw") * F.lit(1000000), 0).cast("bigint")
+    dsir = wts.select(
+        F.lit("dsir").alias("branch"),
+        "doc_id",
+        F.col("n_feats").alias("a"),
+        logw_micro.alias("b"),
+    )
+    sel = dsir_resample(wts, "doc_id", k=_DSIR_K, seed=_DSIR_SEED)
+    gkey = dsir_gumbel_key("doc_id", seed=_DSIR_SEED)
+    dsirk = sel.select(
+        F.lit("dsirk").alias("branch"),
+        "doc_id",
+        F.round(gkey * F.lit(1000000.0)).cast("bigint").alias("a"),
+        logw_micro.alias("b"),
+    )
+
+    g = gopher_rules(F.col("text"))
+    gopher = d.select(
+        F.lit("gopher").alias("branch"),
+        "doc_id",
+        g["gopher_mask"].alias("a"),
+        F.when(g["gopher_keep"], 1).otherwise(0).cast("bigint").alias("b"),
+    )
+    return sig.unionByName(dsir).unionByName(dsirk).unionByName(gopher)
 
 
 #: containment threshold for the q72 'contain' branch
