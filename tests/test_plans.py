@@ -502,3 +502,23 @@ def test_gapfill_single_window_sort(spark):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     # span agg + both join sides + the (k)-window exchange
     assert shuffles(plan) <= 4
+
+
+def test_q71_query_level_dsir_plan(spark):
+    """Query-level pin for the widened q71 (sig + dsir + dsirk +
+    gopher): no SortMergeJoin anywhere — the DSIR model and scoring
+    joins must stay broadcast (a 100 TB corpus never shuffles for the
+    dim-row model), the Gumbel resample must be TakeOrderedAndProject
+    (never a global sort), no Python, and the shuffle count is pinned
+    at its as-designed value of 15: sig (shingle-hash distinct +
+    signature agg = 2), dsir model (target + raw bucket aggs = 4
+    two-phase halves... measured total), per-doc weight re-agg, and
+    the union's branch aggregates. A regression means a corpus-side
+    shuffle or join-strategy change crept into the wiring."""
+    spark.catalog.clearCache()
+    plan = plan_of(suite.QUERIES["q71_signatures_and_selection"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert shuffles(plan) <= 15
