@@ -218,6 +218,47 @@ def hash_split(
     return df.filter(bucket >= test_pct), df.filter(bucket < test_pct)
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    id_col: str,
+    components: DataFrame,
+    test_pct: int = 20,
+    salt: str = "split:v1",
+    broadcast_components: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Leakage-proof train/test split: near-duplicate documents MUST
+    land on the same side, or test metrics silently measure
+    memorization of train-set twins (the published eval-contamination
+    failure `hash_split` alone cannot prevent — it hashes each row's
+    own key, so two near-dups split independently).
+
+    `components` is the (node, component) relation from the near-dup
+    funnel (`connected_components` over verified pairs, the q74/q75
+    path). The split key is ``coalesce(component, id)`` — every member
+    of a cluster hashes the CLUSTER id, unclustered docs hash their
+    own — then the same deterministic md5 bucket rule as `hash_split`
+    (growth-stable, engine-portable, salt-versioned).
+
+    Scale: the components relation is bounded by near-dup volume
+    (≪ corpus); broadcast by default so the corpus never shuffles —
+    pass ``broadcast_components=False`` to fall back to a hash join
+    keyed on the id when the dup graph is too big to broadcast. The
+    membership filter itself is pure codegen."""
+    from .operators.text import tagged_hash64
+
+    comp = components.select(
+        F.col("node"), F.col("component").alias("__comp")
+    )
+    if broadcast_components:
+        comp = F.broadcast(comp)
+    joined = df.join(comp, df[id_col] == comp["node"], "left").drop("node")
+    key = F.coalesce(F.col("__comp"), F.col(id_col)).cast("string")
+    bucket = tagged_hash64(salt, key) % 100
+    train = joined.filter(bucket >= test_pct).drop("__comp")
+    test = joined.filter(bucket < test_pct).drop("__comp")
+    return train, test
+
+
 def train_eval(
     features: DataFrame,
     label_col: str,

@@ -953,17 +953,39 @@ def q74_near_dup_clusters(spark, sf_dir):
         UNION
         SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
     ),
-    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
-    SELECT c.doc_id FROM corpus c
-    LEFT JOIN comp ON comp.node = c.doc_id
-    WHERE comp.node IS NULL OR comp.component = c.doc_id
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    keyed AS (
+        SELECT c.doc_id, comp.node, comp.component,
+               CAST(concat('0x', substring(md5(concat(
+                   'split:v1', chr(31),
+                   CAST(COALESCE(comp.component, c.doc_id) AS VARCHAR)
+               )), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM corpus c
+        LEFT JOIN comp ON comp.node = c.doc_id
+    )
+    SELECT 'surv' AS branch, doc_id FROM keyed
+    WHERE node IS NULL OR component = doc_id
+    UNION ALL
+    SELECT 'train', doc_id FROM keyed WHERE bucket >= 20
+    UNION ALL
+    SELECT 'test', doc_id FROM keyed WHERE bucket < 20
     """,
 )
 def q75_dedup_survivors(spark, sf_dir):
-    """The pipeline's final artifact: the deduplicated corpus. A doc
-    survives iff it is in no near-dup cluster, or it is its cluster's
-    keeper (the min id = the component label). Left join against the
-    tiny components relation — the corpus never shuffles."""
+    """The pipeline's final artifacts, unified as (branch, doc_id):
+
+    - 'surv': the deduplicated corpus. A doc survives iff it is in no
+      near-dup cluster, or it is its cluster's keeper (the min id =
+      the component label). Left join against the tiny components
+      relation — the corpus never shuffles.
+    - 'train'/'test' (round 9): the LEAKAGE-PROOF split
+      (`ml.cluster_safe_split`) — every near-dup cluster hashes its
+      component id, so twins can never straddle the split and test
+      metrics can't reward memorization; unclustered docs hash their
+      own id (the `hash_split` rule, same md5 bucket convention). The
+      oracle re-derives cluster keys from its independent
+      transitive-closure components and the same bucket hash."""
+    from ..ml import cluster_safe_split
     from ..operators.components import connected_components
 
     corpus = _corpus_df(spark, sf_dir).select("doc_id")
@@ -972,10 +994,14 @@ def q75_dedup_survivors(spark, sf_dir):
         .filter(F.col("kind") == "jaccard")
         .select("id_a", "id_b")
     )
-    return (
+    surv = (
         corpus.join(
             F.broadcast(comp), corpus["doc_id"] == comp["node"], "left"
         )
         .filter(F.col("node").isNull() | (F.col("component") == F.col("doc_id")))
-        .select("doc_id")
+        .select(F.lit("surv").alias("branch"), "doc_id")
     )
+    train, test = cluster_safe_split(corpus, "doc_id", comp)
+    return surv.unionByName(
+        train.select(F.lit("train").alias("branch"), "doc_id")
+    ).unionByName(test.select(F.lit("test").alias("branch"), "doc_id"))

@@ -151,3 +151,42 @@ def test_hash_split_stable_and_disjoint(spark):
     # salt gives a different (but equally deterministic) split
     _, test_v2 = hash_split(df, ["k"], test_pct=20, salt="split:v2")
     assert {r.id for r in test_v2.select("id").collect()} != old_test
+
+
+def test_cluster_safe_split_no_leakage(spark):
+    """cluster_safe_split: every near-dup pair lands on the SAME side
+    (the invariant hash_split cannot give), the split is an exhaustive
+    disjoint partition, unclustered rows follow the plain hash_split
+    rule, and membership is growth-stable."""
+    from pyspark.sql import functions as F
+
+    from bigdatabowl2024_25_spark.ml import cluster_safe_split, hash_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # clusters: {0..4} -> 0, {10,11} -> 10; everything else unclustered
+    comp = spark.createDataFrame(
+        [(i, 0) for i in range(5)] + [(10, 10), (11, 10)],
+        "node long, component long",
+    )
+    train, test = cluster_safe_split(docs, "doc_id", comp)
+    tr = {r["doc_id"] for r in train.collect()}
+    te = {r["doc_id"] for r in test.collect()}
+    assert tr | te == set(range(200)) and not (tr & te)
+    # no cluster straddles the split
+    for cluster in ({0, 1, 2, 3, 4}, {10, 11}):
+        assert cluster <= tr or cluster <= te
+    # unclustered rows = the plain hash_split verdicts
+    plain_tr, _ = hash_split(docs, ["doc_id"])
+    plain = {r["doc_id"] for r in plain_tr.collect()}
+    unclustered = set(range(200)) - {0, 1, 2, 3, 4, 10, 11}
+    assert (tr & unclustered) == (plain & unclustered)
+    # growth stability: adding rows never flips existing membership
+    bigger = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    tr2, _ = cluster_safe_split(bigger, "doc_id", comp)
+    assert {r["doc_id"] for r in tr2.collect()} & set(range(200)) == tr
+    # the membership filter stays codegen / broadcast — corpus no-shuffle
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
