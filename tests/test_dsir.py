@@ -113,11 +113,13 @@ def test_weights_match_python_reference(weights):
     assert set(got) == set(ref)
     for i in ref:
         assert got[i][0] == ref[i][0], f"doc {i} n_feats"
-        # python's libm ln may differ from the JVM's by one ulp on some
-        # arguments (the ENGINES agree — DuckDB parity is exact; only
-        # this python re-derivation drifts), which after the 15-dp
-        # quantize is ≤1e-15 per feature term
-        tol = Decimal("1e-15") * ref[i][0]
+        # python's libm ln may differ from the JVM's Math.log by a few
+        # ulp per term (JVM log is not correctly rounded; the ENGINES
+        # agree — DuckDB parity is exact, only this python
+        # re-derivation drifts), which after the 15-dp quantize is a
+        # few 1e-15 per feature term; any STRUCTURAL error (hashing,
+        # counts, smoothing, totals) shifts logw by ≫1e-12
+        tol = Decimal("5e-15") * ref[i][0]
         assert abs(got[i][1] - ref[i][1]) <= tol, (
             f"doc {i} logw {got[i][1]} vs {ref[i][1]}"
         )
