@@ -307,3 +307,70 @@ def test_gopher_no_python_in_plan(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan
+
+
+# ---- gopher fuzz vs python reference ------------------------------------
+
+
+def _gopher_ref(text: str, min_words=50, max_words=100_000):
+    """Independent python re-derivation of the seven rules."""
+    import re
+
+    w = [t for t in text.split(" ") if t != ""]
+    n = len(w)
+    chars = sum(len(t) for t in w)
+    n_sym = len(re.findall("#", text)) + len(re.findall(r"\.\.\.", text))
+    lines = text.split("\n")
+    n_lines = len(lines)
+    n_bullet = sum(1 for ln in lines if re.search(r"^[-*•]", ln.lstrip()))
+    n_ell = sum(1 for ln in lines if re.search(r"\.\.\.$", ln.rstrip()))
+    n_alpha = sum(1 for t in w if re.search("[A-Za-z]", t))
+    req = ("the", "be", "to", "of", "and", "that", "have", "with")
+    n_req = sum(1 for s in req if s in w)
+    rules = [
+        min_words <= n <= max_words,
+        3 * n <= chars <= 10 * n,
+        10 * n_sym <= n,
+        10 * n_bullet <= 9 * n_lines,
+        10 * n_ell <= 3 * n_lines,
+        5 * n_alpha >= 4 * n,
+        n_req >= 2,
+    ]
+    return sum(1 << i for i, r in enumerate(rules) if r)
+
+
+def test_gopher_fuzz_vs_reference(spark):
+    """Randomized documents spanning every rule's boundary — bullets,
+    ellipses, symbols, numeric tokens, required stopwords, newlines —
+    must produce the identical rule bitmask as the python reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.one_of(
+        st.sampled_from(
+            ["the", "be", "to", "of", "and", "cat", "x", "42", "#",
+             "...", "foo...", "-", "aaaaaaaaaaaa", "ab"]
+        ),
+        st.text(alphabet="ab1#.", min_size=1, max_size=6),
+    )
+    line = st.lists(word, min_size=0, max_size=12).map(" ".join)
+    doc = st.lists(line, min_size=1, max_size=4).map("\n".join)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def run(texts):
+        d = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        g = gopher_rules(F.col("text"), min_words=3)
+        got = {
+            r["doc_id"]: r["m"]
+            for r in d.select("doc_id", g["gopher_mask"].alias("m")).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == _gopher_ref(t, min_words=3), (
+                f"mask mismatch for {t!r}: spark={got[i]} "
+                f"ref={_gopher_ref(t, min_words=3)}"
+            )
+
+    run()
