@@ -132,6 +132,16 @@ class CorpusConfig:
     decontam_ngram: int = 5
     mixture: dict[str, float] | None = None
     domain_col: str = "source"
+    # DSIR selection (stage 7b, `operators.dsir`): keep the dsir_k
+    # docs most like the `dsir_target` corpus passed to
+    # `prepare_corpus` (Gumbel top-k over hashed-n-gram importance
+    # weights); None = skip. Runs LAST so importance is estimated on
+    # the hygienic corpus, not on boilerplate the earlier stages kill.
+    dsir_k: int | None = None
+    dsir_dim: int = 2048
+    dsir_alpha: float = 1.0
+    dsir_lam: float = 1.0
+    dsir_seed: str = "dsir:v1"
     persist_boundaries: bool = True
 
 
@@ -299,6 +309,7 @@ def prepare_corpus(
     lm_reference: DataFrame | None = None,
     cfg: CorpusConfig | None = None,
     caches: BoundaryCaches | None = None,
+    dsir_target: DataFrame | None = None,
 ) -> DataFrame:
     """Run stages 1-7 over a (id, text, ...metadata) corpus; returns
     the surviving rows with `text_col` cleaned (redacted, optionally
@@ -309,7 +320,9 @@ def prepare_corpus(
     schema); None skips stage 6. `lm_reference` is the curated corpus
     the perplexity band trains on (used only when
     `cfg.max_perplexity` is set; defaults to the filtered corpus
-    itself — self-scoring, the within-distribution outlier cut). One DataFrame in, one out — the whole
+    itself — self-scoring, the within-distribution outlier cut).
+    `dsir_target` is the curated corpus DSIR selection matches against
+    (used only when `cfg.dsir_k` is set). One DataFrame in, one out — the whole
     pipeline is a single lazy plan except `connected_components`'
     bounded iterative step (only when near_dup and candidates exist).
     """
@@ -417,6 +430,37 @@ def prepare_corpus(
         d = weighted_domain_sample(
             d, id_col, cfg.domain_col, cfg.mixture
         )
+
+    # 7b. DSIR selection (Xie et al. 2023): keep the dsir_k survivors
+    # most like `dsir_target` via Gumbel top-k over hashed-n-gram
+    # importance weights. The dim-row model broadcasts, scoring
+    # re-aggregates by id, and the k-row selection broadcast-semi-joins
+    # back — the corpus never shuffles for this stage.
+    if cfg.dsir_k is not None:
+        if dsir_target is None:
+            raise ValueError(
+                "cfg.dsir_k is set but prepare_corpus got no "
+                "dsir_target corpus to match against"
+            )
+        from ..operators.dsir import (
+            dsir_bucket_counts,
+            dsir_model,
+            dsir_resample,
+            dsir_weights,
+        )
+
+        d = _fanout(d, cfg, caches)  # model counts + scoring + join read d
+        model = dsir_model(
+            dsir_bucket_counts(dsir_target, text_col, cfg.dsir_dim),
+            dsir_bucket_counts(d, text_col, cfg.dsir_dim),
+            dim=cfg.dsir_dim,
+            alpha=cfg.dsir_alpha,
+        )
+        wts = dsir_weights(d, text_col, id_col, model, dim=cfg.dsir_dim)
+        sel = dsir_resample(
+            wts, id_col, k=cfg.dsir_k, lam=cfg.dsir_lam, seed=cfg.dsir_seed
+        ).select(id_col)
+        d = d.join(F.broadcast(sel), id_col, "semi")
     return d
 
 

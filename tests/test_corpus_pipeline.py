@@ -573,3 +573,43 @@ def test_substr_stage_composes(spark):
     assert passage not in got[2]["text"]       # later occurrence cut
     assert got[2]["n_tokens"] == 6
     assert got[2]["source"] == "web"
+
+
+def test_dsir_selection_stage(spark):
+    """Stage 7b: with a dsir_target, the pipeline keeps exactly
+    dsir_k hygienic survivors, biased toward target-like text; the
+    selection composes AFTER dedup (a near-dup loser can never be
+    selected), and omitting the target with dsir_k set fails loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    # all candidates are exactly 10 words: DSIR's log importance SUMS
+    # per-feature terms, so unequal lengths would let a short
+    # off-topic doc beat a long on-topic one (the published length
+    # artifact) — equal lengths make the ordering purely distributional
+    docs = [
+        (1, "the cat sat with the dog and the other cat", "web"),
+        (2, "the dog and the cat are friends of cats", "web"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "web"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa omega", "web"),
+        (5, "stock prices rose sharply today after big announcements happened now", "web"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    target = spark.createDataFrame(
+        [(100, "the cat and the dog are friends of the other cat")],
+        "doc_id long, text string",
+    )
+    # λ=100 makes the Gumbel noise negligible next to the weight gap,
+    # so the draw is effectively top-k by importance (deterministic)
+    cfg = CorpusConfig(
+        near_dup=True, mixture=None, dsir_k=2, dsir_dim=64, dsir_lam=100.0
+    )
+    out = prepare_corpus(df, cfg=cfg, dsir_target=target)
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert len(kept) == 2
+    assert 4 not in kept  # near-dup loser to 3 — dead before selection
+    # the cat/dog docs carry far higher importance than greek/finance:
+    # with k=2 both selected docs must come from the target-like pair
+    assert set(kept) <= {1, 2}
+    with pytest.raises(ValueError, match="dsir_target"):
+        prepare_corpus(df, cfg=cfg).collect()
