@@ -60,6 +60,7 @@ def merge_into(
     insert_condition: Column | str | None = None,
     broadcast_source: bool = False,
     assert_unique_source: bool = True,
+    null_safe_keys: bool = False,
 ) -> DataFrame:
     """MERGE INTO target USING source ON key — as a single join plan.
 
@@ -79,6 +80,22 @@ def merge_into(
     ``delete_condition`` is evaluated before ``update_condition``,
     matching Delta's first-matching-clause rule for
     ``whenMatchedDelete().whenMatchedUpdate(...)``.
+
+    NULL handling (ANSI/Delta, round 10):
+
+    - **Keys** compare with plain equality by default — a NULL merge
+      key never matches, so a NULL-keyed source row is NOT MATCHED
+      (inserted if an insert clause applies) and a NULL-keyed target
+      row is target-only (kept). ``null_safe_keys=True`` opts into
+      ``<=>`` matching for pipelines that use NULL as a real key
+      value; Delta users porting a MERGE should leave it off.
+    - **Clause conditions** that evaluate to SQL NULL do not apply
+      (same as ANSI WHEN ... AND cond): a NULL ``delete_condition``
+      never deletes, a NULL ``update_condition`` leaves the row
+      unchanged, a NULL ``insert_condition`` suppresses the insert.
+      Internally every condition is coalesced to FALSE before use so
+      NULL can't propagate through the keep-filter and silently drop
+      rows.
 
     With ``assert_unique_source`` (default), a source key that matches
     the same target row more than once raises at execution time (the
@@ -109,10 +126,12 @@ def merge_into(
     if broadcast_source:
         s = F.broadcast(s)
 
-    cond = reduce(
-        lambda a, b: a & b,
-        [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on],
-    )
+    def _key_eq(k: str) -> Column:
+        if null_safe_keys:
+            return F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        return F.col(f"t.{k}") == F.col(f"s.{k}")
+
+    cond = reduce(lambda a, b: a & b, [_key_eq(k) for k in on])
     j = t.join(s, cond, "full_outer")
 
     matched = F.col(f"t.{_T_PRESENT}").isNotNull() & F.col(
@@ -127,6 +146,15 @@ def merge_into(
         dup = F.col(f"s.{_S_PRESENT}").isNotNull() & (
             F.col(f"s.{_S_DUP}") > 1
         )
+        if not null_safe_keys:
+            # A NULL key can never match a target row under plain
+            # equality, so duplicated NULL-key source rows are plain
+            # multi-inserts (legal in ANSI MERGE), not a cardinality
+            # violation.
+            dup = dup & reduce(
+                lambda a, b: a & b,
+                [F.col(f"s.{k}").isNotNull() for k in on],
+            )
         j = j.filter(
             F.when(
                 dup,
@@ -146,9 +174,17 @@ def merge_into(
         )
 
     source_only = F.col(f"t.{_T_PRESENT}").isNull()
-    del_c = _as_col(delete_condition) if delete_condition is not None else F.lit(False)
-    upd_c = _as_col(update_condition) if update_condition is not None else F.lit(True)
-    ins_c = _as_col(insert_condition) if insert_condition is not None else F.lit(True)
+    # NULL clause conditions must mean "clause does not apply", never
+    # "delete"/"drop" — coalesce to FALSE so NULL can't propagate
+    # through `keep = ~(...)` below and silently remove rows.
+    def _cond(expr: Column | str | None, default: bool) -> Column:
+        if expr is None:
+            return F.lit(default)
+        return F.coalesce(_as_col(expr), F.lit(False))
+
+    del_c = _cond(delete_condition, False)
+    upd_c = _cond(update_condition, True)
+    ins_c = _cond(insert_condition, True)
 
     keep = ~(matched & del_c) & ~(
         source_only & (

@@ -98,6 +98,15 @@ def gapfill(
     the result is independent of how many gap rows the grid added.
     Interpolation arithmetic is a single IEEE expression mirrored by
     the q37 oracle; everything else is exact.
+
+    ``is_gap`` means ROW ABSENT, not value-NULL: presence is marked
+    with a literal on the observed side before the left join, so an
+    observed bucket whose metric is legitimately NULL reports
+    ``is_gap = false`` and is NOT zero-filled (round-10 ADVICE fix —
+    inferring gaps from the first fill column's NULL-ness conflated
+    the two). LOCF/interp still treat an observed NULL as a missing
+    observation and bridge across it (TimescaleDB ``locf`` /
+    ``interpolate`` semantics).
     """
     for c, how in fills.items():
         if how not in ("zero", "locf", "interp"):
@@ -113,9 +122,16 @@ def gapfill(
             F.sequence(F.col("__lo"), F.col("__hi"), F.lit(width))
         ).alias(bucket_col),
     )
-    d = grid.join(buckets, [*keys, bucket_col], "left").withColumn(
-        "is_gap", F.col(list(fills)[0]).isNull()
-    )
+    if "__present" in buckets.columns:
+        raise ValueError(
+            "gapfill: buckets already carries reserved column "
+            "'__present'; drop or rename it first"
+        )
+    d = grid.join(
+        buckets.withColumn("__present", F.lit(1)),
+        [*keys, bucket_col],
+        "left",
+    ).withColumn("is_gap", F.col("__present").isNull())
     w = Window.partitionBy(*keys).orderBy(bucket_col)
     back = w.rowsBetween(Window.unboundedPreceding, 0)
     fwd = w.rowsBetween(0, Window.unboundedFollowing)
@@ -123,9 +139,11 @@ def gapfill(
     for c, how in fills.items():
         col = F.col(c)
         if how == "zero":
-            filled = F.coalesce(
-                col, F.lit(0).cast(buckets.schema[c].dataType)
-            )
+            # zero-fill only synthesized gap rows; an observed row's
+            # NULL metric stays NULL (presence ≠ value).
+            filled = F.when(
+                F.col("is_gap"), F.lit(0).cast(buckets.schema[c].dataType)
+            ).otherwise(col)
         elif how == "locf":
             filled = F.last(col, ignorenulls=True).over(back)
         else:  # interp

@@ -309,5 +309,10 @@ def deterministic_shuffle(
     """Global pseudorandom reorder: sort by the keyed hash. The order
     is a pure function of (seed, keys) — reproducible across runs,
     engines, and cluster sizes; change `seed` for a fresh permutation
-    per epoch. Cost is one range-partitioned sort on an 8-byte key."""
-    return df.orderBy(hash_uniform(F.col(key_col), seed))
+    per epoch. Cost is one range-partitioned sort on an 8-byte key.
+
+    The key column itself tie-breaks the 60-bit hash: two colliding
+    keys (expected past ~2^30 rows) would otherwise get
+    partition-dependent relative order, breaking the pure-function
+    contract exactly when the corpus is large enough to matter."""
+    return df.orderBy(hash_uniform(F.col(key_col), seed), F.col(key_col))

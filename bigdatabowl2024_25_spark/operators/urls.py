@@ -43,7 +43,13 @@ TWO_LEVEL_SUFFIXES = (
 )
 
 _SCHEME_RE = "^([a-z][a-z0-9+.-]*)://"
-_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+#: authority = [userinfo@]host[:port] — the optional group is greedy,
+#: so the host starts after the LAST '@' in the authority (browser
+#: semantics), and the host class excludes '@' outright. Without this
+#: `https://blocked.com@evil.com/` would extract host
+#: 'blocked.com@evil.com', whose registered domain matches no
+#: blocklist entry — an adversarial bypass of domain blocking.
+_HOST_RE = "^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)"
 _PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)"
 
 
@@ -53,7 +59,8 @@ def url_scheme(url: Column) -> Column:
 
 
 def url_host(url: Column) -> Column:
-    """Lowercased hostname, port stripped ('' when not a URL)."""
+    """Lowercased hostname; userinfo and port stripped ('' when not a
+    URL)."""
     return F.regexp_extract(F.lower(url), _HOST_RE, 1)
 
 

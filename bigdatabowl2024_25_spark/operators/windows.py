@@ -250,7 +250,18 @@ def rolling_anomaly(
     ride a single window frame (ROWS n PRECEDING .. 1 PRECEDING), so
     the operator adds no exchange beyond the keyed sort any rolling
     statistic needs; skew is bounded by the streaming frame, state is
-    O(n) per open window."""
+    O(n) per open window.
+
+    Overflow is an ERROR, not a silent miss (round-10 ADVICE fix):
+    the decimal(38,0) products lhs²·t_den² and t_num²·c·(c·SS − S²)
+    overflow to NULL past |q| ≈ 1e19, and coalescing that NULL to
+    False would report "not anomalous" for exactly the wildest
+    values. Every row's |q| is therefore asserted ≤ the largest bound
+    that provably cannot overflow either side (|lhs| ≤ 2nQ and
+    c·(c·SS − S²) ≤ n³Q², both within 10³⁸−1), so a too-large value
+    fails the job loudly — lower `scale` or pre-clip to proceed."""
+    from math import isqrt
+
     w = (
         Window.partitionBy(*partition)
         .orderBy(*order_by)
@@ -258,6 +269,24 @@ def rolling_anomaly(
     )
     q = F.floor(F.col(value_col) * F.lit(float(scale))).cast(
         "decimal(20,0)"
+    )
+    worst = max(4 * n * n * t_den * t_den, t_num * t_num * n * n * n)
+    q_bound = isqrt((10**38 - 1) // worst)
+    bad = q.isNotNull() & (F.abs(q) > F.lit(q_bound).cast("decimal(20,0)"))
+    df = df.filter(
+        F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "rolling_anomaly: |value*scale| exceeds the "
+                        f"overflow-safe bound {q_bound} (value "
+                    ),
+                    F.col(value_col).cast("string"),
+                    F.lit(f", scale {scale}); lower scale or pre-clip"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
     )
     s = F.sum(q).over(w)
     ss = F.sum((q * q).cast("decimal(38,0)")).over(w)

@@ -39,6 +39,7 @@ _URL_SPAM_RE = "/spam/"
 
 _URL_SQL = (
     "concat(CASE WHEN doc_id % 11 = 0 THEN 'ftp://' ELSE 'https://' END,"
+    " CASE WHEN doc_id % 17 = 0 THEN 'src3.com:pw@' ELSE '' END,"
     " CASE WHEN doc_id % 5 = 0 THEN 'ads.'"
     " WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END,"
     " source,"
@@ -76,10 +77,20 @@ _URL_KEEP_SQL = (
 
 
 def _url_source(doc_id):
-    """Deterministic URL per document, lowercase by construction."""
+    """Deterministic URL per document, lowercase by construction.
+
+    Every filter rule fires somewhere in the id space, including the
+    round-10 userinfo evasion: docs ≡0 (mod 17) carry a BLOCKED domain
+    as userinfo (``https://src3.com:pw@real-host/…``) — the host
+    extract must skip it, or the blocklist is both evadable (blocked
+    host hidden after '@') and over-blocking (innocent host judged by
+    its userinfo)."""
     return F.concat(
         F.when(doc_id % 11 == 0, F.lit("ftp://")).otherwise(
             F.lit("https://")
+        ),
+        F.when(doc_id % 17 == 0, F.lit("src3.com:pw@")).otherwise(
+            F.lit("")
         ),
         F.when(doc_id % 5 == 0, F.lit("ads."))
         .when(doc_id % 4 == 0, F.lit("www."))
@@ -261,7 +272,8 @@ _BM25_SCORE = " + ".join(
            {_QCLS_KEEP_SQL} AS qcls_keep
     FROM (SELECT *, lower({_URL_SQL}) AS __url,
                  regexp_extract(lower({_URL_SQL}),
-                     '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS __host
+                     '^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)',
+                     1) AS __host
           FROM documents) documents
     CROSS JOIN ({_BM25_STATS}) s
     """,

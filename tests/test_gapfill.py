@@ -139,3 +139,24 @@ def test_rollup_delta_merge_equals_full_rebuild(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, rebuilt.collect())
     )
+
+
+def test_gapfill_observed_null_is_not_a_gap(spark):
+    """Round-10 ADVICE fix: is_gap means ROW ABSENT. An observed
+    bucket whose metric is legitimately NULL reports is_gap=False and
+    is NOT zero-filled; locf/interp still bridge across it."""
+    rows = [
+        ("a", 0, 10.0, 2),
+        ("a", 20, None, None),  # observed row, NULL metrics
+        ("a", 40, 30.0, 4),
+    ]
+    df = spark.createDataFrame(rows, "k string, b bigint, v double, n bigint")
+    out = gapfill(df, ["k"], "b", 10, {"v": "interp", "n": "zero"})
+    got = {r.b: (r.v, r.n, r.is_gap) for r in out.collect()}
+    assert got == {
+        0: (10.0, 2, False),
+        10: (15.0, 0, True),   # synthesized: interp + zero-fill
+        20: (20.0, None, False),  # observed: NOT a gap, n stays NULL
+        30: (25.0, 0, True),
+        40: (30.0, 4, False),
+    }

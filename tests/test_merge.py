@@ -182,3 +182,88 @@ def test_snapshot_diff_ops_and_roundtrip(spark):
     assert sorted(map(tuple, applied.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_merge_null_keys_never_match_by_default(spark):
+    """ANSI/Delta equality: a NULL merge key matches nothing — the
+    NULL-keyed source row is NOT MATCHED (inserted), the NULL-keyed
+    target row is target-only (kept). Round-10 fix: the default used
+    to be eqNullSafe, silently pairing the two."""
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (None, "nul", 99.0)],
+        "k bigint, name string, bal double",
+    )
+    src = spark.createDataFrame(
+        [(None, 7.0, "x")], "k bigint, delta double, op string"
+    )
+    out = merge_into(
+        target,
+        src,
+        ["k"],
+        update_set={"bal": "t.bal + s.delta"},
+        insert_values={"k": "s.k", "name": "'NEW'", "bal": "s.delta"},
+    )
+    got = sorted((r.name, r.bal) for r in out.collect())
+    # target NULL row untouched (99.0, not 106.0), source NULL row inserted
+    assert got == [("NEW", 7.0), ("a", 10.0), ("nul", 99.0)]
+
+
+def test_merge_null_safe_keys_opt_in(spark):
+    target = spark.createDataFrame(
+        [(None, "nul", 99.0)], "k bigint, name string, bal double"
+    )
+    src = spark.createDataFrame(
+        [(None, 1.0, "x")], "k bigint, delta double, op string"
+    )
+    out = merge_into(
+        target,
+        src,
+        ["k"],
+        update_set={"bal": "t.bal + s.delta"},
+        insert_values={"k": "s.k", "name": "'NEW'", "bal": "s.delta"},
+        null_safe_keys=True,
+    )
+    assert [(r.name, r.bal) for r in out.collect()] == [("nul", 100.0)]
+
+
+def test_merge_duplicate_null_source_keys_multi_insert(spark):
+    """Two NULL-key source rows can't both match any target row under
+    plain equality, so they're plain multi-inserts — legal, no
+    cardinality violation."""
+    src = spark.createDataFrame(
+        [(None, 1.0, "x"), (None, 2.0, "y")],
+        "k bigint, delta double, op string",
+    )
+    out = merge_into(
+        _target(spark),
+        src,
+        ["k"],
+        insert_values={"k": "s.k", "name": "s.op", "bal": "s.delta"},
+    )
+    assert out.count() == 5  # 3 target + 2 inserts
+
+
+def test_merge_null_clause_conditions_do_not_apply(spark):
+    """ANSI: WHEN MATCHED AND cond — a NULL cond means the clause does
+    not fire. Round-10 ADVICE fix: a NULL delete_condition used to
+    propagate through the keep filter and silently DROP the row."""
+    # op is NULL for k=2 -> delete clause must not fire, update must
+    # not fire either (its condition is also NULL): row kept verbatim.
+    src = spark.createDataFrame(
+        [(2, 5.0, None), (3, 6.0, "del"), (4, 7.0, None)],
+        "k bigint, delta double, op string",
+    )
+    out = merge_into(
+        _target(spark),
+        src,
+        ["k"],
+        update_set={"bal": "t.bal + s.delta"},
+        update_condition="s.op = 'upd'",
+        delete_condition="s.op = 'del'",
+        insert_values={"k": "s.k", "name": "'NEW'", "bal": "s.delta"},
+        insert_condition="s.op <> 'del'",  # NULL op -> no insert
+    )
+    rows = {r.k: (r.name, r.bal) for r in out.collect()}
+    # 2: matched, both conditions NULL -> kept unchanged (not deleted!)
+    # 3: matched + delete fires; 4: source-only, NULL insert cond -> dropped
+    assert rows == {1: ("a", 10.0), 2: ("b", 20.0)}

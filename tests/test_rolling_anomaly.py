@@ -88,3 +88,36 @@ def test_rolling_anomaly_single_exchange(spark):
     )
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_rolling_anomaly_overflow_raises_not_false(spark):
+    """Round-10 ADVICE fix: a value whose micro-unit magnitude would
+    overflow the decimal(38,0) cross-multiplication must FAIL the job,
+    not silently come back 'not anomalous' via coalesce(NULL, False)."""
+    import pytest
+
+    huge = 1.0e22  # |q| ~ 1e28 >> the n=5 bound (~2.2e18)
+    series = [10.0, 10.1, 9.9, 10.0, 10.2, huge, 10.0]
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(series)], "i long, v double"
+    ).withColumn("u", F.lit(1))
+    out = rolling_anomaly(df, "v", ["u"], ["i"], n=N, t_num=T)
+    with pytest.raises(Exception, match="overflow-safe bound"):
+        out.collect()
+
+
+def test_rolling_anomaly_large_but_safe_values_ok(spark):
+    """Values just inside the documented bound still evaluate exactly
+    (the guard must not reject what the decimals can represent)."""
+    big = 1.0e11  # q = 1e17, inside the n=5 bound
+    series = [big, big, big, big, big, big * 1.5, big]
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(series)], "i long, v double"
+    ).withColumn("u", F.lit(1))
+    got = [
+        r.is_anomaly
+        for r in rolling_anomaly(df, "v", ["u"], ["i"], n=N, t_num=T)
+        .orderBy("i")
+        .collect()
+    ]
+    assert got[5] is True and got[6] is False

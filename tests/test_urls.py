@@ -31,6 +31,15 @@ CASES = [
     ("not a url at all", "", "", "", 0),
     ("https://deep.sub.host.example.com/a/b/c/d", "https",
      "deep.sub.host.example.com", "example.com", 4),
+    # round 10: userinfo must never masquerade as the host — an
+    # adversarial URL hides a blocked domain before '@' (or hides the
+    # real host behind credentials); browser semantics say the host
+    # starts after the LAST '@' in the authority
+    ("https://blocked.com@evil.com/x", "https", "evil.com", "evil.com", 1),
+    ("https://user:pw@site.example.com:8080/a", "https",
+     "site.example.com", "example.com", 1),
+    ("https://a@b@last.example.org/", "https", "last.example.org",
+     "example.org", 1),
 ]
 
 
@@ -55,6 +64,12 @@ def test_url_keep_rules(spark):
             ("ftp://ok.example.com/x", False),  # scheme
             ("https://bad.example.net/x", False),  # blocked domain
             ("https://ok.example.com/spam/x", False),  # pattern
+            # round 10: blocked domain hidden behind userinfo — the
+            # real host IS blocked, credentials must not launder it
+            ("https://ok.example.com@bad.example.net/x", False),
+            # and an innocent host must not be blocked for carrying a
+            # blocked domain as its username
+            ("https://bad.example.net@ok.example.com/x", True),
         ],
         "url string, want boolean",
     )
