@@ -54,7 +54,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -353,26 +353,54 @@ def video_near_dup(
     bands: int = 4,
     max_hamming: int = 6,
     min_matching_frames: int = 2,
+    collapse_runs: bool = True,
 ) -> DataFrame:
-    """Near-duplicate video pairs from per-frame dhashes: band join on
-    (frame, band, key) — candidates must collide at the SAME sampled
-    frame position, which keeps bucket volume per-frame-bounded — then
-    per aligned frame verify Hamming ≤ `max_hamming`, and keep pairs
-    with ≥ `min_matching_frames` matching positions. Returns
-    (id_a, id_b, n_match).
+    """Near-duplicate video pairs from per-frame dhashes, SHIFT-
+    TOLERANT (round 10): candidates band-join on (band, key) alone —
+    no frame-position key — then every verified frame collision votes
+    for its temporal offset ``f_a − f_b``, and a pair survives when
+    its MODAL offset collects ≥ `min_matching_frames` matches. A clip
+    with a trimmed intro (every frame shifted by a constant) now
+    matches at that constant offset; the round-9 design joined on
+    equal positions and was blind to exactly that — the most common
+    way real video twins differ (trims, not pixel noise). Returns
+    (id_a, id_b, offset, n_match); ties on the match count break to
+    the smallest |offset|, then the smaller offset — deterministic on
+    any partitioning.
 
-    Same 100 TB discipline as the image leg: both sides shuffle
-    (frame, band, 8-byte key) rows only, never payloads, never
-    all-pairs; the final count is one aggregate over the verified
-    collisions."""
+    Scale: dropping the frame key grows each (band, key) bucket from
+    one frame position to all positions sharing a 16-bit band value —
+    still hash-bounded, never all-pairs. The residual quadratic is two
+    STATIC scenes pairing every frame with every frame; `collapse_runs`
+    (default) removes it by keeping only the first frame of each
+    consecutive identical-hash run per video (one window over the
+    per-video sort — frame counts then mean "matching scene changes",
+    and a static N-frame twin costs 1 row, not N²). Both sides still
+    shuffle (8-byte key, frame) rows only; payloads never move; the
+    offset histogram is one groupBy over verified collisions."""
     assert 64 % bands == 0, "bands must divide 64"
     width = 64 // bands
     mask = (1 << width) - 1
-    h = F.col(hash_col)
-    banded = frame_hashes.select(
+    base = frame_hashes.select(
         F.col(id_col).alias("doc"),
         F.col(frame_col).alias("__f"),
-        h.alias("__h"),
+        F.col(hash_col).alias("__h"),
+    )
+    if collapse_runs:
+        w = Window.partitionBy("doc").orderBy("__f")
+        base = (
+            base.withColumn("__prev", F.lag("__h").over(w))
+            .filter(
+                F.col("__prev").isNull()
+                | (F.col("__h") != F.col("__prev"))
+            )
+            .drop("__prev")
+        )
+    h = F.col("__h")
+    banded = base.select(
+        "doc",
+        "__f",
+        "__h",
         F.explode(
             F.array(*[
                 F.struct(
@@ -389,24 +417,43 @@ def video_near_dup(
     frame_pairs = (
         a.join(
             b,
-            (F.col("a.__f") == F.col("b.__f"))
-            & (F.col("a.band") == F.col("b.band"))
+            (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            F.col("a.__f").alias("frame"),
+            F.col("a.__f").alias("__fa"),
+            F.col("b.__f").alias("__fb"),
             F.col("a.__h").alias("__ha"),
             F.col("b.__h").alias("__hb"),
         )
         .distinct()
     )
     ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
-    return (
+    by_offset = (
         frame_pairs.filter(ham <= max_hamming)
-        .groupBy("id_a", "id_b")
+        .groupBy(
+            "id_a", "id_b", (F.col("__fa") - F.col("__fb")).alias("offset")
+        )
         .agg(F.count("*").alias("n_match"))
+    )
+    best = F.max(
+        F.struct(
+            F.col("n_match"),
+            (-F.abs(F.col("offset"))).alias("__nabs"),
+            (-F.col("offset")).alias("__noff"),
+        )
+    )
+    return (
+        by_offset.groupBy("id_a", "id_b")
+        .agg(best.alias("__b"))
+        .select(
+            "id_a",
+            "id_b",
+            (-F.col("__b.__noff")).alias("offset"),
+            F.col("__b.n_match").alias("n_match"),
+        )
         .filter(F.col("n_match") >= min_matching_frames)
     )

@@ -252,50 +252,114 @@ _VFP_HASHES = """VALUES
         (31, 1, -1161964164210622981)"""
 
 _VFP_PAIRS = """VALUES
-        (0, 9, 2),
-        (0, 16, 2),
-        (0, 25, 2),
-        (1, 10, 3),
-        (1, 17, 3),
-        (1, 26, 3),
-        (2, 11, 4),
-        (2, 18, 4),
-        (2, 27, 4),
-        (3, 12, 2),
-        (3, 19, 2),
-        (3, 28, 2),
-        (4, 13, 3),
-        (4, 20, 3),
-        (4, 29, 3),
-        (5, 14, 4),
-        (5, 21, 4),
-        (5, 30, 4),
-        (6, 15, 2),
-        (6, 22, 2),
-        (6, 31, 2),
-        (7, 23, 3),
-        (8, 24, 4),
-        (9, 16, 2),
-        (9, 25, 2),
-        (10, 17, 3),
-        (10, 26, 3),
-        (11, 18, 4),
-        (11, 27, 4),
-        (12, 19, 2),
-        (12, 28, 2),
-        (13, 20, 3),
-        (13, 29, 3),
-        (14, 21, 4),
-        (14, 30, 4),
-        (15, 22, 2),
-        (15, 31, 2),
-        (16, 25, 2),
-        (17, 26, 3),
-        (18, 27, 4),
-        (19, 28, 2),
-        (20, 29, 3),
-        (21, 30, 4),
-        (22, 31, 2)"""
+        (0, 9, 2, 0),
+        (0, 16, 2, 0),
+        (0, 25, 2, 0),
+        (1, 4, 2, -1),
+        (1, 7, 2, 1),
+        (1, 10, 3, 0),
+        (1, 13, 2, -1),
+        (1, 17, 3, 0),
+        (1, 20, 2, -1),
+        (1, 23, 2, 1),
+        (1, 26, 3, 0),
+        (1, 29, 2, -1),
+        (2, 5, 3, -1),
+        (2, 8, 3, 1),
+        (2, 11, 4, 0),
+        (2, 14, 3, -1),
+        (2, 18, 4, 0),
+        (2, 21, 3, -1),
+        (2, 24, 3, 1),
+        (2, 27, 4, 0),
+        (2, 30, 3, -1),
+        (3, 12, 2, 0),
+        (3, 19, 2, 0),
+        (3, 28, 2, 0),
+        (4, 7, 2, -1),
+        (4, 10, 2, 1),
+        (4, 13, 3, 0),
+        (4, 17, 2, 1),
+        (4, 20, 3, 0),
+        (4, 23, 2, -1),
+        (4, 26, 2, 1),
+        (4, 29, 3, 0),
+        (5, 8, 3, -1),
+        (5, 11, 3, 1),
+        (5, 14, 4, 0),
+        (5, 18, 3, 1),
+        (5, 21, 4, 0),
+        (5, 24, 3, -1),
+        (5, 27, 3, 1),
+        (5, 30, 4, 0),
+        (6, 15, 2, 0),
+        (6, 22, 2, 0),
+        (6, 31, 2, 0),
+        (7, 10, 2, -1),
+        (7, 13, 2, 1),
+        (7, 17, 2, -1),
+        (7, 20, 2, 1),
+        (7, 23, 3, 0),
+        (7, 26, 2, -1),
+        (7, 29, 2, 1),
+        (8, 11, 3, -1),
+        (8, 14, 3, 1),
+        (8, 18, 3, -1),
+        (8, 21, 3, 1),
+        (8, 24, 4, 0),
+        (8, 27, 3, -1),
+        (8, 30, 3, 1),
+        (9, 16, 2, 0),
+        (9, 25, 2, 0),
+        (10, 13, 2, -1),
+        (10, 17, 3, 0),
+        (10, 20, 2, -1),
+        (10, 23, 2, 1),
+        (10, 26, 3, 0),
+        (10, 29, 2, -1),
+        (11, 14, 3, -1),
+        (11, 18, 4, 0),
+        (11, 21, 3, -1),
+        (11, 24, 3, 1),
+        (11, 27, 4, 0),
+        (11, 30, 3, -1),
+        (12, 19, 2, 0),
+        (12, 28, 2, 0),
+        (13, 17, 2, 1),
+        (13, 20, 3, 0),
+        (13, 23, 2, -1),
+        (13, 26, 2, 1),
+        (13, 29, 3, 0),
+        (14, 18, 3, 1),
+        (14, 21, 4, 0),
+        (14, 24, 3, -1),
+        (14, 27, 3, 1),
+        (14, 30, 4, 0),
+        (15, 22, 2, 0),
+        (15, 31, 2, 0),
+        (16, 25, 2, 0),
+        (17, 20, 2, -1),
+        (17, 23, 2, 1),
+        (17, 26, 3, 0),
+        (17, 29, 2, -1),
+        (18, 21, 3, -1),
+        (18, 24, 3, 1),
+        (18, 27, 4, 0),
+        (18, 30, 3, -1),
+        (19, 28, 2, 0),
+        (20, 23, 2, -1),
+        (20, 26, 2, 1),
+        (20, 29, 3, 0),
+        (21, 24, 3, -1),
+        (21, 27, 3, 1),
+        (21, 30, 4, 0),
+        (22, 31, 2, 0),
+        (23, 26, 2, -1),
+        (23, 29, 2, 1),
+        (24, 27, 3, -1),
+        (24, 30, 3, 1),
+        (26, 29, 2, -1),
+        (27, 30, 3, -1)"""
 
 
 @query(
@@ -343,8 +407,8 @@ _VFP_PAIRS = """VALUES
     FROM ({_VFP_HASHES}) v(d, f, h)
     UNION ALL
     SELECT v.a AS doc_id, 'vfp' AS codec, v.b AS d1, v.n AS d2,
-           CAST(0 AS BIGINT) AS d3, TRUE AS ok
-    FROM ({_VFP_PAIRS}) v(a, b, n)
+           v.off AS d3, TRUE AS ok
+    FROM ({_VFP_PAIRS}) v(a, b, n, off)
     """,
 )
 def q94_codec_roundtrip(spark, sf_dir):
@@ -546,12 +610,20 @@ def q94_codec_roundtrip(spark, sf_dir):
         F.lit(True).alias("ok"),
     )
 
-    # vfp branches (round 9): the video leg — formula frame stacks
-    # encoded to real MJPEG-AVI, container-side frame sampling + per-
-    # frame dHash (`phash.dhash_video_frames`), aligned-frame banded
-    # Hamming funnel (`phash.video_near_dup`). JPEG decode is not
-    # SQL-expressible, so the oracle pins the deterministic hashes and
-    # verified pairs as literals (the q90 MC-kernel pattern).
+    # vfp branches (round 9, shift-tolerant since round 10): the video
+    # leg — formula frame stacks encoded to real MJPEG-AVI, container-
+    # side frame sampling + per-frame dHash
+    # (`phash.dhash_video_frames`), then the MODAL-OFFSET banded
+    # Hamming funnel (`phash.video_near_dup`): candidates band on
+    # (band, key) alone, each verified collision votes its temporal
+    # offset f_a−f_b, and the modal offset's count is the match. The
+    # frame formula aliases (s·7+f·11 mod 32), so ±1-offset twins
+    # occur by construction — 108 expected pairs, 60 of them at a
+    # nonzero offset, exactly the trim class the round-9 aligned join
+    # missed. JPEG decode is not SQL-expressible, so the oracle pins
+    # the deterministic hashes and (pair, n, offset) literals,
+    # regenerated by brute-forcing the funnel in pure python over the
+    # same payloads (the q90 MC-kernel pattern).
     from ..operators.phash import dhash_video_frames, video_near_dup
 
     def make_vfp_payloads(
@@ -605,7 +677,7 @@ def q94_codec_roundtrip(spark, sf_dir):
         F.lit("vfp").alias("codec"),
         F.col("id_b").alias("d1"),
         F.col("n_match").alias("d2"),
-        F.lit(0).cast("long").alias("d3"),
+        F.col("offset").alias("d3"),
         F.lit(True).alias("ok"),
     )
 

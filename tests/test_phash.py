@@ -264,3 +264,67 @@ def test_video_frame_sampling_stride(spark):
     )
     out = dhash_video_frames(df, every_n=3).collect()
     assert len(out) == 2  # frames 0 and 3 only
+
+
+def test_video_near_dup_shift_tolerant(spark):
+    """Round-10 fix: a twin with a trimmed intro (all frames offset by
+    a constant) must still match — the round-9 aligned-position join
+    was blind to it. The modal offset is reported alongside n_match."""
+    import numpy as np
+
+    from bigdatabowl2024_25_spark.operators.media_av import encode_avi_mjpeg
+    from bigdatabowl2024_25_spark.operators.phash import (
+        dhash_video_frames,
+        video_near_dup,
+    )
+
+    def frames(seed, fs):
+        yy, xx = np.mgrid[0:8, 0:9]
+        return [
+            (((xx * 5 + yy * 3 + seed * 7 + f * 11) % 32) * 8)
+            .astype(np.uint8)[..., None]
+            .repeat(3, axis=-1)
+            for f in fs
+        ]
+
+    rows = [
+        (0, bytearray(encode_avi_mjpeg(frames(1, [0, 1, 2, 3]), fps=5))),
+        # 1 = video 0 with the first frame trimmed: offsets all +1
+        (1, bytearray(encode_avi_mjpeg(frames(1, [1, 2, 3]), fps=5))),
+        (2, bytearray(encode_avi_mjpeg(frames(9, [0, 1, 2]), fps=5))),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    fh = dhash_video_frames(df)
+    got = {
+        (r.id_a, r.id_b): (r.offset, r.n_match)
+        for r in video_near_dup(
+            fh, max_hamming=0, min_matching_frames=2
+        ).collect()
+    }
+    assert got == {(0, 1): (1, 3)}  # video 0's frame k = video 1's k-1
+
+
+def test_video_near_dup_collapse_runs_bounds_static_scenes(spark):
+    """Two static videos (every frame identical) must contribute ONE
+    verified row, not N_a x N_b — the run-collapse pre-step keeps only
+    scene changes, bounding the per-pair candidate volume."""
+    import pandas as pd
+
+    from bigdatabowl2024_25_spark.operators.phash import video_near_dup
+
+    rows = (
+        [(0, f, 12345) for f in range(10)]
+        + [(1, f, 12345) for f in range(10)]
+    )
+    fh = spark.createDataFrame(rows, "media_id bigint, frame long, dhash long")
+    got = video_near_dup(
+        fh, max_hamming=0, min_matching_frames=1
+    ).collect()
+    assert [(r.id_a, r.id_b, r.offset, r.n_match) for r in got] == [
+        (0, 1, 0, 1)
+    ]
+    # without the collapse the same input votes 10 offsets, modal n=10
+    raw = video_near_dup(
+        fh, max_hamming=0, min_matching_frames=1, collapse_runs=False
+    ).collect()
+    assert raw[0].n_match == 10
