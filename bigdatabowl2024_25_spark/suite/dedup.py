@@ -203,6 +203,122 @@ _SS_CTES = f"""
 )
 
 
+# ---- q93 'batch' branch: the prepare_batch daily loop ----------------
+# (defined here so it shares the minhash/banding CTE machinery;
+# consumed by suite/streaming_q.py next to its stream twin 'corpus'.
+# It lives in q93 — NOT the benched q70 — for the q91 reason: the
+# branch is O(1) fixture-sized, so its wall time is pure composition/
+# scheduling overhead and would pollute the headline's sf-scaling
+# signal.)
+# Two manufactured days through `pipelines.corpus.prepare_batch` (the
+# BATCH twin of the q93 'corpus' stream branch): day 1 = 50 originals
+# + 15 same-batch tail variants (within-batch LSH near-dup fires);
+# day 2 = 20 exact re-sends of history (dropped by the running key
+# state), 30 unseen docs, and 10 same-batch tail variants of those
+# (within-batch LSH again, now alongside the day-1 band-key state).
+# The oracle replays the WHOLE loop in SQL: profile filter → keep-min
+# exact dedup → band keys of survivors → greater-id candidate drop →
+# seen-key/band-state carry into day 2. Ids grow monotonically across
+# batches (the operator's documented assumption), so every pair's
+# loser is its greatest id.
+_BT_DUP = (
+    "CASE WHEN len({w}) > 0 THEN "
+    "1.0 - CAST(len(list_distinct({w})) AS DOUBLE) / len({w}) "
+    "ELSE 0.0 END"
+)
+
+
+def _bt_day_ctes(tag: str, day_sql: str) -> str:
+    """Profile → exact keep-min → band keys for one batch day."""
+    from .text import _W_NE
+
+    dup = _BT_DUP.format(w=_W_NE)
+    return f"""
+    bt{tag}raw AS ({day_sql}),
+    bt{tag}p AS (
+        SELECT doc_id, text FROM bt{tag}raw
+        WHERE len({_W_NE}) >= 5 AND ({dup}) <= 0.5
+    ),
+    bt{tag}k AS (SELECT doc_id, text, {_h64(_NORM)} AS ck FROM bt{tag}p)
+"""
+
+
+_BT_DAY1 = """
+    SELECT doc_id, text FROM documents WHERE doc_id < 50
+    UNION ALL
+    SELECT doc_id + 800000 AS doc_id, text || ' tail marker tokens'
+      AS text FROM documents WHERE doc_id < 15
+"""
+_BT_DAY2 = """
+    SELECT doc_id + 810000 AS doc_id, text FROM documents
+    WHERE doc_id < 20
+    UNION ALL
+    SELECT doc_id + 820000 AS doc_id, text FROM documents
+    WHERE doc_id >= 100 AND doc_id < 130
+    UNION ALL
+    SELECT doc_id + 830000 AS doc_id, text || ' tail2 marker'
+      AS text FROM documents WHERE doc_id >= 100 AND doc_id < 110
+"""
+
+
+def _bt_band_ctes(tag: str, src: str) -> str:
+    return f"""
+    bt{tag}sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle
+                  FROM {src}),
+    bt{tag}h AS ({_hashes_sql(f'bt{tag}sh')}),
+    bt{tag}sig AS (SELECT doc_id, {_SIG_MINS} FROM bt{tag}h
+                   GROUP BY doc_id),
+    bt{tag}band AS ({_oracle_band_keys(f'bt{tag}sig')})
+"""
+
+
+_BT_CTES = (
+    _bt_day_ctes("d1", _BT_DAY1)
+    + ""","""
+    + """
+    btw1 AS (SELECT ck, MIN(doc_id) AS doc_id FROM btd1k GROUP BY ck),
+    btt1 AS (SELECT w.doc_id, k.text FROM btw1 w
+             JOIN btd1k k ON k.doc_id = w.doc_id),
+"""
+    + _bt_band_ctes("x1", "btt1")
+    + ""","""
+    + """
+    btlose1 AS (
+        SELECT DISTINCT greatest(a.doc, b.doc) AS doc
+        FROM btx1band a JOIN btx1band b
+          ON a.band_key = b.band_key AND a.doc <> b.doc
+    ),
+    btfin1 AS (SELECT doc_id FROM btt1
+               WHERE doc_id NOT IN (SELECT doc FROM btlose1)),
+    btseen AS (SELECT DISTINCT ck FROM btd1k),
+    btstate AS (SELECT * FROM btx1band
+                WHERE doc IN (SELECT doc_id FROM btfin1)),
+"""
+    + _bt_day_ctes("d2", _BT_DAY2)
+    + ""","""
+    + """
+    btnew2 AS (SELECT * FROM btd2k
+               WHERE ck NOT IN (SELECT ck FROM btseen)),
+    btw2 AS (SELECT ck, MIN(doc_id) AS doc_id FROM btnew2 GROUP BY ck),
+    btt2 AS (SELECT w.doc_id, k.text FROM btw2 w
+             JOIN btnew2 k ON k.doc_id = w.doc_id),
+"""
+    + _bt_band_ctes("x2", "btt2")
+    + ""","""
+    + """
+    btlose2 AS (
+        SELECT DISTINCT greatest(n.doc, o.doc) AS doc
+        FROM btx2band n
+        JOIN (SELECT * FROM btstate
+              UNION ALL SELECT * FROM btx2band) o
+          ON o.band_key = n.band_key AND o.doc <> n.doc
+    ),
+    btfin2 AS (SELECT doc_id FROM btt2
+               WHERE doc_id NOT IN (SELECT doc FROM btlose2))
+"""
+)
+
+
 #: the manufactured corpus: originals ∪ exact copies ∪ near-dup variants
 _CORPUS = """
     SELECT doc_id, text FROM documents

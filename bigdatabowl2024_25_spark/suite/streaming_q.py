@@ -78,7 +78,7 @@ from .sketch_q import _HLL_CTES  # noqa: E402
 # without depending on the file source's batch assignment. Winner
 # identity and delta-state layout stay pytest-side
 # (tests/test_corpus_pipeline.py), which ARE order-dependent.
-from .dedup import _h64  # noqa: E402
+from .dedup import _BT_CTES, _h64  # noqa: E402
 from .text import _W_NE, _redact_sql  # noqa: E402
 
 _CORP_MIN_TOK = 5
@@ -107,7 +107,8 @@ _CORP_CTE = f"""
     "q93_streaming_windows",
     oracle=f"""
     WITH {_HLL_CTES},
-    {_CORP_CTE}
+    {_CORP_CTE},
+    {_BT_CTES}
     SELECT 'tumbling' AS kind, user_id,
            (epoch_us(ts) // {_W_US}) * {_W_US} AS win_start_us,
            COUNT(*) AS n_events,
@@ -169,6 +170,14 @@ _CORP_CTE = f"""
            CAST(1 AS BIGINT) AS n_events,
            CAST(NULL AS DOUBLE) AS sum_value
     FROM corpus_keys
+    UNION ALL
+    SELECT 'batch' AS kind, k.ck AS user_id, f.doc_id AS win_start_us,
+           CAST(1 AS BIGINT) AS n_events, CAST(NULL AS DOUBLE) AS sum_value
+    FROM btfin1 f JOIN btd1k k ON k.doc_id = f.doc_id
+    UNION ALL
+    SELECT 'batch' AS kind, k.ck AS user_id, f.doc_id AS win_start_us,
+           CAST(2 AS BIGINT) AS n_events, CAST(NULL AS DOUBLE) AS sum_value
+    FROM btfin2 f JOIN btd2k k ON k.doc_id = f.doc_id
     """,
 )
 def q93_streaming_windows(spark, sf_dir):
@@ -414,6 +423,95 @@ def q93_streaming_windows(spark, sf_dir):
             )
         )
 
+        # 'batch' branch (round 10, VERDICT item 3): the END-TO-END
+        # `prepare_batch` daily loop — the batch twin of 'corpus'
+        # above, and the last pipeline entry point to come under the
+        # oracle. Two manufactured days replay through the REAL
+        # pipeline function (profile filter → Bloom-assisted
+        # incremental exact dedup → within-batch + vs-state LSH
+        # near-dup → state carry); the oracle re-derives both days'
+        # survivor sets in SQL (suite/dedup._BT_CTES — it shares the
+        # q70/q72 banding machinery). Rows carry (content_key,
+        # surviving doc_id, day): winner identity and per-day
+        # membership are value-hashed, not just counts. Fixed doc_id
+        # cutoffs keep the branch O(1) in sf. The `_fanout` boundary
+        # persists are load-bearing (without them day 2's plan nests
+        # day 1's whole tree per self-reference — measured 85 s vs
+        # ~6); scoping them in a BoundaryCaches and pinning the
+        # ≤~50-row result with an eager localCheckpoint keeps the
+        # session cache clean across repeated runs (bench warm runs
+        # measured SLOWER than cold when they leaked).
+        from ..operators.text import normalize_text as _norm
+        from ..operators.text import portable_hash64 as _ph64
+        from ..pipelines.corpus import (
+            BoundaryCaches,
+            empty_state,
+            prepare_batch,
+        )
+
+        bt_cfg = CorpusConfig(
+            min_tokens=_CORP_MIN_TOK,
+            max_dup_word_frac=_CORP_MAX_DUP,
+            max_top_bigram_frac=1.0,
+            redact=False,  # redaction is oracled in q60 + 'corpus'
+            near_dup=True,
+        )
+        d0 = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        bt_day1 = d0.filter(F.col("doc_id") < 50).unionByName(
+            d0.filter(F.col("doc_id") < 15).select(
+                (F.col("doc_id") + 800000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" tail marker tokens")
+                ).alias("text"),
+            )
+        )
+        bt_day2 = (
+            d0.filter(F.col("doc_id") < 20)
+            .select((F.col("doc_id") + 810000).alias("doc_id"), "text")
+            .unionByName(
+                d0.filter(
+                    (F.col("doc_id") >= 100) & (F.col("doc_id") < 130)
+                ).select(
+                    (F.col("doc_id") + 820000).alias("doc_id"), "text"
+                )
+            )
+            .unionByName(
+                d0.filter(
+                    (F.col("doc_id") >= 100) & (F.col("doc_id") < 110)
+                ).select(
+                    (F.col("doc_id") + 830000).alias("doc_id"),
+                    F.concat(
+                        F.col("text"), F.lit(" tail2 marker")
+                    ).alias("text"),
+                )
+            )
+        )
+
+        def _bt_rows(clean, day):
+            return clean.select(
+                F.lit("batch").alias("kind"),
+                _ph64(_norm(F.col("text"))).alias("user_id"),
+                F.col("doc_id").alias("win_start_us"),
+                F.lit(day).cast("bigint").alias("n_events"),
+                F.lit(None).cast("double").alias("sum_value"),
+            )
+
+        with BoundaryCaches() as bt_bc:
+            bt_clean1, bt_state1 = prepare_batch(
+                bt_day1, empty_state(spark, near_dup=True),
+                cfg=bt_cfg, caches=bt_bc,
+            )
+            bt_clean2, _bt_state2 = prepare_batch(
+                bt_day2, bt_state1, cfg=bt_cfg, caches=bt_bc
+            )
+            batch = (
+                _bt_rows(bt_clean1, 1)
+                .unionByName(_bt_rows(bt_clean2, 2))
+                .localCheckpoint()
+            )
+
         # the memory sink tables are driver-resident and tiny (one row
         # per user×window); localCheckpoint pins the rows so the temp
         # dir and memory sinks can be torn down
@@ -425,6 +523,7 @@ def q93_streaming_windows(spark, sf_dir):
             .unionByName(hll_regs)
             .unionByName(hll_est)
             .unionByName(corpus)
+            .unionByName(batch)
             .localCheckpoint()
         )
         q1.stop()
