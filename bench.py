@@ -56,6 +56,18 @@ HEADLINE = [
                                   # 9): parquet/csv/jsonl/orc
                                   # roundtrips, z-order write, hash
                                   # split/sample/strata/shuffle
+    "q71_signatures_and_selection",  # (round 10) minhash signatures +
+                                  # DSIR importance resampling +
+                                  # Gopher rules — three linear corpus
+                                  # passes, heaviest former
+                                  # non-headline query
+    "q83_ann_ivf_topk",           # (round 10) IVF/IVF-PQ ANN +
+                                  # incremental embedding near-dup +
+                                  # diversity sampling
+    "q94_codec_roundtrip",        # (round 10) multimodal codecs +
+                                  # image/audio/video perceptual
+                                  # near-dup funnels (shift-tolerant
+                                  # video since r10)
     # q91 (five-stage DAG) deliberately NOT here: it runs on a
     # fixed-size synthetic parity world, so its wall time is pure DAG
     # scheduling overhead and never scales with sf — including it

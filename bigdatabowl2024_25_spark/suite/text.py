@@ -545,6 +545,93 @@ _CLEAN_CTES = f"""
 """
 
 
+# ---- q64 'dclean' branch: DSIR selection as prepare_corpus stage 7b ---
+# The SAME composition as 'clean' with cfg.dsir_k set: of the hygienic
+# survivors (clean_out), keep the _DCLEAN_K most target-like via
+# Gumbel top-k over hashed-n-gram importance weights against an
+# English target slice. The operator chain is oracled in q71; this
+# branch value-hashes the COMPOSED stage — the model's raw side is the
+# stage-0-7 survivor set itself (redacted pages), so a drift anywhere
+# in the composition flips the selection.
+_DCLEAN_DIM, _DCLEAN_ALPHA, _DCLEAN_K = 2048, 1.0, 20
+_DCLEAN_SEED = "dsir:v1"
+
+
+def _dc_words(col: str) -> str:
+    """normalize_text → tokens → drop '' (dsir_features contract)."""
+    return (
+        "list_filter(string_split(trim(regexp_replace(regexp_replace("
+        f"lower({col}), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '), "
+        "t -> t <> '')"
+    )
+
+
+_DC_FEATS = (
+    "unnest(w || list_transform(range(1, greatest(len(w), 1)), "
+    "i -> w[i] || ' ' || w[i+1]))"
+)
+_DC_BUCKET = (
+    "CAST(concat('0x', substring(md5(feat), 1, 15)) AS BIGINT) "
+    f"% {_DCLEAN_DIM}"
+)
+_DCLEAN_U = (
+    "((CAST(concat('0x', substring(md5(concat("
+    f"'{_DCLEAN_SEED}', chr(31), CAST(doc_id AS VARCHAR))), 1, 15)) "
+    "AS BIGINT) + 1) / 1152921504606846976.0)"
+)
+
+_DCLEAN_CTES = f"""
+    dcw AS (SELECT doc_id, {_dc_words('rtext')} AS w FROM clean_out),
+    dcf AS (SELECT doc_id, {_DC_FEATS} AS feat FROM dcw),
+    dcfb AS (SELECT doc_id, {_DC_BUCKET} AS bucket FROM dcf),
+    dctw AS (SELECT doc_id, {_dc_words('text')} AS w
+             FROM documents WHERE lang = 'en' AND doc_id % 5 = 0),
+    dctf AS (SELECT doc_id, {_DC_FEATS} AS feat FROM dctw),
+    dctb AS (SELECT doc_id, {_DC_BUCKET} AS bucket FROM dctf),
+    dct_cnt AS (SELECT bucket, COUNT(*) AS ct FROM dctb GROUP BY 1),
+    dcr_cnt AS (SELECT bucket, COUNT(*) AS cr FROM dcfb GROUP BY 1),
+    dctot AS (
+        SELECT (SELECT CAST(SUM(ct) AS DOUBLE) FROM dct_cnt) AS tt,
+               (SELECT CAST(SUM(cr) AS DOUBLE) FROM dcr_cnt) AS tr
+    ),
+    dcmodel AS (
+        SELECT r.range AS bucket,
+               CAST(ln((CAST(COALESCE(t.ct, 0) AS DOUBLE)
+                        + CAST({_DCLEAN_ALPHA!r} AS DOUBLE))
+                       / (tt + CAST({_DCLEAN_ALPHA * _DCLEAN_DIM!r}
+                               AS DOUBLE)))
+                    AS DECIMAL(38,15))
+               - CAST(ln((CAST(COALESCE(c.cr, 0) AS DOUBLE)
+                          + CAST({_DCLEAN_ALPHA!r} AS DOUBLE))
+                         / (tr + CAST({_DCLEAN_ALPHA * _DCLEAN_DIM!r}
+                                 AS DOUBLE)))
+                      AS DECIMAL(38,15)) AS lr
+        FROM range(0, {_DCLEAN_DIM}) r
+        LEFT JOIN dct_cnt t ON t.bucket = r.range
+        LEFT JOIN dcr_cnt c ON c.bucket = r.range
+        CROSS JOIN dctot
+    ),
+    dcwts AS (
+        SELECT doc_id, CAST(SUM(lr) AS DECIMAL(38,15)) AS logw
+        FROM dcfb JOIN dcmodel USING (bucket) GROUP BY doc_id
+    ),
+    dckeyed AS (
+        SELECT doc_id,
+               ROUND(ln(-ln({_DCLEAN_U})) - CAST(logw AS DOUBLE), 6)
+                 AS gkey
+        FROM dcwts
+    ),
+    dcsel AS (
+        SELECT doc_id FROM dckeyed
+        ORDER BY gkey NULLS LAST, doc_id LIMIT {_DCLEAN_K}
+    ),
+    dclean_out AS (
+        SELECT c.doc_id, c.n_tokens, c.rtext
+        FROM clean_out c JOIN dcsel s ON s.doc_id = c.doc_id
+    )
+"""
+
+
 # ---- q64 'tmix' branch: temperature (α=0.5) domain mixing -------------
 
 _TMIX_BUDGET = 1200.0
@@ -693,6 +780,7 @@ _BPE_JOINED = (
     WITH RECURSIVE {_PK_CTES},
     {_PARA_CTES},
     {_CLEAN_CTES},
+    {_DCLEAN_CTES},
     {_C4_CTES},
     {_TMIX_CTES},
     bpe AS (SELECT doc_id, {_BPE_JOINED} AS joined FROM documents)
@@ -734,6 +822,11 @@ _BPE_JOINED = (
            octet_length(encode(rtext)) AS byte_len,
            md5(rtext) AS content_md5
     FROM clean_out
+    UNION ALL
+    SELECT 'dclean' AS kind, doc_id, n_tokens AS part_id,
+           octet_length(encode(rtext)) AS byte_len,
+           md5(rtext) AS content_md5
+    FROM dclean_out
     UNION ALL
     SELECT 'para' AS kind, doc_id, n_kept AS part_id,
            -- encode(), not CAST AS BLOB: the page text contains the
@@ -948,6 +1041,52 @@ def q64_binary_plumbing(spark, sf_dir):
         F.length(clb).cast("bigint").alias("byte_len"),
         F.md5(clb).alias("content_md5"),
     )
+    # 'dclean' (round 10, VERDICT item 6): the SAME composition with
+    # DSIR selection wired in as stage 7b (cfg.dsir_k) — of the
+    # hygienic survivors, keep the _DCLEAN_K most like the English
+    # target slice. The operator chain is oracled in q71; here the
+    # COMPOSED stage is value-hashed: the model's raw side is the
+    # stage-0-7 survivor set itself (redacted pages), so drift in ANY
+    # earlier stage flips the selection, and every selected page's
+    # bytes are md5-verified.
+    # The DSIR stage reads its input three more times (model counts +
+    # scoring + semi-join), so boundary persists are load-bearing here
+    # (with persist_boundaries=False the stage-0-7 subtree replicates
+    # 4x and q64 measured 11.0 s vs 5.5); scope them and pin the
+    # k-row result eagerly so nothing leaks across runs (the q93
+    # 'batch' pattern).
+    from ..pipelines.corpus import BoundaryCaches
+
+    with BoundaryCaches() as dc_bc:
+        dcleaned = prepare_corpus(
+            pages,
+            cfg=CorpusConfig(
+                min_tokens=_CLEAN_MIN_TOK,
+                max_dup_word_frac=_CLEAN_MAX_DUP,
+                max_top_bigram_frac=1.0,
+                near_dup=False,
+                mixture=_CLEAN_RATES,
+                dsir_k=_DCLEAN_K,
+                dsir_dim=_DCLEAN_DIM,
+                dsir_alpha=_DCLEAN_ALPHA,
+                dsir_seed=_DCLEAN_SEED,
+            ),
+            # a curated target is naturally much smaller than the
+            # corpus; a 1-in-5 English slice keeps the target
+            # featurization (one md5 per word+bigram) off the
+            # critical path
+            dsir_target=d.filter(
+                (F.col("lang") == "en") & (F.col("doc_id") % 5 == 0)
+            ).select("doc_id", "text"),
+            caches=dc_bc,
+        )
+        dclean = dcleaned.select(
+            F.lit("dclean").alias("kind"),
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("part_id"),
+            F.length(clb).cast("bigint").alias("byte_len"),
+            F.md5(clb).alias("content_md5"),
+        ).localCheckpoint()
     # 'tmix' (round 9): temperature mixing (`sampling.
     # temperature_domain_sample`, the multilingual α-sampling recipe)
     # at α=0.5 over per-source token masses — sqrt is correctly
@@ -1007,6 +1146,7 @@ def q64_binary_plumbing(spark, sf_dir):
         .unionByName(para)
         .unionByName(parad)
         .unionByName(clean)
+        .unionByName(dclean)
         .unionByName(tmix)
         .unionByName(c4)
     )
