@@ -211,9 +211,18 @@ def hash_split(
     retraining runs), identical on any engine (md5-derived hash, so an
     external system can reproduce the split), and partition-order-free
     by construction. `salt` versions the split without touching keys.
-    Filters stay in codegen; no shuffle, no RNG state."""
+    Filters stay in codegen; no shuffle, no RNG state.
+
+    Keys must be non-null: `concat_ws` skips NULL args inside
+    `tagged_hash64`, so a NULL key byte-collides with the key that
+    simply omits it — two distinct rows would be forced onto the same
+    side forever. Guarded per row (round-10 audit, the sampling
+    discipline)."""
+    from .operators.sampling import _require_nonnull_key
     from .operators.text import tagged_hash64
 
+    for c in key_cols:
+        df = _require_nonnull_key(df, c, "hash_split")
     bucket = tagged_hash64(salt, *[F.col(c) for c in key_cols]) % 100
     return df.filter(bucket >= test_pct), df.filter(bucket < test_pct)
 

@@ -79,12 +79,51 @@ def concurrency_profile(
     boundaries (bucket timestamps upstream — e.g. `rollup.time_bucket`
     — to bound that cardinality at 100 TB; the alternative, a
     range-partitioned two-phase prefix sum, trades that bound for a
-    sampled partitioner whose boundaries are not run-deterministic)."""
+    sampled partitioner whose boundaries are not run-deterministic).
+
+    NULL / inverted bounds (round-10 audit): a NULL boundary would
+    sort FIRST under the cumulative window and shift every
+    concurrency value after it — silent corruption. A NULL ``hi`` is
+    therefore treated as an OPEN interval (live from ``lo`` onward —
+    the still-active-session case: +1 at lo, no −1 anywhere); a NULL
+    ``lo`` raises (an interval must start somewhere), as does
+    ``hi < lo`` (a −1 before its +1 yields transient negative
+    concurrency)."""
     ks = keys or []
+    bad_lo = F.col(lo_col).isNull()
+    bad_order = F.col(hi_col).isNotNull() & (
+        F.col(hi_col) < F.col(lo_col)
+    )
+    df = df.filter(
+        F.when(
+            bad_lo,
+            F.raise_error(
+                F.lit(
+                    "concurrency_profile: NULL lower bound — an "
+                    "interval must start somewhere (NULL hi = open "
+                    "interval is supported)"
+                )
+            ).cast("boolean"),
+        )
+        .when(
+            bad_order,
+            F.raise_error(
+                F.concat(
+                    F.lit("concurrency_profile: interval ends before "
+                          "it starts ("),
+                    F.col(hi_col).cast("string"),
+                    F.lit(" < "),
+                    F.col(lo_col).cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("boolean"),
+        )
+        .otherwise(F.lit(True))
+    )
     lo = df.select(
         *ks, F.col(lo_col).alias("ts"), F.lit(1).alias("__d")
     )
-    hi = df.select(
+    hi = df.filter(F.col(hi_col).isNotNull()).select(
         *ks, F.col(hi_col).alias("ts"), F.lit(-1).alias("__d")
     )
     deltas = (

@@ -46,10 +46,37 @@ def hash_uniform(key: Column, seed: str = "sample:v1") -> Column:
     )
 
 
+def _require_nonnull_key(df: DataFrame, key_col: str, op: str) -> DataFrame:
+    """Every sampler here derives membership/order from
+    `tagged_hash64(seed, key)`, and `concat_ws` SKIPS NULL args — so
+    all NULL-key rows share ONE hash value (hash of the bare seed).
+    That silently correlates their membership (all in or all out of
+    every sample), and with the key tie-break also NULL their relative
+    order goes partition-dependent. A sampling key must identify the
+    row; error loudly instead of sampling garbage (round-10 audit —
+    same per-row assert discipline as rolling_anomaly's overflow
+    guard). Costs one codegen predicate in the stage the operator
+    already runs; no extra shuffle."""
+    return df.filter(
+        F.when(
+            F.col(key_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"{op}: NULL value in key column {key_col!r} — "
+                    "sampling keys must be non-null (NULL keys all "
+                    "share one hash and cannot be sampled "
+                    "deterministically)"
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
+
+
 def hash_sample(
     df: DataFrame, key_col: str, rate: float, seed: str = "sample:v1"
 ) -> DataFrame:
     """Bernoulli(rate) sample, membership a pure function of the key."""
+    df = _require_nonnull_key(df, key_col, "hash_sample")
     return df.filter(hash_uniform(F.col(key_col), seed) < F.lit(rate))
 
 
@@ -73,6 +100,7 @@ def weighted_domain_sample(
         rate = F.when(F.col(domain_col) == dom, F.lit(float(r))).otherwise(
             rate
         )
+    df = _require_nonnull_key(df, key_col, "weighted_domain_sample")
     return df.filter(hash_uniform(F.col(key_col), seed) < rate)
 
 
@@ -133,6 +161,7 @@ def token_budget_sample(
     # through to default_rate (the same contract as
     # weighted_domain_sample's CASE), not silently vanish in an inner
     # join
+    df = _require_nonnull_key(df, key_col, "token_budget_sample")
     return (
         df.join(F.broadcast(totals), domain_col, "left")
         .filter(hash_uniform(F.col(key_col), seed) < rate)
@@ -204,6 +233,7 @@ def temperature_domain_sample(
         * (F.col("__sa") / F.col("__den"))
         / F.col("__mass"),
     )
+    df = _require_nonnull_key(df, key_col, "temperature_domain_sample")
     return (
         df.join(F.broadcast(powed), domain_col)
         .crossJoin(F.broadcast(denom))
@@ -244,6 +274,7 @@ def stratified_fixed_k(
         )
     u = hash_uniform(F.col(key_col), seed)
     w = Window.partitionBy(group_col).orderBy(u, F.col(key_col))
+    df = _require_nonnull_key(df, key_col, "stratified_fixed_k")
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
@@ -283,8 +314,12 @@ def weighted_fixed_k(
         tagged_hash64(seed, F.col(key_col).cast("string")) + F.lit(1)
     ) / F.lit(float(HASH64_SPAN))
     es = F.round(-F.log(u) / F.col(weight_col).cast("double"), 6)
-    eligible = df.filter(
-        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    # NaN is GREATER than everything in Spark's ordering, so a NaN
+    # weight passes `> 0` and poisons its ES key; exclude it with the
+    # same no-mass rule as NULL/<=0 (round-10 audit)
+    wd = F.col(weight_col).cast("double")
+    eligible = _require_nonnull_key(df, key_col, "weighted_fixed_k").filter(
+        F.col(weight_col).isNotNull() & ~F.isnan(wd) & (wd > 0)
     )
     if group_col is None:
         return eligible.orderBy(es.asc(), F.col(key_col).asc()).limit(k)
@@ -315,4 +350,5 @@ def deterministic_shuffle(
     keys (expected past ~2^30 rows) would otherwise get
     partition-dependent relative order, breaking the pure-function
     contract exactly when the corpus is large enough to matter."""
+    df = _require_nonnull_key(df, key_col, "deterministic_shuffle")
     return df.orderBy(hash_uniform(F.col(key_col), seed), F.col(key_col))

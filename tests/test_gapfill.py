@@ -160,3 +160,37 @@ def test_gapfill_observed_null_is_not_a_gap(spark):
         30: (25.0, 0, True),
         40: (30.0, 4, False),
     }
+
+
+def test_concurrency_profile_null_and_inverted_bounds(spark):
+    """Round-10 audit: a NULL boundary would sort first under the
+    cumulative window and shift the whole profile. NULL hi = open
+    interval (still-live session); NULL lo and hi<lo raise."""
+    import pytest
+
+    from bigdatabowl2024_25_spark.operators.range_join import (
+        concurrency_profile,
+    )
+
+    open_iv = spark.createDataFrame(
+        [(10, 20), (15, None), (18, 25)], "lo bigint, hi bigint"
+    )
+    got = {
+        r.ts: r.concurrency
+        for r in concurrency_profile(open_iv, "lo", "hi").collect()
+    }
+    # interval (15, None) stays live: +1 at 15 never decremented
+    assert got == {10: 1, 15: 2, 18: 3, 20: 2, 25: 1}
+
+    with pytest.raises(Exception, match="NULL lower bound"):
+        concurrency_profile(
+            spark.createDataFrame([(None, 20)], "lo bigint, hi bigint"),
+            "lo",
+            "hi",
+        ).collect()
+    with pytest.raises(Exception, match="ends before it starts"):
+        concurrency_profile(
+            spark.createDataFrame([(30, 20)], "lo bigint, hi bigint"),
+            "lo",
+            "hi",
+        ).collect()

@@ -352,3 +352,51 @@ def test_deterministic_shuffle_total_order_under_collision(spark):
         for r in deterministic_shuffle(df.repartition(13), "k").collect()
     ]
     assert a == b
+
+
+def test_null_sampling_key_raises_everywhere(spark):
+    """Round-10 audit: concat_ws skips NULLs inside tagged_hash64, so
+    all NULL-key rows share ONE hash — membership silently correlates
+    and tie-broken order goes partition-dependent. Every sampler must
+    refuse NULL keys loudly."""
+    import pytest
+
+    from bigdatabowl2024_25_spark.operators.sampling import (
+        hash_sample,
+        stratified_fixed_k,
+        temperature_domain_sample,
+        token_budget_sample,
+        weighted_domain_sample,
+        weighted_fixed_k,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (None, "a", 3.0), (3, "b", 1.0)],
+        "k bigint, dom string, w double",
+    )
+    ops = [
+        lambda: hash_sample(df, "k", 0.5),
+        lambda: weighted_domain_sample(df, "k", "dom", {"a": 1.0}),
+        lambda: token_budget_sample(df, "k", "dom", "w", {"a": 10.0}),
+        lambda: temperature_domain_sample(
+            df, "k", "dom", "w", alpha=0.5, total_budget=10.0
+        ),
+        lambda: stratified_fixed_k(df, "k", "dom", 1),
+        lambda: weighted_fixed_k(df, "k", "w", 1),
+        lambda: deterministic_shuffle(df, "k"),
+    ]
+    for op in ops:
+        with pytest.raises(Exception, match="NULL value in key column"):
+            op().collect()
+
+
+def test_weighted_fixed_k_nan_weight_never_sampled(spark):
+    """NaN is GREATER than everything in Spark's ordering, so NaN
+    passes `> 0`; it must be excluded like NULL/<=0 (no mass)."""
+    from bigdatabowl2024_25_spark.operators.sampling import weighted_fixed_k
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 5.0), (3, 1.0)], "k bigint, w double"
+    )
+    got = {r.k for r in weighted_fixed_k(df, "k", "w", 3).collect()}
+    assert got == {2, 3}
