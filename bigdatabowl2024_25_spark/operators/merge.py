@@ -227,6 +227,20 @@ def latest_changes(
     rest = [c for c in changes.columns if c not in key]
     if seq_col not in rest:
         raise ValueError(f"seq_col {seq_col!r} must be a non-key column")
+    # a CDC row with no sequence cannot be ordered against its peers —
+    # under max(struct) it would silently always lose (NULL sorts
+    # low), hiding a data defect; error per row instead (round 10)
+    changes = changes.filter(
+        F.when(
+            F.col(seq_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"latest_changes: NULL {seq_col!r} — every CDC row "
+                    "needs a sequence to order by"
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
     ordered = [seq_col] + [c for c in rest if c != seq_col]
     win = (
         changes.groupBy(*key)
@@ -268,6 +282,20 @@ def scd2_build(
     w = Window.partitionBy(*key).orderBy(seq_col)
     attrs = F.struct(*[F.col(c) for c in attr_cols])
     df = changes.select(*key, seq_col, *attr_cols)
+    # a NULL seq would sort FIRST under the version window and shift
+    # every effective range after it — error per row (round 10, the
+    # latest_changes rule)
+    df = df.filter(
+        F.when(
+            F.col(seq_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"scd2_build: NULL {seq_col!r} — every observation "
+                    "needs a sequence to order by"
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
     if compress:
         df = (
             df.withColumn("__prev", F.lag(attrs).over(w))
@@ -297,6 +325,14 @@ def snapshot_diff(
     unchanged rows are dropped. ``compare_cols`` defaults to every
     non-key column shared by both snapshots; comparison is null-safe
     field-wise (a NULL→value flip IS an update).
+
+    KEYS match null-safely here (a NULL-keyed row in both snapshots
+    is the same row), unlike ``merge_into``'s ANSI default — so when
+    a snapshot can carry NULL keys, apply the feed with
+    ``merge_into(..., null_safe_keys=True)`` or the 'update' op for
+    the NULL-key row turns into a duplicate insert and the roundtrip
+    invariant ``merge(old, diff(old, new)) == new`` breaks
+    (test-pinned both ways).
 
     Scale: one full-outer join on the key (the same bill as the MERGE
     that will consume the feed — bucket both snapshots by key and

@@ -159,8 +159,13 @@ def test_reliable_checkpoint_mode(spark, tmp_path):
         ["id_a", "id_b"],
     )
     sc = spark.sparkContext
-    old_dir = sc.getCheckpointDir()
-    assert old_dir is None  # nothing else in the suite sets one
+    # clear any checkpoint dir a previous test left behind (the q74
+    # suite sets one session-wide; the adversarial-layout sweep runs
+    # it before this file since round 10) so the fail-fast branch is
+    # actually exercised
+    getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+        sc._jvm.scala.Option.apply(None)
+    )
     with pytest.raises(ValueError, match="setCheckpointDir"):
         connected_components(
             edges, small_graph_threshold=0, checkpoint_every=1,

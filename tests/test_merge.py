@@ -267,3 +267,46 @@ def test_merge_null_clause_conditions_do_not_apply(spark):
     # 2: matched, both conditions NULL -> kept unchanged (not deleted!)
     # 3: matched + delete fires; 4: source-only, NULL insert cond -> dropped
     assert rows == {1: ("a", 10.0), 2: ("b", 20.0)}
+
+
+def test_snapshot_diff_null_key_roundtrip_needs_null_safe_merge(spark):
+    """snapshot_diff matches keys null-safely (a NULL-keyed row in
+    both snapshots is the same row); merge_into's ANSI default does
+    not. The diff feed for a NULL-keyed update therefore only
+    roundtrips with null_safe_keys=True — pinned both ways so the
+    documented pairing stays true."""
+    from bigdatabowl2024_25_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, "x", 1.0), (1, "a", 10.0)], "k bigint, name string, bal double"
+    )
+    new = spark.createDataFrame(
+        [(None, "x", 2.0), (1, "a", 10.0)], "k bigint, name string, bal double"
+    )
+    d = snapshot_diff(old, new, ["k"])
+    assert [(r.k, r.op) for r in d.collect()] == [(None, "update")]
+
+    kwargs = dict(
+        update_set={"name": "s.name", "bal": "s.bal"},
+        delete_condition="s.op = 'delete'",
+        insert_values={"k": "s.k", "name": "s.name", "bal": "s.bal"},
+    )
+    key = lambda rows: sorted((tuple(r) for r in rows), key=repr)
+    ok = merge_into(old, d, ["k"], null_safe_keys=True, **kwargs)
+    assert key(ok.collect()) == key(new.collect())
+    # ANSI default: the NULL-key 'update' row can't match -> it inserts,
+    # duplicating the NULL-key row (4 rows, not 2)
+    bad = merge_into(old, d, ["k"], **kwargs)
+    assert bad.count() == 3
+
+
+def test_latest_changes_and_scd2_null_seq_raise(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, None, "a"), (1, 2, "b")], "k bigint, seq bigint, val string"
+    )
+    with pytest.raises(Exception, match="NULL 'seq'"):
+        latest_changes(df, ["k"], "seq").collect()
+    with pytest.raises(Exception, match="NULL 'seq'"):
+        scd2_build(df, ["k"], "seq", ["val"]).collect()
