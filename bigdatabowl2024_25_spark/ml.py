@@ -35,13 +35,14 @@ from pyspark.sql import functions as F
 
 SEED = 42
 
-#: X6 model families available in MLlib, mirroring the reference's
-#: comparison set (`DefPosModel.ipynb` cell 16 trains RF / XGBoost /
-#: CatBoost / LightGBM / LogReg / Keras; xgboost & friends are not in
-#: this environment, so the boosted entry is MLlib GBT via OneVsRest —
-#: GBTClassifier is binary-only — and the linear entry is multinomial
-#: LogisticRegression).
-MODEL_FAMILIES = ("rf", "logreg", "gbt_ovr")
+#: X6 model families, mirroring the reference's comparison set
+#: (`DefPosModel.ipynb` cell 16 trains RF / XGBoost / CatBoost /
+#: LightGBM / LogReg, cell 10 a Keras MLP; xgboost & friends are not
+#: in this environment, so the boosted entry is MLlib GBT via
+#: OneVsRest — GBTClassifier is binary-only — the linear entry is
+#: multinomial LogisticRegression, and the neural entry is the pure-
+#: NumPy `NumpyMLPClassifier` below, round 10).
+MODEL_FAMILIES = ("rf", "logreg", "gbt_ovr", "mlp")
 
 
 def _stddev_exact(c: str):
@@ -190,6 +191,12 @@ def classifier_pipeline(
             labelCol="label",
             parallelism=4,
         )
+    elif model == "mlp":
+        raise ValueError(
+            "the 'mlp' family is not an MLlib pipeline — use "
+            "NumpyMLPClassifier (train_eval/compare_models route it "
+            "automatically)"
+        )
     else:
         raise ValueError(f"unknown model family {model!r}; use {MODEL_FAMILIES}")
     stages.append(clf)
@@ -276,6 +283,11 @@ def train_eval(
 ) -> tuple[PipelineModel, DataFrame, dict[str, float]]:
     """X5 seed-42 80/20 split, fit, X8 metrics (accuracy + logloss)."""
     train, test = features.randomSplit([0.8, 0.2], seed=SEED)
+    if kwargs.get("model") == "mlp":
+        mlp = NumpyMLPClassifier(label_col, feature_cols, seed=SEED)
+        mlp.fit(train)
+        pred = mlp.transform(test)
+        return mlp, pred, mlp.evaluate(pred)
     model = classifier_pipeline(label_col, feature_cols, **kwargs).fit(train)
     pred = model.transform(test)
     acc = MulticlassClassificationEvaluator(
@@ -395,6 +407,196 @@ class RuleCoverageModel:
                 F.lit(self.classes[1]), F.lit(1.0) - p1,
             ),
         )
+
+
+
+
+class NumpyMLPClassifier:
+    """The reference's Keras MLP (`DefPosModel.ipynb` cell 10:
+    Dense→Dense→softmax over StandardScaler'd features, Adam) as the
+    FOURTH model family — re-expressed in pure NumPy because the env
+    ships no TensorFlow/sklearn (the one X6 gap): a two-layer softmax
+    MLP is ~40 lines of matmuls and needs neither.
+
+    Division of labor at 100 TB: feature ASSEMBLY is the distributed
+    Spark job (`coverage_features` etc.); this model class trains on
+    the AGGREGATED per-play table — thousands of rows by construction,
+    the same driver-sized frame the reference feeds Keras — collected
+    once. Deterministic end to end, unlike the reference's run-to-run
+    Keras drift: seeded He init, full-batch Adam (no minibatch order),
+    no dropout, fixed epoch count — refitting yields bit-identical
+    weights, so tests pin exact behavior instead of tolerance bands.
+    INFERENCE is distributed: `transform` closes the small weight
+    matrices over `mapInPandas` and scores each Arrow batch with two
+    matmuls — never row-at-a-time Python.
+    """
+
+    def __init__(
+        self,
+        label_col: str,
+        feature_cols: list[str],
+        hidden: tuple[int, ...] = (64, 32),
+        epochs: int = 300,
+        lr: float = 0.01,
+        l2: float = 1e-4,
+        seed: int = SEED,
+    ) -> None:
+        self.label_col = label_col
+        self.feature_cols = list(feature_cols)
+        self.hidden = tuple(hidden)
+        self.epochs = epochs
+        self.lr = lr
+        self.l2 = l2
+        self.seed = seed
+
+    # -- numpy core -----------------------------------------------------
+    @staticmethod
+    def _softmax(z):
+        import numpy as np
+
+        z = z - z.max(axis=1, keepdims=True)
+        e = np.exp(z)
+        return e / e.sum(axis=1, keepdims=True)
+
+    def _forward(self, X):
+        import numpy as np
+
+        acts = [X]
+        for W, b in self.layers_[:-1]:
+            acts.append(np.maximum(acts[-1] @ W + b, 0.0))
+        W, b = self.layers_[-1]
+        return acts, self._softmax(acts[-1] @ W + b)
+
+    def fit(self, df: DataFrame) -> "NumpyMLPClassifier":
+        import numpy as np
+
+        pdf = df.select(self.label_col, *self.feature_cols).toPandas()
+        self.classes_ = sorted(pdf[self.label_col].astype(str).unique())
+        idx = {c: i for i, c in enumerate(self.classes_)}
+        y = pdf[self.label_col].astype(str).map(idx).to_numpy()
+        X = pdf[self.feature_cols].to_numpy(dtype=np.float64)
+        # StandardScaler half of the reference pipeline, folded in
+        self.mu_ = X.mean(axis=0)
+        sd = X.std(axis=0)
+        self.sd_ = np.where(sd == 0, 1.0, sd)
+        X = (X - self.mu_) / self.sd_
+        n, k = len(X), len(self.classes_)
+        onehot = np.zeros((n, k))
+        onehot[np.arange(n), y] = 1.0
+
+        rng = np.random.default_rng(self.seed)
+        dims = [X.shape[1], *self.hidden, k]
+        self.layers_ = [
+            (
+                rng.normal(0.0, np.sqrt(2.0 / dims[i]), (dims[i], dims[i + 1])),
+                np.zeros(dims[i + 1]),
+            )
+            for i in range(len(dims) - 1)
+        ]
+        # full-batch Adam — deterministic, no shuffling state
+        ms = [(np.zeros_like(W), np.zeros_like(b)) for W, b in self.layers_]
+        vs = [(np.zeros_like(W), np.zeros_like(b)) for W, b in self.layers_]
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        for t in range(1, self.epochs + 1):
+            acts, probs = self._forward(X)
+            delta = (probs - onehot) / n
+            grads = []
+            for li in range(len(self.layers_) - 1, -1, -1):
+                W, _ = self.layers_[li]
+                gW = acts[li].T @ delta + self.l2 * W
+                gb = delta.sum(axis=0)
+                grads.append((gW, gb))
+                if li:
+                    delta = (delta @ W.T) * (acts[li] > 0)
+            grads.reverse()
+            new_layers = []
+            for li, ((W, b), (gW, gb)) in enumerate(
+                zip(self.layers_, grads)
+            ):
+                mW, mb = ms[li]
+                vW, vb = vs[li]
+                mW = b1 * mW + (1 - b1) * gW
+                mb = b1 * mb + (1 - b1) * gb
+                vW = b2 * vW + (1 - b2) * gW * gW
+                vb = b2 * vb + (1 - b2) * gb * gb
+                ms[li], vs[li] = (mW, mb), (vW, vb)
+                cW = mW / (1 - b1**t) / (np.sqrt(vW / (1 - b2**t)) + eps)
+                cb = mb / (1 - b1**t) / (np.sqrt(vb / (1 - b2**t)) + eps)
+                new_layers.append((W - self.lr * cW, b - self.lr * cb))
+            self.layers_ = new_layers
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Appends `prediction` (class index into the sorted classes_),
+        `predicted_label`, and `probabilities` (class → prob map) —
+        distributed Arrow-batched scoring."""
+        import pandas as pd
+
+        from pyspark.sql.types import (
+            DoubleType,
+            MapType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        feature_cols = self.feature_cols
+        classes = self.classes_
+        mu, sd, layers = self.mu_, self.sd_, self.layers_
+        softmax = self._softmax
+        schema = StructType(
+            list(df.schema.fields)
+            + [
+                StructField("prediction", DoubleType()),
+                StructField("predicted_label", StringType()),
+                StructField(
+                    "probabilities", MapType(StringType(), DoubleType())
+                ),
+            ]
+        )
+
+        def score(it):
+            import numpy as np
+
+            for pdf in it:
+                X = pdf[feature_cols].to_numpy(dtype=np.float64)
+                X = (X - mu) / sd
+                a = X
+                for W, b in layers[:-1]:
+                    a = np.maximum(a @ W + b, 0.0)
+                W, b = layers[-1]
+                probs = softmax(a @ W + b)
+                pdf = pdf.copy()
+                pdf["prediction"] = probs.argmax(axis=1).astype("float64")
+                pdf["predicted_label"] = [
+                    classes[i] for i in probs.argmax(axis=1)
+                ]
+                pdf["probabilities"] = [
+                    dict(zip(classes, map(float, row))) for row in probs
+                ]
+                yield pdf
+
+        return df.mapInPandas(score, schema=schema)
+
+    def evaluate(self, pred: DataFrame) -> dict[str, float]:
+        """X8 metrics on a transformed frame: accuracy + multiclass
+        log loss (clamped like sklearn's log_loss eps)."""
+        p_true = F.element_at(
+            F.col("probabilities"), F.col(self.label_col).cast("string")
+        )
+        row = pred.agg(
+            F.avg(
+                (
+                    F.col("predicted_label")
+                    == F.col(self.label_col).cast("string")
+                ).cast("double")
+            ).alias("acc"),
+            F.avg(
+                -F.log(F.greatest(F.coalesce(p_true, F.lit(0.0)), F.lit(1e-15)))
+            ).alias("ll"),
+        ).collect()[0]
+        return {"accuracy": float(row.acc), "log_loss": float(row.ll)}
+
 
 
 def predict_for_play(

@@ -190,3 +190,64 @@ def test_cluster_safe_split_no_leakage(spark):
     plan = train._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_numpy_mlp_family(spark):
+    """Round 10: the reference's Keras MLP (DefPosModel cell 10) as the
+    fourth model family, pure NumPy. Unlike the MLlib families (metric
+    BANDS), the MLP is bit-deterministic: seeded init + full-batch
+    Adam, so refit equality is exact; transform is Arrow-batched and
+    partition-invariant."""
+    import random
+
+    from bigdatabowl2024_25_spark.ml import (
+        NumpyMLPClassifier,
+        train_eval,
+    )
+
+    random.seed(7)
+    rows = [
+        (
+            f"c{i % 3}",
+            (i % 3) * 3.0 + random.gauss(0, 0.4),
+            -(i % 3) * 2.0 + random.gauss(0, 0.4),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "lab string, f1 double, f2 double")
+
+    model, pred, metrics = train_eval(df, "lab", ["f1", "f2"], model="mlp")
+    assert metrics["accuracy"] >= 0.95  # separable by construction
+    assert metrics["log_loss"] < 0.3
+    assert set(pred.columns) >= {
+        "prediction", "predicted_label", "probabilities"
+    }
+    # probabilities are a normalized distribution over the classes
+    r0 = pred.select("probabilities").first().probabilities
+    assert abs(sum(r0.values()) - 1.0) < 1e-9
+    assert set(r0) == {"c0", "c1", "c2"}
+
+    # exact determinism (no Keras run-to-run drift)
+    m1 = NumpyMLPClassifier("lab", ["f1", "f2"], epochs=50).fit(df)
+    m2 = NumpyMLPClassifier("lab", ["f1", "f2"], epochs=50).fit(df)
+    assert all(
+        (a[0] == b[0]).all() and (a[1] == b[1]).all()
+        for a, b in zip(m1.layers_, m2.layers_)
+    )
+    # distributed scoring is partition-invariant
+    key = lambda rs: sorted(
+        (r.predicted_label, round(r.probabilities[r.predicted_label], 12))
+        for r in rs
+    )
+    assert key(m1.transform(df).collect()) == key(
+        m1.transform(df.repartition(7)).collect()
+    )
+
+
+def test_mlp_rejected_as_pipeline_family(spark):
+    import pytest
+
+    from bigdatabowl2024_25_spark.ml import classifier_pipeline
+
+    with pytest.raises(ValueError, match="NumpyMLPClassifier"):
+        classifier_pipeline("lab", ["f1"], model="mlp")
