@@ -255,7 +255,15 @@ def incremental_phash_candidates(
     pool = banded(state, "doc", "dhash").unionByName(
         banded(new_rows, "doc", "dhash")
     )
-    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    # hamming BEFORE distinct: a within-batch pair appears in both
+    # join orderings (n=a,p=b and n=b,p=a), so a distinct spanning the
+    # side-tagged hash columns kept BOTH — one duplicate row per
+    # unequal-hash in-batch pair. XOR is symmetric, so deduping on
+    # (id_a, id_b, hamming) collapses the orderings. Caught by the
+    # round-10 q94 'dincr' driver branch — the pytest replays only
+    # used exact twins (hamming 0 ⇒ equal hashes ⇒ orderings already
+    # identical), exactly the blind spot a value-hash oracle closes.
+    ham = F.bit_count(F.col("p.__h").bitwiseXOR(F.col("n.__h")))
     pairs = (
         pool.alias("p")
         .join(
@@ -267,13 +275,10 @@ def incremental_phash_candidates(
         .select(
             F.least("p.doc", "n.doc").alias("id_a"),
             F.greatest("p.doc", "n.doc").alias("id_b"),
-            F.col("p.__h").alias("__ha"),
-            F.col("n.__h").alias("__hb"),
+            ham.cast("int").alias("hamming"),
         )
         .distinct()
-        .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
     return pairs, new_rows
 

@@ -86,6 +86,22 @@ _DH_CTES = f"""
         SELECT DISTINCT a.d AS id_a, b.d AS id_b, a.h AS ha, b.h AS hb
         FROM dh_band a JOIN dh_band b
           ON a.i = b.i AND a.bk = b.bk AND a.d < b.d
+    ),
+    di_band AS (SELECT d + 100 AS d, h, i, bk FROM dh_band),
+    di_cand AS (
+        SELECT DISTINCT least(n.d, o.d) AS id_a,
+               greatest(n.d, o.d) AS id_b
+        FROM di_band n
+        JOIN (SELECT * FROM dh_band UNION ALL SELECT * FROM di_band) o
+          ON o.i = n.i AND o.bk = n.bk AND o.d <> n.d
+    ),
+    di_pairs AS (
+        SELECT c.id_a, c.id_b, bit_count(xor(a.h, b.h)) AS ham
+        FROM di_cand c
+        JOIN dh_hash a ON a.d = CASE WHEN c.id_a >= 100
+                                THEN c.id_a - 100 ELSE c.id_a END
+        JOIN dh_hash b ON b.d = CASE WHEN c.id_b >= 100
+                                THEN c.id_b - 100 ELSE c.id_b END
     )
 """
 
@@ -392,6 +408,12 @@ _VFP_PAIRS = """VALUES
     FROM dh_cand
     WHERE bit_count(xor(ha, hb)) <= {_DH_MAXHAM}
     UNION ALL
+    SELECT id_a AS doc_id, 'dincr' AS codec, id_b AS d1,
+           CAST(ham AS BIGINT) AS d2,
+           CAST(0 AS BIGINT) AS d3, TRUE AS ok
+    FROM di_pairs
+    WHERE ham <= {_DH_MAXHAM}
+    UNION ALL
     SELECT d AS doc_id, 'afp64' AS codec, h AS d1,
            CAST(0 AS BIGINT) AS d2, CAST(0 AS BIGINT) AS d3, TRUE AS ok
     FROM af_hash
@@ -550,6 +572,37 @@ def q94_codec_roundtrip(spark, sf_dir):
         F.lit(0).cast("long").alias("d3"),
         F.lit(True).alias("ok"),
     )
+    # 'dincr' (round 10): the image daily-crawl loop under the oracle
+    # — the same 32 images re-crawled as a day-2 batch under ids +100
+    # (exact twins of history), paired against the day-1 (doc, dhash)
+    # state via `incremental_phash_candidates`: new x (history ∪ new)
+    # band collisions, never history x history. The oracle re-derives
+    # the shifted banding and the join in SQL on the pixel-formula
+    # hashes; this flips the last incremental path from pytest-only to
+    # driver-verified (q83 'incr' pattern at image granularity).
+    from ..operators.phash import incremental_phash_candidates
+
+    di_state = hashes.select(
+        F.col("media_id").alias("doc"), "dhash"
+    )
+    di_batch = hashes.select(
+        (F.col("media_id") + 100).alias("media_id"), "dhash"
+    )
+    di_cands, _di_rows = incremental_phash_candidates(
+        di_batch,
+        di_state,
+        id_col="media_id",
+        bands=_DH_BANDS,
+        max_hamming=_DH_MAXHAM,
+    )
+    dincr = di_cands.select(
+        F.col("id_a").alias("doc_id"),
+        F.lit("dincr").alias("codec"),
+        F.col("id_b").alias("d1"),
+        F.col("hamming").cast("long").alias("d2"),
+        F.lit(0).cast("long").alias("d3"),
+        F.lit(True).alias("ok"),
+    )
 
     # afp branches (round 9): the audio leg — formula PCM encoded to
     # real WAV, decoded + fingerprinted by `audio_fp`, then the SAME
@@ -688,6 +741,7 @@ def q94_codec_roundtrip(spark, sf_dir):
     return (
         out.unionByName(dh64)
         .unionByName(dh_pairs)
+        .unionByName(dincr)
         .unionByName(af64)
         .unionByName(af_pairs)
         .unionByName(vf64)

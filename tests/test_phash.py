@@ -328,3 +328,23 @@ def test_video_near_dup_collapse_runs_bounds_static_scenes(spark):
         fh, max_hamming=0, min_matching_frames=1, collapse_runs=False
     ).collect()
     assert raw[0].n_match == 10
+
+
+def test_incremental_pairs_unique_for_unequal_hash_batch_pairs(spark):
+    """Round-10 q94 'dincr' catch: a within-batch pair appears in both
+    join orderings, and the old distinct spanned the side-tagged hash
+    columns — one duplicate row per unequal-hash in-batch pair (exact
+    twins, hamming 0, masked it). Pairs must be unique on (id_a, id_b)."""
+    from bigdatabowl2024_25_spark.operators.phash import (
+        incremental_phash_candidates,
+    )
+
+    state = spark.createDataFrame([], "doc bigint, dhash bigint")
+    # two batch docs colliding in band 0 (low 16 bits equal) with
+    # DIFFERENT hashes (bit 17 differs -> hamming 1)
+    batch = spark.createDataFrame(
+        [(1, 7), (2, 7 | (1 << 17))], "media_id bigint, dhash bigint"
+    )
+    pairs, _rows = incremental_phash_candidates(batch, state)
+    got = [(r.id_a, r.id_b, r.hamming) for r in pairs.collect()]
+    assert got == [(1, 2, 1)]
