@@ -388,6 +388,55 @@ _PK_CTES = f"""
     )
 """
 
+# ---- q64 'seq' branch: to_sequences (stage-8 chunk-then-pack) --------
+
+#: capacity for the composed chunk->piece-id->pack walk; the pieces
+#: are <=cap by construction so the own-bin rule never fires and the
+#: recursive next-fit CTE is the same one 'pack' pins
+_SQ_CAP = 32
+
+_SQ_ORD = (
+    "CAST(ROUND(((CAST(concat('0x', substring(md5("
+    "'epoch:0' || chr(31) || lang || chr(31) || CAST(bin AS VARCHAR)"
+    "), 1, 15)) AS BIGINT)) / 1152921504606846976.0) * 1000000.0) "
+    "AS BIGINT)"
+)
+
+_SQ_CTES = f"""
+    sq_pieces AS (
+        SELECT doc_id, lang, i - 1 AS chunk_id,
+               LEAST({_SQ_CAP}, len(w) - s + 1) AS n
+        FROM (
+            SELECT doc_id, lang, {_W_NE} AS w,
+                   unnest(generate_series(
+                       1, greatest(len({_W_NE}), 1), {_SQ_CAP})) AS s,
+                   generate_subscripts(generate_series(
+                       1, greatest(len({_W_NE}), 1), {_SQ_CAP}), 1) AS i
+            FROM documents
+        )
+        WHERE LEAST({_SQ_CAP}, len(w) - s + 1) > 0
+    ),
+    sq_base AS (
+        SELECT lang, doc_id, chunk_id, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY doc_id * 1000000 + chunk_id) AS rn
+        FROM sq_pieces
+    ),
+    sq(lang, rn, doc_id, chunk_id, n, bin, filled) AS (
+        SELECT lang, rn, doc_id, chunk_id, n, CAST(0 AS BIGINT), n
+        FROM sq_base WHERE rn = 1
+        UNION ALL
+        SELECT b.lang, b.rn, b.doc_id, b.chunk_id, b.n,
+               CASE WHEN p.filled > 0 AND p.filled + b.n > {_SQ_CAP}
+                    THEN p.bin + 1 ELSE p.bin END,
+               CASE WHEN p.filled > 0 AND p.filled + b.n > {_SQ_CAP}
+                    THEN b.n ELSE p.filled + b.n END
+        FROM sq p JOIN sq_base b ON b.lang = p.lang AND b.rn = p.rn + 1
+    )
+"""
+
+
 # ---- q64 'budget' branch: token-budget corpus mixing ------------------
 
 #: budgets (in whitespace tokens) per source domain; unlisted sources
@@ -778,6 +827,7 @@ _BPE_JOINED = (
     "q64_binary_plumbing",
     oracle=f"""
     WITH RECURSIVE {_PK_CTES},
+    {_SQ_CTES},
     {_PARA_CTES},
     {_CLEAN_CTES},
     {_DCLEAN_CTES},
@@ -805,6 +855,11 @@ _BPE_JOINED = (
     SELECT 'pack' AS kind, doc_id, bin AS part_id, n AS byte_len,
            lang AS content_md5
     FROM pk
+    UNION ALL
+    SELECT 'seq' AS kind, doc_id, chunk_id AS part_id, bin AS byte_len,
+           lang || ':' || CAST(n AS VARCHAR) || ':'
+                || CAST({_SQ_ORD} AS VARCHAR) AS content_md5
+    FROM sq
     UNION ALL
     SELECT 'bpe' AS kind, doc_id,
            CAST(CASE WHEN joined IS NULL THEN NULL
@@ -916,6 +971,37 @@ def q64_binary_plumbing(spark, sf_dir):
         F.col("bin").cast("bigint").alias("part_id"),
         F.col("n_tokens").cast("bigint").alias("byte_len"),
         F.col("lang").alias("content_md5"),
+    )
+    # 'seq' (round 10): the stage-8 COMPOSITION `to_sequences` with
+    # chunk_long=True — every doc splits into ≤_SQ_CAP-token windows,
+    # windows pack per-shard next-fit through the doc·1e6+chunk piece
+    # id, and each bin gets its deterministic epoch-order key. The
+    # oracle re-derives chunk geometry, the piece-id walk (a recursive
+    # CTE — the 'pack' formulation), and the bin_order hash; every
+    # packed piece's (shard, tokens, bin, round(order·1e6)) is
+    # value-hashed, so the chunk→piece-id→pack→order plumbing itself
+    # is driver-verified, not just its component operators.
+    from ..pipelines.corpus import to_sequences
+
+    seq_out = to_sequences(
+        d.select("doc_id", "text", "lang"),
+        capacity=_SQ_CAP,
+        shard_col="lang",
+        chunk_long=True,
+    )
+    seq = seq_out.select(
+        F.lit("seq").alias("kind"),
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("part_id"),
+        F.col("bin").cast("bigint").alias("byte_len"),
+        F.concat_ws(
+            ":",
+            F.col("lang"),
+            F.col("n_tokens").cast("string"),
+            F.round(F.col("bin_order") * F.lit(1000000.0))
+            .cast("bigint")
+            .cast("string"),
+        ).alias("content_md5"),
     )
     trained = bpe_train(
         spark.createDataFrame(_BPE_CORPUS, "doc_id long, text string"),
@@ -1140,6 +1226,7 @@ def q64_binary_plumbing(spark, sf_dir):
     return (
         doc.unionByName(chunk)
         .unionByName(pack)
+        .unionByName(seq)
         .unionByName(bpe)
         .unionByName(train_rows)
         .unionByName(budget)
