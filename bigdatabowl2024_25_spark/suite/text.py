@@ -414,7 +414,11 @@ _SQ_CTES = f"""
                        1, greatest(len({_W_NE}), 1), {_SQ_CAP}), 1) AS i
             FROM documents
         )
-        WHERE LEAST({_SQ_CAP}, len(w) - s + 1) > 0
+        -- w IS NOT NULL matters: DuckDB's LEAST/greatest IGNORE
+        -- NULLs, so a NULL-text doc would otherwise fabricate a
+        -- {_SQ_CAP}-token phantom piece (LEAST(cap, NULL) = cap)
+        -- where Spark's posexplode(NULL starts) emits nothing
+        WHERE w IS NOT NULL AND LEAST({_SQ_CAP}, len(w) - s + 1) > 0
     ),
     sq_base AS (
         SELECT lang, doc_id, chunk_id, n,
