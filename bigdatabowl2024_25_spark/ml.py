@@ -471,10 +471,27 @@ class NumpyMLPClassifier:
         import numpy as np
 
         pdf = df.select(self.label_col, *self.feature_cols).toPandas()
+        if pdf.empty:
+            raise ValueError(
+                "NumpyMLPClassifier.fit: empty training frame"
+            )
+        if pdf[self.label_col].isna().any():
+            raise ValueError(
+                "NumpyMLPClassifier.fit: NULL labels — filter or "
+                "impute before fitting (StringIndexer handleInvalid "
+                "has no analogue here)"
+            )
+        feats = pdf[self.feature_cols].to_numpy(dtype=np.float64)
+        if not np.isfinite(feats).all():
+            raise ValueError(
+                "NumpyMLPClassifier.fit: non-finite feature values — "
+                "NaN/inf silently poison every weight via the "
+                "standardization means; clean or clip first"
+            )
         self.classes_ = sorted(pdf[self.label_col].astype(str).unique())
         idx = {c: i for i, c in enumerate(self.classes_)}
         y = pdf[self.label_col].astype(str).map(idx).to_numpy()
-        X = pdf[self.feature_cols].to_numpy(dtype=np.float64)
+        X = feats
         # StandardScaler half of the reference pipeline, folded in
         self.mu_ = X.mean(axis=0)
         sd = X.std(axis=0)

@@ -251,3 +251,23 @@ def test_mlp_rejected_as_pipeline_family(spark):
 
     with pytest.raises(ValueError, match="NumpyMLPClassifier"):
         classifier_pipeline("lab", ["f1"], model="mlp")
+
+
+def test_numpy_mlp_input_guards(spark):
+    import pytest
+
+    from bigdatabowl2024_25_spark.ml import NumpyMLPClassifier
+
+    empty = spark.createDataFrame([], "lab string, f1 double")
+    with pytest.raises(ValueError, match="empty training frame"):
+        NumpyMLPClassifier("lab", ["f1"]).fit(empty)
+    nulls = spark.createDataFrame(
+        [(None, 1.0), ("a", 2.0)], "lab string, f1 double"
+    )
+    with pytest.raises(ValueError, match="NULL labels"):
+        NumpyMLPClassifier("lab", ["f1"]).fit(nulls)
+    nan = spark.createDataFrame(
+        [("a", float("nan")), ("b", 2.0)], "lab string, f1 double"
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        NumpyMLPClassifier("lab", ["f1"]).fit(nan)
