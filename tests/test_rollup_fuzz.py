@@ -1,0 +1,122 @@
+"""Hypothesis fuzz of gapfill and concurrency_profile against
+brute-force pure-Python references — adversarial sparse/dense/tied
+layouts the q37/q36 oracles' manufactured series don't reach
+(single-bucket keys, all-gap interiors, observed NULLs in every
+position, zero-length and duplicate intervals).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bigdatabowl2024_25_spark.operators.range_join import (
+    concurrency_profile,
+)
+from bigdatabowl2024_25_spark.operators.rollup import gapfill
+
+_W = 10
+_BUCKET = st.integers(0, 6).map(lambda b: b * _W)
+_VAL = st.one_of(st.none(), st.integers(-5, 5).map(float))
+
+
+def _ref_gapfill(rows):
+    """rows: [(bucket, v)] one key; returns {bucket: (v_interp, n_zero,
+    is_gap)} under the operator's documented semantics."""
+    if not rows:
+        return {}
+    obs = dict(rows)
+    lo, hi = min(obs), max(obs)
+    grid = list(range(lo, hi + 1, _W))
+    anchors = [(b, v) for b, v in sorted(obs.items()) if v is not None]
+    out = {}
+    for b in grid:
+        present = b in obs
+        v = obs.get(b)
+        if v is None:
+            pv = max(((ab, av) for ab, av in anchors if ab <= b), default=None)
+            nv = min(((ab, av) for ab, av in anchors if ab >= b), default=None)
+            if pv is None and nv is None:
+                v = None
+            elif pv is None:
+                v = nv[1]
+            elif nv is None:
+                v = pv[1]
+            else:
+                frac = float(b - pv[0]) / float(nv[0] - pv[0])
+                v = pv[1] + (nv[1] - pv[1]) * frac
+        n = 0 if not present else None
+        out[b] = (v, n, not present)
+    return out
+
+
+@pytest.mark.slow
+@settings(max_examples=20, deadline=None)
+@given(
+    rows=st.lists(st.tuples(_BUCKET, _VAL), min_size=1, max_size=8)
+)
+def test_gapfill_matches_python_reference(spark, rows):
+    # one row per bucket (the operator's input contract: bucketed data)
+    dedup = {}
+    for b, v in rows:
+        dedup.setdefault(b, v)
+    rows = sorted(dedup.items())
+    df = spark.createDataFrame(
+        [("k", b, v, None if v is None else 0) for b, v in rows],
+        "k string, b bigint, v double, n bigint",
+    )
+    # n mirrors v's NULL-ness so 'zero' sees observed NULLs too
+    out = gapfill(df, ["k"], "b", _W, {"v": "interp", "n": "zero"})
+    got = {r.b: (r.v, r.n, r.is_gap) for r in out.collect()}
+    want = _ref_gapfill(rows)
+    assert set(got) == set(want)
+    for b in want:
+        wv, wn, wg = want[b]
+        gv, gn, gg = got[b]
+        assert gg == wg, (b, got[b], want[b])
+        assert gn == (0 if wg else (None if rows_v_null(rows, b) else 0)), b
+        if wv is None:
+            assert gv is None, b
+        else:
+            assert gv == pytest.approx(wv, abs=0.0), b
+
+
+def rows_v_null(rows, b):
+    return dict(rows)[b] is None
+
+
+def _ref_concurrency(intervals):
+    deltas = {}
+    for lo, hi in intervals:
+        deltas[lo] = deltas.get(lo, 0) + 1
+        if hi is not None:
+            deltas[hi] = deltas.get(hi, 0) - 1
+    out, run = {}, 0
+    for ts in sorted(deltas):
+        run += deltas[ts]
+        out[ts] = run
+    return out
+
+
+@pytest.mark.slow
+@settings(max_examples=20, deadline=None)
+@given(
+    intervals=st.lists(
+        st.tuples(st.integers(0, 20), st.one_of(st.none(), st.integers(0, 20))),
+        min_size=1,
+        max_size=10,
+    ).map(
+        lambda ivs: [
+            (lo, hi if hi is None or hi >= lo else lo + (lo - hi))
+            for lo, hi in ivs
+        ]
+    )
+)
+def test_concurrency_matches_python_reference(spark, intervals):
+    df = spark.createDataFrame(intervals, "lo bigint, hi bigint")
+    got = {
+        r.ts: r.concurrency
+        for r in concurrency_profile(df, "lo", "hi").collect()
+    }
+    assert got == _ref_concurrency(intervals)
