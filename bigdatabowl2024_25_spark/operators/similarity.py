@@ -509,6 +509,112 @@ def incremental_ivf_near_dup(
     return pairs, new_rows
 
 
+def semantic_dedup(
+    data: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding clustering — the *batch corpus-level*
+    sibling of `incremental_ivf_near_dup` and the dedup complement of
+    the `stratified_fixed_k` diversity pass.
+
+    Vectors are clustered by the coarse quantizer (`cents`: (__list,
+    centroid vector), same contract as `ivf_assign_exact`); within
+    each cluster every pair is scored with the exact int64-quantized
+    cosine, and for each pair at or above `threshold` the member that
+    sits CLOSER to its centroid is removed — the paper's "keep
+    examples with low similarity to centroids" rule (§4.1: extreme
+    points of a semantic cluster carry more training signal than its
+    prototypes). Ties on centroid-cosine (e.g. exact clones) keep the
+    lower id. The rule is pairwise-local, so a removal never depends
+    on iteration order: x is removed iff SOME strictly-better-ranked
+    in-cluster neighbor is within `threshold` — deterministic on any
+    partitioning, no sequential scan.
+
+    Returns the REMOVED rows: (id_col, __list, cos_c, max_dup_cos,
+    n_dups) where cos_c is the member's centroid cosine, max_dup_cos
+    the strongest dominating duplicate's cosine, and n_dups the count
+    of strictly-better-ranked duplicates. Survivors = `data` anti-join
+    the result on `id_col`.
+
+    100 TB shape: assignment is the broadcast-centroid argmin (one
+    codegen pass, no shuffle); the within-cluster self-join shuffles
+    each side once on `__list` — per-cluster pairwise is SemDeDup's
+    own cost model, and the caller bounds it by scaling k with n
+    (the paper uses k≈n/5000; a cluster capped at c members costs
+    O(c²) pairs, never O(n²)). The dominance test and both cosines
+    are int64 dots + one IEEE division, engine-exact, inside codegen;
+    the final per-victim aggregate shuffles only pair survivors."""
+    if assigned is None:
+        assigned = ivf_assign_exact(data, cents, id_col, vec_col)
+    c = cents.select(
+        F.col("__list"), quantized(F.col(vec_col)).alias("__civ")
+    ).withColumn(
+        "__cnrm",
+        F.sqrt(int_dot(F.col("__civ"), F.col("__civ")).cast("double")),
+    )
+    mem = (
+        assigned.select(
+            F.col(id_col),
+            F.col("__list"),
+            quantized(F.col(vec_col)).alias("__iv"),
+        )
+        .withColumn(
+            "__nrm",
+            F.sqrt(int_dot(F.col("__iv"), F.col("__iv")).cast("double")),
+        )
+        .join(F.broadcast(c), ["__list"])
+        .withColumn(
+            "__cosc",
+            int_dot(F.col("__iv"), F.col("__civ")).cast("double")
+            / (F.col("__nrm") * F.col("__cnrm")),
+        )
+        .drop("__civ", "__cnrm")
+    )
+    x = mem.select(
+        F.col(id_col).alias("__xid"),
+        F.col("__list"),
+        F.col("__iv").alias("__xiv"),
+        F.col("__nrm").alias("__xnrm"),
+        F.col("__cosc").alias("__xcosc"),
+    )
+    y = mem.select(
+        F.col(id_col).alias("__yid"),
+        F.col("__list"),
+        F.col("__iv").alias("__yiv"),
+        F.col("__nrm").alias("__ynrm"),
+        F.col("__cosc").alias("__ycosc"),
+    )
+    cxy = int_dot(F.col("__xiv"), F.col("__yiv")).cast("double") / (
+        F.col("__xnrm") * F.col("__ynrm")
+    )
+    dominated = (
+        x.join(y, ["__list"])
+        .filter(F.col("__xid") != F.col("__yid"))
+        .withColumn("__cxy", cxy)
+        .filter(
+            (F.col("__cxy") >= F.lit(threshold))
+            & (
+                (F.col("__ycosc") < F.col("__xcosc"))
+                | (
+                    (F.col("__ycosc") == F.col("__xcosc"))
+                    & (F.col("__yid") < F.col("__xid"))
+                )
+            )
+        )
+    )
+    return dominated.groupBy(
+        F.col("__xid").alias(id_col), "__list", F.col("__xcosc").alias("cos_c")
+    ).agg(
+        F.max("__cxy").alias("max_dup_cos"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
 def pq_codebooks(
     cents: DataFrame, vec_col: str, m: int, dsub: int
 ) -> list[list[list[int]]]:

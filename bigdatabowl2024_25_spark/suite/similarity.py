@@ -558,6 +558,55 @@ _PQ_CTES = f"""
         UNION ALL
         SELECT nid AS doc, list_id, iv FROM nassign
     ),
+    sdin AS (
+        SELECT vec_id, iv FROM emb
+        UNION ALL
+        SELECT vec_id + 200000 AS vec_id, iv FROM emb WHERE vec_id < 20
+    ),
+    sdassign AS (
+        SELECT vec_id, list_id FROM (
+            SELECT e.vec_id, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_D2} ASC, c.list_id ASC) AS rn
+            FROM sdin e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    sdcnrm AS (
+        SELECT list_id, SQRT(CAST(CAST(list_sum(list_transform(range(1,65),
+               i -> civ[i]*civ[i])) AS BIGINT) AS DOUBLE)) AS cnrm
+        FROM cents
+    ),
+    sdmem AS (
+        SELECT a.vec_id, a.list_id, e.iv,
+               SQRT(CAST(CAST(list_sum(list_transform(range(1,65),
+                    i -> e.iv[i]*e.iv[i])) AS BIGINT) AS DOUBLE)) AS nrm,
+               CAST(CAST(list_sum(list_transform(range(1,65),
+                    i -> e.iv[i]*c.civ[i])) AS BIGINT) AS DOUBLE)
+                 / (SQRT(CAST(CAST(list_sum(list_transform(range(1,65),
+                        i -> e.iv[i]*e.iv[i])) AS BIGINT) AS DOUBLE))
+                    * cn.cnrm) AS cosc
+        FROM sdassign a
+        JOIN sdin e ON e.vec_id = a.vec_id
+        JOIN cents c ON c.list_id = a.list_id
+        JOIN sdcnrm cn ON cn.list_id = a.list_id
+    ),
+    sdpairs AS (
+        SELECT x.list_id, x.vec_id, y.vec_id AS yid,
+               x.cosc AS xc, y.cosc AS yc,
+               CAST(CAST(list_sum(list_transform(range(1,65),
+                    i -> x.iv[i]*y.iv[i])) AS BIGINT) AS DOUBLE)
+                 / (x.nrm * y.nrm) AS cxy
+        FROM sdmem x JOIN sdmem y
+          ON y.list_id = x.list_id AND y.vec_id <> x.vec_id
+    ),
+    sdrem AS (
+        SELECT list_id, vec_id,
+               MAX(cxy) AS max_dup_cos, COUNT(*) AS n_dups
+        FROM sdpairs
+        WHERE cxy >= 0.35
+          AND (yc < xc OR (yc = xc AND yid < vec_id))
+        GROUP BY list_id, vec_id
+    ),
     incr_pairs AS (
         SELECT DISTINCT least(p.doc, n.nid) AS id_a,
                greatest(p.doc, n.nid) AS id_b,
@@ -580,6 +629,11 @@ _PQ_CTES = f"""
     SELECT 'incr' AS kind, id_a AS q_id, id_b AS d_id, cosine,
            CAST(NULL AS BIGINT) AS rank
     FROM incr_pairs WHERE cosine >= 0.99
+    UNION ALL
+    SELECT 'semdedup' AS kind, CAST(list_id AS BIGINT) AS q_id,
+           vec_id AS d_id, max_dup_cos AS cosine,
+           CAST(n_dups AS BIGINT) AS rank
+    FROM sdrem
     UNION ALL
     SELECT 'diverse' AS kind, CAST(list_id AS BIGINT) AS q_id,
            vec_id AS d_id, CAST(NULL AS DOUBLE) AS cosine,
@@ -710,4 +764,33 @@ def q83_ann_ivf_topk(spark, sf_dir):
         "cosine",
         F.lit(None).cast("bigint").alias("rank"),
     )
-    return ivf.unionByName(pq).unionByName(diverse).unionByName(incr)
+    # 'semdedup' (round 10): SemDeDup batch semantic dedup — the same
+    # 16-list coarse quantizer, per-cluster exact pairwise cosine, and
+    # the paper's keep-far-from-centroid rule. Input seeds 20 exact
+    # clones (+200000 ids, the 'incr' trick) so the cos≈1.0 regime is
+    # exercised alongside the random-pair regime at threshold 0.35
+    # (synthetic embeddings are near-orthogonal: max in-cluster cosine
+    # ≈0.53 at sf0.1, so 0.35 yields a real but sparse removal set).
+    # Removal, dominance ranks, and both cosines are value-hashed.
+    from ..operators.similarity import semantic_dedup
+
+    sd_in = e.select("vec_id", "embedding").unionByName(
+        e.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+        )
+    )
+    sem = semantic_dedup(
+        sd_in, cents, "vec_id", "embedding", threshold=0.35
+    ).select(
+        F.lit("semdedup").alias("kind"),
+        F.col("__list").cast("bigint").alias("q_id"),
+        F.col("vec_id").alias("d_id"),
+        F.col("max_dup_cos").alias("cosine"),
+        F.col("n_dups").cast("bigint").alias("rank"),
+    )
+    return (
+        ivf.unionByName(pq)
+        .unionByName(diverse)
+        .unionByName(incr)
+        .unionByName(sem)
+    )

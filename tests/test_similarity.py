@@ -454,3 +454,59 @@ def test_rrf_fuse_reference_and_outer_join(spark):
     # single-list queries degrade to that list's ranking
     assert got[(1, 20)] == (1.0 / 61, 1)
     assert got[(2, 30)] == (1.0 / 61, 1)
+
+
+def test_semantic_dedup_paper_rule_and_determinism(spark):
+    """SemDeDup on a hand-built world: two clusters around orthogonal
+    centroids. Cluster 0 holds a prototype near the centroid, an
+    extreme point, and an exact clone pair; cluster 1 holds two
+    near-orthogonal members (no dups). The paper rule must remove the
+    CLOSER-to-centroid member of each duplicate pair (keep the
+    extreme), and clone ties must fall to the higher id."""
+    from bigdatabowl2024_25_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    d = 8
+
+    def vec(*pairs):
+        v = [0.0] * d
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    cents = spark.createDataFrame(
+        [(0, vec((0, 1.0))), (1, vec((1, 1.0)))],
+        "__list int, embedding array<float>",
+    )
+    rows = [
+        # cluster 0: 10 = prototype (cos_c≈1), 11 = tilted twin of 10
+        # (cos(10,11) high, cos_c(11) < cos_c(10) → 10 removed, 11 kept)
+        (10, vec((0, 1.0))),
+        (11, vec((0, 1.0), (2, 0.35))),
+        # exact clones 12/13 far from centroid: tie on cos_c → 13 (the
+        # higher id) removed, 12 kept
+        (12, vec((0, 0.5), (3, 0.8))),
+        (13, vec((0, 0.5), (3, 0.8))),
+        # cluster 1: near-orthogonal pair, below threshold → both kept
+        (20, vec((1, 1.0))),
+        (21, vec((1, 0.3), (4, 0.9))),
+    ]
+    data = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    removed = semantic_dedup(
+        data, cents, "vec_id", "embedding", threshold=0.9
+    )
+    got = {r.vec_id: r for r in removed.collect()}
+    assert set(got) == {10, 13}
+    # 10 dominated only by 11; 13 only by its clone 12
+    assert got[10].n_dups == 1 and got[10]["__list"] == 0
+    assert got[13].n_dups == 1
+    assert got[13].max_dup_cos == pytest.approx(1.0, abs=1e-5)
+    # removal is partitioning-independent: same set under a skewed layout
+    again = semantic_dedup(
+        data.repartition(7), cents, "vec_id", "embedding", threshold=0.9
+    )
+    assert {r.vec_id for r in again.collect()} == {10, 13}
+    # survivors = anti-join, the documented contract
+    kept = data.join(removed, "vec_id", "left_anti")
+    assert {r.vec_id for r in kept.collect()} == {11, 12, 20, 21}
