@@ -259,3 +259,321 @@ def bpe_encode(
         F.split(joined, " ")
     )
     return df.withColumn(out_col, arr)
+
+
+# ---- WordPiece (Schuster & Nakajima 2012 / Wu et al. 2016) -----------
+#
+# The tokenizer family's second member: same corpus→(word,count)
+# collapse as BPE, but merges are picked by the LIKELIHOOD rule
+# (score = count(a,b) / (count(a)·count(b)) — the pair whose merge
+# most increases corpus likelihood under a unigram model), and
+# encoding is greedy longest-match-first over the learned VOCABULARY
+# (not merge replay), with whole-word [UNK] fallback — the BERT-family
+# contract.
+
+
+def _wp_symbols(word_col: Column, cont: str) -> Column:
+    """word → WordPiece symbol array: first char plain, every later
+    char prefixed with the continuation marker (default '##')."""
+    chars = F.split(word_col, "")
+    return F.concat(
+        F.slice(chars, 1, 1),
+        F.transform(
+            F.slice(chars, 2, F.greatest(F.size(chars) - 1, F.lit(0))),
+            lambda c: F.concat(F.lit(cont), c),
+        ),
+    )
+
+
+def _wp_strip(sym: str, cont: str) -> str:
+    return sym[len(cont):] if sym.startswith(cont) else sym
+
+
+def _wordpiece_train_local(
+    vocab: list[tuple[list[str], int]],
+    n_merges: int,
+    cont: str,
+) -> list[tuple[str, str]]:
+    """Driver-side WordPiece merge loop (small-vocab fast path;
+    bit-identical to the distributed loop). Scores are single IEEE
+    divisions of exact ≤2^53 integers — correctly rounded and thus
+    identical in CPython and the JVM; ties break lexicographically on
+    the pair, so the merge sequence is a pure function of the corpus."""
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        sc: dict[str, int] = {}
+        for syms, n in vocab:
+            for s in syms:
+                sc[s] = sc.get(s, 0) + n
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + n
+        if not pc:
+            break
+        # NO min-count stop (unlike _bpe_train_local): likelihood
+        # scoring deliberately favors RARE pairs (1/(1·1) is the max
+        # possible score), so count-1 merges are correct WordPiece
+        # behavior, not noise — training runs to n_merges or until no
+        # adjacent pairs remain
+        best = min(
+            pc.items(),
+            key=lambda kv: (
+                -(float(kv[1]) / (float(sc[kv[0][0]]) * float(sc[kv[0][1]]))),
+                kv[0],
+            ),
+        )
+        a, b = best[0]
+        merges.append((a, b))
+        merged = a + _wp_strip(b, cont)
+        nxt = []
+        for syms, n in vocab:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            nxt.append((out, n))
+        vocab = nxt
+    return merges
+
+
+def wordpiece_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    cont: str = "##",
+    small_vocab_threshold: int = 65_536,
+) -> list[str]:
+    """Learn a WordPiece VOCABULARY from the corpus: the initial
+    symbol alphabet (sorted — every plain first-char and ##-continued
+    char present) followed by `n_merges` likelihood-scored merge
+    products in learn order. Returns the vocab list `wordpiece_encode`
+    consumes.
+
+    Size-adaptive exactly like `bpe_train` (same corpus→(word,count)
+    collapse, same 65k driver fast path, same distributed loop shape);
+    the only differences are the ## symbol scheme, the score
+    (count(pair)/(count(a)·count(b)) as one exact-int IEEE division —
+    engine-identical, no float sums), and the extra per-iteration
+    symbol-count aggregate the denominator needs (vocab-sized, never
+    corpus-sized). Pinned against a pure-Python reference in
+    tests/test_bpe.py."""
+    freqs = word_frequencies(df, text_col)
+    vocab = freqs.select(
+        _wp_symbols(F.col("word"), cont).alias("syms"), "n"
+    )
+    vocab = vocab.localCheckpoint()
+    stats = vocab.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.size("syms")), F.lit(0)).alias("total_syms"),
+    ).collect()[0]
+    # the initial alphabet is bounded by the character set (plain +
+    # ##-continued forms), so this collect is a few KB on any corpus
+    alphabet = sorted(
+        r.s
+        for r in vocab.select(
+            F.explode("syms").alias("s")
+        ).distinct().collect()
+    )
+    if (
+        stats.n <= small_vocab_threshold
+        and stats.total_syms <= 64 * small_vocab_threshold
+    ):
+        rows = vocab.collect()
+        merges = _wordpiece_train_local(
+            [(list(r.syms), r.n) for r in rows], n_merges, cont
+        )
+        return alphabet + [a + _wp_strip(b, cont) for a, b in merges]
+    from .components import _release_checkpoint
+
+    prev_ckpt = vocab
+    merges = []
+    for i in range(n_merges):
+        sym_counts = (
+            vocab.select(F.explode("syms").alias("s"), "n")
+            .groupBy("s")
+            .agg(F.sum("n").alias("sn"))
+        )
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        sa = sym_counts.select(F.col("s").alias("a"), F.col("sn").alias("na"))
+        sb = sym_counts.select(F.col("s").alias("b"), F.col("sn").alias("nb"))
+        scored = (
+            pairs.join(F.broadcast(sa), "a")
+            .join(F.broadcast(sb), "b")
+            .withColumn(
+                "score",
+                F.col("cnt").cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double")),
+            )
+        )
+        best = scored.orderBy(
+            F.col("score").desc(), F.col("a").asc(), F.col("b").asc()
+        ).limit(1).collect()
+        if not best:  # no adjacent pairs left; no min-count stop —
+            break     # rare pairs scoring highest IS WordPiece
+        a, b = best[0].a, best[0].b
+        merges.append((a, b))
+        vocab = vocab.select(
+            _merge_pair(F.col("syms"), a, b).alias("syms"), "n"
+        )
+        if (i + 1) % 8 == 0:
+            vocab = vocab.localCheckpoint()
+            _release_checkpoint(prev_ckpt)
+            prev_ckpt = vocab
+    return alphabet + [a + _wp_strip(b, cont) for a, b in merges]
+
+
+def _wp_word_pieces(
+    word: Column, vocab: list[str], unk: str, cont: str
+) -> Column:
+    """Greedy longest-match-first WordPiece encode of ONE word as a
+    whole-stage-codegen fold: walk the word left to right, at each
+    position try vocab pieces longest-first (initial pieces at pos 0,
+    ##-continuations after), emit the first hit, advance by its raw
+    length; if no piece matches, the ENTIRE word becomes [unk] — the
+    BERT rule. The vocab rides as a plan map literal (same contract as
+    bpe_encode's literal replace chain: moderate learned vocabs; bake
+    a broadcast dict into a Pandas UDF for 30k+ production vocabs)."""
+    pieces = [
+        (p, _wp_strip(p, cont), p.startswith(cont))
+        for p in vocab
+        if len(_wp_strip(p, cont)) > 0  # a bare '##' would never advance
+    ]
+    maxlen = max((len(raw) for _, raw, _ in pieces), default=1)
+    by_len: dict[int, tuple[list[str], list[str]]] = {}
+    for p, raw, is_cont in pieces:
+        ini, con = by_len.setdefault(len(raw), ([], []))
+        (con if is_cont else ini).append(raw)
+    n = F.length(word)
+    imap = {
+        ln: F.create_map(*[F.lit(x) for r in ini for x in (r, r)])
+        for ln, (ini, _) in by_len.items()
+        if ini
+    }
+    cmap = {
+        ln: F.create_map(*[F.lit(x) for r in con for x in (r, r)])
+        for ln, (_, con) in by_len.items()
+        if con
+    }
+
+    def step(acc: Column, i: Column) -> Column:
+        at = acc["pos"]
+        cands = []
+        for ln in range(maxlen, 0, -1):
+            sub = F.substring(word, at + F.lit(1), F.lit(ln))
+            hit_i = (
+                F.element_at(imap[ln], sub)
+                if ln in imap
+                else F.lit(None).cast("string")
+            )
+            hit_c = (
+                F.element_at(cmap[ln], sub)
+                if ln in cmap
+                else F.lit(None).cast("string")
+            )
+            raw = F.when(at == 0, hit_i).otherwise(hit_c)
+            cands.append(
+                F.when(
+                    (F.lit(ln) <= n - at) & raw.isNotNull(),
+                    F.struct(
+                        F.lit(ln).alias("l"),
+                        F.when(at == 0, raw)
+                        .otherwise(F.concat(F.lit(cont), raw))
+                        .alias("p"),
+                    ),
+                )
+            )
+        best = F.coalesce(*cands)
+        advanced = F.when(
+            best.isNull(),
+            F.struct(
+                n.alias("pos"),
+                F.array(F.lit(unk)).alias("ps"),
+                F.lit(True).alias("unk"),
+            ),
+        ).otherwise(
+            F.struct(
+                (at + best["l"]).alias("pos"),
+                F.concat(acc["ps"], F.array(best["p"])).alias("ps"),
+                F.lit(False).alias("unk"),
+            )
+        )
+        return F.when(acc["unk"] | (i != at + 1), acc).otherwise(advanced)
+
+    init = F.struct(
+        F.lit(0).alias("pos"),
+        F.array().cast("array<string>").alias("ps"),
+        F.lit(False).alias("unk"),
+    )
+    return F.aggregate(F.sequence(F.lit(1), n), init, step)["ps"]
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: list[str],
+    out_col: str = "wp_tokens",
+    unk: str = "[UNK]",
+    cont: str = "##",
+) -> DataFrame:
+    """Tokenize with a learned WordPiece vocabulary: greedy
+    longest-match-first per word, whole-word [unk] fallback. Returns
+    `df` + `out_col` (array<string>; '' docs → empty array, NULL docs
+    → NULL — the bpe_encode contract).
+
+    100 TB shape: the O(len·maxlen) match fold runs ONLY on the
+    DISTINCT-WORD table (the same corpus→vocab collapse every trainer
+    here uses — 10^6-7 rows at 100 TB, independent of corpus size);
+    the corpus itself pays one posexplode, a join against that
+    word→pieces mapping (broadcast-able: the mapping is vocab-sized),
+    and one groupBy(id) reassembly — never a per-corpus-row
+    interpreted fold (the bpe_encode round-8 lesson, solved here by
+    bounding WHERE the fold runs instead of rewriting it away)."""
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    mapping = words.select(
+        "word", _wp_word_pieces(F.col("word"), vocab, unk, cont).alias("__ps")
+    )
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+        ).alias("__i", "word"),
+    )
+    per_doc = (
+        ex.join(mapping, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__i", "__ps"))
+                    ),
+                    lambda s: s["__ps"],
+                )
+            ).alias("__doc_ps")
+        )
+    )
+    joined = df.join(per_doc, id_col, "left")
+    out = F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+        F.coalesce(F.col("__doc_ps"), F.array().cast("array<string>"))
+    )
+    return joined.withColumn(out_col, out).drop("__doc_ps")

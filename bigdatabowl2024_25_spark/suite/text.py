@@ -818,6 +818,99 @@ def _bpe_word_sql(var: str) -> str:
     return f"replace(trim({s}, '‹›'), '›‹', ' ')"
 
 
+# ---- q64 'wp' branches: WordPiece vocab + greedy encode --------------
+
+#: the WordPiece vocabulary wordpiece_train learns from _BPE_CORPUS
+#: with n_merges=10 (sorted initial alphabet, then likelihood-scored
+#: merge products in learn order — rare words fuse first, the
+#: WordPiece signature: 'holds' is fully merged before any stem of
+#: the frequent 'the'/'data'). The 'wp_train' branch re-trains at
+#: query time and emits the LEARNED vocab against a VALUES oracle of
+#: these literals; the 'wp' branch greedy-encodes the documents table
+#: with this pinned list (letters outside the literal-corpus alphabet
+#: exercise the whole-word [UNK] rule on real data).
+_WP_VOCAB = [
+    "##a", "##b", "##c", "##d", "##e", "##h", "##k", "##l", "##n",
+    "##o", "##p", "##r", "##s", "##t", "d", "f", "h", "i", "r", "s",
+    "t", "##rk", "ho", "in", "sc", "sp", "##bl", "hol", "hold",
+    "##ds", "holds",
+]
+
+_WP_TRAIN_VALUES = ", ".join(
+    f"('wp_train', CAST({i} AS BIGINT), CAST(0 AS BIGINT), "
+    f"CAST({len(p)} AS BIGINT), '{p}')"
+    for i, p in enumerate(_WP_VOCAB)
+)
+
+_WP_VOCAB_VALUES = ", ".join(f"('{p}')" for p in _WP_VOCAB)
+
+#: greedy longest-match-first WordPiece encode, re-derived relationally:
+#: best piece per (word, position) via a vocab join + length-desc
+#: ROW_NUMBER, then the greedy walk as a recursive CTE over the
+#: DISTINCT-WORD table (the same word-bounded shape the Spark encoder
+#: uses), then per-doc reassembly in word order. A position with no
+#: matching piece turns the whole word into '[UNK]' — the BERT rule.
+_WP_CTES = f"""
+    wpv AS (
+        SELECT piece,
+               CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+                    ELSE piece END AS raw,
+               piece LIKE '##%' AS is_cont
+        FROM (VALUES {_WP_VOCAB_VALUES}) v(piece)
+    ),
+    wpw AS (
+        SELECT DISTINCT w AS word FROM (
+            SELECT unnest({_W_NE}) AS w FROM documents
+        )
+    ),
+    wpbest AS (
+        SELECT word, pos, piece, plen FROM (
+            SELECT p.word, p.pos, v.piece, len(v.raw) AS plen,
+                   ROW_NUMBER() OVER (PARTITION BY p.word, p.pos
+                       ORDER BY len(v.raw) DESC, v.piece ASC) AS rn
+            FROM (SELECT word, unnest(range(0, len(word))) AS pos
+                  FROM wpw) p
+            JOIN wpv v
+              ON ((p.pos = 0) = (NOT v.is_cont))
+             AND p.pos + len(v.raw) <= len(p.word)
+             AND substr(p.word, p.pos + 1, len(v.raw)) = v.raw
+        ) WHERE rn = 1
+    ),
+    wpwalk AS (
+        SELECT word, 0 AS pos, CAST([] AS VARCHAR[]) AS ps,
+               false AS unk
+        FROM wpw
+        UNION ALL
+        SELECT w.word,
+               CASE WHEN b.word IS NULL THEN len(w.word)
+                    ELSE w.pos + b.plen END AS pos,
+               CASE WHEN b.word IS NULL THEN ['[UNK]']
+                    ELSE list_append(w.ps, b.piece) END AS ps,
+               b.word IS NULL AS unk
+        FROM wpwalk w LEFT JOIN wpbest b
+          ON b.word = w.word AND b.pos = w.pos
+        WHERE w.pos < len(w.word) AND NOT w.unk
+    ),
+    wpmap AS (SELECT word, ps FROM wpwalk WHERE pos >= len(word)),
+    wpdoc AS (
+        SELECT doc_id,
+               string_agg(list_aggregate(m.ps, 'string_agg', ' '),
+                          ' ' ORDER BY w.i) AS joined
+        FROM (SELECT doc_id, unnest({_W_NE}) AS word,
+                     generate_subscripts({_W_NE}, 1) AS i
+              FROM documents) w
+        JOIN wpmap m USING (word)
+        GROUP BY doc_id
+    ),
+    wpout AS (
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE COALESCE(j.joined, '') END AS joined
+        FROM documents d LEFT JOIN wpdoc j USING (doc_id)
+    )
+"""
+
+
 #: per-doc BPE token stream joined by spaces ('' for an empty doc,
 #: NULL for a NULL doc — mirroring Spark's array_join/flatten nulls)
 _BPE_JOINED = (
@@ -837,6 +930,7 @@ _BPE_JOINED = (
     {_DCLEAN_CTES},
     {_C4_CTES},
     {_TMIX_CTES},
+    {_WP_CTES},
     bpe AS (SELECT doc_id, {_BPE_JOINED} AS joined FROM documents)
     SELECT 'doc' AS kind, doc_id, CAST(0 AS BIGINT) AS part_id,
            octet_length(CAST(text AS BLOB)) AS byte_len,
@@ -876,6 +970,18 @@ _BPE_JOINED = (
     UNION ALL
     SELECT * FROM (VALUES {_BPE_TRAIN_VALUES})
         t(kind, doc_id, part_id, byte_len, content_md5)
+    UNION ALL
+    SELECT 'wp' AS kind, doc_id,
+           CAST(CASE WHEN joined IS NULL THEN NULL
+                WHEN joined = '' THEN 0
+                ELSE len(string_split(joined, ' ')) END AS BIGINT)
+             AS part_id,
+           octet_length(CAST(joined AS BLOB)) AS byte_len,
+           md5(joined) AS content_md5
+    FROM wpout
+    UNION ALL
+    SELECT * FROM (VALUES {_WP_TRAIN_VALUES})
+        t2(kind, doc_id, part_id, byte_len, content_md5)
     UNION ALL
     SELECT 'clean' AS kind, doc_id, n_tokens AS part_id,
            octet_length(encode(rtext)) AS byte_len,
@@ -1019,6 +1125,35 @@ def q64_binary_plumbing(spark, sf_dir):
         ],
         "kind string, doc_id long, part_id long, byte_len long, "
         "content_md5 string",
+    )
+    # 'wp_train' / 'wp' (round 10, late): the WordPiece leg of the
+    # tokenizer family — likelihood-scored training re-learns the
+    # pinned _WP_VOCAB from the same literal corpus (drift flips the
+    # VALUES row red); greedy longest-match encode runs the fold on
+    # the DISTINCT-WORD table only and joins the word→pieces mapping
+    # back (the corpus never pays an interpreted fold), with
+    # whole-word [UNK] for out-of-alphabet words.
+    from ..operators.bpe import wordpiece_encode, wordpiece_train
+
+    wp_learned = wordpiece_train(
+        spark.createDataFrame(_BPE_CORPUS, "doc_id long, text string"),
+        "text",
+        n_merges=10,
+    )
+    wp_train_rows = spark.createDataFrame(
+        [("wp_train", i, 0, len(p), p) for i, p in enumerate(wp_learned)],
+        "kind string, doc_id long, part_id long, byte_len long, "
+        "content_md5 string",
+    )
+    wenc = wordpiece_encode(d, "text", "doc_id", _WP_VOCAB)
+    wj = F.array_join(F.col("wp_tokens"), " ")
+    wjb = wj.cast("binary")
+    wp = wenc.select(
+        F.lit("wp").alias("kind"),
+        "doc_id",
+        F.size(F.col("wp_tokens")).cast("bigint").alias("part_id"),
+        F.length(wjb).cast("bigint").alias("byte_len"),
+        F.md5(wjb).alias("content_md5"),
     )
     # 'budget' (round 8): token-budget mixing (`sampling.
     # token_budget_sample`) — sources sampled to 700/350/∞-token
@@ -1233,6 +1368,8 @@ def q64_binary_plumbing(spark, sf_dir):
         .unionByName(seq)
         .unionByName(bpe)
         .unionByName(train_rows)
+        .unionByName(wp)
+        .unionByName(wp_train_rows)
         .unionByName(budget)
         .unionByName(para)
         .unionByName(parad)

@@ -129,3 +129,106 @@ def test_bpe_encode_control_chars_scrubbed(spark):
         bpe_encode(df, "text", [], end_of_word="</w>\x01")
     with pytest.raises(ValueError, match="marker"):
         bpe_encode(df, "text", [("a", "b\x02")])
+
+
+# ---- WordPiece ------------------------------------------------------
+
+
+def _py_wordpiece_encode(text, vocab, unk="[UNK]", cont="##"):
+    """Pure-Python greedy longest-match reference (the HF rule)."""
+    if text is None:
+        return None
+    out = []
+    for word in (w for w in text.split(" ") if w):
+        pos, pieces = 0, []
+        while pos < len(word):
+            best = None
+            for end in range(len(word), pos, -1):
+                sub = word[pos:end]
+                cand = sub if pos == 0 else cont + sub
+                if cand in vocab and len(sub) > 0:
+                    best = cand
+                    break
+            if best is None:
+                pieces = [unk]
+                break
+            pieces.append(best)
+            pos += len(best) - (len(cont) if best.startswith(cont) else 0)
+        out.extend(pieces)
+    return out
+
+
+def test_wordpiece_train_matches_python_reference(spark):
+    """Trainer vs a from-scratch reference over the q64 literal
+    corpus: likelihood scoring (rare pairs first — 'holds' fully
+    fuses before any stem of the frequent 'the'), lexicographic
+    tie-break, alphabet + merge-product vocab layout."""
+    from bigdatabowl2024_25_spark.operators.bpe import (
+        _wordpiece_train_local,
+        _wp_strip,
+        wordpiece_train,
+    )
+
+    corpus = [
+        (0, "the data table holds the data"),
+        (1, "spark scans the data table fast"),
+        (2, "the table scan reads data"),
+        (3, "fast data scan in the table"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = wordpiece_train(df, "text", n_merges=10)
+
+    from collections import Counter
+
+    wc = Counter(w for _, t in corpus for w in t.split(" ") if w)
+    voc = [
+        ([w[0]] + ["##" + c for c in w[1:]], n)
+        for w, n in sorted(wc.items())
+    ]
+    merges = _wordpiece_train_local(voc, 10, "##")
+    alpha = sorted({s for syms, _ in voc for s in syms})
+    ref = alpha + [a + _wp_strip(b, "##") for a, b in merges]
+    assert got == ref
+    # the WordPiece signature: the rare word 'holds' is fully fused
+    # within 10 merges while frequent 'the'/'data' are not
+    assert "holds" in got and "the" not in got and "data" not in got
+
+
+def test_wordpiece_encode_greedy_rule_and_edges(spark):
+    """Greedy longest-match with whole-word [UNK]: 'holdx' greedily
+    takes 'hold' then dies on 'x' → the ENTIRE word is [UNK] (greedy
+    never backtracks — the BERT contract); empty docs → [], NULL docs
+    → NULL; result is partitioning-independent."""
+    from bigdatabowl2024_25_spark.operators.bpe import wordpiece_encode
+
+    vocab = [
+        "##a", "##b", "##c", "##d", "##e", "##h", "##k", "##l", "##n",
+        "##o", "##p", "##r", "##s", "##t", "d", "f", "h", "i", "r",
+        "s", "t", "##rk", "ho", "in", "sc", "sp", "##bl", "hol",
+        "hold", "##ds", "holds",
+    ]
+    rows = [
+        (0, "the data table holds the data"),
+        (1, "holdx holds hold"),
+        (2, ""),
+        (3, None),
+        (4, "zzz  in"),  # double space: empty word never emits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (list(r.wp_tokens) if r.wp_tokens is not None else None)
+        for r in wordpiece_encode(df, "text", "doc_id", vocab).collect()
+    }
+    vs = set(vocab)
+    for i, text in rows:
+        assert got[i] == _py_wordpiece_encode(text, vs), (i, got[i])
+    # the greedy-no-backtrack case explicitly: hold+##x would need
+    # backtracking to h+##o+##l+##d+... — greedy gives [UNK]
+    assert got[1] == ["[UNK]", "holds", "hold"]
+    again = {
+        r.doc_id: (list(r.wp_tokens) if r.wp_tokens is not None else None)
+        for r in wordpiece_encode(
+            df.repartition(5), "text", "doc_id", vocab
+        ).collect()
+    }
+    assert again == got
