@@ -232,3 +232,50 @@ def test_wordpiece_encode_greedy_rule_and_edges(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_wordpiece_encode_fuzz_vs_reference(spark):
+    """300 random docs over a random 60-piece vocab (seeded — one
+    Spark job, python-reference compare per doc): greedy matches,
+    [UNK] fallbacks, multi-word reassembly order, and the
+    empty/whitespace edges all agree with the from-scratch rule."""
+    import random
+
+    from bigdatabowl2024_25_spark.operators.bpe import wordpiece_encode
+
+    rng = random.Random(0xBDB10)
+    alpha = "abcde"
+    vocab = list(alpha) + ["##" + c for c in alpha]
+    seen = set(vocab)
+    while len(vocab) < 60:
+        raw = "".join(
+            rng.choice(alpha) for _ in range(rng.randint(2, 5))
+        )
+        p = raw if rng.random() < 0.5 else "##" + raw
+        if p not in seen:
+            seen.add(p)
+            vocab.append(p)
+    # drop some alphabet pieces so whole-word [UNK]s actually occur
+    vocab = [p for p in vocab if p not in ("c", "##d")]
+    docs = []
+    for i in range(300):
+        words = [
+            "".join(
+                rng.choice(alpha + ("f" if rng.random() < 0.1 else ""))
+                for _ in range(rng.randint(1, 9))
+            )
+            for _ in range(rng.randint(0, 6))
+        ]
+        sep = "  " if rng.random() < 0.2 else " "
+        docs.append((i, sep.join(words) if words else ""))
+    docs += [(300, None), (301, "   ")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (list(r.wp_tokens) if r.wp_tokens is not None else None)
+        for r in wordpiece_encode(df, "text", "doc_id", vocab).collect()
+    }
+    vs = set(vocab)
+    for i, text in docs:
+        assert got[i] == _py_wordpiece_encode(text, vs), (
+            i, text, got[i], _py_wordpiece_encode(text, vs)
+        )
