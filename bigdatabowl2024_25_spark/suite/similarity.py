@@ -244,7 +244,41 @@ _BM_CTES = f"""
                         CAST(0.0 AS DOUBLE)) AS score
         FROM drank5 a
         FULL JOIN lrank5 b ON a.q_id = b.q_id AND a.d_id = b.d_id
-    )
+    ),
+    knnt AS (
+        SELECT vec_id AS tid, label AS lbl, {_IV} AS iv
+        FROM embeddings WHERE vec_id < 200
+    ),
+    knnq AS (
+        SELECT vec_id AS qid, {_IV} AS iv
+        FROM embeddings WHERE vec_id >= 200
+    ),
+    knnk AS (
+        SELECT qid, tid, lbl, d2 FROM (
+            SELECT q.qid, t.tid, t.lbl,
+                   CAST(list_sum(list_transform(range(1,65),
+                        i -> (q.iv[i]-t.iv[i])*(q.iv[i]-t.iv[i])))
+                        AS BIGINT) AS d2,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                       ORDER BY CAST(list_sum(list_transform(range(1,65),
+                           i -> (q.iv[i]-t.iv[i])*(q.iv[i]-t.iv[i])))
+                           AS BIGINT) ASC, t.tid ASC) AS rn
+            FROM knnq q CROSS JOIN knnt t
+        ) WHERE rn <= 5
+    ),
+    knnw AS (
+        SELECT qid, lbl, nv FROM (
+            SELECT qid, lbl, COUNT(*) AS nv,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY COUNT(*) DESC, lbl ASC) AS rn
+            FROM knnk GROUP BY qid, lbl
+        ) WHERE rn = 1
+    ),
+    knnb AS (SELECT qid, MAX(d2) AS kd2 FROM knnk GROUP BY qid)
+    SELECT 'knn' AS kind, w.qid AS q_id, CAST(w.lbl AS BIGINT) AS d_id,
+           CAST(b.kd2 AS DOUBLE) AS cosine, w.nv AS rank
+    FROM knnw w JOIN knnb b USING (qid)
+    UNION ALL
     SELECT 'topk' AS kind, q_id, d_id, cosine, rank FROM (
         SELECT q_id, d_id, cosine,
                ROW_NUMBER() OVER (PARTITION BY q_id
@@ -371,12 +405,38 @@ def q80_cosine_search(spark, sf_dir):
         F.col("rrf_score").alias("cosine"),
         "rank",
     )
+    # 'knn' (round 10, late): exact kNN label propagation — classify
+    # every corpus vector (vec_id ≥ 200) from the first-200 labeled
+    # "curated set" (`similarity.knn_classify`): int64 squared-L2
+    # k-set with (d2, tid) tie-break, majority vote with (votes desc,
+    # label asc) tie-break, k-set boundary distance as confidence.
+    # The corpus side never shuffles (train collapses to one
+    # broadcast array row; scoring/sort/vote are codegen array
+    # lambdas); prediction, votes, AND the boundary distance are
+    # value-hashed against a windowed SQL re-derivation.
+    from ..operators.similarity import knn_classify
+
+    knn = knn_classify(
+        e.filter(F.col("vec_id") >= 200),
+        e.filter(F.col("vec_id") < 200),
+        "vec_id",
+        "embedding",
+        "label",
+        k=5,
+    ).select(
+        F.lit("knn").alias("kind"),
+        F.col("vec_id").alias("q_id"),
+        F.col("pred_label").cast("bigint").alias("d_id"),
+        F.col("kth_d2").alias("cosine"),
+        F.col("votes").alias("rank"),
+    )
     return (
         topk.unionByName(neardup)
         .unionByName(sq8)
         .unionByName(decon)
         .unionByName(bm)
         .unionByName(rrf)
+        .unionByName(knn)
     )
 
 

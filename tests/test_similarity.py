@@ -510,3 +510,90 @@ def test_semantic_dedup_paper_rule_and_determinism(spark):
     # survivors = anti-join, the documented contract
     kept = data.join(removed, "vec_id", "left_anti")
     assert {r.vec_id for r in kept.collect()} == {11, 12, 20, 21}
+
+
+def test_knn_classify_votes_ties_and_small_train(spark):
+    """Hand-built kNN world: majority vote wins, vote ties fall to the
+    smaller label, the k-set tie-breaks on (d2, train id), and a train
+    set smaller than k just votes over what exists."""
+    from bigdatabowl2024_25_spark.operators.similarity import knn_classify
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 6
+
+    train = spark.createDataFrame(
+        [
+            # three label-1 points near (1, 0); two label-0 near (0, 1)
+            (0, vec(1.0, 0.0), 1),
+            (1, vec(1.1, 0.0), 1),
+            (2, vec(0.9, 0.0), 1),
+            (3, vec(0.0, 1.0), 0),
+            (4, vec(0.0, 1.1), 0),
+            # distant decoy with the high label
+            (5, vec(5.0, 5.0), 9),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    queries = spark.createDataFrame(
+        [
+            (100, vec(1.0, 0.05)),   # 3×label-1 + 2×label-0 in k=5 → 1
+            (101, vec(0.0, 1.05)),   # 2-2 vote tie at k=4 → smaller label 0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.pred_label, r.votes)
+        for r in knn_classify(
+            queries, train, "vec_id", "embedding", "label", k=5, dims=8
+        ).collect()
+    }
+    assert got[100] == (1, 3)
+    g4 = {
+        r.vec_id: (r.pred_label, r.votes)
+        for r in knn_classify(
+            queries, train, "vec_id", "embedding", "label", k=4, dims=8
+        ).collect()
+    }
+    assert g4[101] == (0, 2)  # 2 votes each for 0 and 1 → label 0 wins
+    # train smaller than k: vote over all 2 rows
+    tiny = train.filter(F.col("vec_id") >= 4)
+    gt = {
+        r.vec_id: (r.pred_label, r.votes)
+        for r in knn_classify(
+            queries, tiny, "vec_id", "embedding", "label", k=5, dims=8
+        ).collect()
+    }
+    assert gt[101] == (0, 1)
+    # exact-clone distance: kth_d2 is the boundary distance and a
+    # query sitting ON a train point at k=1 reports d2 == 0
+    g1 = knn_classify(
+        queries.filter(F.col("vec_id") == 100).select(
+            "vec_id", F.lit(vec(1.0, 0.0)).alias("embedding")
+        ),
+        train, "vec_id", "embedding", "label", k=1, dims=8,
+    ).collect()[0]
+    assert g1.pred_label == 1 and g1.kth_d2 == 0.0
+
+
+def test_knn_strategies_agree(spark):
+    """The codegen 'pairs' path and the zero-shuffle 'inrow' path are
+    result-identical on real embeddings (prediction, votes, AND the
+    boundary distance)."""
+    from bigdatabowl2024_25_spark.operators.similarity import knn_classify
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") >= 100)
+    t = e.filter(F.col("vec_id") < 100)
+    a = {
+        r.vec_id: (r.pred_label, r.votes, r.kth_d2)
+        for r in knn_classify(
+            q, t, "vec_id", "embedding", "label", k=5
+        ).collect()
+    }
+    b = {
+        r.vec_id: (r.pred_label, r.votes, r.kth_d2)
+        for r in knn_classify(
+            q, t, "vec_id", "embedding", "label", k=5, strategy="inrow"
+        ).collect()
+    }
+    assert a == b and len(a) > 0
