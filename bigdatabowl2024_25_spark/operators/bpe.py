@@ -23,7 +23,7 @@ pure function of the corpus — engine- and layout-independent
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -544,13 +544,51 @@ def wordpiece_encode(
     and one groupBy(id) reassembly — never a per-corpus-row
     interpreted fold (the bpe_encode round-8 lesson, solved here by
     bounding WHERE the fold runs instead of rewriting it away)."""
+    return _encode_via_word_mapping(
+        df,
+        text_col,
+        id_col,
+        lambda w: _wp_word_pieces(w, vocab, unk, cont),
+        out_col,
+    )
+
+
+def _encode_via_word_mapping(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    pieces_of_word,
+    out_col: str,
+) -> DataFrame:
+    return encode_tokenizers(df, text_col, id_col, {out_col: pieces_of_word})
+
+
+def encode_tokenizers(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    encoders: dict,
+) -> DataFrame:
+    """Shared corpus-side plumbing for per-word tokenizers (WordPiece
+    greedy, Unigram Viterbi, …): run each encoder in `encoders`
+    ({out_col: word Column → array<string> Column}) over the
+    DISTINCT-WORD table only, then posexplode the corpus ONCE, join
+    the combined word→pieces mapping back (vocab-bounded →
+    broadcast), and reassemble per doc in word order — N tokenizers
+    cost ONE corpus pass, not N (the q64 'wp'+'uni' pair measured
+    ~2.5 s per duplicated reassembly at sf0.1). '' docs → empty
+    array, NULL docs → NULL, per output column."""
     words = (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .filter(F.col("word") != "")
         .distinct()
     )
     mapping = words.select(
-        "word", _wp_word_pieces(F.col("word"), vocab, unk, cont).alias("__ps")
+        "word",
+        *[
+            fn(F.col("word")).alias(f"__ps_{name}")
+            for name, fn in encoders.items()
+        ],
     )
     ex = df.select(
         F.col(id_col),
@@ -562,18 +600,292 @@ def wordpiece_encode(
         ex.join(mapping, "word")
         .groupBy(id_col)
         .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("__i", "__ps"))
-                    ),
-                    lambda s: s["__ps"],
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "__i",
+                        *[f"__ps_{name}" for name in encoders],
+                    )
                 )
-            ).alias("__doc_ps")
+            ).alias("__sorted")
+        )
+        .select(
+            id_col,
+            *[
+                F.flatten(
+                    # closure factory, NOT a default arg: F.transform
+                    # reads a 2-arg lambda as (element, index)
+                    F.transform(
+                        F.col("__sorted"),
+                        (lambda n: lambda s: s[f"__ps_{n}"])(name),
+                    )
+                ).alias(f"__doc_{name}")
+                for name in encoders
+            ],
         )
     )
     joined = df.join(per_doc, id_col, "left")
-    out = F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
-        F.coalesce(F.col("__doc_ps"), F.array().cast("array<string>"))
+    for name in encoders:
+        out = F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+            F.coalesce(
+                F.col(f"__doc_{name}"), F.array().cast("array<string>")
+            )
+        )
+        joined = joined.withColumn(name, out).drop(f"__doc_{name}")
+    return joined
+
+
+# ---- Unigram LM tokenizer (Kudo 2018, the SentencePiece model) -------
+#
+# The tokenizer family's third member. Unlike BPE/WordPiece (bottom-up
+# merges), Unigram is top-down: seed a large candidate vocabulary from
+# frequent substrings, fit piece probabilities by EM over the corpus,
+# prune to the target size, and encode by VITERBI — the segmentation
+# maximizing Σ log p(piece), not greedy matching.
+#
+# Adaptations vs the paper, chosen for engine-exact determinism and
+# documented here so the trade is auditable:
+# - hard-EM (Viterbi counts) instead of forward-backward expected
+#   counts — the classic "Viterbi training" variant; with micro-int
+#   log-probs every iteration is bit-deterministic on any layout.
+# - log p is scaled to micro-ints ONCE per iteration:
+#   li = ROUND(ln(cnt/total)·1e6) (JVM ln + HALF_UP round — the bm25
+#   ROUND(x,6) absorb policy), so Viterbi sums are exact int64 adds
+#   and ties break on the lexicographically smallest path string —
+#   a total order (a path is never a string-prefix of a same-position
+#   rival, so prefix-local tie-breaks compose globally).
+# - pruning keeps the top `target_vocab` pieces by (count desc, piece
+#   asc) plus ALL corpus single chars (coverage floor, count ≥ 1), in
+#   place of the paper's likelihood-loss ranking.
+
+
+def _all_substrings(word: Column, max_len: int) -> Column:
+    """Every substring of `word` up to `max_len` chars (with repeats —
+    the seed counts weight by occurrence)."""
+    n = F.length(word)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(max_len)),
+                    lambda l: F.when(
+                        i + l - 1 <= n, F.substring(word, i, l)
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
     )
-    return joined.withColumn(out_col, out).drop("__doc_ps")
+
+
+def _viterbi_pieces(
+    word: Column, vocab: list[tuple[str, int]], unk: str
+) -> Column:
+    """Viterbi segmentation of ONE word under micro-int log-probs, as
+    an in-plan DP fold: acc[j+1] holds the best (−score, path) for the
+    j-char prefix (null = unreachable); step i extends every piece
+    ending at char i. array_min over struct(−score, path) picks the
+    max-score, then lexicographically-smallest, segmentation — the
+    same total order the oracle's path-enumeration re-derivation uses.
+    Unsegmentable words become [unk] whole — vocab literals ride as
+    per-length plan maps (the bpe_encode literal contract; bake a
+    broadcast dict into a Pandas UDF for 10^5+ production vocabs)."""
+    by_len: dict[int, list[tuple[str, int]]] = {}
+    for p, li in vocab:
+        if p:
+            by_len.setdefault(len(p), []).append((p, li))
+    maxlen = max(by_len, default=1)
+    maps = {
+        ln: F.create_map(
+            *[
+                x
+                for p, li in entries
+                for x in (F.lit(p), F.lit(li).cast("bigint"))
+            ]
+        )
+        for ln, entries in by_len.items()
+    }
+    n = F.length(word)
+    # unreachable prefixes carry a 2^62 sentinel score instead of a
+    # NULL struct: NULL struct elements inside the fold's accumulator
+    # array trip a codegen NPE in the aggregate projection (observed
+    # on Spark 4.1: "SpecializedGetters.isNullAt ... <local7> is
+    # null"); real scores stay ≤ ~1e9, so the sentinel never collides
+    _BIG = 1 << 62
+
+    def _sentinel() -> Column:
+        return F.struct(
+            F.lit(_BIG).cast("bigint").alias("neg"),
+            F.lit("").alias("path"),
+        )
+
+    def step(acc: Column, i: Column) -> Column:
+        cands = []
+        for ln in range(1, maxlen + 1):
+            if ln not in maps:
+                continue
+            piece = F.substring(word, i - F.lit(ln) + F.lit(1), F.lit(ln))
+            li = F.element_at(maps[ln], piece)
+            prev = F.element_at(acc, i - F.lit(ln) + F.lit(1))
+            cands.append(
+                F.when(
+                    (F.lit(ln) <= i)
+                    & li.isNotNull()
+                    & (prev["neg"] < F.lit(_BIG)),
+                    F.struct(
+                        (prev["neg"] - li).alias("neg"),
+                        F.when(prev["path"] == "", piece)
+                        .otherwise(F.concat(prev["path"], F.lit(" "), piece))
+                        .alias("path"),
+                    ),
+                ).otherwise(_sentinel())
+            )
+        return F.concat(acc, F.array(F.array_min(F.array(*cands))))
+
+    init = F.array(
+        F.struct(
+            F.lit(0).cast("bigint").alias("neg"),
+            F.lit("").alias("path"),
+        )
+    )
+    final = F.element_at(
+        F.aggregate(F.sequence(F.lit(1), n), init, step), n + F.lit(1)
+    )
+    return F.when(
+        final["neg"] >= F.lit(_BIG), F.array(F.lit(unk))
+    ).otherwise(F.split(final["path"], " "))
+
+
+#: micro-int log-prob scale (the bm25 ROUND(x,6) absorb, as an int)
+_LI_SCALE = 1_000_000.0
+
+
+def _scaled_logps(vocab: DataFrame) -> DataFrame:
+    """(piece, cnt) → (piece, cnt, li) with li = ROUND(ln(cnt/Σcnt)·1e6)
+    as bigint — quantized ONCE, so every downstream Viterbi sum is
+    exact integer arithmetic. The total rides as a 1-row cross join
+    (no eager collect)."""
+    tot = vocab.agg(F.sum("cnt").alias("__tot"))
+    return vocab.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "cnt",
+        F.round(
+            F.ln(
+                F.col("cnt").cast("double") / F.col("__tot").cast("double")
+            )
+            * F.lit(_LI_SCALE)
+        )
+        .cast("bigint")
+        .alias("li"),
+    )
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str,
+    target_vocab: int,
+    max_piece_len: int = 6,
+    n_em_iters: int = 2,
+    min_count: int = 2,
+) -> list[tuple[str, int]]:
+    """Fit a Unigram LM vocabulary; returns [(piece, li)] sorted by
+    piece, with li the final micro-int log-prob `unigram_encode`
+    consumes.
+
+    All corpus-scale work is the one `word_frequencies` collapse;
+    seeding explodes substrings of the (distinct word, count) table
+    (≤ len·max_piece_len per word) into a map-side-combined count, and
+    each hard-EM iteration is: score the vocab (1-row total cross
+    join), collect the vocab-sized (piece, li) list (the bpe-argmax /
+    bloom-literal class of bounded collect), Viterbi-resegment the
+    WORD table under those literals, and recount pieces. Single chars
+    keep a count ≥ 1 floor so every word stays segmentable (the
+    coverage guarantee SentencePiece gets from character fallback)."""
+    freqs = word_frequencies(df, text_col).localCheckpoint()
+    chars = (
+        freqs.select(
+            F.explode(F.split(F.col("word"), "")).alias("piece"), "n"
+        )
+        .filter(F.col("piece") != "")
+        .groupBy("piece")
+        .agg(F.sum("n").alias("__cc"))
+    )
+    subs = (
+        freqs.select(
+            F.explode(
+                _all_substrings(F.col("word"), max_piece_len)
+            ).alias("piece"),
+            "n",
+        )
+        .groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    vocab = subs.filter(
+        (F.col("cnt") >= min_count) | (F.length("piece") == 1)
+    )
+    for _ in range(n_em_iters):
+        lit_vocab = [
+            (r.piece, r.li)
+            for r in _scaled_logps(vocab).collect()
+        ]
+        segged = freqs.select(
+            _viterbi_pieces(F.col("word"), lit_vocab, "\x00").alias("ps"),
+            "n",
+        )
+        recount = (
+            segged.select(F.explode("ps").alias("piece"), "n")
+            .filter(F.col("piece") != "\x00")
+            .groupBy("piece")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        # coverage floor: corpus chars survive EM even when unused
+        vocab = (
+            recount.join(chars.select("piece"), "piece", "full_outer")
+            .select(
+                "piece",
+                F.when(
+                    F.length("piece") == 1,
+                    F.greatest(F.coalesce(F.col("cnt"), F.lit(0)), F.lit(1)),
+                )
+                .otherwise(F.col("cnt"))
+                .alias("cnt"),
+            )
+            .filter(F.col("cnt").isNotNull() & (F.col("cnt") > 0))
+        )
+    # prune: top target_vocab by (cnt desc, piece asc) + all chars
+    ranked = vocab.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        ),
+    )
+    kept = ranked.filter(
+        (F.col("__rk") <= target_vocab) | (F.length("piece") == 1)
+    ).select("piece", "cnt")
+    return sorted(
+        (r.piece, r.li) for r in _scaled_logps(kept).collect()
+    )
+
+
+def unigram_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: list[tuple[str, int]],
+    out_col: str = "uni_tokens",
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """Tokenize with a fitted Unigram vocabulary: Viterbi per DISTINCT
+    word (max Σ li, ties to the lexicographically smallest path),
+    whole-word [unk] when no segmentation exists. Same corpus shape as
+    `wordpiece_encode`: the DP runs only on the distinct-word table;
+    the corpus pays one posexplode + a broadcastable mapping join +
+    one groupBy(id) reassembly."""
+    return _encode_via_word_mapping(
+        df,
+        text_col,
+        id_col,
+        lambda w: _viterbi_pieces(w, vocab, unk),
+        out_col,
+    )

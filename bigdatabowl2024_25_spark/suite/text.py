@@ -911,6 +911,90 @@ _WP_CTES = f"""
 """
 
 
+# ---- q64 'uni' branches: Unigram LM vocab + Viterbi encode -----------
+
+#: the (piece, micro-int log-prob) table unigram_train fits on
+#: _BPE_CORPUS (target 12 + char floor, max_piece_len 6, 2 hard-EM
+#: iters). The mass table lands on clean fractions (the=data=1/8,
+#: table=1/10, scan=3/40, chars 1/40-2/40), so the JVM-ln micro-int
+#: quantization sits far from every round() boundary. 'uni_train'
+#: re-trains at query time against these literals (trainer drift flips
+#: the row red); 'uni' Viterbi-encodes the documents table with them.
+_UNI_VOCAB = [
+    ("a", -2995732), ("b", -3688879), ("c", -3688879), ("d", -3688879),
+    ("data", -2079442), ("ds", -2995732), ("e", -3688879),
+    ("f", -3688879), ("fast", -2995732), ("h", -3688879),
+    ("i", -3688879), ("k", -3688879), ("l", -3688879), ("n", -3688879),
+    ("o", -3688879), ("p", -3688879), ("r", -2995732), ("s", -2995732),
+    ("scan", -2590267), ("t", -3688879), ("table", -2302585),
+    ("the", -2079442),
+]
+
+_UNI_TRAIN_VALUES = ", ".join(
+    f"('uni_train', CAST({i} AS BIGINT), CAST({li} AS BIGINT), "
+    f"CAST({len(p)} AS BIGINT), '{p}')"
+    for i, (p, li) in enumerate(_UNI_VOCAB)
+)
+
+_UNI_VOCAB_VALUES = ", ".join(
+    f"('{p}', CAST({li} AS BIGINT))" for p, li in _UNI_VOCAB
+)
+
+#: Viterbi re-derived by PATH ENUMERATION: a recursive CTE walks every
+#: segmentation of every distinct word (bounded: words are ≤8 chars,
+#: so ≤2^7 compositions) carrying the exact int score sum, then
+#: ROW_NUMBER(score DESC, path ASC) picks the same max-score /
+#: lexicographically-smallest path the Spark DP fold's
+#: struct(−score, path) array_min selects (prefix-local tie-breaks
+#: compose globally: a path is never a string-prefix of a
+#: same-position rival). Unsegmentable words fall to '[UNK]'.
+_UNI_CTES = f"""
+    uv AS (SELECT * FROM (VALUES {_UNI_VOCAB_VALUES}) v(piece, li)),
+    uw AS (
+        SELECT DISTINCT w AS word FROM (
+            SELECT unnest({_W_NE}) AS w FROM documents
+        )
+    ),
+    upaths AS (
+        SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS score, '' AS path
+        FROM uw
+        UNION ALL
+        SELECT p.word, p.pos + len(v.piece), p.score + v.li,
+               CASE WHEN p.path = '' THEN v.piece
+                    ELSE p.path || ' ' || v.piece END
+        FROM upaths p JOIN uv v
+          ON p.pos + len(v.piece) <= len(p.word)
+         AND substr(p.word, p.pos + 1, len(v.piece)) = v.piece
+        WHERE p.pos < len(p.word)
+    ),
+    ubest AS (
+        SELECT word, path FROM (
+            SELECT word, path, ROW_NUMBER() OVER (PARTITION BY word
+                ORDER BY score DESC, path ASC) AS rn
+            FROM upaths WHERE pos = len(word)
+        ) WHERE rn = 1
+    ),
+    umap AS (
+        SELECT w.word, COALESCE(b.path, '[UNK]') AS joinedw
+        FROM uw w LEFT JOIN ubest b USING (word)
+    ),
+    udoc AS (
+        SELECT doc_id, string_agg(m.joinedw, ' ' ORDER BY w.i) AS joined
+        FROM (SELECT doc_id, unnest({_W_NE}) AS word,
+                     generate_subscripts({_W_NE}, 1) AS i
+              FROM documents) w
+        JOIN umap m USING (word)
+        GROUP BY doc_id
+    ),
+    uout AS (
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE COALESCE(j.joined, '') END AS joined
+        FROM documents d LEFT JOIN udoc j USING (doc_id)
+    )
+"""
+
+
 #: per-doc BPE token stream joined by spaces ('' for an empty doc,
 #: NULL for a NULL doc — mirroring Spark's array_join/flatten nulls)
 _BPE_JOINED = (
@@ -931,6 +1015,7 @@ _BPE_JOINED = (
     {_C4_CTES},
     {_TMIX_CTES},
     {_WP_CTES},
+    {_UNI_CTES},
     bpe AS (SELECT doc_id, {_BPE_JOINED} AS joined FROM documents)
     SELECT 'doc' AS kind, doc_id, CAST(0 AS BIGINT) AS part_id,
            octet_length(CAST(text AS BLOB)) AS byte_len,
@@ -982,6 +1067,18 @@ _BPE_JOINED = (
     UNION ALL
     SELECT * FROM (VALUES {_WP_TRAIN_VALUES})
         t2(kind, doc_id, part_id, byte_len, content_md5)
+    UNION ALL
+    SELECT 'uni' AS kind, doc_id,
+           CAST(CASE WHEN joined IS NULL THEN NULL
+                WHEN joined = '' THEN 0
+                ELSE len(string_split(joined, ' ')) END AS BIGINT)
+             AS part_id,
+           octet_length(CAST(joined AS BLOB)) AS byte_len,
+           md5(joined) AS content_md5
+    FROM uout
+    UNION ALL
+    SELECT * FROM (VALUES {_UNI_TRAIN_VALUES})
+        t3(kind, doc_id, part_id, byte_len, content_md5)
     UNION ALL
     SELECT 'clean' AS kind, doc_id, n_tokens AS part_id,
            octet_length(encode(rtext)) AS byte_len,
@@ -1133,7 +1230,7 @@ def q64_binary_plumbing(spark, sf_dir):
     # the DISTINCT-WORD table only and joins the word→pieces mapping
     # back (the corpus never pays an interpreted fold), with
     # whole-word [UNK] for out-of-alphabet words.
-    from ..operators.bpe import wordpiece_encode, wordpiece_train
+    from ..operators.bpe import wordpiece_train
 
     wp_learned = wordpiece_train(
         spark.createDataFrame(_BPE_CORPUS, "doc_id long, text string"),
@@ -1145,15 +1242,64 @@ def q64_binary_plumbing(spark, sf_dir):
         "kind string, doc_id long, part_id long, byte_len long, "
         "content_md5 string",
     )
-    wenc = wordpiece_encode(d, "text", "doc_id", _WP_VOCAB)
+    # 'uni_train' / 'uni' (round 10, late): the Unigram LM leg — the
+    # tokenizer trio's top-down member. Hard-EM training re-fits the
+    # pinned (piece, micro-int log-prob) table from the same literal
+    # corpus; encode is VITERBI (max Σ li, ties to the smallest path)
+    # over the distinct-word table, [UNK] for unsegmentable words.
+    # Both per-word tokenizers encode through ONE shared corpus pass
+    # (`encode_tokenizers` — the duplicated reassembly measured
+    # ~2.5 s each at sf0.1).
+    from ..operators.bpe import (
+        _viterbi_pieces,
+        _wp_word_pieces,
+        encode_tokenizers,
+        unigram_train,
+    )
+
+    uni_learned = unigram_train(
+        spark.createDataFrame(_BPE_CORPUS, "doc_id long, text string"),
+        "text",
+        target_vocab=12,
+        max_piece_len=6,
+        n_em_iters=2,
+    )
+    uni_train_rows = spark.createDataFrame(
+        [
+            ("uni_train", i, li, len(p), p)
+            for i, (p, li) in enumerate(uni_learned)
+        ],
+        "kind string, doc_id long, part_id long, byte_len long, "
+        "content_md5 string",
+    )
+    enc2 = encode_tokenizers(
+        d,
+        "text",
+        "doc_id",
+        {
+            "wp_tokens": lambda w: _wp_word_pieces(
+                w, _WP_VOCAB, "[UNK]", "##"
+            ),
+            "uni_tokens": lambda w: _viterbi_pieces(w, _UNI_VOCAB, "[UNK]"),
+        },
+    )
     wj = F.array_join(F.col("wp_tokens"), " ")
     wjb = wj.cast("binary")
-    wp = wenc.select(
+    wp = enc2.select(
         F.lit("wp").alias("kind"),
         "doc_id",
         F.size(F.col("wp_tokens")).cast("bigint").alias("part_id"),
         F.length(wjb).cast("bigint").alias("byte_len"),
         F.md5(wjb).alias("content_md5"),
+    )
+    uj = F.array_join(F.col("uni_tokens"), " ")
+    ujb = uj.cast("binary")
+    uni = enc2.select(
+        F.lit("uni").alias("kind"),
+        "doc_id",
+        F.size(F.col("uni_tokens")).cast("bigint").alias("part_id"),
+        F.length(ujb).cast("bigint").alias("byte_len"),
+        F.md5(ujb).alias("content_md5"),
     )
     # 'budget' (round 8): token-budget mixing (`sampling.
     # token_budget_sample`) — sources sampled to 700/350/∞-token
@@ -1370,6 +1516,8 @@ def q64_binary_plumbing(spark, sf_dir):
         .unionByName(train_rows)
         .unionByName(wp)
         .unionByName(wp_train_rows)
+        .unionByName(uni)
+        .unionByName(uni_train_rows)
         .unionByName(budget)
         .unionByName(para)
         .unionByName(parad)

@@ -279,3 +279,172 @@ def test_wordpiece_encode_fuzz_vs_reference(spark):
         assert got[i] == _py_wordpiece_encode(text, vs), (
             i, text, got[i], _py_wordpiece_encode(text, vs)
         )
+
+
+# ---- Unigram LM (SentencePiece model) -------------------------------
+
+
+def _py_viterbi_word(word, vocab, unk):
+    """DP reference: max Σ li, ties to the lexicographically smallest
+    path string — the exact order the Spark fold's struct(-score,
+    path) array_min implements."""
+    best = {0: (0, "")}
+    for i in range(1, len(word) + 1):
+        cand = []
+        for p, li in vocab.items():
+            l = len(p)
+            if l <= i and word[i - l:i] == p and (i - l) in best:
+                s, path = best[i - l]
+                cand.append((-(s + li), path + " " + p if path else p))
+        if cand:
+            neg, path = min(cand)
+            best[i] = (-neg, path)
+    if len(word) not in best:
+        return [unk]
+    return best[len(word)][1].split(" ")
+
+
+def _py_viterbi(text, vocab, unk="[UNK]"):
+    if text is None:
+        return None
+    out = []
+    for w in (w for w in text.split(" ") if w):
+        out.extend(_py_viterbi_word(w, vocab, unk))
+    return out
+
+
+def _py_unigram_train(texts, target_vocab, max_piece_len, n_em_iters,
+                      min_count=2):
+    """From-scratch hard-EM mirror of unigram_train (python math.log —
+    can differ from the JVM by 1 ulp at round() boundaries, the
+    documented python-reference tolerance; on the fixed corpora here
+    the boundaries are far away)."""
+    import math
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    chars = {c for w in wc for c in w}
+    counts: Counter = Counter()
+    for w, n in wc.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_piece_len, len(w) - i) + 1):
+                counts[w[i:i + l]] += n
+    vocab = {
+        p: c for p, c in counts.items() if c >= min_count or len(p) == 1
+    }
+
+    def scaled(v):
+        tot = sum(v.values())
+        return {
+            p: round(math.log(c / tot) * 1e6) for p, c in v.items()
+        }
+
+    for _ in range(n_em_iters):
+        li = scaled(vocab)
+        recount: Counter = Counter()
+        for w, n in wc.items():
+            for p in _py_viterbi_word(w, li, None):
+                if p is not None:
+                    recount[p] += n
+        vocab = {
+            p: c for p, c in recount.items() if c > 0 and len(p) > 1
+        }
+        for c in chars:
+            vocab[c] = max(recount.get(c, 0), 1)
+    ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept = {p: c for p, c in ranked[:target_vocab]}
+    for c in chars:
+        kept[c] = vocab[c]
+    return sorted(scaled(kept).items())
+
+
+_UNI_CORPUS = [
+    (0, "the data table holds the data"),
+    (1, "spark scans the data table fast"),
+    (2, "the table scan reads data"),
+    (3, "fast data scan in the table"),
+]
+
+
+def test_unigram_train_matches_python_reference(spark):
+    """Hard-EM trainer vs the from-scratch mirror: seed counts, EM
+    resegmentation, char coverage floor, pruning, and the final
+    micro-int log-probs all agree (the 1/8, 1/10, 3/40 … mass table on
+    this corpus sits far from any round() boundary)."""
+    from bigdatabowl2024_25_spark.operators.bpe import unigram_train
+
+    df = spark.createDataFrame(_UNI_CORPUS, "doc_id long, text string")
+    got = unigram_train(
+        df, "text", target_vocab=12, max_piece_len=6, n_em_iters=2
+    )
+    ref = _py_unigram_train(
+        [t for _, t in _UNI_CORPUS], 12, 6, 2
+    )
+    assert got == ref
+    # the unigram signature: whole frequent words become pieces
+    pieces = {p for p, _ in got}
+    assert {"the", "data", "table", "scan", "fast"} <= pieces
+
+
+def test_unigram_encode_viterbi_edges_and_fuzz(spark):
+    """Viterbi encode vs the DP reference using the SPARK-trained
+    li values (so the check is exact — no libm in the loop): the
+    literal corpus, UNK words, empty/NULL docs, then 200 seeded
+    random docs over a random scored vocab; partition-invariant."""
+    import random
+
+    from bigdatabowl2024_25_spark.operators.bpe import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    df = spark.createDataFrame(_UNI_CORPUS, "doc_id long, text string")
+    vocab = unigram_train(
+        df, "text", target_vocab=12, max_piece_len=6, n_em_iters=2
+    )
+    vd = dict(vocab)
+    rows = list(_UNI_CORPUS) + [(4, ""), (5, None), (6, "zzz the  in")]
+    enc_in = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (list(r.uni_tokens) if r.uni_tokens is not None else None)
+        for r in unigram_encode(enc_in, "text", "doc_id", vocab).collect()
+    }
+    for i, text in rows:
+        assert got[i] == _py_viterbi(text, vd), (i, text, got[i])
+    again = {
+        r.doc_id: (list(r.uni_tokens) if r.uni_tokens is not None else None)
+        for r in unigram_encode(
+            enc_in.repartition(7), "text", "doc_id", vocab
+        ).collect()
+    }
+    assert again == got
+    # fuzz: arbitrary (piece, li) vocab — scores are plain ints, so
+    # the reference comparison is exact by construction
+    rng = random.Random(0xBDB11)
+    alpha = "abcd"
+    fv = {c: -rng.randint(10**6, 4 * 10**6) for c in alpha}
+    while len(fv) < 25:
+        p = "".join(rng.choice(alpha) for _ in range(rng.randint(2, 5)))
+        fv.setdefault(p, -rng.randint(10**6, 4 * 10**6))
+    del fv["b"]  # some words must be unsegmentable
+    fvocab = sorted(fv.items())
+    docs = [
+        (
+            i,
+            " ".join(
+                "".join(
+                    rng.choice(alpha + ("e" if rng.random() < 0.1 else ""))
+                    for _ in range(rng.randint(1, 9))
+                )
+                for _ in range(rng.randint(0, 5))
+            ),
+        )
+        for i in range(200)
+    ]
+    fdf = spark.createDataFrame(docs, "doc_id long, text string")
+    gf = {
+        r.doc_id: list(r.uni_tokens)
+        for r in unigram_encode(fdf, "text", "doc_id", fvocab).collect()
+    }
+    for i, text in docs:
+        assert gf[i] == _py_viterbi(text, fv), (i, text, gf[i])
