@@ -208,3 +208,189 @@ def oracle_pagerank_sql(
         )"""
         )
     return ",\n".join(parts)
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 2,
+    scale: int = 10**9,
+    eager_every: int = 4,
+    broadcast_scores: bool = False,
+) -> DataFrame:
+    """Fixed-point HITS (Kleinberg 1999) hubs & authorities over a
+    directed edge list — the complement signal to `pagerank`: a page
+    is a good HUB when it links to good authorities, a good AUTHORITY
+    when good hubs link to it. Corpus pipelines use the authority side
+    as a domain-quality prior (link-farm hubs and cited authorities
+    separate cleanly on bipartite-ish link graphs, where PageRank's
+    single score conflates them).
+
+    ``edges`` must already be distinct (src, dst). Returns
+    ``(node, hub_scaled, auth_scaled)`` over ALL nodes (a node with no
+    out-edges has hub 0 after round 1; no in-edges → auth 0).
+
+    INTEGER-EXACT, like `pagerank` but with L1 (sum) normalization in
+    place of the classical L2 — power iteration converges to the same
+    principal-eigenvector DIRECTION under any per-round positive
+    rescaling, and L1 keeps every step in integer arithmetic (an L2
+    norm needs a sqrt). Per round, from hubs h:
+        a_raw(v) = Σ h(u) over edges u→v            (exact sum)
+        a(v)     = a_raw(v)·scale div Σ a_raw        (L1 renorm)
+        h_raw(u) = Σ a(v) over edges u→v
+        h(u)     = h_raw(u)·scale div Σ h_raw
+    The renormalizing product runs in decimal(38,0) (the
+    rolling_anomaly discipline: a_raw ≤ scale so a_raw·scale ≤ 10³⁰ —
+    exact, never overflows); `div` on decimal(38,0) truncates toward
+    zero exactly like DuckDB HUGEINT `//` on the non-negative values
+    here, so `oracle_hits_sql` re-derives bit-identical scores.
+
+    Scale: per round, TWO keyed joins of scores onto edges and two
+    groupBy aggregates (dst then src) — bucketing edges by both ends
+    makes each a map-side zip at cluster scale — plus two 1-row L1
+    sums broadcast back (crossJoin of a scalar). Same per-round
+    lineage-cut policy as `pagerank` (scores referenced twice per
+    round → lazy localCheckpoint each round, eager every
+    ``eager_every``)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    # broadcast_scores=True hints every score-onto-edges join (and the
+    # renorm join) as a broadcast: correct whenever the NODE table is
+    # dimension-sized (host/domain graphs — millions of rows), which
+    # kills all four per-round edge shuffles. Leave False for
+    # node-counts beyond broadcast reach (page-level web graphs);
+    # there, bucket edges by src AND dst so each keyed join is a
+    # map-side zip instead.
+    _maybe_b = F.broadcast if broadcast_scores else (lambda d: d)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _renorm(raw: DataFrame, col: str) -> DataFrame:
+        """raw (node, col) → all-nodes L1-renormalized (node, col)."""
+        total = raw.agg(
+            F.coalesce(
+                F.sum(col), F.lit(0)
+            ).cast("decimal(38,0)").alias("__t")
+        )
+        return (
+            nodes.join(_maybe_b(raw), "node", "left")
+            .join(total)
+            .select(
+                "node",
+                F.coalesce(
+                    F.expr(
+                        f"(CAST({col} AS DECIMAL(38,0)) * {scale})"
+                        " div greatest(__t, CAST(1 AS DECIMAL(38,0)))"
+                    ),
+                    F.lit(0).cast("bigint"),
+                ).alias(col),
+            )
+        )
+
+    hubs = nodes.select("node", F.lit(scale).cast("bigint").alias("h"))
+    auths = None
+    for i in range(iterations):
+        a_raw = (
+            e.join(
+                _maybe_b(hubs.select(F.col("node").alias("src"), "h")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("h").cast("decimal(38,0)")).alias("a"))
+        )
+        # auths is referenced TWICE every round (h_raw below, then the
+        # next round's a_raw — or the final output join), so cut its
+        # lineage unconditionally; final-round hubs is referenced once
+        auths = _renorm(a_raw, "a").localCheckpoint(eager=False)
+        h_raw = (
+            e.join(
+                _maybe_b(auths.select(F.col("node").alias("dst"), "a")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("a").cast("decimal(38,0)")).alias("h"))
+        )
+        hubs = _renorm(h_raw, "h")
+        if (i + 1) < iterations:
+            hubs = hubs.localCheckpoint(
+                eager=((i + 1) % eager_every == 0)
+            )
+    return (
+        hubs.join(auths, "node")
+        .select(
+            "node",
+            F.col("h").alias("hub_scaled"),
+            F.col("a").alias("auth_scaled"),
+        )
+    )
+
+
+def oracle_hits_sql(
+    edges_cte: str,
+    *,
+    iterations: int = 2,
+    scale: int = 10**9,
+) -> str:
+    """DuckDB CTE block re-deriving `hits` by unrolled iteration in
+    HUGEINT (mirrors the decimal(38,0) Spark arithmetic; `//` and
+    Spark's `div` agree on the non-negative values used here). Emits
+    ``ht_edges/ht_nodes/ht_h0/ht_a{i}/ht_h{i}``; final scores are
+    ``SELECT node, h FROM ht_h{k}`` / ``SELECT node, a FROM ht_a{k}``.
+    """
+    parts = [
+        f"ht_edges AS ({edges_cte})",
+        # the union is NESTED in a FROM on purpose: under a composed
+        # WITH RECURSIVE block DuckDB treats a top-level `a UNION b`
+        # CTE body as a recursive union and skips the dedup (observed:
+        # 2·|edges| rows), while a derived-table union dedups normally
+        """ht_nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM ht_edges
+                UNION ALL SELECT dst FROM ht_edges
+            )
+        )""",
+        f"ht_h0 AS (SELECT node, CAST({scale} AS HUGEINT) AS h"
+        " FROM ht_nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""ht_ar{i} AS (
+            SELECT e.dst AS node, CAST(SUM(h.h) AS HUGEINT) AS ar
+            FROM ht_edges e JOIN ht_h{i - 1} h ON h.node = e.src
+            GROUP BY e.dst
+        )"""
+        )
+        parts.append(
+            f"""ht_a{i} AS (
+            SELECT n.node,
+                   CAST(COALESCE(r.ar * {scale} // GREATEST(
+                       (SELECT SUM(ar) FROM ht_ar{i}),
+                       CAST(1 AS HUGEINT)), 0) AS BIGINT) AS a
+            FROM ht_nodes n LEFT JOIN ht_ar{i} r ON r.node = n.node
+        )"""
+        )
+        parts.append(
+            f"""ht_hr{i} AS (
+            SELECT e.src AS node, CAST(SUM(a.a) AS HUGEINT) AS hr
+            FROM ht_edges e JOIN ht_a{i} a ON a.node = e.dst
+            GROUP BY e.src
+        )"""
+        )
+        parts.append(
+            f"""ht_h{i} AS (
+            SELECT n.node,
+                   CAST(COALESCE(r.hr * {scale} // GREATEST(
+                       (SELECT SUM(hr) FROM ht_hr{i}),
+                       CAST(1 AS HUGEINT)), 0) AS BIGINT) AS h
+            FROM ht_nodes n LEFT JOIN ht_hr{i} r ON r.node = n.node
+        )"""
+        )
+    return ",\n".join(parts)

@@ -28,7 +28,12 @@ from ..operators.dedup import (
     simhash,
     with_shingles,
 )
-from ..operators.graph import oracle_pagerank_sql, pagerank
+from ..operators.graph import (
+    hits,
+    oracle_hits_sql,
+    oracle_pagerank_sql,
+    pagerank,
+)
 from ..sources.io import load_table
 from .registry import query
 
@@ -39,6 +44,11 @@ _PR_EDGES_CTE = (
     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
 )
 _PAGERANK_BLOCK = oracle_pagerank_sql(_PR_EDGES_CTE, iterations=3)
+
+#: HITS reuses the SAME link graph — hubs land on the customer side,
+#: authorities on the supplier side (bipartite, plus the pr branch's
+#: shared derivation); 2 rounds keeps the q74 budget bounded
+_HITS_BLOCK = oracle_hits_sql("SELECT * FROM pr_edges", iterations=2)
 
 # ---- shared SQL fragments (DuckDB side) --------------------------------
 
@@ -955,12 +965,17 @@ def q73_simhash(spark, sf_dir):
         UNION
         SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
     ),
-    {_PAGERANK_BLOCK}
+    {_PAGERANK_BLOCK},
+    {_HITS_BLOCK}
     SELECT 'cc' AS kind, node, MIN(label) AS component,
            CAST(NULL AS BIGINT) AS rank_scaled
     FROM reach GROUP BY node
     UNION ALL
     SELECT 'pr', node, NULL, r FROM pr_r3
+    UNION ALL
+    SELECT 'hub', node, NULL, h FROM ht_h2
+    UNION ALL
+    SELECT 'auth', node, NULL, a FROM ht_a2
     """,
 )
 def q74_near_dup_clusters(spark, sf_dir):
@@ -1018,6 +1033,10 @@ def q74_near_dup_clusters(spark, sf_dir):
             (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
+        # the fact⋈fact derivation feeds BOTH centrality branches —
+        # checkpoint once so 'hits' reuses pagerank's materialization
+        # instead of re-running the join+distinct
+        .localCheckpoint(eager=False)
     )
     pr = pagerank(pr_edges, iterations=3).select(
         F.lit("pr").alias("kind"),
@@ -1025,7 +1044,28 @@ def q74_near_dup_clusters(spark, sf_dir):
         F.lit(None).cast("bigint").alias("component"),
         "rank_scaled",
     )
-    return cc.unionByName(pr)
+
+    # 'hub'/'auth' (round 10): HITS over the SAME graph — the
+    # two-sided centrality PageRank can't express (on this bipartite
+    # graph hubs are exactly the customers, authorities the
+    # suppliers). Integer L1-normalized power iteration; the oracle
+    # (`oracle_hits_sql`) replays the identical HUGEINT recurrence.
+    # broadcast_scores: this graph's node table is dimension-sized
+    # (customers + suppliers), so every per-round score join broadcasts
+    ht = hits(pr_edges, iterations=2, broadcast_scores=True)
+    hub = ht.select(
+        F.lit("hub").alias("kind"),
+        "node",
+        F.lit(None).cast("bigint").alias("component"),
+        F.col("hub_scaled").alias("rank_scaled"),
+    )
+    auth = ht.select(
+        F.lit("auth").alias("kind"),
+        "node",
+        F.lit(None).cast("bigint").alias("component"),
+        F.col("auth_scaled").alias("rank_scaled"),
+    )
+    return cc.unionByName(pr).unionByName(hub).unionByName(auth)
 
 
 @query(

@@ -86,3 +86,100 @@ def test_oracle_sql_generator_agrees(spark):
     sql = f"WITH {block} SELECT node, r FROM pr_r3"
     want = dict(duckdb.sql(sql).fetchall())
     assert got == want
+
+# ---- HITS hubs & authorities ----------------------------------------
+
+#: hub/authority structure: 1,2 co-cite {10,11}; 3 cites 11,12; 10
+#: also links back to 3 so one node carries BOTH roles
+H_EDGES = [(1, 10), (1, 11), (2, 10), (2, 11), (3, 11), (3, 12), (10, 3)]
+
+
+def ref_hits(edges, iterations, scale=10**9):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    h = {v: scale for v in nodes}
+
+    def renorm(raw):
+        tot = max(sum(raw.values()), 1)
+        return {v: raw.get(v, 0) * scale // tot for v in nodes}
+
+    for _ in range(iterations):
+        a = renorm(
+            {
+                d: sum(h[s2] for s2, d2 in edges if d2 == d)
+                for _, d in edges
+            }
+        )
+        h = renorm(
+            {
+                s: sum(a[d2] for s2, d2 in edges if s2 == s)
+                for s, _ in edges
+            }
+        )
+    return h, a
+
+
+def test_hits_matches_python_reference(spark):
+    from bigdatabowl2024_25_spark.operators.graph import hits
+
+    df = spark.createDataFrame(H_EDGES, "src bigint, dst bigint")
+    for iters in (1, 2, 4):
+        rows = hits(df, iterations=iters).collect()
+        h, a = ref_hits(H_EDGES, iters)
+        assert {r.node: r.hub_scaled for r in rows} == h
+        assert {r.node: r.auth_scaled for r in rows} == a
+
+
+def test_hits_partition_invariance(spark):
+    from bigdatabowl2024_25_spark.operators.graph import hits
+
+    df = spark.createDataFrame(H_EDGES, "src bigint, dst bigint")
+    h, a = ref_hits(H_EDGES, 5)
+    for parts in (1, 7):
+        rows = hits(
+            df.repartition(parts), iterations=5, eager_every=2
+        ).collect()
+        assert {r.node: r.hub_scaled for r in rows} == h
+        assert {r.node: r.auth_scaled for r in rows} == a
+
+
+def test_hits_semantics(spark):
+    from bigdatabowl2024_25_spark.operators.graph import hits
+
+    df = spark.createDataFrame(H_EDGES, "src bigint, dst bigint")
+    got = {r.node: r for r in hits(df, iterations=3).collect()}
+    # 11 is cited by all three hubs -> top authority; 1,2 cite the two
+    # top authorities -> top hubs (tied by symmetry)
+    assert max(got.values(), key=lambda r: r.auth_scaled).node == 11
+    top_hub = max(r.hub_scaled for r in got.values())
+    assert {n for n, r in got.items() if r.hub_scaled == top_hub} == {1, 2}
+    # pure sinks have hub 0; pure sources have auth 0
+    assert got[11].hub_scaled == 0 and got[12].hub_scaled == 0
+    assert got[1].auth_scaled == 0 and got[2].auth_scaled == 0
+    # L1 renormalization: each side sums to ~scale (floor leaks only)
+    for side in ("hub_scaled", "auth_scaled"):
+        tot = sum(getattr(r, side) for r in got.values())
+        assert 0.99 * 10**9 < tot <= 10**9
+
+
+def test_hits_oracle_sql_generator_agrees(spark):
+    from bigdatabowl2024_25_spark.operators.graph import (
+        hits,
+        oracle_hits_sql,
+    )
+
+    df = spark.createDataFrame(H_EDGES, "src bigint, dst bigint")
+    rows = hits(df, iterations=2).collect()
+    vals = ", ".join(f"({s}, {d})" for s, d in H_EDGES)
+    block = oracle_hits_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", iterations=2
+    )
+    # RECURSIVE on purpose: q74 composes this block under WITH
+    # RECURSIVE, where a top-level `a UNION b` CTE body silently skips
+    # dedup in DuckDB — this pins the nested-union workaround
+    sql = (
+        f"WITH RECURSIVE {block} SELECT h.node, h.h, a.a "
+        "FROM ht_h2 h JOIN ht_a2 a USING (node)"
+    )
+    want = {n: (h, a) for n, h, a in duckdb.sql(sql).fetchall()}
+    got = {r.node: (r.hub_scaled, r.auth_scaled) for r in rows}
+    assert got == want
