@@ -180,19 +180,27 @@ def test_q80_neardup_is_bucket_join_not_all_pairs(spark):
     (1), the sq8 branch's 1-row-scales joins + 8-query scoring pass
     (3), round 8's decon branch scoring the corpus against the
     8-vector broadcast benchmark (1), round 9's bm25 branch
-    broadcasting its single-row stats table (1), and the rrf branch's
+    broadcasting its single-row stats table (1), the rrf branch's
     second read of the dense-scoring and bm25-stats subtrees (2 — the
     fused inputs are k-row rank lists; the underlying exchanges are
-    reused, only the plan-tree nodes repeat). A ninth one (or any
-    cartesian) means a corpus×corpus all-pairs scorer came back — the
-    round-4 scale-killer."""
+    reused, only the plan-tree nodes repeat), and round 10's knn
+    branch broadcasting the 200-row labeled train set into its pair
+    generator (2 — the k-set subtree is read twice, winner vote +
+    boundary distance, so the node repeats the same way). An eleventh
+    one (or any cartesian) means a corpus×corpus all-pairs scorer
+    came back — the round-4 scale-killer."""
     import re
 
     plan = plan_of(suite.QUERIES["q80_cosine_search"](spark, SF))
     assert "CartesianProduct" not in plan
     # formatted mode lists each node twice (tree + details): count
     # numbered tree entries
-    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 8
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 10
+    # every one must be a broadcast build (tree lines carry the build
+    # side), never a shuffled cartesian
+    tree = re.findall(r"BroadcastNestedLoopJoin (\w+ \w+) \(\d+\)", plan)
+    assert len(tree) == 10
+    assert all("Build" in b for b in tree)
     # the funnel's bucket equi-join must exist as a HASH join keyed
     # on the bucket column
     assert re.search(r"\(\d+\) (Broadcast|SortMerge|ShuffledHash)?HashJoin", plan)
