@@ -38,11 +38,13 @@ SEED = 42
 #: X6 model families, mirroring the reference's comparison set
 #: (`DefPosModel.ipynb` cell 16 trains RF / XGBoost / CatBoost /
 #: LightGBM / LogReg, cell 10 a Keras MLP; xgboost & friends are not
-#: in this environment, so the boosted entry is MLlib GBT via
-#: OneVsRest — GBTClassifier is binary-only — the linear entry is
+#: in this environment, so the boosted entries are MLlib GBT via
+#: OneVsRest — GBTClassifier is binary-only — plus the pure-NumPy
+#: second-order softprob `NumpyGBDTClassifier` (the XGBoost algorithm
+#: itself, multiclass + calibrated probabilities), the linear entry is
 #: multinomial LogisticRegression, and the neural entry is the pure-
-#: NumPy `NumpyMLPClassifier` below, round 10).
-MODEL_FAMILIES = ("rf", "logreg", "gbt_ovr", "mlp")
+#: NumPy `NumpyMLPClassifier` below).
+MODEL_FAMILIES = ("rf", "logreg", "gbt_ovr", "mlp", "gbdt")
 
 
 def _stddev_exact(c: str):
@@ -191,11 +193,11 @@ def classifier_pipeline(
             labelCol="label",
             parallelism=4,
         )
-    elif model == "mlp":
+    elif model in ("mlp", "gbdt"):
         raise ValueError(
-            "the 'mlp' family is not an MLlib pipeline — use "
-            "NumpyMLPClassifier (train_eval/compare_models route it "
-            "automatically)"
+            f"the {model!r} family is not an MLlib pipeline — use "
+            "NumpyMLPClassifier / NumpyGBDTClassifier "
+            "(train_eval/compare_models route them automatically)"
         )
     else:
         raise ValueError(f"unknown model family {model!r}; use {MODEL_FAMILIES}")
@@ -283,11 +285,17 @@ def train_eval(
 ) -> tuple[PipelineModel, DataFrame, dict[str, float]]:
     """X5 seed-42 80/20 split, fit, X8 metrics (accuracy + logloss)."""
     train, test = features.randomSplit([0.8, 0.2], seed=SEED)
-    if kwargs.get("model") == "mlp":
-        mlp = NumpyMLPClassifier(label_col, feature_cols, seed=SEED)
-        mlp.fit(train)
-        pred = mlp.transform(test)
-        return mlp, pred, mlp.evaluate(pred)
+    if kwargs.get("model") in ("mlp", "gbdt"):
+        cls = (
+            NumpyMLPClassifier
+            if kwargs["model"] == "mlp"
+            else NumpyGBDTClassifier
+        )
+        kw = {"seed": SEED} if kwargs["model"] == "mlp" else {}
+        m = cls(label_col, feature_cols, **kw)
+        m.fit(train)
+        pred = m.transform(test)
+        return m, pred, m.evaluate(pred)
     model = classifier_pipeline(label_col, feature_cols, **kwargs).fit(train)
     pred = model.transform(test)
     acc = MulticlassClassificationEvaluator(
@@ -614,6 +622,254 @@ class NumpyMLPClassifier:
         ).collect()[0]
         return {"accuracy": float(row.acc), "log_loss": float(row.ll)}
 
+
+
+class NumpyGBDTClassifier:
+    """The reference's boosted-tree families (`DefPosModel.ipynb`
+    cell 16: XGBoost / LightGBM / CatBoost) as the FIFTH model family,
+    re-expressed in pure NumPy — the env ships none of the three, and
+    MLlib's GBTClassifier is binary-only (the 'gbt_ovr' OneVsRest lift
+    loses calibrated multiclass probabilities). This is the actual
+    XGBoost algorithm, not an approximation: multiclass softprob
+    boosting with second-order (Newton) leaf weights
+    w = −G/(H+λ) and split gain ½[G_L²/(H_L+λ) + G_R²/(H_R+λ)
+    − G²/(H+λ)] − γ, greedy exact split search.
+
+    Division of labor at 100 TB mirrors `NumpyMLPClassifier`: feature
+    ASSEMBLY is the distributed Spark job; the boosted fit runs on the
+    collected driver-sized per-play table (the same frame the
+    reference feeds xgboost.fit); INFERENCE is distributed — the tree
+    ensemble is a few KB of flat arrays closed over `mapInPandas`,
+    each Arrow batch scored by vectorized level-wise traversal, never
+    row-at-a-time Python.
+
+    Deterministic BY CONSTRUCTION, unlike xgboost's hist-builder
+    thread races: no RNG anywhere (no row/column subsampling), splits
+    only between strictly distinct feature values (so within-run float
+    cumsum order cannot move a boundary), ties broken lowest-feature /
+    lowest-threshold first — refitting on the same collected frame
+    yields bit-identical trees, so tests pin exact probabilities
+    instead of tolerance bands."""
+
+    def __init__(
+        self,
+        label_col: str,
+        feature_cols: list[str],
+        n_rounds: int = 40,
+        max_depth: int = 3,
+        learning_rate: float = 0.3,
+        reg_lambda: float = 1.0,
+        gamma: float = 0.0,
+        min_child_weight: float = 1.0,
+    ) -> None:
+        self.label_col = label_col
+        self.feature_cols = list(feature_cols)
+        self.n_rounds = n_rounds
+        self.max_depth = max_depth
+        self.learning_rate = learning_rate
+        self.reg_lambda = reg_lambda
+        self.gamma = gamma
+        self.min_child_weight = min_child_weight
+
+    # -- numpy core -----------------------------------------------------
+    def _build_tree(self, X, g, h, idx, depth):
+        """Greedy exact split search → flat-array tree
+        (feature, thresh, left, right, value); feature −1 marks a
+        leaf. Returns node index within self._nodes."""
+        import numpy as np
+
+        lam = self.reg_lambda
+        G, H = float(g[idx].sum()), float(h[idx].sum())
+        node = len(self._nodes)
+        self._nodes.append([-1, 0.0, -1, -1, -G / (H + lam)])
+        if depth >= self.max_depth or len(idx) < 2:
+            return node
+        base = G * G / (H + lam)
+        best_gain, best_j, best_pos = 0.0, -1, -1
+        best_order = None
+        for j in range(X.shape[1]):
+            v = X[idx, j]
+            order = np.argsort(v, kind="stable")
+            vs = v[order]
+            # split only BETWEEN strictly distinct values: the cumsum
+            # at a run boundary is the full prefix sum regardless of
+            # within-run row order → layout-independent boundaries
+            valid = vs[:-1] < vs[1:]
+            if not valid.any():
+                continue
+            cg = np.cumsum(g[idx][order])[:-1]
+            ch = np.cumsum(h[idx][order])[:-1]
+            ok = (
+                valid
+                & (ch >= self.min_child_weight)
+                & (H - ch >= self.min_child_weight)
+            )
+            if not ok.any():
+                continue
+            gain = np.where(
+                ok,
+                0.5
+                * (
+                    cg * cg / (ch + lam)
+                    + (G - cg) * (G - cg) / (H - ch + lam)
+                    - base
+                )
+                - self.gamma,
+                -np.inf,
+            )
+            pos = int(np.argmax(gain))  # first max → lowest threshold
+            # strict > keeps the LOWEST feature index on gain ties
+            if gain[pos] > best_gain:
+                best_gain = float(gain[pos])
+                best_j, best_pos, best_order = j, pos, order
+        if best_j < 0:
+            return node
+        v = X[idx, best_j][best_order]
+        thr = (float(v[best_pos]) + float(v[best_pos + 1])) / 2.0
+        left_idx = idx[best_order[: best_pos + 1]]
+        right_idx = idx[best_order[best_pos + 1 :]]
+        self._nodes[node][0] = best_j
+        self._nodes[node][1] = thr
+        self._nodes[node][2] = self._build_tree(
+            X, g, h, left_idx, depth + 1
+        )
+        self._nodes[node][3] = self._build_tree(
+            X, g, h, right_idx, depth + 1
+        )
+        return node
+
+    @staticmethod
+    def _predict_tree(tree, X):
+        """Vectorized level-wise traversal of one flat-array tree."""
+        import numpy as np
+
+        feat, thr, left, right, val = tree
+        node = np.zeros(len(X), dtype=np.int64)
+        for _ in range(64):  # depth-bounded; leaves are absorbing
+            f = feat[node]
+            at_leaf = f < 0
+            if at_leaf.all():
+                break
+            go_left = X[np.arange(len(X)), np.maximum(f, 0)] <= thr[node]
+            nxt = np.where(go_left, left[node], right[node])
+            node = np.where(at_leaf, node, nxt)
+        return val[node]
+
+    def _raw_scores(self, X):
+        import numpy as np
+
+        out = np.zeros((len(X), len(self.classes_)))
+        for round_trees in self.trees_:
+            for c, tree in enumerate(round_trees):
+                out[:, c] += self.learning_rate * self._predict_tree(
+                    tree, X
+                )
+        return out
+
+    def fit(self, df: DataFrame) -> "NumpyGBDTClassifier":
+        import numpy as np
+
+        pdf = df.select(self.label_col, *self.feature_cols).toPandas()
+        if pdf.empty:
+            raise ValueError(
+                "NumpyGBDTClassifier.fit: empty training frame"
+            )
+        if pdf[self.label_col].isna().any():
+            raise ValueError(
+                "NumpyGBDTClassifier.fit: NULL labels — filter or "
+                "impute before fitting"
+            )
+        X = pdf[self.feature_cols].to_numpy(dtype=np.float64)
+        if not np.isfinite(X).all():
+            raise ValueError(
+                "NumpyGBDTClassifier.fit: non-finite feature values — "
+                "a NaN poisons every comparison on its feature's sort "
+                "path; clean or clip first"
+            )
+        self.classes_ = sorted(pdf[self.label_col].astype(str).unique())
+        idx = {c: i for i, c in enumerate(self.classes_)}
+        y = pdf[self.label_col].astype(str).map(idx).to_numpy()
+        n, k = len(X), len(self.classes_)
+        onehot = np.zeros((n, k))
+        onehot[np.arange(n), y] = 1.0
+
+        scores = np.zeros((n, k))
+        self.trees_ = []
+        all_rows = np.arange(n)
+        for _ in range(self.n_rounds):
+            z = scores - scores.max(axis=1, keepdims=True)
+            e = np.exp(z)
+            p = e / e.sum(axis=1, keepdims=True)
+            grad = p - onehot          # softprob first order
+            hess = p * (1.0 - p)       # diagonal second order
+            round_trees = []
+            for c in range(k):
+                self._nodes = []
+                self._build_tree(X, grad[:, c], hess[:, c], all_rows, 0)
+                tree = tuple(
+                    np.array(col)
+                    for col in zip(*self._nodes)
+                )
+                del self._nodes
+                round_trees.append(tree)
+                scores[:, c] += self.learning_rate * self._predict_tree(
+                    tree, X
+                )
+            self.trees_.append(round_trees)
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Appends `prediction` / `predicted_label` / `probabilities`
+        — the `NumpyMLPClassifier.transform` contract, scored by
+        distributed Arrow-batched ensemble traversal."""
+        from pyspark.sql.types import (
+            DoubleType,
+            MapType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        feature_cols = self.feature_cols
+        classes = self.classes_
+        raw_scores = self._raw_scores
+        schema = StructType(
+            list(df.schema.fields)
+            + [
+                StructField("prediction", DoubleType()),
+                StructField("predicted_label", StringType()),
+                StructField(
+                    "probabilities", MapType(StringType(), DoubleType())
+                ),
+            ]
+        )
+
+        def score(it):
+            import numpy as np
+
+            for pdf in it:
+                X = pdf[feature_cols].to_numpy(dtype=np.float64)
+                z = raw_scores(X)
+                z = z - z.max(axis=1, keepdims=True)
+                e = np.exp(z)
+                probs = e / e.sum(axis=1, keepdims=True)
+                pdf = pdf.copy()
+                pdf["prediction"] = probs.argmax(axis=1).astype(
+                    "float64"
+                )
+                pdf["predicted_label"] = [
+                    classes[i] for i in probs.argmax(axis=1)
+                ]
+                pdf["probabilities"] = [
+                    dict(zip(classes, map(float, row))) for row in probs
+                ]
+                yield pdf
+
+        return df.mapInPandas(score, schema=schema)
+
+    # identical metric contract — accuracy + clamped multiclass
+    # log loss over the (predicted_label, probabilities) columns
+    evaluate = NumpyMLPClassifier.evaluate
 
 
 def predict_for_play(

@@ -271,3 +271,136 @@ def test_numpy_mlp_input_guards(spark):
     )
     with pytest.raises(ValueError, match="non-finite"):
         NumpyMLPClassifier("lab", ["f1"]).fit(nan)
+
+
+def test_numpy_gbdt_family(spark):
+    """Round 10: the reference's boosted families (DefPosModel cell 16
+    XGBoost/LightGBM/CatBoost) as the FIFTH family — second-order
+    softprob boosting in pure NumPy. RNG-free, so refit equality is
+    exact; transform is Arrow-batched and partition-invariant."""
+    import random
+
+    from bigdatabowl2024_25_spark.ml import NumpyGBDTClassifier, train_eval
+
+    random.seed(11)
+    rows = [
+        (
+            f"c{i % 3}",
+            (i % 3) * 3.0 + random.gauss(0, 0.4),
+            -(i % 3) * 2.0 + random.gauss(0, 0.4),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "lab string, f1 double, f2 double")
+
+    model, pred, metrics = train_eval(df, "lab", ["f1", "f2"], model="gbdt")
+    assert metrics["accuracy"] >= 0.95
+    assert metrics["log_loss"] < 0.3
+    r0 = pred.select("probabilities").first().probabilities
+    assert abs(sum(r0.values()) - 1.0) < 1e-9
+    assert set(r0) == {"c0", "c1", "c2"}
+
+    # exact refit determinism — no xgboost hist-thread races
+    m1 = NumpyGBDTClassifier("lab", ["f1", "f2"], n_rounds=10).fit(df)
+    m2 = NumpyGBDTClassifier("lab", ["f1", "f2"], n_rounds=10).fit(df)
+    for r1, r2 in zip(m1.trees_, m2.trees_):
+        for t1, t2 in zip(r1, r2):
+            assert all((a == b).all() for a, b in zip(t1, t2))
+    # distributed scoring is partition-invariant (and bit-equal)
+    key = lambda rs: sorted(
+        (r.predicted_label, r.probabilities[r.predicted_label])
+        for r in rs
+    )
+    assert key(m1.transform(df).collect()) == key(
+        m1.transform(df.repartition(7)).collect()
+    )
+
+
+def test_numpy_gbdt_stump_matches_brute_force(spark):
+    """One round, depth 1, two classes: the chosen split and Newton
+    leaf weights must equal an exhaustive brute-force search with the
+    textbook XGBoost formulas (λ=1, softprob gradients from the zero
+    initial score)."""
+    import math
+
+    from bigdatabowl2024_25_spark.ml import NumpyGBDTClassifier
+
+    rows = [
+        ("a", 1.0, 9.0), ("a", 2.0, 1.0), ("a", 2.5, 8.0),
+        ("b", 4.0, 2.0), ("b", 5.0, 7.5), ("b", 6.0, 0.5),
+    ]
+    df = spark.createDataFrame(rows, "lab string, f1 double, f2 double")
+    m = NumpyGBDTClassifier(
+        "lab", ["f1", "f2"], n_rounds=1, max_depth=1,
+        min_child_weight=0.0,
+    ).fit(df)
+
+    # softprob grad/hess at score 0 (p = 1/2 each): g = p - y, h = p(1-p)
+    feats = [(r[1], r[2]) for r in rows]
+    lam = 1.0
+
+    def brute(cls_idx):
+        y = [1.0 if (r[0] == "ab"[cls_idx]) else 0.0 for r in rows]
+        g = [0.5 - yi for yi in y]
+        h = [0.25] * len(rows)
+        G, H = sum(g), sum(h)
+        best = (0.0, None)  # (gain, (j, thr, wl, wr))
+        for j in range(2):
+            vals = sorted({f[j] for f in feats})
+            for lo, hi in zip(vals, vals[1:]):
+                thr = (lo + hi) / 2
+                L = [i for i in range(len(rows)) if feats[i][j] <= thr]
+                GL = sum(g[i] for i in L); HL = sum(h[i] for i in L)
+                GR, HR = G - GL, H - HL
+                gain = 0.5 * (
+                    GL * GL / (HL + lam)
+                    + GR * GR / (HR + lam)
+                    - G * G / (H + lam)
+                )
+                if gain > best[0]:
+                    best = (
+                        gain,
+                        (j, thr, -GL / (HL + lam), -GR / (HR + lam)),
+                    )
+        return best[1]
+
+    for c in range(2):
+        feat, thr, left, right, val = m.trees_[0][c]
+        j, t, wl, wr = brute(c)
+        assert feat[0] == j
+        assert math.isclose(thr[0], t)
+        assert math.isclose(val[left[0]], wl)
+        assert math.isclose(val[right[0]], wr)
+
+
+def test_numpy_gbdt_input_guards(spark):
+    import pytest
+
+    from bigdatabowl2024_25_spark.ml import (
+        NumpyGBDTClassifier,
+        classifier_pipeline,
+    )
+
+    empty = spark.createDataFrame([], "lab string, f1 double")
+    with pytest.raises(ValueError, match="empty training frame"):
+        NumpyGBDTClassifier("lab", ["f1"]).fit(empty)
+    nulls = spark.createDataFrame(
+        [(None, 1.0), ("a", 2.0)], "lab string, f1 double"
+    )
+    with pytest.raises(ValueError, match="NULL labels"):
+        NumpyGBDTClassifier("lab", ["f1"]).fit(nulls)
+    nan = spark.createDataFrame(
+        [("a", float("nan")), ("b", 2.0)], "lab string, f1 double"
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        NumpyGBDTClassifier("lab", ["f1"]).fit(nan)
+    with pytest.raises(ValueError, match="NumpyGBDTClassifier"):
+        classifier_pipeline("lab", ["f1"], model="gbdt")
+    # constant features: no valid split anywhere -> single-leaf trees,
+    # uniform-ish probabilities, never a crash
+    const = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0)], "lab string, f1 double"
+    )
+    m = NumpyGBDTClassifier("lab", ["f1"], n_rounds=3).fit(const)
+    p = m.transform(const).select("probabilities").first().probabilities
+    assert abs(p["a"] - 0.5) < 1e-9 and abs(p["b"] - 0.5) < 1e-9
