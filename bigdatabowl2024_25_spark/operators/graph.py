@@ -74,7 +74,14 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    # NULL endpoints are dropped at the door: kept, a NULL "node"
+    # half-joins through the rounds (NULL never equi-joins, but
+    # groupBy keeps it as a key), so it would receive rank while its
+    # out-edges are mis-read as dangling — and in hits its mass
+    # enters the L1 total while the node itself drops from the
+    # output join, silently deflating every other score
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     # The edge list is read 3 + iterations times (node list twice,
     # out-degree, one share-join per round). Materialize it once to
     # executor-local storage instead of re-deriving the upstream
@@ -168,7 +175,8 @@ def oracle_pagerank_sql(
     """
     tele = (damping_den - damping_num) * scale
     parts = [
-        f"pr_edges AS ({edges_cte})",
+        f"pr_edges AS (SELECT * FROM ({edges_cte}) __e "
+        "WHERE src IS NOT NULL AND dst IS NOT NULL)",
         """pr_base AS (
             SELECT node, COALESCE(deg, 0) AS deg FROM (
                 SELECT src AS node FROM pr_edges
@@ -264,7 +272,14 @@ def hits(
     # there, bucket edges by src AND dst so each keyed join is a
     # map-side zip instead.
     _maybe_b = F.broadcast if broadcast_scores else (lambda d: d)
+    # NULL endpoints are dropped at the door: kept, a NULL "node"
+    # half-joins through the rounds (NULL never equi-joins, but
+    # groupBy keeps it as a key), so it would receive rank while its
+    # out-edges are mis-read as dangling — and in hits its mass
+    # enters the L1 total while the node itself drops from the
+    # output join, silently deflating every other score
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     e = e.localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -346,7 +361,8 @@ def oracle_hits_sql(
     ``SELECT node, h FROM ht_h{k}`` / ``SELECT node, a FROM ht_a{k}``.
     """
     parts = [
-        f"ht_edges AS ({edges_cte})",
+        f"ht_edges AS (SELECT * FROM ({edges_cte}) __e "
+        "WHERE src IS NOT NULL AND dst IS NOT NULL)",
         # the union is NESTED in a FROM on purpose: under a composed
         # WITH RECURSIVE block DuckDB treats a top-level `a UNION b`
         # CTE body as a recursive union and skips the dedup (observed:

@@ -562,9 +562,35 @@ def knn_classify(
       pair shuffle, not CPU, is the binding constraint.
 
     For train sets beyond ~10^5, generate candidates with the IVF/LSH
-    funnels first and re-rank with this scorer (the q80 pattern)."""
-    q = queries.select(
-        F.col(id_col), quantized(F.col(vec_col)).alias("__iv")
+    funnels first and re-rank with this scorer (the q80 pattern).
+
+    NULL / wrong-dims vectors (round-10 hardening): a NULL distance
+    sorts FIRST under the ascending k-set window, so one bad TRAIN
+    vector would occupy rank 1 of every query's k-set — bad train
+    rows (NULL/ragged vector, NULL label) are excluded from the index
+    up front. Unscorable QUERIES (NULL/ragged vector) are not silently
+    labeled by tid order either: they come back with NULL pred_label,
+    0 votes, NULL kth_d2."""
+    lbl_type = train.schema[label_col].dataType
+    q_all = queries.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    q_ok = F.coalesce(
+        F.size(F.col("__v")) == F.lit(dims), F.lit(False)
+    )
+    unscored = q_all.filter(~q_ok).select(
+        F.col(id_col),
+        F.lit(None).cast(lbl_type).alias("pred_label"),
+        F.lit(0).cast("bigint").alias("votes"),
+        F.lit(None).cast("double").alias("kth_d2"),
+    )
+    q = q_all.filter(q_ok).select(
+        F.col(id_col), quantized(F.col("__v")).alias("__iv")
+    )
+    train = train.filter(
+        F.coalesce(
+            (F.size(F.col(vec_col)) == F.lit(dims))
+            & F.col(label_col).isNotNull(),
+            F.lit(False),
+        )
     )
     if strategy == "pairs":
         tr = train.select(
@@ -599,7 +625,7 @@ def knn_classify(
             F.col("__lbl").alias("pred_label"),
             F.col("__nv").cast("bigint").alias("votes"),
             F.col("__kth").cast("double").alias("kth_d2"),
-        )
+        ).unionByName(unscored)
     if strategy != "inrow":
         raise ValueError(f"knn_classify: unknown strategy {strategy!r}")
     t = train.select(
@@ -648,7 +674,7 @@ def knn_classify(
         F.element_at(F.col("__k"), -1)["d2"]
         .cast("double")
         .alias("kth_d2"),
-    )
+    ).unionByName(unscored)
 
 
 def semantic_dedup(

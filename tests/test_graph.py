@@ -183,3 +183,35 @@ def test_hits_oracle_sql_generator_agrees(spark):
     want = {n: (h, a) for n, h, a in duckdb.sql(sql).fetchall()}
     got = {r.node: (r.hub_scaled, r.auth_scaled) for r in rows}
     assert got == want
+
+
+def test_null_endpoint_edges_are_dropped(spark):
+    """A NULL endpoint must not become a phantom node: kept, it would
+    half-join through the rounds (rank without contributing, L1 mass
+    without an output row). Both ops must behave exactly as if the
+    NULL edges were pre-filtered, and the oracle generators mirror it."""
+    from bigdatabowl2024_25_spark.operators.graph import hits, pagerank
+
+    dirty = spark.createDataFrame(
+        [(1, 2), (2, None), (None, 3), (3, 1), (2, 3)],
+        "src bigint, dst bigint",
+    )
+    clean = dirty.filter("src IS NOT NULL AND dst IS NOT NULL")
+    for op in (pagerank, hits):
+        got = sorted(map(tuple, op(dirty, iterations=2).collect()))
+        want = sorted(map(tuple, op(clean, iterations=2).collect()))
+        assert got == want
+        assert not any(r[0] is None for r in got)
+
+    vals = "(1,2),(2,NULL),(NULL,3),(3,1),(2,3)"
+    block = oracle_pagerank_sql(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst)", iterations=2
+    )
+    want = {
+        r.node: r.rank_scaled
+        for r in pagerank(dirty, iterations=2).collect()
+    }
+    got = dict(
+        duckdb.sql(f"WITH {block} SELECT node, r FROM pr_r2").fetchall()
+    )
+    assert got == want

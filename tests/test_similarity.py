@@ -597,3 +597,54 @@ def test_knn_strategies_agree(spark):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_knn_classify_null_and_ragged_vectors(spark):
+    """Round-10 hardening: a NULL distance sorts FIRST under the
+    ascending k-set window, so one NULL/ragged train vector would
+    occupy rank 1 of EVERY query's k-set — bad train rows (and
+    NULL labels) must be excluded from the index, and unscorable
+    queries must come back (NULL, 0, NULL) instead of being silently
+    labeled by tid order."""
+    from bigdatabowl2024_25_spark.operators.similarity import knn_classify
+
+    tr = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.9, 0.1], "a"),
+            (3, [0.0, 1.0], "b"),
+            (4, None, "z"),          # NULL vector
+            (5, [1.0], "w"),         # ragged vector
+            (6, [0.5, 0.5], None),   # NULL label
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    q = spark.createDataFrame(
+        [(10, [1.0, 0.05]), (11, None), (12, [3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    clean_tr = tr.filter("size(embedding) = 2 AND label IS NOT NULL")
+    for strat in ("pairs", "inrow"):
+        got = {
+            r.vec_id: (r.pred_label, r.votes, r.kth_d2)
+            for r in knn_classify(
+                q, tr, "vec_id", "embedding", "label",
+                k=2, dims=2, strategy=strat,
+            ).collect()
+        }
+        # scorable query: votes from the two nearest REAL 'a' rows
+        assert got[10] == (
+            "a", 2, got[10][2],
+        ) and got[10][2] is not None
+        # identical to pre-cleaned train input
+        want10 = {
+            r.vec_id: (r.pred_label, r.votes, r.kth_d2)
+            for r in knn_classify(
+                q, clean_tr, "vec_id", "embedding", "label",
+                k=2, dims=2, strategy=strat,
+            ).collect()
+        }[10]
+        assert got[10] == want10
+        # unscorable queries: explicit non-answers
+        assert got[11] == (None, 0, None)
+        assert got[12] == (None, 0, None)
