@@ -1164,3 +1164,149 @@ def lsh_near_dup(
         .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["q_id", "d_id"])
     )
+
+
+#: JL sign planes live in their own id space so they can never collide
+#: with the LSH bucket planes (table*1000+plane < 25000)
+_JL_PLANE_BASE = 500_000
+
+
+def jl_sign_rows(out_dim: int, dims: int) -> list[list[int]]:
+    """The ±1 sparse sign matrix of the Johnson-Lindenstrauss
+    projection (Achlioptas 2003, database-friendly random projections:
+    ±1 entries preserve pairwise distances within (1±ε) at
+    k = O(log n / ε²) exactly like Gaussian ones) — md5-derived via
+    `_plane_signs`, so engine- and run-independent with no stored
+    matrix; the oracle SQL re-derives the identical literals."""
+    return [
+        [int(v) for v in _plane_signs(_JL_PLANE_BASE + j, dims)]
+        for j in range(out_dim)
+    ]
+
+
+def _jl_array_sql(iv_name: str, out_dim: int, dims: int) -> str:
+    """SQL text projecting a pre-quantized micro-int column to
+    `out_dim` int64 components (one aggregate/zip_with per component
+    against an inline ±1 literal). One `F.expr` string, not a Column
+    tree — the `_bucket_array_sql` py4j lesson."""
+    comps = []
+    for signs in jl_sign_rows(out_dim, dims):
+        lit = "array(" + ",".join(str(s) for s in signs) + ")"
+        comps.append(
+            f"aggregate(zip_with({iv_name}, {lit}, (x, y) -> x*y), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+    return "array(" + ",\n".join(comps) + ")"
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str,
+    out_dim: int = 16,
+    dims: int = 64,
+    out_col: str = "jl_iv",
+) -> DataFrame:
+    """Deterministic JL random projection of an embedding column:
+    appends `out_col` = array<bigint> of `out_dim` signed micro-int
+    sums Σᵢ ±vᵢ (the 1/√k normalization is a global scalar — it
+    cancels in every cosine/ranking use, so it is omitted and the
+    arithmetic stays exact int64).
+
+    The dimension-reduction stage every 100 TB embedding pipeline
+    wants in front of brute-force scoring: a 64→16 projection cuts
+    candidate-stage traffic and FLOPs 4× while JL keeps relative
+    distances within the ε band. Pure map (codegen zip_with chain),
+    zero shuffle, composable with the IVF/LSH funnels."""
+    tmp = f"__jl_src_{out_col}"
+    return (
+        df.withColumn(tmp, quantized(F.col(vec_col)))
+        .withColumn(out_col, F.expr(_jl_array_sql(tmp, out_dim, dims)))
+        .drop(tmp)
+    )
+
+
+def jl_topk(
+    queries: DataFrame,
+    data: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    shortlist: int = 12,
+    out_dim: int = 16,
+    dims: int = 64,
+) -> DataFrame:
+    """ANN via JL projection: scan-score every (query, corpus) pair in
+    the PROJECTED space (16 ints, 4× cheaper than full width), keep a
+    per-query `shortlist` by projected cosine, then re-rank ONLY the
+    shortlist with the exact full-width cosine. Returns
+    (q_id, d_id, cosine, rank) with the exact cosine, rank ≤ k.
+
+    Discipline (the q80/knn pattern): the shortlist window rides
+    SKINNY (q_id, d_id, projected-cos) rows — full vectors join back
+    onto the ≤ q·shortlist survivors only, so the corpus never ships
+    its payload through the candidate stage. All dots int64; both
+    ranking stages break ties (score desc, d_id asc) so the funnel is
+    engine-exact and the oracle replays it in SQL."""
+    qp = (
+        random_project(queries, vec_col, out_dim, dims, "__qjl")
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col("__qjl").alias("q_jl"),
+        )
+        .withColumn(
+            "q_jn",
+            F.sqrt(int_dot(F.col("q_jl"), F.col("q_jl")).cast("double")),
+        )
+    )
+    dp = (
+        random_project(data, vec_col, out_dim, dims, "__djl")
+        .select(
+            F.col(id_col).alias("d_id"),
+            F.col("__djl").alias("d_jl"),
+        )
+        .withColumn(
+            "d_jn",
+            F.sqrt(int_dot(F.col("d_jl"), F.col("d_jl")).cast("double")),
+        )
+    )
+    pcos = int_dot(F.col("q_jl"), F.col("d_jl")).cast("double") / (
+        F.col("q_jn") * F.col("d_jn")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("__pcos").desc(), F.col("d_id").asc()
+    )
+    cand = (
+        dp.crossJoin(F.broadcast(qp))
+        .select("q_id", "d_id", pcos.alias("__pcos"))
+        .withColumn("__prn", F.row_number().over(w))
+        .filter(F.col("__prn") <= shortlist)
+        .select("q_id", "d_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("q_id"), quantized(F.col(vec_col)).alias("q_iv")
+    ).withColumn(
+        "q_n", F.sqrt(int_dot(F.col("q_iv"), F.col("q_iv")).cast("double"))
+    )
+    dv = data.select(
+        F.col(id_col).alias("d_id"), quantized(F.col(vec_col)).alias("d_iv")
+    ).withColumn(
+        "d_n", F.sqrt(int_dot(F.col("d_iv"), F.col("d_iv")).cast("double"))
+    )
+    exact = (
+        cand.join(dv, "d_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "d_id",
+            (
+                int_dot(F.col("q_iv"), F.col("d_iv")).cast("double")
+                / (F.col("q_n") * F.col("d_n"))
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("d_id").asc()
+    )
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

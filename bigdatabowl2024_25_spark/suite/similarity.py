@@ -486,6 +486,71 @@ _D2 = (
 )
 
 
+def _jl_signs_values() -> str:
+    """The q82 'rp' branch's 16×64 ±1 JL sign matrix as a DuckDB
+    VALUES table (j, sl) — the SAME `jl_sign_rows` literals the Spark
+    projection compiles into its codegen expression."""
+    from ..operators.similarity import jl_sign_rows
+
+    return ", ".join(
+        f"({j}, [{','.join(str(s) for s in row)}])"
+        for j, row in enumerate(jl_sign_rows(16, 64))
+    )
+
+
+#: JL branch oracle: project → shortlist by projected cosine →
+#: exact-rescore the shortlist — the identical two-stage funnel
+#: `jl_topk` runs, replayed on the same int64 arithmetic
+_JL_CTES = f"""
+    jls AS (SELECT * FROM (VALUES {{JLV}}) t(j, sl)),
+    jlp AS (
+        SELECT vec_id, j,
+               CAST(list_sum(list_transform(range(1,65),
+                    i -> iv[i]*sl[i])) AS BIGINT) AS c
+        FROM emb CROSS JOIN jls
+    ),
+    jln AS (
+        SELECT vec_id, SQRT(CAST(CAST(SUM(c*c) AS BIGINT) AS DOUBLE)) AS pn
+        FROM jlp GROUP BY vec_id
+    ),
+    jldot AS (
+        SELECT q.vec_id AS q_id, d.vec_id AS d_id,
+               CAST(SUM(q.c*d.c) AS BIGINT) AS pdot
+        FROM jlp q JOIN jlp d USING (j)
+        WHERE q.vec_id < 8
+        GROUP BY q.vec_id, d.vec_id
+    ),
+    jshort AS (
+        SELECT q_id, d_id FROM (
+            SELECT t.q_id, t.d_id,
+                   ROW_NUMBER() OVER (PARTITION BY t.q_id
+                       ORDER BY CAST(t.pdot AS DOUBLE) / (qn.pn * dn.pn)
+                                DESC, t.d_id ASC) AS rn
+            FROM jldot t
+            JOIN jln qn ON qn.vec_id = t.q_id
+            JOIN jln dn ON dn.vec_id = t.d_id
+        ) WHERE rn <= 24
+    ),
+    jexact AS (
+        SELECT s.q_id, s.d_id,
+               CAST(CAST(list_sum(list_transform(range(1,65),
+                    i -> a.iv[i]*b.iv[i])) AS BIGINT) AS DOUBLE)
+                 / (qn.nrm * dn.nrm) AS cosine
+        FROM jshort s
+        JOIN emb a ON a.vec_id = s.q_id
+        JOIN emb b ON b.vec_id = s.d_id
+        JOIN norms qn ON qn.vec_id = s.q_id
+        JOIN norms dn ON dn.vec_id = s.d_id
+    ),
+    jranked AS (
+        SELECT q_id, d_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, d_id ASC) AS rank
+        FROM jexact
+    )
+"""
+
+
 @query(
     "q82_ann_lsh_topk",
     oracle=f"""
@@ -498,8 +563,14 @@ _D2 = (
         FROM buckets q JOIN buckets d USING (bucket)
         WHERE q.vec_id < 8
     ),
-    {_ANN_SCORE}
-    """,
+    {_ANN_CTES},
+    {_JL_CTES.replace("{JLV}", "{jlv}")}
+    SELECT 'lsh' AS kind, q_id, d_id, cosine, rank FROM ranked
+    WHERE rank <= 5 AND q_id <> d_id
+    UNION ALL
+    SELECT 'rp', q_id, d_id, cosine, rank FROM jranked
+    WHERE rank <= 5 AND q_id <> d_id
+    """.replace("{jlv}", _jl_signs_values()),
 )
 def q82_ann_lsh_topk(spark, sf_dir):
     """Scale-path ANN: deterministic hyperplane-LSH buckets + exact
@@ -512,9 +583,33 @@ def q82_ann_lsh_topk(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     out = lsh_topk(q, e, "vec_id", "embedding", k=5, planes=3, tables=4, dims=64)
-    return out.filter(F.col("q_id") != F.col("d_id")).select(
-        "q_id", "d_id", "cosine", "rank"
+    lsh = out.filter(F.col("q_id") != F.col("d_id")).select(
+        F.lit("lsh").alias("kind"), "q_id", "d_id", "cosine", "rank"
     )
+
+    # 'rp' (round 10): JL random-projection ANN
+    # (`similarity.jl_topk`) — 64→16 ±1 sign projection (Achlioptas
+    # 2003), shortlist-12 by projected cosine, exact full-width
+    # re-rank to top-5. The whole two-stage funnel is int64-exact, so
+    # the oracle replays projection, shortlist, and re-rank with the
+    # same literals and tie-breaks.
+    from ..operators.similarity import jl_topk
+
+    rp = (
+        jl_topk(
+            q, e, "vec_id", "embedding",
+            k=5, shortlist=24, out_dim=16, dims=64,
+        )
+        .filter(F.col("q_id") != F.col("d_id"))
+        .select(
+            F.lit("rp").alias("kind"),
+            "q_id",
+            "d_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+    return lsh.unionByName(rp)
 
 
 #: PQ geometry for the q83 'pq' branch: 64 dims → 8 subspaces of 8,
