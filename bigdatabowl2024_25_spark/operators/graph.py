@@ -410,3 +410,195 @@ def oracle_hits_sql(
         )"""
         )
     return ",\n".join(parts)
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    *,
+    iterations: int = 2,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = DEFAULT_SCALE,
+    eager_every: int = 4,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
+    PageRank with the teleport restricted to a curated SEED set — the
+    standard spam-demotion / source-trust signal of web-corpus
+    pipelines (trust flows out of hand-vetted good sites; link farms
+    far from every seed starve). Identical recurrence to `pagerank`
+    except teleport AND dangling mass land uniformly on the seeds
+    instead of all nodes:
+
+        r'(v) = [v∈S]·(den−num)·scale div (den·|S|)
+                + num·(contrib(v) + [v∈S]·(dangling div |S|)) div den
+
+    ``seeds`` rows not present in the graph are ignored (semi-join);
+    an empty effective seed set fails LOUDLY at execution (a silent
+    all-zero trust vector would read as "everything is spam").
+    Same integer-exact / oracle-replayable discipline and per-round
+    lineage-cut policy as `pagerank`; NULL-endpoint edges are dropped
+    at the door the same way. Returns (node, rank_scaled)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sd = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+        .join(nodes, "node", "semi")
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    base = (
+        nodes.join(outdeg, "node", "left")
+        .join(sd.withColumn("__s", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+            F.coalesce("__s", F.lit(0)).alias("is_seed"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    counts = base.agg(
+        F.coalesce(F.sum("is_seed"), F.lit(0)).alias("ns")
+    )
+    tele_num = (damping_den - damping_num) * scale
+    guard = F.when(
+        F.col("ns") == 0,
+        F.raise_error(
+            F.lit(
+                "trustrank: no seed intersects the graph's node set — "
+                "a silent all-zero trust vector would read as "
+                "'everything is spam'; pass at least one in-graph seed"
+            )
+        ).cast("bigint"),
+    )
+    # r0: all teleport mass on the seeds (the classic init d = 1_S/|S|)
+    ranks = base.join(counts).select(
+        "node",
+        "deg",
+        "is_seed",
+        "ns",
+        F.coalesce(
+            guard,
+            F.expr(f"is_seed * ({scale} div ns)").cast("bigint"),
+        ).alias("rank_scaled"),
+    )
+    for i in range(iterations):
+        shares = e.join(
+            ranks.select(
+                F.col("node").alias("src"), "deg", "rank_scaled"
+            ),
+            "src",
+        ).select("dst", F.expr("rank_scaled div deg").alias("share"))
+        contrib = shares.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("share").alias("contrib")
+        )
+        dangling = ranks.filter(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("dm")
+        )
+        ranks = (
+            ranks.select("node", "deg", "is_seed", "ns")
+            .join(contrib, "node", "left")
+            .join(dangling)
+            .select(
+                "node",
+                "deg",
+                "is_seed",
+                "ns",
+                (
+                    F.expr(
+                        f"is_seed * ({tele_num} div ({damping_den} * ns))"
+                    )
+                    + F.expr(
+                        f"{damping_num} * (coalesce(contrib, 0)"
+                        f" + is_seed * (dm div ns)) div {damping_den}"
+                    )
+                ).alias("rank_scaled"),
+            )
+        )
+        if (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(
+                eager=((i + 1) % eager_every == 0)
+            )
+    return ranks.select("node", "rank_scaled")
+
+
+def oracle_trustrank_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    *,
+    iterations: int = 2,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = DEFAULT_SCALE,
+) -> str:
+    """DuckDB CTE block re-deriving `trustrank` by unrolled iteration
+    (``tr_edges/tr_base/tr_ns/tr_r0..tr_r{k}``; final ranks are
+    ``SELECT node, r FROM tr_r{k}``). ``seeds_cte`` yields a `node`
+    column; out-of-graph seeds are dropped like the operator does."""
+    tele = (damping_den - damping_num) * scale
+    parts = [
+        f"tr_edges AS (SELECT * FROM ({edges_cte}) __e "
+        "WHERE src IS NOT NULL AND dst IS NOT NULL)",
+        f"tr_seeds AS ({seeds_cte})",
+        """tr_base AS (
+            SELECT nn.node, COALESCE(d.deg, 0) AS deg,
+                   CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+            FROM (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM tr_edges
+                    UNION ALL SELECT dst FROM tr_edges
+                )
+            ) nn
+            LEFT JOIN (
+                SELECT src, COUNT(*) AS deg FROM tr_edges GROUP BY src
+            ) d ON d.src = nn.node
+            LEFT JOIN (SELECT DISTINCT node FROM tr_seeds) s
+                   ON s.node = nn.node
+        )""",
+        "tr_ns AS (SELECT SUM(is_seed) AS ns FROM tr_base)",
+        f"tr_r0 AS (SELECT node, deg, is_seed,"
+        f" CAST(is_seed * ({scale} // ns) AS BIGINT) AS r"
+        " FROM tr_base, tr_ns)",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"tr_r{i - 1}"
+        parts.append(
+            f"""tr_c{i} AS (
+            SELECT e.dst AS node, CAST(SUM(r.r // r.deg) AS BIGINT) AS c
+            FROM tr_edges e JOIN {p} r ON r.node = e.src
+            GROUP BY e.dst
+        )"""
+        )
+        parts.append(
+            f"""tr_d{i} AS (
+            SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm
+            FROM {p} WHERE deg = 0
+        )"""
+        )
+        parts.append(
+            f"""tr_r{i} AS (
+            SELECT b.node, b.deg, b.is_seed,
+                   CAST(b.is_seed * ({tele} // ({damping_den} * tr_ns.ns))
+                        + {damping_num} * (COALESCE(c.c, 0)
+                          + b.is_seed * (tr_d{i}.dm // tr_ns.ns))
+                          // {damping_den}
+                        AS BIGINT) AS r
+            FROM tr_base b
+            LEFT JOIN tr_c{i} c ON c.node = b.node, tr_ns, tr_d{i}
+        )"""
+        )
+    return ",\n".join(parts)

@@ -32,7 +32,9 @@ from ..operators.graph import (
     hits,
     oracle_hits_sql,
     oracle_pagerank_sql,
+    oracle_trustrank_sql,
     pagerank,
+    trustrank,
 )
 from ..sources.io import load_table
 from .registry import query
@@ -49,6 +51,15 @@ _PAGERANK_BLOCK = oracle_pagerank_sql(_PR_EDGES_CTE, iterations=3)
 #: authorities on the supplier side (bipartite, plus the pr branch's
 #: shared derivation); 2 rounds keeps the q74 budget bounded
 _HITS_BLOCK = oracle_hits_sql("SELECT * FROM pr_edges", iterations=2)
+
+#: TrustRank seeds: a tenth of the supplier-side nodes by an
+#: arithmetic predicate both engines evaluate identically
+_TR_SEEDS_CTE = (
+    "SELECT DISTINCT dst AS node FROM pr_edges WHERE dst % 10 = 3"
+)
+_TRUST_BLOCK = oracle_trustrank_sql(
+    "SELECT * FROM pr_edges", _TR_SEEDS_CTE, iterations=2
+)
 
 # ---- shared SQL fragments (DuckDB side) --------------------------------
 
@@ -966,7 +977,8 @@ def q73_simhash(spark, sf_dir):
         SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
     ),
     {_PAGERANK_BLOCK},
-    {_HITS_BLOCK}
+    {_HITS_BLOCK},
+    {_TRUST_BLOCK}
     SELECT 'cc' AS kind, node, MIN(label) AS component,
            CAST(NULL AS BIGINT) AS rank_scaled
     FROM reach GROUP BY node
@@ -976,6 +988,8 @@ def q73_simhash(spark, sf_dir):
     SELECT 'hub', node, NULL, h FROM ht_h2
     UNION ALL
     SELECT 'auth', node, NULL, a FROM ht_a2
+    UNION ALL
+    SELECT 'trust', node, NULL, r FROM tr_r2
     """,
 )
 def q74_near_dup_clusters(spark, sf_dir):
@@ -1065,7 +1079,27 @@ def q74_near_dup_clusters(spark, sf_dir):
         F.lit(None).cast("bigint").alias("component"),
         F.col("auth_scaled").alias("rank_scaled"),
     )
-    return cc.unionByName(pr).unionByName(hub).unionByName(auth)
+
+    # 'trust' (round 10): TrustRank — teleport restricted to a seed
+    # tenth of the supplier-side nodes (arithmetic predicate, so the
+    # oracle derives the identical seed set). The spam-demotion
+    # signal: trust flows OUT of the seeds; customers earn it only
+    # through links. Same checkpoint'd edge list as 'pr'/'hub'.
+    seeds = pr_edges.select(F.col("dst").alias("node")).filter(
+        F.col("node") % 10 == 3
+    )
+    tr = trustrank(pr_edges, seeds, iterations=2).select(
+        F.lit("trust").alias("kind"),
+        "node",
+        F.lit(None).cast("bigint").alias("component"),
+        "rank_scaled",
+    )
+    return (
+        cc.unionByName(pr)
+        .unionByName(hub)
+        .unionByName(auth)
+        .unionByName(tr)
+    )
 
 
 @query(

@@ -215,3 +215,93 @@ def test_null_endpoint_edges_are_dropped(spark):
         duckdb.sql(f"WITH {block} SELECT node, r FROM pr_r2").fetchall()
     )
     assert got == want
+
+
+# ---- TrustRank -------------------------------------------------------
+
+def ref_trustrank(
+    edges, seeds, iterations, scale=DEFAULT_SCALE, num=17, den=20
+):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    seeds = sorted(set(seeds) & set(nodes))
+    outdeg = Counter(s for s, _ in edges)
+    ns = len(seeds)
+    tele = (den - num) * scale
+    r = {v: (scale // ns if v in seeds else 0) for v in nodes}
+    for _ in range(iterations):
+        contrib = defaultdict(int)
+        for s, d in edges:
+            contrib[d] += r[s] // outdeg[s]
+        dm = sum(r[v] for v in nodes if outdeg[v] == 0)
+        r = {
+            v: (tele // (den * ns) if v in seeds else 0)
+            + num
+            * (contrib[v] + (dm // ns if v in seeds else 0))
+            // den
+            for v in nodes
+        }
+    return r
+
+
+def test_trustrank_matches_python_reference(spark):
+    from bigdatabowl2024_25_spark.operators.graph import trustrank
+
+    df = spark.createDataFrame(EDGES, "src bigint, dst bigint")
+    # seed 3 is in-graph; seed 99 must be ignored (not a node)
+    seeds = spark.createDataFrame([(3,), (99,)], "node bigint")
+    for iters in (1, 3):
+        got = {
+            r.node: r.rank_scaled
+            for r in trustrank(df, seeds, iterations=iters).collect()
+        }
+        assert got == ref_trustrank(EDGES, [3], iters)
+
+
+def test_trustrank_semantics_and_oracle(spark):
+    from bigdatabowl2024_25_spark.operators.graph import (
+        oracle_trustrank_sql,
+        trustrank,
+    )
+
+    df = spark.createDataFrame(EDGES, "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(3,)], "node bigint")
+    got = {
+        r.node: r.rank_scaled
+        for r in trustrank(df, seeds, iterations=4).collect()
+    }
+    # node 5 is a dangling sink reachable only through 1: it holds
+    # strictly less trust than the seed, and unreachable-from-seed
+    # nodes hold zero teleport-only mass at round 1
+    assert got[3] == max(got.values())
+    assert got[5] < got[3]
+    # NULL-endpoint edges are dropped like pagerank/hits
+    dirty = spark.createDataFrame(
+        EDGES + [(None, 1), (2, None)], "src bigint, dst bigint"
+    )
+    assert {
+        r.node: r.rank_scaled
+        for r in trustrank(dirty, seeds, iterations=2).collect()
+    } == ref_trustrank(EDGES, [3], 2)
+
+    vals = ", ".join(f"({s}, {d})" for s, d in EDGES)
+    block = oracle_trustrank_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)",
+        "SELECT 3 AS node",
+        iterations=4,
+    )
+    want = dict(
+        duckdb.sql(f"WITH {block} SELECT node, r FROM tr_r4").fetchall()
+    )
+    assert got == want
+
+
+def test_trustrank_empty_seed_set_fails_loudly(spark):
+    import pytest
+
+    from bigdatabowl2024_25_spark.operators.graph import trustrank
+
+    df = spark.createDataFrame(EDGES, "src bigint, dst bigint")
+    # 99 is not a graph node -> effective seed set is empty
+    seeds = spark.createDataFrame([(99,)], "node bigint")
+    with pytest.raises(Exception, match="trustrank: no seed"):
+        trustrank(df, seeds, iterations=1).collect()

@@ -720,3 +720,81 @@ def test_jl_projection_and_topk(spark):
         .collect()
     }
     assert rerun == {(r.q_id, r.d_id, r.cosine, r.rank) for r in got_rows}
+
+
+def test_jl_topk_fuzz_vs_python_reference(spark):
+    """Fuzz the WHOLE two-stage JL funnel against an independent
+    from-scratch Python implementation (exact ints, same tie-breaks)
+    on adversarial random vectors — including duplicate vectors (cos
+    ties → d_id tie-break) and negative components."""
+    import math
+    import random
+
+    from bigdatabowl2024_25_spark.operators.similarity import (
+        jl_sign_rows,
+        jl_topk,
+    )
+
+    rng = random.Random(404)
+    DIMS, OUT, K, SHORT = 8, 4, 3, 5
+    signs = jl_sign_rows(OUT, DIMS)
+
+    def ref(vecs, qids):
+        iv = {
+            i: [math.floor(x * 1_000_000.0) for x in v]
+            for i, v in vecs.items()
+        }
+        proj = {
+            i: [sum(s * x for s, x in zip(row, iv[i])) for row in signs]
+            for i in iv
+        }
+
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(a, b))
+            den = math.sqrt(float(sum(x * x for x in a))) * math.sqrt(
+                float(sum(x * x for x in b))
+            )
+            return float(num) / den
+
+        out = []
+        for q in qids:
+            short = sorted(
+                proj, key=lambda d: (-cos(proj[q], proj[d]), d)
+            )[:SHORT]
+            ranked = sorted(
+                short, key=lambda d: (-cos(iv[q], iv[d]), d)
+            )[:K]
+            out.extend(
+                (q, d, cos(iv[q], iv[d]), r + 1)
+                for r, d in enumerate(ranked)
+            )
+        return sorted(out)
+
+    for trial in range(6):
+        n = rng.randint(6, 14)
+        vecs = {
+            i: [rng.uniform(-2, 2) for _ in range(DIMS)]
+            for i in range(n)
+        }
+        if trial % 2:  # force exact duplicates -> cosine ties
+            vecs[n] = list(vecs[0])
+            vecs[n + 1] = list(vecs[0])
+        qids = sorted(vecs)[:2]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()],
+            "vec_id long, embedding array<double>",
+        )
+        got = sorted(
+            tuple(r)
+            for r in jl_topk(
+                df.filter(F.col("vec_id").isin(qids)),
+                df,
+                "vec_id",
+                "embedding",
+                k=K,
+                shortlist=SHORT,
+                out_dim=OUT,
+                dims=DIMS,
+            ).collect()
+        )
+        assert got == ref(vecs, qids), f"trial {trial} diverged"
