@@ -123,3 +123,98 @@ def edit_distance_self_join(
         .filter(F.col("dist") <= k)
         .select("id_a", "id_b", "dist")
     )
+
+
+def sorted_neighborhood_self_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+    window: int = 3,
+    prefix_len: int = 4,
+    keys: list | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández & Stolfo,
+    SIGMOD 1995 "merge/purge"): the OTHER classic blocking paradigm —
+    sort the corpus by a discriminating key and compare each row only
+    to its `window−1` successors, instead of inverting grams like
+    `edit_distance_self_join`. Complementary failure modes: gram
+    blocking degrades on near-identical key spaces (huge shared-gram
+    blocks), SNM stays linear there but misses pairs whose sort keys
+    diverge early — which is why the method is defined as MULTI-PASS
+    (`keys`: one pass per sort key; default [text, reverse(text)],
+    the standard head/tail pair). Pairs union across passes, dedupe,
+    then verify with exact levenshtein ≤ k.
+
+    Returns (id_a, id_b, dist), id_a < id_b by id.
+
+    Scale: each pass is ONE keyed sort — neighborhoods are windowed
+    WITHIN `prefix_len`-character key-prefix partitions (the sort
+    parallelizes per prefix; a pair straddling a prefix boundary is
+    invisible to that pass, the same boundary loss windowed SNM
+    always has — the multi-pass union is the paper's own answer).
+    Per row the pass emits `window−1` skinny candidate rows via
+    lead(); candidate volume is window-bounded (n·(window−1) per
+    pass), never quadratic, with no index to build or broadcast.
+    NULL ids/texts are dropped at the door (a NULL key would gather
+    all NULL rows into one fake neighborhood)."""
+    from pyspark.sql import Window
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    # key expressions resolve against the CALLER's columns (so a pass
+    # can sort by any derived key, e.g. "concat(zip, name)")
+    key_cols = (
+        [F.col(text_col), F.reverse(F.col(text_col))]
+        if keys is None
+        else [F.expr(x) if isinstance(x, str) else x for x in keys]
+    )
+    passes = []
+    for key in key_cols:
+        keyed = df.select(
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__t"),
+            key.alias("__key"),
+        ).filter(F.col("__id").isNotNull() & F.col("__t").isNotNull())
+        w = Window.partitionBy(
+            F.substring(F.col("__key"), 1, prefix_len)
+        ).orderBy(F.col("__key").asc(), F.col("__id").asc())
+        cands = keyed.select(
+            "__id",
+            "__t",
+            *[
+                F.struct(
+                    F.lead("__id", off).over(w).alias("nid"),
+                    F.lead("__t", off).over(w).alias("nt"),
+                ).alias(f"__n{off}")
+                for off in range(1, window)
+            ],
+        )
+        stacked = cands.select(
+            "__id",
+            "__t",
+            F.explode(
+                F.array(*[f"__n{off}" for off in range(1, window)])
+            ).alias("__n"),
+        ).filter(F.col("__n.nid").isNotNull())
+        passes.append(
+            stacked.select(
+                F.least(F.col("__id"), F.col("__n.nid")).alias("id_a"),
+                F.greatest(F.col("__id"), F.col("__n.nid")).alias("id_b"),
+                F.when(F.col("__id") < F.col("__n.nid"), F.col("__t"))
+                .otherwise(F.col("__n.nt"))
+                .alias("__ta"),
+                F.when(F.col("__id") < F.col("__n.nid"), F.col("__n.nt"))
+                .otherwise(F.col("__t"))
+                .alias("__tb"),
+            )
+        )
+    allp = passes[0]
+    for p in passes[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.dropDuplicates(["id_a", "id_b"])
+        .withColumn("dist", F.levenshtein("__ta", "__tb"))
+        .filter(F.col("dist") <= k)
+        .select("id_a", "id_b", "dist")
+    )

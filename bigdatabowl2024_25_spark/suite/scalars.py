@@ -45,6 +45,30 @@ from .registry import query
 @query(
     "q50_string_functions",
     oracle="""
+    WITH snm_keyed AS (
+        SELECT 1 AS pass, c_custkey AS id, c_name AS t, c_name AS key
+        FROM customer WHERE c_custkey < 200 AND c_name IS NOT NULL
+        UNION ALL
+        SELECT 2, c_custkey, c_name, reverse(c_name)
+        FROM customer WHERE c_custkey < 200 AND c_name IS NOT NULL
+    ),
+    snm_leads AS (
+        SELECT id, t, lead(id, 1) OVER w AS nid, lead(t, 1) OVER w AS nt
+        FROM snm_keyed
+        WINDOW w AS (PARTITION BY pass, substr(key, 1, 4)
+                     ORDER BY key ASC, id ASC)
+        UNION ALL
+        SELECT id, t, lead(id, 2) OVER w2, lead(t, 2) OVER w2
+        FROM snm_keyed
+        WINDOW w2 AS (PARTITION BY pass, substr(key, 1, 4)
+                      ORDER BY key ASC, id ASC)
+    ),
+    snm_pairs AS (
+        SELECT DISTINCT LEAST(id, nid) AS id_a, GREATEST(id, nid) AS id_b,
+               CASE WHEN id < nid THEN t ELSE nt END AS ta,
+               CASE WHEN id < nid THEN nt ELSE t END AS tb
+        FROM snm_leads WHERE nid IS NOT NULL
+    )
     SELECT 'scalar' AS kind, p_partkey AS id_a,
            regexp_replace(p_type, '[ -]', '.', 'g') AS clean_type,
            concat_ws(' - ', p_brand, p_type) AS brand_type,
@@ -58,6 +82,10 @@ from .registry import query
     FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
     WHERE a.c_custkey < 200 AND b.c_custkey < 200
       AND levenshtein(a.c_name, b.c_name) <= 2
+    UNION ALL
+    SELECT 'snm', id_a, NULL, NULL, NULL, id_b,
+           levenshtein(ta, tb)
+    FROM snm_pairs WHERE levenshtein(ta, tb) <= 2
     """,
 )
 def q50_string_functions(spark, sf_dir):
@@ -100,7 +128,26 @@ def q50_string_functions(spark, sf_dir):
         "id_b",
         F.col("dist").cast("bigint").alias("dist"),
     )
-    return scalar.unionByName(fz)
+
+    # 'snm' (round 10): sorted-neighborhood blocking over the SAME
+    # names (`fuzzy.sorted_neighborhood_self_join`) — the merge/purge
+    # paradigm beside the gram-count funnel; two passes (name,
+    # reversed name), window 3, exact levenshtein verify. The oracle
+    # replays both pass windows with identical partition/order keys.
+    from ..operators.fuzzy import sorted_neighborhood_self_join
+
+    snm = sorted_neighborhood_self_join(
+        names, "c_custkey", "c_name", k=2, window=3, prefix_len=4
+    ).select(
+        F.lit("snm").alias("kind"),
+        "id_a",
+        ns.alias("clean_type"),
+        ns.alias("brand_type"),
+        ns.alias("reversed_name"),
+        "id_b",
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+    return scalar.unionByName(fz).unionByName(snm)
 
 
 @query(
