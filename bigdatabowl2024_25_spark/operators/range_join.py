@@ -141,3 +141,60 @@ def concurrency_profile(
         "ts",
         F.sum("__d").over(w).cast("bigint").alias("concurrency"),
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Union length of (possibly overlapping) intervals per key — the
+    "total active time" aggregate every sessionized-usage pipeline
+    bills from (overlapping sessions must not double-count). Returns
+    (keys…, covered, max_concurrency): `covered` in the interval
+    columns' units, `max_concurrency` the peak overlap for free (it
+    rides the same profile).
+
+    Built on `concurrency_profile`'s boundary table: a segment
+    [boundary, next boundary) is covered iff its running count > 0,
+    so covered = Σ (next − ts) over covered segments — one extra
+    lead() on the per-key window the profile already sorted, then a
+    per-key aggregate. Zero-length intervals contribute zero (their
+    +1/−1 collapse at the same boundary).
+
+    Unlike the profile, an OPEN interval (NULL hi) is an ERROR here:
+    its coverage is unbounded, and silently treating it as closed
+    would under-bill exactly the still-running sessions. Close open
+    intervals at an observation horizon first (coalesce(hi, now))."""
+    ks = keys or []
+    df = df.filter(
+        F.when(
+            F.col(hi_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    "interval_coverage: NULL upper bound — an open "
+                    "interval has unbounded coverage; close it at an "
+                    "observation horizon first (coalesce(hi, now))"
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
+    prof = concurrency_profile(df, lo_col, hi_col, keys=ks)
+    w = Window.partitionBy(*ks).orderBy("ts")
+    seg = prof.withColumn("__next", F.lead("ts").over(w))
+    agg = [
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("concurrency") > 0,
+                    F.col("__next") - F.col("ts"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("covered"),
+        F.max("concurrency").cast("bigint").alias("max_concurrency"),
+    ]
+    return seg.groupBy(*ks).agg(*agg) if ks else seg.agg(*agg)

@@ -38,6 +38,18 @@ _HOUR_US = 3_600_000_000
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS c
         FROM cg
+    ),
+    covp AS (
+        SELECT user_id, t, c,
+               LEAD(t) OVER (PARTITION BY user_id ORDER BY t) AS nt
+        FROM prof
+    ),
+    cover AS (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN c > 0 THEN nt - t END), 0)
+                    AS BIGINT) AS covered,
+               CAST(MAX(c) AS BIGINT) AS maxc
+        FROM covp GROUP BY user_id
     )
     SELECT 'range' AS kind, p.user_id, p.event_id, p.ts_us, p.value,
            s.signup_event_id, s.lo, s.hi,
@@ -47,6 +59,9 @@ _HOUR_US = 3_600_000_000
     UNION ALL
     SELECT 'concur', user_id, NULL, t, NULL, NULL, NULL, NULL, c
     FROM prof
+    UNION ALL
+    SELECT 'cover', user_id, NULL, covered, NULL, NULL, NULL, NULL, maxc
+    FROM cover
     """,
 )
 def q36_range_join_signup_purchases(spark, sf_dir):
@@ -95,4 +110,23 @@ def q36_range_join_signup_purchases(spark, sf_dir):
         nb.alias("hi"),
         "concurrency",
     )
-    return rj.unionByName(prof)
+
+    # 'cover' (round 10): `range_join.interval_coverage` — union
+    # length of each user's (overlapping) signup sessions + peak
+    # overlap, the no-double-count "total active time" aggregate; the
+    # oracle re-derives it from the same boundary profile with a
+    # lead() segment sum.
+    from ..operators.range_join import interval_coverage
+
+    cov = interval_coverage(s, "lo", "hi", keys=["user_id"]).select(
+        F.lit("cover").alias("kind"),
+        "user_id",
+        nb.alias("event_id"),
+        F.col("covered").alias("ts_us"),
+        F.lit(None).cast("double").alias("value"),
+        nb.alias("signup_event_id"),
+        nb.alias("lo"),
+        nb.alias("hi"),
+        F.col("max_concurrency").alias("concurrency"),
+    )
+    return rj.unionByName(prof).unionByName(cov)

@@ -120,3 +120,72 @@ def test_concurrency_matches_python_reference(spark, intervals):
         for r in concurrency_profile(df, "lo", "hi").collect()
     }
     assert got == _ref_concurrency(intervals)
+
+
+@pytest.mark.slow
+@settings(max_examples=20, deadline=None)
+@given(
+    intervals=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 20), st.integers(0, 20)),
+        min_size=1,
+        max_size=12,
+    ).map(
+        lambda ivs: [
+            (k, min(lo, hi), max(lo, hi)) for k, lo, hi in ivs
+        ]
+    )
+)
+def test_interval_coverage_matches_brute_force(spark, intervals):
+    """Covered length per key == brute-force union of integer points
+    (half-open [lo, hi)); zero-length intervals contribute nothing;
+    max_concurrency == brute-force peak overlap."""
+    from bigdatabowl2024_25_spark.operators.range_join import (
+        interval_coverage,
+    )
+
+    df = spark.createDataFrame(intervals, "k bigint, lo bigint, hi bigint")
+    got = {
+        r.k: (r.covered, r.max_concurrency)
+        for r in interval_coverage(df, "lo", "hi", keys=["k"]).collect()
+    }
+    want = {}
+    for k in {iv[0] for iv in intervals}:
+        pts = set()
+        for kk, lo, hi in intervals:
+            if kk == k:
+                pts.update(range(lo, hi))
+        peak = max(
+            (
+                sum(
+                    1
+                    for kk, lo, hi in intervals
+                    if kk == k and lo <= t < hi
+                )
+                for t in pts
+            ),
+            default=0,
+        )
+        # the profile's max includes zero-length boundary rows, so
+        # peak can legitimately be 0 only when ALL intervals are empty
+        want[k] = (len(pts), peak)
+    # max_concurrency: empty intervals still emit boundary rows with
+    # count 0 after their +1/-1 collapse -> compare covered exactly,
+    # peak only when some interval is non-empty
+    for k, (cov, peak) in want.items():
+        assert got[k][0] == cov
+        if peak > 0:
+            assert got[k][1] == peak
+
+
+def test_interval_coverage_rejects_open_intervals(spark):
+    import pytest as _pytest
+
+    from bigdatabowl2024_25_spark.operators.range_join import (
+        interval_coverage,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5, None)], "k bigint, lo bigint, hi bigint"
+    )
+    with _pytest.raises(Exception, match="interval_coverage"):
+        interval_coverage(df, "lo", "hi", keys=["k"]).collect()
