@@ -1246,7 +1246,19 @@ def jl_topk(
     onto the ≤ q·shortlist survivors only, so the corpus never ships
     its payload through the candidate stage. All dots int64; both
     ranking stages break ties (score desc, d_id asc) so the funnel is
-    engine-exact and the oracle replays it in SQL."""
+    engine-exact and the oracle replays it in SQL.
+
+    NULL / wrong-dims vectors are dropped from BOTH sides up front
+    (the knn_classify hardening): a NULL projected cosine would sort
+    engine-dependently under the desc windows (Spark puts NULL last
+    on desc, DuckDB treats NULL as largest), silently corrupting the
+    shortlist — and an unscorable query must yield no rows, not
+    d_id-ordered noise."""
+    ok = lambda c: F.coalesce(  # noqa: E731
+        F.size(F.col(c)) == F.lit(dims), F.lit(False)
+    )
+    queries = queries.filter(ok(vec_col))
+    data = data.filter(ok(vec_col))
     qp = (
         random_project(queries, vec_col, out_dim, dims, "__qjl")
         .select(

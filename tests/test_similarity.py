@@ -798,3 +798,32 @@ def test_jl_topk_fuzz_vs_python_reference(spark):
             ).collect()
         )
         assert got == ref(vecs, qids), f"trial {trial} diverged"
+
+
+def test_jl_topk_drops_null_and_ragged_vectors(spark):
+    """A NULL projected cosine sorts engine-dependently under the
+    desc shortlist window (Spark: NULLs last on desc; DuckDB: NULL
+    largest) — bad vectors must be dropped from both sides, and an
+    unscorable query yields NO rows (not d_id-ordered noise)."""
+    from bigdatabowl2024_25_spark.operators.similarity import jl_topk
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, None),
+        (5, [1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    clean = df.filter("size(embedding) = 4")
+    q = df.filter(F.col("vec_id").isin(1, 4, 5))
+    got = jl_topk(
+        q, df, "vec_id", "embedding", k=2, shortlist=3, out_dim=2, dims=4
+    ).collect()
+    # only query 1 is scorable; its neighbors exclude the bad rows
+    assert {r.q_id for r in got} == {1}
+    want = jl_topk(
+        clean.filter("vec_id = 1"), clean, "vec_id", "embedding",
+        k=2, shortlist=3, out_dim=2, dims=4,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
