@@ -357,3 +357,103 @@ def streaming_funnel(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_anomaly(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts_us",
+    val: str = "value",
+    n: int = 5,
+    t_num: int = 2,
+    t_den: int = 1,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Streaming rolling-window anomaly detection — the stateful twin
+    of `operators.windows.rolling_anomaly`, same integer-exact rule:
+    a row is anomalous when c == n and
+        (q·c − S)²·t_den² > t_num²·c·(c·SS − S²)
+    over the trailing n rows' micro-units q = floor(value·scale)
+    (Python ints are exact like the batch decimal(38,0) path, so under
+    in-order ingest per key the flags equal the batch operator
+    bit-for-bit — the streaming_funnel twin discipline; out-of-order
+    streams need a watermark/buffer upstream).
+
+    State: the last n (q or NULL) per key — fixed width, key-bounded,
+    encoded alongside a presence mask so a NULL value occupies its
+    window POSITION without entering the stats (exactly the batch
+    count(q) < n semantics). Emits one row per input row:
+    (key, ts, value, is_anomaly). The batch overflow guard carries
+    over: |q| beyond the decimal-safe bound raises rather than
+    silently reporting 'not anomalous'."""
+    import pandas as pd
+    from math import isqrt
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    worst = max(4 * n * n * t_den * t_den, t_num * t_num * n * n * n)
+    q_bound = isqrt((10**38 - 1) // worst)
+
+    out_schema = f"{key} long, {ts_col} long, {val} double, is_anomaly boolean"
+    # q values of the trailing n rows; NULL-value rows hold slot
+    # value 0 with mask 0 (absent-from-stats but present-in-window)
+    state_schema = "qs array<bigint>, mask array<int>"
+
+    def update(key_tuple, pdfs, state):
+        import math
+
+        qs, mask = (
+            (list(state.get[0]), list(state.get[1]))
+            if state.exists
+            else ([], [])
+        )
+        ev = pd.concat(list(pdfs)).sort_values(
+            ts_col, kind="stable"
+        )
+        out_ts, out_v, out_flag = [], [], []
+        for ts, v in zip(ev[ts_col], ev[val]):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                q, present = None, 0
+            else:
+                q = math.floor(float(v) * float(scale))
+                if abs(q) > q_bound:
+                    raise ValueError(
+                        f"streaming_anomaly: |value*scale| exceeds the "
+                        f"overflow-safe bound {q_bound} (value {v}, "
+                        f"scale {scale}); lower scale or pre-clip"
+                    )
+                present = 1
+            live = [x for x, m in zip(qs, mask) if m]
+            c = len(live)
+            flag = False
+            if q is not None and len(qs) >= n and c == n:
+                s, ss = sum(live), sum(x * x for x in live)
+                lhs = q * c - s
+                flag = (
+                    lhs * lhs * t_den * t_den
+                    > t_num * t_num * c * (c * ss - s * s)
+                )
+            out_ts.append(int(ts))
+            out_v.append(None if q is None else float(v))
+            out_flag.append(bool(flag))
+            qs.append(q if q is not None else 0)
+            mask.append(present)
+            if len(qs) > n:
+                qs, mask = qs[-n:], mask[-n:]
+        state.update((qs, mask))
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]] * len(out_ts),
+                ts_col: out_ts,
+                val: out_v,
+                "is_anomaly": out_flag,
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -33,6 +33,7 @@ from ..streaming.replay import (
     stateful_running_totals,
     stream_from_dir,
     stream_stream_join,
+    streaming_anomaly,
     tumbling_counts,
 )
 from .registry import query
@@ -178,6 +179,24 @@ _CORP_CTE = f"""
     SELECT 'batch' AS kind, k.ck AS user_id, f.doc_id AS win_start_us,
            CAST(2 AS BIGINT) AS n_events, CAST(NULL AS DOUBLE) AS sum_value
     FROM btfin2 f JOIN btd2k k ON k.doc_id = f.doc_id
+    UNION ALL
+    SELECT 'anomaly' AS kind, user_id, tu AS win_start_us,
+           CAST(CASE WHEN c = 5
+                     AND (q*c - s)*(q*c - s) > 4*c*(c*ss - s*s)
+                THEN 1 ELSE 0 END AS BIGINT) AS n_events,
+           v AS sum_value
+    FROM (
+        SELECT user_id, tu, v,
+               CAST(FLOOR(v * 1000000.0) AS HUGEINT) AS q,
+               SUM(CAST(FLOOR(v * 1000000.0) AS HUGEINT)) OVER aw AS s,
+               SUM(CAST(FLOOR(v * 1000000.0) AS HUGEINT)
+                   * CAST(FLOOR(v * 1000000.0) AS HUGEINT)) OVER aw AS ss,
+               COUNT(v) OVER aw AS c
+        FROM (SELECT user_id, epoch_us(ts) AS tu, MIN(value) AS v
+              FROM events GROUP BY 1, 2)
+        WINDOW aw AS (PARTITION BY user_id ORDER BY tu
+                      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+    )
     """,
 )
 def q93_streaming_windows(spark, sf_dir):
@@ -423,6 +442,50 @@ def q93_streaming_windows(spark, sf_dir):
             )
         )
 
+        # 'anomaly' branch (round 10): the streaming twin of
+        # `windows.rolling_anomaly` (q29) — per-user trailing-5
+        # integer-exact z-score flags maintained in
+        # applyInPandasWithState across micro-batches. Positional
+        # window semantics make the flags ORDER-SENSITIVE, so unlike
+        # the order-free branches this one replays THREE time-ordered
+        # range files (mtimes pinned: the file source replays in
+        # mtime order); the (user, ts) series is deduped first via
+        # MIN(value) so batch and stream can never disagree on tie
+        # content. Every row exits with its flag, value-hashed
+        # against the q29-style HUGEINT window re-derivation.
+        import glob as _glob
+        import os as _os
+        import time as _time
+
+        anom_src = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id", "ts_us")
+            .agg(F.min("value").alias("value"))
+        )
+        anom_src.repartitionByRange(
+            3, "ts_us"
+        ).sortWithinPartitions("ts_us").write.parquet(f"{tmp}/anom_in")
+        _afiles = sorted(_glob.glob(f"{tmp}/anom_in/part-*.parquet"))
+        _abase = int(_time.time())
+        for _i, _fp in enumerate(_afiles):
+            _os.utime(_fp, (_abase + _i, _abase + _i))
+        anom_schema = spark.read.parquet(f"{tmp}/anom_in").schema
+        an_tbl, q7 = _drain(
+            streaming_anomaly(
+                stream_from_dir(spark, f"{tmp}/anom_in", anom_schema),
+                n=5,
+            ),
+            "q93_anom",
+            mode="update",
+        )
+        anomaly = an_tbl.select(
+            F.lit("anomaly").alias("kind"),
+            "user_id",
+            F.col("ts_us").alias("win_start_us"),
+            F.col("is_anomaly").cast("bigint").alias("n_events"),
+            F.col("value").alias("sum_value"),
+        )
+
         # 'batch' branch (round 10, VERDICT item 3): the END-TO-END
         # `prepare_batch` daily loop — the batch twin of 'corpus'
         # above, and the last pipeline entry point to come under the
@@ -524,6 +587,7 @@ def q93_streaming_windows(spark, sf_dir):
             .unionByName(hll_est)
             .unionByName(corpus)
             .unionByName(batch)
+            .unionByName(anomaly)
             .localCheckpoint()
         )
         q1.stop()
@@ -532,4 +596,5 @@ def q93_streaming_windows(spark, sf_dir):
         q4.stop()
         q5.stop()
         q6.stop()
+        q7.stop()
     return out
