@@ -298,3 +298,67 @@ def rolling_anomaly(
         > F.lit(t_num * t_num) * cd * (cd * ss - s * s)
     )
     return df.withColumn(out, F.coalesce(flag, F.lit(False)))
+
+
+def cusum_flags(
+    df: DataFrame,
+    value_col: str,
+    partition: list[str],
+    order_by: list[Column | str],
+    k_scaled: int,
+    h_scaled: int,
+    scale: int = 1_000_000,
+    out: str = "cusum_flag",
+) -> DataFrame:
+    """CUSUM drift / changepoint detection (Page 1954) — the
+    level-shift complement of `rolling_anomaly` (which catches point
+    spikes but adapts to, and thus misses, a persistent mean shift):
+    a row is flagged when the one-sided cumulative sum of deviations
+    from the reference level exceeds the decision threshold,
+
+        S⁺_t = max(0, S⁺_{t−1} + (q_t − k))   >  h    (upward)
+        S⁻_t = max(0, S⁻_{t−1} − (q_t − k))   >  h    (downward)
+
+    with q = floor(value·scale) and k = `k_scaled`, h = `h_scaled`
+    both in the same micro-units (k: reference mean + allowance;
+    h: decision interval).
+
+    The recursion LOOKS inherently sequential, but the classic
+    identity S⁺_t = P_t − min_{j≤t} P_j (P = prefix sum of
+    deviations; and S⁻_t = max_{j≤t} P_j − P_t) turns it into two
+    frames on ONE sorted window — a running sum and a running
+    min/max — so the operator costs a single shuffle on `partition`
+    and stays whole-stage-codegen, bit-exact on any engine (all
+    int64/decimal arithmetic; the oracle replays the same windows in
+    HUGEINT). Appends `out` ('up'/'down'/NULL): which side tripped
+    (up wins if both). NULL values contribute ZERO deviation (the
+    series just pauses) and are never flagged themselves."""
+    q = F.floor(F.col(value_col) * F.lit(float(scale))).cast(
+        "decimal(38,0)"
+    )
+    d = F.coalesce(q - F.lit(k_scaled).cast("decimal(38,0)"),
+                   F.lit(0).cast("decimal(38,0)"))
+    w = (
+        Window.partitionBy(*partition)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # two projections: Spark forbids nesting a window fn inside
+    # another window fn's argument
+    staged = df.withColumn("__cs_q", q).withColumn(
+        "__cs_p", F.sum(d).over(w)
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    # the empty prefix P_0 = 0 participates in the extrema (S starts
+    # at 0), hence the least/greatest against zero
+    s_up = F.col("__cs_p") - F.least(
+        zero, F.min("__cs_p").over(w)
+    )
+    s_dn = F.greatest(zero, F.max("__cs_p").over(w)) - F.col("__cs_p")
+    h = F.lit(h_scaled).cast("decimal(38,0)")
+    return staged.withColumn(
+        out,
+        F.when(F.col("__cs_q").isNull(), F.lit(None).cast("string"))
+        .when(s_up > h, F.lit("up"))
+        .when(s_dn > h, F.lit("down")),
+    ).drop("__cs_q", "__cs_p")

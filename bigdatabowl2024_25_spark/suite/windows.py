@@ -299,6 +299,30 @@ def q28_daily_label(spark, sf_dir):
                      ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
     ) WHERE c = 10
       AND (q*c - s)*(q*c - s)*1 > 4*c*(c*ss - s*s)
+    UNION ALL
+    SELECT 'cusum_' || flag AS kind, event_id, user_id, event_type FROM (
+        SELECT event_id, user_id, event_type, q, p, tu,
+               CASE WHEN q IS NULL THEN NULL
+                    WHEN p - LEAST(CAST(0 AS HUGEINT),
+                                   MIN(p) OVER cw2) > 200000000
+                         THEN 'up'
+                    WHEN GREATEST(CAST(0 AS HUGEINT),
+                                  MAX(p) OVER cw2) - p > 200000000
+                         THEN 'down'
+               END AS flag
+        FROM (
+            SELECT event_id, user_id, event_type, epoch_us(ts) AS tu, q,
+                   SUM(COALESCE(q - 50000000, 0)) OVER cw AS p
+            FROM (SELECT event_id, user_id, event_type, ts,
+                         CAST(FLOOR(value * 1000000.0) AS HUGEINT) AS q
+                  FROM events)
+            WINDOW cw AS (PARTITION BY user_id
+                          ORDER BY epoch_us(ts), event_id
+                          ROWS UNBOUNDED PRECEDING)
+        )
+        WINDOW cw2 AS (PARTITION BY user_id ORDER BY tu, event_id
+                       ROWS UNBOUNDED PRECEDING)
+    ) WHERE flag IS NOT NULL
     """,
 )
 def q29_anchored_windows(spark, sf_dir):
@@ -354,4 +378,33 @@ def q29_anchored_windows(spark, sf_dir):
             "event_type",
         )
     )
-    return anchored.unionByName(sliced).unionByName(anomalies)
+    # 'cusum' (round 10): CUSUM drift flags (`windows.cusum_flags`,
+    # Page 1954) over the same per-user value series — level-shift
+    # detection beside the point-spike 'anomaly' rule; k = 50.0,
+    # h = 200.0 in micro-units. Direction rides the kind tag
+    # ('cusum_up'/'cusum_down'); the oracle replays the prefix-sum −
+    # running-extrema identity in HUGEINT.
+    from ..operators.windows import cusum_flags
+
+    cus = (
+        cusum_flags(
+            e,
+            "value",
+            ["user_id"],
+            ["ts_us", "event_id"],
+            k_scaled=50_000_000,
+            h_scaled=200_000_000,
+        )
+        .filter(F.col("cusum_flag").isNotNull())
+        .select(
+            F.concat(F.lit("cusum_"), F.col("cusum_flag")).alias("kind"),
+            "event_id",
+            "user_id",
+            "event_type",
+        )
+    )
+    return (
+        anchored.unionByName(sliced)
+        .unionByName(anomalies)
+        .unionByName(cus)
+    )

@@ -121,3 +121,84 @@ def test_rolling_anomaly_large_but_safe_values_ok(spark):
         .collect()
     ]
     assert got[5] is True and got[6] is False
+
+
+# ---- CUSUM drift flags ------------------------------------------------
+
+def _ref_cusum(series, k, h, scale=1_000_000):
+    """From-scratch RECURSIVE CUSUM (the textbook max(0, ...) form) —
+    independent of the operator's prefix-sum/running-extrema identity."""
+    import math
+
+    s_up = s_dn = 0
+    out = []
+    for v in series:
+        if v is None:
+            out.append(None)
+            continue
+        q = math.floor(v * float(scale))
+        d = q - k
+        s_up = max(0, s_up + d)
+        s_dn = max(0, s_dn - d)
+        out.append("up" if s_up > h else ("down" if s_dn > h else None))
+    return out
+
+
+def test_cusum_matches_recursive_reference(spark):
+    """The windowed identity S⁺ = P − min(0, min P) must equal the
+    sequential recursion on mixed drift/spike/NULL series.
+
+    Subtlety the test pins: a NULL pauses the series (zero deviation)
+    without resetting state, and flags AFTER the alarm threshold stay
+    raised (no-reset reporting semantics)."""
+    import random
+
+    from bigdatabowl2024_25_spark.operators.windows import cusum_flags
+
+    rng = random.Random(77)
+    for trial in range(5):
+        series = []
+        level = 1.0
+        for i in range(60):
+            if rng.random() < 0.05:
+                series.append(None)
+                continue
+            if rng.random() < 0.08:
+                level += rng.choice([-0.8, 0.8])  # genuine shift
+            series.append(level + rng.uniform(-0.1, 0.1))
+        rows = [(1, i, v) for i, v in enumerate(series)]
+        df = spark.createDataFrame(rows, "k long, t long, v double")
+        got = {
+            r.t: r.cusum_flag
+            for r in cusum_flags(
+                df, "v", ["k"], ["t"],
+                k_scaled=1_000_000, h_scaled=1_500_000,
+            ).collect()
+        }
+        want = _ref_cusum(series, 1_000_000, 1_500_000)
+        assert got == {i: f for i, f in enumerate(want)}, f"trial {trial}"
+
+
+def test_cusum_partition_invariance_and_detection(spark):
+    from bigdatabowl2024_25_spark.operators.windows import cusum_flags
+
+    rows = [(u, i, 1.0 if i < 30 else 1.4) for u in (1, 2) for i in range(60)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    args = dict(k_scaled=1_100_000, h_scaled=2_000_000)
+    a = sorted(
+        (r.k, r.t, r.cusum_flag)
+        for r in cusum_flags(df, "v", ["k"], ["t"], **args).collect()
+    )
+    b = sorted(
+        (r.k, r.t, r.cusum_flag)
+        for r in cusum_flags(
+            df.repartition(13), "v", ["k"], ["t"], **args
+        ).collect()
+    )
+    assert a == b
+    flags = {(k, t): f for k, t, f in a}
+    # the 1.0->1.4 shift at t=30 must raise 'up' within ~7 steps
+    # (0.3 excess per step vs the 2.0 threshold) for both keys
+    for u in (1, 2):
+        assert flags[(u, 40)] == "up"
+        assert flags[(u, 29)] in (None, "down")
