@@ -121,3 +121,46 @@ def row_sum(cols: list[str], alias: str) -> Column:
     for c in cols:
         out = out + F.coalesce(F.col(c), F.lit(0.0))
     return out.alias(alias)
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    c_num: int = 3,
+    c_den: int = 1,
+    out: str = "is_mad_outlier",
+) -> DataFrame:
+    """Robust per-group outlier rule: flag rows with
+    |x − median| · c_den > c_num · MAD, MAD = median(|x − median|) —
+    the median-absolute-deviation test every data-quality pass
+    reaches for when `rolling_anomaly`'s mean/stddev would be skewed
+    by the very outliers it hunts (a single 1e9 row moves a mean
+    arbitrarily; it moves a median one rank). Appends `out` (boolean;
+    NULL value → NULL flag) plus the group's `__med`/`__mad` columns
+    for the caller to inspect or drop.
+
+    Determinism: both medians are the exact interpolating median
+    (`group_median` A2 discipline — Spark and DuckDB agree, q40-
+    proven); the comparison is IEEE subtract/multiply of identical
+    doubles, so flag membership is engine-exact with no quantization
+    step needed.
+
+    Scale: two grouped-median shuffles on `keys` + one keyed join of
+    the group stats back onto the facts (group table is |groups|-
+    sized — broadcastable for dimension-like keys; AQE converts).
+    Exact medians need a full sort per group; at 100 TB swap
+    `F.median` for percentile_approx and keep the rule, like A2."""
+    med = df.groupBy(*keys).agg(F.median(value).alias("__med"))
+    j = df.join(med, keys)
+    mad = j.groupBy(*keys).agg(
+        F.median(F.abs(F.col(value) - F.col("__med"))).alias("__mad")
+    )
+    return (
+        j.join(mad, keys)
+        .withColumn(
+            out,
+            F.abs(F.col(value) - F.col("__med")) * F.lit(c_den)
+            > F.lit(c_num) * F.col("__mad"),
+        )
+    )

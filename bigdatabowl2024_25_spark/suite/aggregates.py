@@ -38,16 +38,57 @@ from .stable import (
 @query(
     "q40_median_quantity",
     oracle="""
-    SELECT l_returnflag, MEDIAN(l_quantity) AS med_qty
-    FROM lineitem GROUP BY l_returnflag
+    WITH med AS (
+        SELECT l_returnflag, MEDIAN(l_quantity) AS med
+        FROM lineitem GROUP BY 1
+    ),
+    madt AS (
+        SELECT l.l_returnflag,
+               MEDIAN(ABS(l.l_quantity - m.med)) AS mad
+        FROM lineitem l JOIN med m USING (l_returnflag) GROUP BY 1
+    )
+    SELECT 'med' AS kind, l_returnflag, med AS med_qty FROM med
+    UNION ALL
+    SELECT 'mad', l_returnflag, mad FROM madt
+    UNION ALL
+    SELECT 'madout', l.l_returnflag, CAST(COUNT(*) AS DOUBLE)
+    FROM lineitem l
+    JOIN med m USING (l_returnflag)
+    JOIN madt d USING (l_returnflag)
+    WHERE 2 * ABS(l.l_quantity - m.med) > 3 * d.mad
+    GROUP BY l.l_returnflag
     """,
 )
 def q40_median_quantity(spark, sf_dir):
     """A2: `median(s, na.rm=TRUE)` per QB
     (`Openness_Data_Frame_Prep.R:87-88`). Exact median for oracle
-    parity; at 100 TB the consumer would opt into percentile_approx."""
+    parity; at 100 TB the consumer would opt into percentile_approx.
+
+    'mad'/'madout' (round 10): the robust-stats extension
+    (`aggregates.mad_outliers`) — per-flag MAD and the count of
+    2·|x − median| > 3·MAD (c = 1.5 — uniform quantities have no 3-MAD tail, the flag must actually fire) outliers; flag membership is engine-exact
+    IEEE arithmetic on the q40-proven exact medians."""
+    from ..operators.aggregates import mad_outliers
+
     l = load_table(spark, sf_dir, "lineitem")
-    return group_median(l, ["l_returnflag"], "l_quantity", "med_qty")
+    med = group_median(l, ["l_returnflag"], "l_quantity", "med_qty").select(
+        F.lit("med").alias("kind"), "l_returnflag", "med_qty"
+    )
+    flagged = mad_outliers(
+        l, ["l_returnflag"], "l_quantity", c_num=3, c_den=2
+    )
+    mad = (
+        flagged.groupBy("l_returnflag")
+        .agg(F.first("__mad").alias("med_qty"))
+        .select(F.lit("mad").alias("kind"), "l_returnflag", "med_qty")
+    )
+    madout = (
+        flagged.filter(F.col("is_mad_outlier"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").cast("double").alias("med_qty"))
+        .select(F.lit("madout").alias("kind"), "l_returnflag", "med_qty")
+    )
+    return med.unionByName(mad).unionByName(madout)
 
 
 @query(
