@@ -725,6 +725,21 @@ def semantic_dedup(
         "__cnrm",
         F.sqrt(int_dot(F.col("__civ"), F.col("__civ")).cast("double")),
     )
+    # a NULL/zero CENTROID is a broken model table — fail with a clear
+    # message instead of a codegen DIVIDE_BY_ZERO five stages later
+    c = c.withColumn(
+        "__cnrm",
+        F.when(F.col("__cnrm") > 0, F.col("__cnrm")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("semantic_dedup: centroid __list="),
+                    F.col("__list").cast("string"),
+                    F.lit(" has a NULL or zero vector — cosine to it"
+                          " is undefined; fix the cents table"),
+                )
+            )
+        ),
+    )
     mem = (
         assigned.select(
             F.col(id_col),
@@ -735,6 +750,11 @@ def semantic_dedup(
             "__nrm",
             F.sqrt(int_dot(F.col("__iv"), F.col("__iv")).cast("double")),
         )
+        # NULL/zero DATA vectors: cosine is undefined, so such a row
+        # can never be PROVEN a semantic duplicate — it survives (the
+        # knn/jl hardening family: previously this was a cryptic
+        # codegen DIVIDE_BY_ZERO crash under ANSI)
+        .filter(F.col("__nrm") > 0)
         .join(F.broadcast(c), ["__list"])
         .withColumn(
             "__cosc",

@@ -827,3 +827,46 @@ def test_jl_topk_drops_null_and_ragged_vectors(spark):
         k=2, shortlist=3, out_dim=2, dims=4,
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_semantic_dedup_degenerate_vectors(spark):
+    """NULL/zero data vectors have undefined cosines: they can never
+    be PROVEN semantic duplicates, so they SURVIVE (and never evict a
+    real row) — previously a cryptic codegen DIVIDE_BY_ZERO. A broken
+    centroid raises a labeled error instead."""
+    import pytest
+
+    from bigdatabowl2024_25_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "__list long, embedding array<double>",
+    )
+    data = spark.createDataFrame(
+        [
+            (1, [1.0, 0.05]),
+            (2, [1.0, 0.05]),   # exact clone of 1 -> one removed
+            (3, None),
+            (4, [0.0, 0.0]),
+            (5, [0.0, 0.0]),    # zero twin of 4: still not removable
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    removed = {
+        r.vec_id
+        for r in semantic_dedup(
+            data, cents, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    assert removed == {2}
+
+    bad_cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0])],
+        "__list long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="semantic_dedup: centroid"):
+        semantic_dedup(
+            data, bad_cents, "vec_id", "embedding", threshold=0.9
+        ).collect()
