@@ -187,3 +187,24 @@ def test_snm_partition_invariance(spark):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_snm_plan_no_cartesian(spark):
+    """SNM candidates come from lead() windows — the plan must contain
+    window exchanges only, never a cartesian/nested-loop pair source."""
+    from bigdatabowl2024_25_spark.operators.fuzzy import (
+        sorted_neighborhood_self_join,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "ac")], "id bigint, name string"
+    )
+    plan = (
+        sorted_neighborhood_self_join(df, "id", "name")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan

@@ -202,3 +202,23 @@ def test_cusum_partition_invariance_and_detection(spark):
     for u in (1, 2):
         assert flags[(u, 40)] == "up"
         assert flags[(u, 29)] in (None, "down")
+
+
+def test_cusum_plan_single_shuffle(spark):
+    """The identity must cost exactly ONE exchange (the keyed sort) —
+    a second shuffle means the two window projections stopped sharing
+    their partitioning."""
+    import re
+
+    from bigdatabowl2024_25_spark.operators.windows import cusum_flags
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0)], "k long, t long, v double"
+    )
+    plan = (
+        cusum_flags(df, "v", ["k"], ["t"], k_scaled=1, h_scaled=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
