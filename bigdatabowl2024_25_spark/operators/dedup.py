@@ -664,3 +664,61 @@ def simhash(
         F.lit(0).cast("bigint"),
     )
     return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def best_quality_survivors(
+    corpus: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    score,
+    node_col: str = "node",
+    comp_col: str = "component",
+) -> DataFrame:
+    """Quality-aware dedup survivor selection: keep the BEST-scored
+    member of each near-dup cluster (ties → lowest id) instead of the
+    min-id keeper — what production pipelines actually ship (of two
+    near-dup pages keep the longer / higher-quality capture; min-id
+    keeps whichever crawled first). `score` is any deterministic
+    Column over the corpus row (length, quality_score, …);
+    unclustered rows always survive.
+
+    Scale (the q75 'surv' discipline): the CORPUS never shuffles —
+    keeper election runs only on the clustered subset (corpus ⋈
+    broadcast components, funnel-sized), collapses to one row per
+    component via max_by(id, (score, −id)), and broadcasts back; the
+    corpus pays two broadcast-hash lookups and a filter."""
+    comp = components.select(
+        F.col(node_col).alias("__bq_node"),
+        F.col(comp_col).alias("__bq_comp"),
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("__bq_id"), score.alias("__bq_score")
+    )
+    keepers = (
+        scored.join(
+            F.broadcast(comp),
+            scored["__bq_id"] == comp["__bq_node"],
+        )
+        .groupBy("__bq_comp")
+        .agg(
+            F.max_by(
+                "__bq_id",
+                F.struct(
+                    F.col("__bq_score"), (-F.col("__bq_id")).alias("n")
+                ),
+            ).alias("__bq_keeper")
+        )
+    )
+    out = (
+        corpus.join(
+            F.broadcast(comp),
+            corpus[id_col] == comp["__bq_node"],
+            "left",
+        )
+        .join(F.broadcast(keepers), "__bq_comp", "left")
+        .filter(
+            F.col("__bq_node").isNull()
+            | (F.col(id_col) == F.col("__bq_keeper"))
+        )
+    )
+    return out.drop("__bq_node", "__bq_comp", "__bq_keeper")

@@ -1152,6 +1152,14 @@ def q74_near_dup_clusters(spark, sf_dir):
                )), 1, 15)) AS BIGINT) % 100 AS bucket
         FROM corpus c
         LEFT JOIN comp ON comp.node = c.doc_id
+    ),
+    bestk AS (
+        SELECT component, doc_id AS keeper FROM (
+            SELECT cm.component, c.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY cm.component
+                       ORDER BY len(c.text) DESC, c.doc_id ASC) AS rn
+            FROM corpus c JOIN comp cm ON cm.node = c.doc_id
+        ) WHERE rn = 1
     )
     SELECT 'surv' AS branch, doc_id FROM keyed
     WHERE node IS NULL OR component = doc_id
@@ -1159,6 +1167,10 @@ def q74_near_dup_clusters(spark, sf_dir):
     SELECT 'train', doc_id FROM keyed WHERE bucket >= 20
     UNION ALL
     SELECT 'test', doc_id FROM keyed WHERE bucket < 20
+    UNION ALL
+    SELECT 'best', k.doc_id FROM keyed k
+    LEFT JOIN bestk b ON b.component = k.component
+    WHERE k.node IS NULL OR k.doc_id = b.keeper
     """,
 )
 def q75_dedup_survivors(spark, sf_dir):
@@ -1192,6 +1204,26 @@ def q75_dedup_survivors(spark, sf_dir):
         .select(F.lit("surv").alias("branch"), "doc_id")
     )
     train, test = cluster_safe_split(corpus, "doc_id", comp)
-    return surv.unionByName(
-        train.select(F.lit("train").alias("branch"), "doc_id")
-    ).unionByName(test.select(F.lit("test").alias("branch"), "doc_id"))
+
+    # 'best' (round 10): quality-aware keeper selection
+    # (`dedup.best_quality_survivors`) — keep each cluster's LONGEST
+    # member (ties → min id) instead of the min id: of two near-dup
+    # captures ship the more complete one. On this corpus the
+    # '+200000 tail marker' twins now beat their originals, so the
+    # branch provably diverges from 'surv'. Corpus stays
+    # shuffle-free (keeper election on the broadcast clustered
+    # subset only).
+    from ..operators.dedup import best_quality_survivors
+
+    full = _corpus_df(spark, sf_dir)
+    best = best_quality_survivors(
+        full, comp, "doc_id", F.length("text")
+    ).select(F.lit("best").alias("branch"), "doc_id")
+
+    return (
+        surv.unionByName(
+            train.select(F.lit("train").alias("branch"), "doc_id")
+        )
+        .unionByName(test.select(F.lit("test").alias("branch"), "doc_id"))
+        .unionByName(best)
+    )

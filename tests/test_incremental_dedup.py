@@ -172,3 +172,34 @@ def test_bloom_prefiltered_path_is_identical(spark):
         bloom_maybe_contains(bloom, F.col("content_key"))
     )
     assert {r.doc_id for r in maybe.collect()} == {100, 101, 102, 103, 104}
+
+
+def test_best_quality_survivors(spark):
+    """Quality-aware keeper: highest score wins its cluster (tie ->
+    min id); unclustered rows always survive; the corpus-side plan
+    must stay broadcast-only (no corpus shuffle)."""
+    from bigdatabowl2024_25_spark.operators.dedup import (
+        best_quality_survivors,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "short"), (2, "much longer text here"),   # cluster A
+            (3, "mid size"),                              # unclustered
+            (4, "same len"), (5, "same len"),             # cluster B tie
+        ],
+        "doc_id long, text string",
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (4, 4), (5, 4)], "node long, component long"
+    )
+    out = best_quality_survivors(
+        corpus, comp, "doc_id", F.length("text")
+    )
+    assert {r.doc_id for r in out.collect()} == {2, 3, 4}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every corpus-side join is a broadcast — the only exchanges in
+    # the plan belong to the funnel-sized keeper election groupBy,
+    # never to a corpus-side sort-merge join
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
