@@ -305,3 +305,51 @@ def test_trustrank_empty_seed_set_fails_loudly(spark):
     seeds = spark.createDataFrame([(99,)], "node bigint")
     with pytest.raises(Exception, match="trustrank: no seed"):
         trustrank(df, seeds, iterations=1).collect()
+
+
+def test_graph_ops_fuzz_random_digraphs(spark):
+    """pagerank/hits/trustrank vs the python references on random
+    digraphs with self-loops, sinks, sources, and disconnected
+    components — the shapes hand graphs miss."""
+    import random
+
+    from bigdatabowl2024_25_spark.operators.graph import (
+        hits,
+        pagerank,
+        trustrank,
+    )
+
+    rng = random.Random(31)
+    for trial in range(4):
+        n = rng.randint(4, 9)
+        edges = sorted(
+            {
+                (rng.randint(1, n), rng.randint(1, n))  # incl. loops
+                for _ in range(rng.randint(3, 14))
+            }
+        )
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        iters = rng.randint(1, 4)
+
+        got_pr = {
+            r.node: r.rank_scaled
+            for r in pagerank(df, iterations=iters).collect()
+        }
+        assert got_pr == ref_pagerank(edges, iters), (trial, edges)
+
+        rows = hits(df, iterations=iters).collect()
+        h, a = ref_hits(edges, iters)
+        assert {r.node: r.hub_scaled for r in rows} == h, (trial, edges)
+        assert {r.node: r.auth_scaled for r in rows} == a
+
+        nodes = sorted({x for e in edges for x in e})
+        seeds = [nodes[0], nodes[-1]]
+        got_tr = {
+            r.node: r.rank_scaled
+            for r in trustrank(
+                df,
+                spark.createDataFrame([(s,) for s in seeds], "node bigint"),
+                iterations=iters,
+            ).collect()
+        }
+        assert got_tr == ref_trustrank(edges, seeds, iters), (trial, edges)
