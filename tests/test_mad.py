@@ -48,3 +48,14 @@ def test_mad_null_values_unflagged(spark):
     # NULL value -> NULL flag (never silently outlier or inlier)
     assert by_v[None] is None
     assert by_v[100.0] is True and by_v[2.0] is False
+
+
+def test_mad_zero_mad_degenerate(spark):
+    """MAD = 0 (majority identical): the rule degenerates to 'any
+    deviation is an outlier' — the textbook behavior, pinned so a
+    future epsilon guard can't silently change it."""
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, 5.0), (1, 5.0), (1, 5.1)], "k long, v double"
+    )
+    got = {r.v: r.is_mad_outlier for r in mad_outliers(df, ["k"], "v").collect()}
+    assert got[5.0] is False and got[5.1] is True

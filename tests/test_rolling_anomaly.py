@@ -222,3 +222,15 @@ def test_cusum_plan_single_shuffle(spark):
         .toString()
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_cusum_all_null_series(spark):
+    from bigdatabowl2024_25_spark.operators.windows import cusum_flags
+
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, None)], "k long, t long, v double"
+    )
+    rows = cusum_flags(
+        df, "v", ["k"], ["t"], k_scaled=1, h_scaled=1
+    ).collect()
+    assert all(r.cusum_flag is None for r in rows)

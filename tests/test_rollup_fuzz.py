@@ -189,3 +189,17 @@ def test_interval_coverage_rejects_open_intervals(spark):
     )
     with _pytest.raises(Exception, match="interval_coverage"):
         interval_coverage(df, "lo", "hi", keys=["k"]).collect()
+
+
+def test_interval_coverage_global(spark):
+    """keys=None: one global row; overlapping intervals never
+    double-count."""
+    from bigdatabowl2024_25_spark.operators.range_join import (
+        interval_coverage,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 10), (5, 15), (20, 25), (22, 22)], "lo bigint, hi bigint"
+    )
+    row = interval_coverage(df, "lo", "hi").collect()[0]
+    assert row.covered == 20 and row.max_concurrency == 2
