@@ -457,3 +457,78 @@ def streaming_anomaly(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_cusum(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts_us",
+    val: str = "value",
+    k_scaled: int = 0,
+    h_scaled: int = 0,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Streaming CUSUM drift detection — the stateful twin of
+    `operators.windows.cusum_flags`. Where the batch operator uses the
+    prefix-sum − running-extrema identity over a sorted window, the
+    stream needs only THREE int64s of state per key: the running
+    prefix sum P and its extrema folded with the empty prefix,
+        minP = min(0, min_j P_j),   maxP = max(0, max_j P_j),
+    giving flag 'up' when P − minP > h, 'down' when maxP − P > h —
+    bit-identical to the batch flags under in-order ingest (python
+    ints are exact like the batch decimal path). NULL values pause
+    the series (zero deviation, NULL flag) exactly like the batch
+    coalesce. State never grows with event volume; P would need
+    ~10¹⁰ max-deviation rows to leave int64 — far past any key's
+    plausible series.
+
+    Emits one row per input row: (key, ts, value, cusum_flag)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{key} long, {ts_col} long, {val} double, cusum_flag string"
+    )
+    state_schema = "p long, minp long, maxp long"
+
+    def update(key_tuple, pdfs, state):
+        p, minp, maxp = state.get if state.exists else (0, 0, 0)
+        ev = pd.concat(list(pdfs)).sort_values(ts_col, kind="stable")
+        out_ts, out_v, out_f = [], [], []
+        for ts, v in zip(ev[ts_col], ev[val]):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                flag, vv = None, None
+            else:
+                q = math.floor(float(v) * float(scale))
+                p += q - k_scaled
+                minp = min(minp, p)
+                maxp = max(maxp, p)
+                if p - minp > h_scaled:
+                    flag = "up"
+                elif maxp - p > h_scaled:
+                    flag = "down"
+                else:
+                    flag = None
+                vv = float(v)
+            out_ts.append(int(ts))
+            out_v.append(vv)
+            out_f.append(flag)
+        state.update((p, minp, maxp))
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]] * len(out_ts),
+                ts_col: out_ts,
+                val: out_v,
+                "cusum_flag": out_f,
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -34,6 +34,7 @@ from ..streaming.replay import (
     stream_from_dir,
     stream_stream_join,
     streaming_anomaly,
+    streaming_cusum,
     tumbling_counts,
 )
 from .registry import query
@@ -196,6 +197,31 @@ _CORP_CTE = f"""
               FROM events GROUP BY 1, 2)
         WINDOW aw AS (PARTITION BY user_id ORDER BY tu
                       ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+    )
+    UNION ALL
+    SELECT 'cusum' AS kind, user_id, tu AS win_start_us,
+           CAST(CASE WHEN q IS NULL THEN NULL
+                     WHEN p - LEAST(CAST(0 AS HUGEINT), minp) > 200000000
+                          THEN 1
+                     WHEN GREATEST(CAST(0 AS HUGEINT), maxp) - p > 200000000
+                          THEN 2
+                     ELSE 0 END AS BIGINT) AS n_events,
+           v AS sum_value
+    FROM (
+        SELECT user_id, tu, v, q, p,
+               MIN(p) OVER cu2 AS minp, MAX(p) OVER cu2 AS maxp
+        FROM (
+            SELECT user_id, tu, v, q,
+                   SUM(COALESCE(q - 50000000, 0)) OVER cu1 AS p
+            FROM (SELECT user_id, epoch_us(ts) AS tu, MIN(value) AS v,
+                         CAST(FLOOR(MIN(value) * 1000000.0) AS HUGEINT)
+                           AS q
+                  FROM events GROUP BY 1, 2)
+            WINDOW cu1 AS (PARTITION BY user_id ORDER BY tu
+                           ROWS UNBOUNDED PRECEDING)
+        )
+        WINDOW cu2 AS (PARTITION BY user_id ORDER BY tu
+                       ROWS UNBOUNDED PRECEDING)
     )
     """,
 )
@@ -486,6 +512,33 @@ def q93_streaming_windows(spark, sf_dir):
             F.col("value").alias("sum_value"),
         )
 
+        # 'cusum' (round 10): the CUSUM twin rides the SAME
+        # time-ordered replay files — three more int64s of state per
+        # key (prefix sum + folded extrema), flags bit-equal to the
+        # q29 batch operator at the same k=50/h=200 micro-unit
+        # parameters; the oracle replays the prefix-sum identity on
+        # the deduped series.
+        cu_tbl, q8 = _drain(
+            streaming_cusum(
+                stream_from_dir(spark, f"{tmp}/anom_in", anom_schema),
+                k_scaled=50_000_000,
+                h_scaled=200_000_000,
+            ),
+            "q93_cusum",
+            mode="update",
+        )
+        cusum = cu_tbl.select(
+            F.lit("cusum").alias("kind"),
+            "user_id",
+            F.col("ts_us").alias("win_start_us"),
+            F.when(F.col("cusum_flag") == "up", 1)
+            .when(F.col("cusum_flag") == "down", 2)
+            .when(F.col("value").isNotNull(), 0)
+            .cast("bigint")
+            .alias("n_events"),
+            F.col("value").alias("sum_value"),
+        )
+
         # 'batch' branch (round 10, VERDICT item 3): the END-TO-END
         # `prepare_batch` daily loop — the batch twin of 'corpus'
         # above, and the last pipeline entry point to come under the
@@ -588,6 +641,7 @@ def q93_streaming_windows(spark, sf_dir):
             .unionByName(corpus)
             .unionByName(batch)
             .unionByName(anomaly)
+            .unionByName(cusum)
             .localCheckpoint()
         )
         q1.stop()
@@ -597,4 +651,5 @@ def q93_streaming_windows(spark, sf_dir):
         q5.stop()
         q6.stop()
         q7.stop()
+        q8.stop()
     return out

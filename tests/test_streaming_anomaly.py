@@ -117,3 +117,57 @@ def test_streaming_anomaly_null_values_and_overflow(spark, tmp_path):
             "anomaly_overflow_stream",
             mode="update",
         )
+
+
+def test_streaming_cusum_matches_batch(spark, tmp_path):
+    from bigdatabowl2024_25_spark.operators.windows import cusum_flags
+
+    events = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", "ts_us", "value")
+        .dropDuplicates(["user_id", "ts_us"])
+        .orderBy("ts_us")
+        .limit(600)
+    )
+    rows = events.collect()
+    path = tmp_path / "cusum_src"
+    path.mkdir()
+    third = len(rows) // 3
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third if i < 2 else len(rows)]
+        spark.createDataFrame(chunk, events.schema).coalesce(1).write.parquet(
+            str(path / f"b{i}")
+        )
+    flat = tmp_path / "cusum_flat"
+    flat.mkdir()
+    base = int(time.time())
+    for i in range(3):
+        (src,) = glob.glob(str(path / f"b{i}" / "part-*.parquet"))
+        dst = flat / f"{i:02d}.parquet"
+        shutil.copy(src, str(dst))
+        os.utime(dst, (base + i, base + i))
+
+    K, H = 50_000_000, 200_000_000
+    stream = replay.stream_from_dir(spark, str(flat), events.schema)
+    replay.run_to_memory(
+        replay.streaming_cusum(stream, k_scaled=K, h_scaled=H),
+        "cusum_stream",
+        mode="update",
+    )
+    got = {
+        (r.user_id, r.ts_us): r.cusum_flag
+        for r in spark.table("cusum_stream").collect()
+    }
+    batch = {
+        (r.user_id, r.ts_us): r.cusum_flag
+        for r in cusum_flags(
+            spark.createDataFrame(rows, events.schema),
+            "value",
+            ["user_id"],
+            ["ts_us"],
+            k_scaled=K,
+            h_scaled=H,
+        ).collect()
+    }
+    assert got == batch and len(got) == len(rows)
+    assert "up" in got.values() or "down" in got.values()
