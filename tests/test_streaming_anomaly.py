@@ -171,3 +171,25 @@ def test_streaming_cusum_matches_batch(spark, tmp_path):
     }
     assert got == batch and len(got) == len(rows)
     assert "up" in got.values() or "down" in got.values()
+
+
+def test_streaming_cusum_null_pause(spark, tmp_path):
+    """A NULL value pauses the series without resetting drift state —
+    the post-NULL row must still see the accumulated prefix sum."""
+    rows = [(1, 10, 2.0), (1, 20, 2.0), (1, 30, None), (1, 40, 2.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, value double")
+    src = tmp_path / "cu_null"
+    df.coalesce(1).write.parquet(str(src))
+    stream = replay.stream_from_dir(spark, str(src), df.schema)
+    replay.run_to_memory(
+        replay.streaming_cusum(stream, k_scaled=1_000_000, h_scaled=2_500_000),
+        "cusum_null_stream",
+        mode="update",
+    )
+    got = {
+        r.ts_us: r.cusum_flag
+        for r in spark.table("cusum_null_stream").collect()
+    }
+    # +1.0 drift per non-null row vs h=2.5: trips on the THIRD
+    # non-null row (t=40) — only if the NULL at t=30 kept the state
+    assert got == {10: None, 20: None, 30: None, 40: "up"}
