@@ -164,3 +164,58 @@ def mad_outliers(
             > F.lit(c_num) * F.col("__mad"),
         )
     )
+
+
+def group_trend(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-key least-squares trend slope — the metrics-pipeline
+    staple ("is this user's value drifting?"), computed EXACTLY from
+    integer moment sums so it is bit-identical on any engine and
+    partitioning (a float Σxy drifts with add order):
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    with y = floor(value·scale) micro-units and x = seconds since the
+    KEY's first observation (re-centering keeps x² within decimal
+    range: raw epoch-micros squared would overflow 38 digits).
+    Returns (keys…, n, slope_micro): micro-value-units per second,
+    truncated toward zero — Spark `div` and DuckDB `//` agree.
+    NULL values are excluded from the fit; a key with < 2 distinct
+    timestamps (zero x-variance) yields NULL slope.
+
+    Cost: ONE groupBy shuffle — the re-centering min rides a window
+    over the same partitioning, and all five moment sums fold
+    map-side. All decimal(38,0)."""
+    w = Window.partitionBy(*keys)
+    tu = (F.col(ts_col) / F.lit(1_000_000)).cast("long")
+    x = (tu - F.min(tu).over(w)).cast("decimal(38,0)")
+    y = F.floor(F.col(value_col) * F.lit(float(scale))).cast(
+        "decimal(38,0)"
+    )
+    staged = df.select(*keys, x.alias("__x"), y.alias("__y")).filter(
+        F.col("__y").isNotNull()
+    )
+    agg = staged.groupBy(*keys).agg(
+        F.count("*").cast("decimal(38,0)").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    den = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    return agg.select(
+        *keys,
+        F.col("__n").cast("bigint").alias("n"),
+        F.when(
+            den > 0,
+            F.expr(
+                "(__n * __sxy - __sx * __sy) div "
+                "(__n * __sxx - __sx * __sx)"
+            ),
+        ).alias("slope_micro"),
+    )

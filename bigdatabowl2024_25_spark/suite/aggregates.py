@@ -183,6 +183,20 @@ def q41_priority_price_profile(spark, sf_dir):
         SELECT cohort, b - cohort AS k, COUNT(DISTINCT u) AS n_users
         FROM cr_act JOIN cr_first USING (u) GROUP BY 1, 2
     )
+    , trend AS (
+        SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x*y) AS sxy, SUM(x*x) AS sxx
+        FROM (
+            SELECT user_id,
+                   CAST(tu - MIN(tu) OVER (PARTITION BY user_id)
+                        AS HUGEINT) AS x,
+                   CAST(FLOOR(value * 1000000.0) AS HUGEINT) AS y
+            FROM (SELECT user_id, epoch_us(ts) // 1000000 AS tu, value
+                  FROM events)
+            WHERE value IS NOT NULL
+        ) GROUP BY user_id
+    )
     SELECT 'profile' AS kind, se.user_id, se.start_value, se.end_value,
            ent.entropy, CAST(NULL AS BIGINT) AS cohort,
            CAST(NULL AS BIGINT) AS k, CAST(NULL AS BIGINT) AS n_users
@@ -190,6 +204,12 @@ def q41_priority_price_profile(spark, sf_dir):
     UNION ALL
     SELECT 'cohort', NULL, NULL, NULL, NULL, cohort, k, n_users
     FROM cohorts
+    UNION ALL
+    SELECT 'trend', user_id, NULL, NULL, NULL,
+           CAST(CASE WHEN n*sxx - sx*sx > 0
+                THEN (n*sxy - sx*sy) // (n*sxx - sx*sx) END AS BIGINT),
+           NULL, CAST(n AS BIGINT)
+    FROM trend
     """,
 )
 def q42_user_value_profile(spark, sf_dir):
@@ -241,7 +261,26 @@ def q42_user_value_profile(spark, sf_dir):
         "k",
         "n_users",
     )
-    return profile.unionByName(cohort_rows)
+
+    # 'trend' (round 10): `aggregates.group_trend` — exact per-user
+    # least-squares slope of value over time from integer moment sums
+    # (micro-value-units per second; div truncation agrees across
+    # engines incl. negatives — verified: DuckDB // truncates toward
+    # zero like Spark div). Rides one groupBy; slope lands in the
+    # `cohort` bigint slot, n in `n_users`.
+    from ..operators.aggregates import group_trend
+
+    trend_rows = group_trend(e, ["user_id"], "ts_us", "value").select(
+        F.lit("trend").alias("kind"),
+        "user_id",
+        nd.alias("start_value"),
+        nd.alias("end_value"),
+        nd.alias("entropy"),
+        F.col("slope_micro").alias("cohort"),
+        nb.alias("k"),
+        F.col("n").alias("n_users"),
+    )
+    return profile.unionByName(cohort_rows).unionByName(trend_rows)
 
 
 @query(
