@@ -36,7 +36,6 @@ from ..functions.scalar import (
     recode,
     reverse_words,
     seconds_to_clock,
-    time_bucket,
 )
 from ..sources.io import load_table
 from .registry import query
