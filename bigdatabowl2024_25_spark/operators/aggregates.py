@@ -152,12 +152,23 @@ def mad_outliers(
     Exact medians need a full sort per group; at 100 TB swap
     `F.median` for percentile_approx and keep the rule, like A2."""
     med = df.groupBy(*keys).agg(F.median(value).alias("__med"))
-    j = df.join(med, keys)
+    # null-safe key equality: groupBy keeps NULL as a group, so the
+    # stats joins must match it back too — a plain equi-join would
+    # silently DROP every NULL-keyed input row from the output (the
+    # round-10 ADVICE defect class: rows vanishing, not rows wrong)
+    def _nsj(left: DataFrame, right: DataFrame) -> DataFrame:
+        cond = None
+        for k in keys:
+            c = left[k].eqNullSafe(right[k])
+            cond = c if cond is None else (cond & c)
+        return left.join(right, cond).drop(*[right[k] for k in keys])
+
+    j = _nsj(df, med)
     mad = j.groupBy(*keys).agg(
         F.median(F.abs(F.col(value) - F.col("__med"))).alias("__mad")
     )
     return (
-        j.join(mad, keys)
+        _nsj(j, mad)
         .withColumn(
             out,
             F.abs(F.col(value) - F.col("__med")) * F.lit(c_den)
@@ -185,8 +196,14 @@ def group_trend(
     range: raw epoch-micros squared would overflow 38 digits).
     Returns (keys…, n, slope_micro): micro-value-units per second,
     truncated toward zero — Spark `div` and DuckDB `//` agree.
-    NULL values are excluded from the fit; a key with < 2 distinct
-    timestamps (zero x-variance) yields NULL slope.
+    NULL values AND NULL timestamps are excluded from the fit (a
+    NULL-ts row must not inflate n while its x skips the moment sums
+    — n would silently disagree with Σx and corrupt the slope); a key
+    with < 2 distinct timestamps (zero x-variance) yields NULL slope.
+    Dropping x is sound because the slope is exactly shift-invariant
+    in x (n·Σ(x+c)y − Σ(x+c)·Σy ≡ n·Σxy − Σx·Σy in integer
+    arithmetic), so re-centering against a min taken before or after
+    the filter gives the identical result.
 
     Cost: ONE groupBy shuffle — the re-centering min rides a window
     over the same partitioning, and all five moment sums fold
@@ -198,7 +215,7 @@ def group_trend(
         "decimal(38,0)"
     )
     staged = df.select(*keys, x.alias("__x"), y.alias("__y")).filter(
-        F.col("__y").isNotNull()
+        F.col("__y").isNotNull() & F.col("__x").isNotNull()
     )
     agg = staged.groupBy(*keys).agg(
         F.count("*").cast("decimal(38,0)").alias("__n"),

@@ -29,11 +29,18 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 
-def _merge_pair(symbols: Column, a: str, b: str) -> Column:
-    """Greedy left-to-right merge of adjacent (a, b) → a+b in one fold
-    pass: if the fold's last emitted symbol is `a` and the next is
-    `b`, replace the tail; merged tokens never cascade within the same
-    pass (classic BPE single-merge semantics)."""
+def _merge_pair(
+    symbols: Column, a: str, b: str, merged: str | None = None
+) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) → `merged` in one
+    fold pass: if the fold's last emitted symbol is `a` and the next
+    is `b`, replace the tail; merged tokens never cascade within the
+    same pass (classic BPE single-merge semantics). `merged` defaults
+    to a+b (BPE); WordPiece passes a+strip(b) so the continuation
+    marker never ends up embedded mid-symbol ('h'+'##o' must become
+    'ho', not 'h##o')."""
+    if merged is None:
+        merged = a + b
     return F.aggregate(
         symbols,
         F.array().cast("array<string>"),
@@ -43,7 +50,7 @@ def _merge_pair(symbols: Column, a: str, b: str) -> Column:
             & (x == F.lit(b)),
             F.concat(
                 F.slice(acc, 1, F.size(acc) - 1),
-                F.array(F.lit(a + b)),
+                F.array(F.lit(merged)),
             ),
         ).otherwise(F.concat(acc, F.array(x))),
     )
@@ -428,7 +435,10 @@ def wordpiece_train(
         a, b = best[0].a, best[0].b
         merges.append((a, b))
         vocab = vocab.select(
-            _merge_pair(F.col("syms"), a, b).alias("syms"), "n"
+            _merge_pair(
+                F.col("syms"), a, b, merged=a + _wp_strip(b, cont)
+            ).alias("syms"),
+            "n",
         )
         if (i + 1) % 8 == 0:
             vocab = vocab.localCheckpoint()

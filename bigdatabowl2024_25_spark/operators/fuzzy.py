@@ -156,8 +156,9 @@ def sorted_neighborhood_self_join(
     Per row the pass emits `window−1` skinny candidate rows via
     lead(); candidate volume is window-bounded (n·(window−1) per
     pass), never quadratic, with no index to build or broadcast.
-    NULL ids/texts are dropped at the door (a NULL key would gather
-    all NULL rows into one fake neighborhood)."""
+    NULL ids/texts are dropped at the door, and a row whose DERIVED
+    sort key is NULL is dropped from that pass only (a NULL key would
+    gather all NULL rows into one fake neighborhood)."""
     from pyspark.sql import Window
 
     if window < 2:
@@ -175,7 +176,16 @@ def sorted_neighborhood_self_join(
             F.col(id_col).alias("__id"),
             F.col(text_col).alias("__t"),
             key.alias("__key"),
-        ).filter(F.col("__id").isNotNull() & F.col("__t").isNotNull())
+        ).filter(
+            F.col("__id").isNotNull()
+            & F.col("__t").isNotNull()
+            # a custom `keys` expression can be NULL even when id and
+            # text are not (e.g. substring of a NULL zip column); such
+            # rows would all land in the NULL prefix partition as one
+            # fake neighborhood — drop them from THIS pass only (other
+            # passes with non-NULL keys still see the row)
+            & F.col("__key").isNotNull()
+        )
         w = Window.partitionBy(
             F.substring(F.col("__key"), 1, prefix_len)
         ).orderBy(F.col("__key").asc(), F.col("__id").asc())

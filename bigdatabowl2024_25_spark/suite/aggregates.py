@@ -194,7 +194,7 @@ def q41_priority_price_profile(spark, sf_dir):
                    CAST(FLOOR(value * 1000000.0) AS HUGEINT) AS y
             FROM (SELECT user_id, epoch_us(ts) // 1000000 AS tu, value
                   FROM events)
-            WHERE value IS NOT NULL
+            WHERE value IS NOT NULL AND tu IS NOT NULL
         ) GROUP BY user_id
     )
     SELECT 'profile' AS kind, se.user_id, se.start_value, se.end_value,

@@ -192,6 +192,15 @@ def test_wordpiece_train_matches_python_reference(spark):
     # the WordPiece signature: the rare word 'holds' is fully fused
     # within 10 merges while frequent 'the'/'data' are not
     assert "holds" in got and "the" not in got and "data" not in got
+    # the size-adaptive paths must be merge-for-merge identical:
+    # threshold 0 forces the distributed per-iteration loop. 'holds'
+    # fully fusing requires CHAINED merges ('ho'+'##l' etc.), the
+    # exact case where the distributed loop used to leave '##'
+    # embedded mid-symbol ('h##o') and diverge from the local path
+    got2 = wordpiece_train(
+        df, "text", n_merges=10, small_vocab_threshold=0
+    )
+    assert got2 == ref
 
 
 def test_wordpiece_encode_greedy_rule_and_edges(spark):

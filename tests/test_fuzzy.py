@@ -165,6 +165,37 @@ def test_snm_multipass_beats_single_pass(spark):
     assert any({r.id_a, r.id_b} == {1, 2} for r in both)
 
 
+def test_snm_null_derived_key_no_fake_neighborhood(spark):
+    """With a custom `keys` expression that is NULL for some rows
+    (NULL zip here), those rows must be dropped from THAT pass — not
+    collected into one NULL-key partition where two unrelated names
+    become window-adjacent and levenshtein-close by accident (the
+    r10-ADVICE defect). Rows keep their chance in other passes."""
+    from bigdatabowl2024_25_spark.operators.fuzzy import (
+        sorted_neighborhood_self_join,
+    )
+
+    rows = [
+        (1, "abcd", None), (2, "abce", None),   # NULL zip, similar text
+        (3, "zzzz", "111"), (4, "zzzy", "111"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string, zip string")
+    # zip-only pass: NULL-zip rows 1,2 must NOT pair (they only look
+    # adjacent inside the fake NULL neighborhood)
+    zip_pass = sorted_neighborhood_self_join(
+        df, "id", "name", k=1, window=2, prefix_len=1,
+        keys=["concat(zip, name)"],
+    ).collect()
+    assert not any({r.id_a, r.id_b} == {1, 2} for r in zip_pass)
+    assert any({r.id_a, r.id_b} == {3, 4} for r in zip_pass)
+    # a multi-pass run with a non-NULL key still finds 1-2
+    both = sorted_neighborhood_self_join(
+        df, "id", "name", k=1, window=2, prefix_len=1,
+        keys=["concat(zip, name)", "name"],
+    ).collect()
+    assert any({r.id_a, r.id_b} == {1, 2} for r in both)
+
+
 def test_snm_partition_invariance(spark):
     from bigdatabowl2024_25_spark.operators.fuzzy import (
         sorted_neighborhood_self_join,

@@ -64,6 +64,24 @@ def test_group_trend_matches_reference(spark):
     assert got[9][0] is None and got[10][0] is None
 
 
+def test_group_trend_null_ts_excluded_from_fit(spark):
+    """A NULL-timestamp row with a non-NULL value must be excluded
+    from BOTH n and the moment sums (r10-ADVICE defect: it used to
+    pass the y-filter, inflate n, and skip the x sums — a silently
+    wrong slope). The key's slope must equal the fit over its valid
+    rows alone."""
+    rows = [(1, i * 1_000_000, 2.0 * i) for i in range(10)]
+    df_clean = spark.createDataFrame(rows, "k long, ts_us long, v double")
+    want = {(r.k, r.slope_micro, r.n)
+            for r in group_trend(df_clean, ["k"], "ts_us", "v").collect()}
+    dirty = rows + [(1, None, 999.0), (1, None, -999.0)]
+    df_dirty = spark.createDataFrame(dirty, "k long, ts_us bigint, v double")
+    got = {(r.k, r.slope_micro, r.n)
+           for r in group_trend(df_dirty, ["k"], "ts_us", "v").collect()}
+    assert got == want
+    assert next(iter(got))[2] == 10  # n counts only fitted rows
+
+
 def test_group_trend_partition_invariance(spark):
     rows = [(1, i * 1_000_000, float(i % 7)) for i in range(50)]
     df = spark.createDataFrame(rows, "k long, ts_us long, v double")

@@ -50,6 +50,25 @@ def test_mad_null_values_unflagged(spark):
     assert by_v[100.0] is True and by_v[2.0] is False
 
 
+def test_mad_null_key_rows_survive(spark):
+    """NULL-keyed rows form their own group (groupBy semantics) and
+    must come back FLAGGED, not vanish: the stats joins are null-safe
+    (eqNullSafe), so the NULL group's median/MAD match back onto its
+    rows exactly like any other key's (the r10-ADVICE rows-vanishing
+    defect)."""
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 1.0), (None, 1.0), (None, 50.0),
+         (1, 2.0), (1, 2.0), (1, 2.0)],
+        "k bigint, v double",
+    )
+    rows = mad_outliers(df, ["k"], "v").collect()
+    assert len(rows) == 7  # nothing dropped
+    null_grp = [(r.v, r.is_mad_outlier) for r in rows if r.k is None]
+    assert sorted(null_grp) == [
+        (1.0, False), (1.0, False), (1.0, False), (50.0, True)
+    ]
+
+
 def test_mad_zero_mad_degenerate(spark):
     """MAD = 0 (majority identical): the rule degenerates to 'any
     deviation is an outlier' — the textbook behavior, pinned so a
