@@ -41,10 +41,61 @@ SEED = 42
 #: in this environment, so the boosted entries are MLlib GBT via
 #: OneVsRest — GBTClassifier is binary-only — plus the pure-NumPy
 #: second-order softprob `NumpyGBDTClassifier` (the XGBoost algorithm
-#: itself, multiclass + calibrated probabilities), the linear entry is
-#: multinomial LogisticRegression, and the neural entry is the pure-
-#: NumPy `NumpyMLPClassifier` below).
-MODEL_FAMILIES = ("rf", "logreg", "gbt_ovr", "mlp", "gbdt")
+#: itself, multiclass + calibrated probabilities) and the leaf-wise
+#: histogram `NumpyLGBMClassifier` (the LightGBM algorithm), the
+#: linear entry is multinomial LogisticRegression, and the neural
+#: entry is the pure-NumPy `NumpyMLPClassifier` below).
+MODEL_FAMILIES = ("rf", "logreg", "gbt_ovr", "mlp", "gbdt", "lgbm")
+
+
+def _fit_frame(
+    df: DataFrame,
+    cls_name: str,
+    label_col: str,
+    feature_cols: list[str],
+    max_fit_rows: int,
+):
+    """Driver-collect gate shared by the NumPy model families. Their
+    contract (SURVEY X6) is a DRIVER-SIZED aggregated feature table —
+    the same ≤44k-row frame the reference feeds sklearn/xgboost/Keras
+    — and this count makes that contract ENFORCEABLE rather than
+    documentary: a corpus-scale DataFrame pointed at `.fit` dies
+    loudly with a redirect instead of OOMing the driver through
+    `toPandas` (round-10 review item). The count is one cheap
+    aggregate job; the frame is then collected exactly once.
+
+    Also centralizes the input validations every family needs (empty
+    frame, NULL labels, non-finite features) with the messages the
+    test suite pins."""
+    import numpy as np
+
+    n = df.count()
+    if n > max_fit_rows:
+        raise ValueError(
+            f"{cls_name}.fit: training frame has {n:,} rows — over "
+            f"the max_fit_rows={max_fit_rows:,} driver-collect bound. "
+            "These families fit driver-sized AGGREGATED feature "
+            "tables; for corpus-scale training use the distributed "
+            "MLlib families (classifier_pipeline model='rf'/'logreg'/"
+            "'gbt_ovr') or aggregate/sample first."
+        )
+    pdf = df.select(label_col, *feature_cols).toPandas()
+    if pdf.empty:
+        raise ValueError(f"{cls_name}.fit: empty training frame")
+    if pdf[label_col].isna().any():
+        raise ValueError(
+            f"{cls_name}.fit: NULL labels — filter or impute before "
+            "fitting"
+        )
+    X = pdf[feature_cols].to_numpy(dtype=np.float64)
+    if not np.isfinite(X).all():
+        raise ValueError(
+            f"{cls_name}.fit: non-finite feature values — a NaN "
+            "silently poisons standardization means and every "
+            "comparison on its feature's sort path; clean or clip "
+            "first"
+        )
+    return pdf, X
 
 
 def _stddev_exact(c: str):
@@ -193,10 +244,11 @@ def classifier_pipeline(
             labelCol="label",
             parallelism=4,
         )
-    elif model in ("mlp", "gbdt"):
+    elif model in ("mlp", "gbdt", "lgbm"):
         raise ValueError(
             f"the {model!r} family is not an MLlib pipeline — use "
-            "NumpyMLPClassifier / NumpyGBDTClassifier "
+            "NumpyMLPClassifier / NumpyGBDTClassifier / "
+            "NumpyLGBMClassifier "
             "(train_eval/compare_models route them automatically)"
         )
     else:
@@ -285,12 +337,12 @@ def train_eval(
 ) -> tuple[PipelineModel, DataFrame, dict[str, float]]:
     """X5 seed-42 80/20 split, fit, X8 metrics (accuracy + logloss)."""
     train, test = features.randomSplit([0.8, 0.2], seed=SEED)
-    if kwargs.get("model") in ("mlp", "gbdt"):
-        cls = (
-            NumpyMLPClassifier
-            if kwargs["model"] == "mlp"
-            else NumpyGBDTClassifier
-        )
+    if kwargs.get("model") in ("mlp", "gbdt", "lgbm"):
+        cls = {
+            "mlp": NumpyMLPClassifier,
+            "gbdt": NumpyGBDTClassifier,
+            "lgbm": NumpyLGBMClassifier,
+        }[kwargs["model"]]
         kw = {"seed": SEED} if kwargs["model"] == "mlp" else {}
         m = cls(label_col, feature_cols, **kw)
         m.fit(train)
@@ -448,6 +500,7 @@ class NumpyMLPClassifier:
         lr: float = 0.01,
         l2: float = 1e-4,
         seed: int = SEED,
+        max_fit_rows: int = 1_000_000,
     ) -> None:
         self.label_col = label_col
         self.feature_cols = list(feature_cols)
@@ -456,6 +509,7 @@ class NumpyMLPClassifier:
         self.lr = lr
         self.l2 = l2
         self.seed = seed
+        self.max_fit_rows = max_fit_rows
 
     # -- numpy core -----------------------------------------------------
     @staticmethod
@@ -478,24 +532,10 @@ class NumpyMLPClassifier:
     def fit(self, df: DataFrame) -> "NumpyMLPClassifier":
         import numpy as np
 
-        pdf = df.select(self.label_col, *self.feature_cols).toPandas()
-        if pdf.empty:
-            raise ValueError(
-                "NumpyMLPClassifier.fit: empty training frame"
-            )
-        if pdf[self.label_col].isna().any():
-            raise ValueError(
-                "NumpyMLPClassifier.fit: NULL labels — filter or "
-                "impute before fitting (StringIndexer handleInvalid "
-                "has no analogue here)"
-            )
-        feats = pdf[self.feature_cols].to_numpy(dtype=np.float64)
-        if not np.isfinite(feats).all():
-            raise ValueError(
-                "NumpyMLPClassifier.fit: non-finite feature values — "
-                "NaN/inf silently poison every weight via the "
-                "standardization means; clean or clip first"
-            )
+        pdf, feats = _fit_frame(
+            df, "NumpyMLPClassifier", self.label_col,
+            self.feature_cols, self.max_fit_rows,
+        )
         self.classes_ = sorted(pdf[self.label_col].astype(str).unique())
         idx = {c: i for i, c in enumerate(self.classes_)}
         y = pdf[self.label_col].astype(str).map(idx).to_numpy()
@@ -661,6 +701,7 @@ class NumpyGBDTClassifier:
         reg_lambda: float = 1.0,
         gamma: float = 0.0,
         min_child_weight: float = 1.0,
+        max_fit_rows: int = 1_000_000,
     ) -> None:
         self.label_col = label_col
         self.feature_cols = list(feature_cols)
@@ -670,6 +711,7 @@ class NumpyGBDTClassifier:
         self.reg_lambda = reg_lambda
         self.gamma = gamma
         self.min_child_weight = min_child_weight
+        self.max_fit_rows = max_fit_rows
 
     # -- numpy core -----------------------------------------------------
     def _build_tree(self, X, g, h, idx, depth):
@@ -769,23 +811,10 @@ class NumpyGBDTClassifier:
     def fit(self, df: DataFrame) -> "NumpyGBDTClassifier":
         import numpy as np
 
-        pdf = df.select(self.label_col, *self.feature_cols).toPandas()
-        if pdf.empty:
-            raise ValueError(
-                "NumpyGBDTClassifier.fit: empty training frame"
-            )
-        if pdf[self.label_col].isna().any():
-            raise ValueError(
-                "NumpyGBDTClassifier.fit: NULL labels — filter or "
-                "impute before fitting"
-            )
-        X = pdf[self.feature_cols].to_numpy(dtype=np.float64)
-        if not np.isfinite(X).all():
-            raise ValueError(
-                "NumpyGBDTClassifier.fit: non-finite feature values — "
-                "a NaN poisons every comparison on its feature's sort "
-                "path; clean or clip first"
-            )
+        pdf, X = _fit_frame(
+            df, type(self).__name__, self.label_col,
+            self.feature_cols, self.max_fit_rows,
+        )
         self.classes_ = sorted(pdf[self.label_col].astype(str).unique())
         idx = {c: i for i, c in enumerate(self.classes_)}
         y = pdf[self.label_col].astype(str).map(idx).to_numpy()
@@ -870,6 +899,223 @@ class NumpyGBDTClassifier:
     # identical metric contract — accuracy + clamped multiclass
     # log loss over the (predicted_label, probabilities) columns
     evaluate = NumpyMLPClassifier.evaluate
+
+
+class NumpyLGBMClassifier(NumpyGBDTClassifier):
+    """The reference's LightGBM family (`DefPosModel.ipynb` cell 16's
+    best-accuracy tree library after CatBoost) as the SIXTH model
+    family — the actual LightGBM growth algorithm (Ke et al., NeurIPS
+    2017), not a re-badged XGBoost:
+
+    - HISTOGRAM split finding: each feature is bucketed once per fit
+      into ≤`max_bin` bins (boundaries = midpoints of sorted distinct
+      training values, evenly thinned past the cap); split search
+      scans per-bin gradient/hessian sums via bincount instead of
+      sorting rows — O(n + bins) per feature per leaf.
+    - LEAF-WISE (best-first) growth under a `num_leaves` budget: each
+      step splits the ONE leaf with the largest gain anywhere in the
+      tree, so deep chases down an informative branch are possible
+      where the parent's depth-wise growth would spend the same
+      budget evenly across a level.
+
+    The objective is the parent's second-order multiclass softprob
+    (LightGBM and XGBoost share the math — Newton leaf weights
+    −G/(H+λ), the same split gain); only binning + growth policy
+    differ, which is exactly the LightGBM-vs-XGBoost delta. No GOSS /
+    EFB (they are RNG subsampling and sparse-feature bundling — both
+    counterproductive on driver-sized dense frames and both would
+    break refit determinism); no sibling-histogram subtraction (a
+    constant-factor trick, pointless at this n).
+
+    Deterministic by construction under the parent's discipline: no
+    RNG, ties break lowest-node → lowest-feature → lowest-bin, so
+    refits are bit-identical and tests pin exact trees. Trees land in
+    the parent's flat-array layout with RAW-VALUE thresholds (bin
+    boundaries), so `transform` / `_predict_tree` / `evaluate` are
+    inherited unchanged — scoring needs no binning and stays
+    Arrow-batched and distributed."""
+
+    def __init__(
+        self,
+        label_col: str,
+        feature_cols: list[str],
+        n_rounds: int = 40,
+        num_leaves: int = 8,
+        learning_rate: float = 0.3,
+        reg_lambda: float = 1.0,
+        min_child_weight: float = 1e-3,
+        min_data_in_leaf: int = 1,
+        max_bin: int = 255,
+        max_fit_rows: int = 1_000_000,
+    ) -> None:
+        if not 2 <= num_leaves <= 64:
+            # _predict_tree's traversal is bounded at 64 levels; a
+            # leaf-wise tree can be a chain of depth num_leaves − 1
+            raise ValueError("num_leaves must be in [2, 64]")
+        if max_bin < 2:
+            raise ValueError("max_bin must be >= 2")
+        self.label_col = label_col
+        self.feature_cols = list(feature_cols)
+        self.n_rounds = n_rounds
+        self.num_leaves = num_leaves
+        self.learning_rate = learning_rate
+        self.reg_lambda = reg_lambda
+        self.min_child_weight = min_child_weight
+        self.min_data_in_leaf = min_data_in_leaf
+        self.max_bin = max_bin
+        self.max_fit_rows = max_fit_rows
+
+    # -- numpy core -----------------------------------------------------
+    def _bin_features(self, X):
+        """Per-feature bin boundaries (midpoints of sorted distinct
+        values, evenly thinned to max_bin − 1) + the binned int matrix.
+        bin(v) = #{boundaries < v}, so `bin ≤ t  ⇔  v ≤ bounds[t]` —
+        raw-value thresholds at predict time reproduce the training
+        binning exactly."""
+        import numpy as np
+
+        bounds_all = []
+        B = np.zeros(X.shape, dtype=np.int64)
+        for j in range(X.shape[1]):
+            d = np.unique(X[:, j])  # sorted distinct
+            bounds = (d[:-1] + d[1:]) / 2.0
+            if len(bounds) > self.max_bin - 1:
+                sel = np.unique(
+                    np.round(
+                        np.linspace(0, len(bounds) - 1, self.max_bin - 1)
+                    ).astype(np.int64)
+                )
+                bounds = bounds[sel]
+            bounds_all.append(bounds)
+            B[:, j] = np.searchsorted(bounds, X[:, j], side="left")
+        return bounds_all, B
+
+    def _leaf_best_split(self, B, bounds_all, g, h, idx, G, H):
+        """Best (gain, feature, bin) for one leaf from per-bin
+        histogram sums. First argmax → lowest bin on gain ties;
+        strict > across features → lowest feature index."""
+        import numpy as np
+
+        lam = self.reg_lambda
+        base = G * G / (H + lam)
+        best_gain, best_j, best_pos = 0.0, -1, -1
+        n_leaf = len(idx)
+        for j in range(B.shape[1]):
+            nb = len(bounds_all[j]) + 1
+            if nb < 2:
+                continue
+            b = B[idx, j]
+            bg = np.bincount(b, weights=g[idx], minlength=nb)
+            bh = np.bincount(b, weights=h[idx], minlength=nb)
+            bc = np.bincount(b, minlength=nb)
+            cg = np.cumsum(bg)[:-1]
+            ch = np.cumsum(bh)[:-1]
+            cc = np.cumsum(bc)[:-1]
+            ok = (
+                (ch >= self.min_child_weight)
+                & (H - ch >= self.min_child_weight)
+                & (cc >= self.min_data_in_leaf)
+                & (n_leaf - cc >= self.min_data_in_leaf)
+            )
+            if not ok.any():
+                continue
+            gain = np.where(
+                ok,
+                0.5
+                * (
+                    cg * cg / (ch + lam)
+                    + (G - cg) * (G - cg) / (H - ch + lam)
+                    - base
+                ),
+                -np.inf,
+            )
+            pos = int(np.argmax(gain))
+            if gain[pos] > best_gain:
+                best_gain = float(gain[pos])
+                best_j, best_pos = j, pos
+        return best_gain, best_j, best_pos
+
+    def _grow_tree(self, B, bounds_all, g, h):
+        """Leaf-wise growth to num_leaves (or until no positive gain).
+        Nodes share the parent's flat layout
+        (feature, thr, left, right, value), feature −1 = leaf."""
+        import numpy as np
+
+        lam = self.reg_lambda
+        nodes: list[list] = []
+
+        def mk_leaf(idx):
+            G, H = float(g[idx].sum()), float(h[idx].sum())
+            nodes.append([-1, 0.0, -1, -1, -G / (H + lam)])
+            return len(nodes) - 1, G, H
+
+        all_idx = np.arange(len(g))
+        root, G, H = mk_leaf(all_idx)
+        leaves = {root: (all_idx, G, H)}
+        cand = {
+            root: self._leaf_best_split(B, bounds_all, g, h, all_idx, G, H)
+        }
+        n_leaves = 1
+        while n_leaves < self.num_leaves:
+            # split the single best leaf anywhere in the tree;
+            # gain ties → the earliest-created node
+            nid = max(cand, key=lambda i: (cand[i][0], -i))
+            gain, j, pos = cand[nid]
+            if gain <= 0.0 or j < 0:
+                break
+            idx, _, _ = leaves.pop(nid)
+            del cand[nid]
+            go_left = B[idx, j] <= pos
+            li, ri = idx[go_left], idx[~go_left]
+            lnode, GL, HL = mk_leaf(li)
+            rnode, GR, HR = mk_leaf(ri)
+            nodes[nid][0] = j
+            nodes[nid][1] = float(bounds_all[j][pos])
+            nodes[nid][2] = lnode
+            nodes[nid][3] = rnode
+            leaves[lnode] = (li, GL, HL)
+            cand[lnode] = self._leaf_best_split(
+                B, bounds_all, g, h, li, GL, HL
+            )
+            leaves[rnode] = (ri, GR, HR)
+            cand[rnode] = self._leaf_best_split(
+                B, bounds_all, g, h, ri, GR, HR
+            )
+            n_leaves += 1
+        return tuple(np.array(col) for col in zip(*nodes))
+
+    def fit(self, df: DataFrame) -> "NumpyLGBMClassifier":
+        import numpy as np
+
+        pdf, X = _fit_frame(
+            df, "NumpyLGBMClassifier", self.label_col,
+            self.feature_cols, self.max_fit_rows,
+        )
+        self.classes_ = sorted(pdf[self.label_col].astype(str).unique())
+        idx = {c: i for i, c in enumerate(self.classes_)}
+        y = pdf[self.label_col].astype(str).map(idx).to_numpy()
+        n, k = len(X), len(self.classes_)
+        onehot = np.zeros((n, k))
+        onehot[np.arange(n), y] = 1.0
+
+        bounds_all, B = self._bin_features(X)
+        scores = np.zeros((n, k))
+        self.trees_ = []
+        for _ in range(self.n_rounds):
+            z = scores - scores.max(axis=1, keepdims=True)
+            e = np.exp(z)
+            p = e / e.sum(axis=1, keepdims=True)
+            grad = p - onehot
+            hess = p * (1.0 - p)
+            round_trees = []
+            for c in range(k):
+                tree = self._grow_tree(B, bounds_all, grad[:, c], hess[:, c])
+                round_trees.append(tree)
+                scores[:, c] += self.learning_rate * self._predict_tree(
+                    tree, X
+                )
+            self.trees_.append(round_trees)
+        return self
 
 
 def predict_for_play(

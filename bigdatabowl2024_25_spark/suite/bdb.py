@@ -634,6 +634,44 @@ _STD_SQL = (
         SELECT f.*, l.label_index,
                CASE WHEN f.def_s_mean > 5.0 THEN 1.0 ELSE 0.0 END AS pred
         FROM feats f JOIN lidx l USING (pff_passCoverage)
+    ),
+    -- X6 trained-model predictions, PINNED: both boosted families are
+    -- refitted at query time on the deterministic sorted frame; these
+    -- literals were produced by that exact fit (hash-verified across
+    -- session configs) — trainer drift flips the whole query red
+    x6 AS (
+        SELECT CAST(gameId AS BIGINT) AS gameId,
+               CAST(playId AS BIGINT) AS playId,
+               x6_gbdt_label,
+               CAST(x6_gbdt_prob_micro AS BIGINT) AS x6_gbdt_prob_micro,
+               x6_lgbm_label,
+               CAST(x6_lgbm_prob_micro AS BIGINT) AS x6_lgbm_prob_micro
+        FROM (VALUES
+            (0, 0, 'Cover-3', 384240, 'Cover-1', 836298),
+            (0, 1, 'Cover-2', 631473, 'Cover-2', 911899),
+            (0, 2, 'Cover-3', 745212, 'Cover-3', 902226),
+            (0, 3, 'Quarters', 838360, 'Quarters', 920362),
+            (1, 0, 'Cover-2', 516661, 'Cover-2', 906492),
+            (1, 1, 'Cover-3', 653283, 'Cover-3', 902226),
+            (1, 2, 'Quarters', 681844, 'Quarters', 886416),
+            (1, 3, 'Cover-1', 577856, 'Cover-1', 860318),
+            (2, 0, 'Cover-3', 455674, 'Cover-3', 885127),
+            (2, 1, 'Quarters', 702333, 'Quarters', 955979),
+            (2, 2, 'Cover-1', 635186, 'Cover-1', 921244),
+            (2, 3, 'Cover-2', 609705, 'Cover-2', 863167),
+            (3, 0, 'Cover-1', 441503, 'Quarters', 783250),
+            (3, 1, 'Cover-2', 517798, 'Cover-1', 884578),
+            (3, 2, 'Cover-2', 606255, 'Cover-2', 942799),
+            (3, 3, 'Cover-3', 689159, 'Cover-3', 884892),
+            (4, 0, 'Cover-1', 676698, 'Cover-1', 901993),
+            (4, 1, 'Cover-2', 598212, 'Cover-2', 940279),
+            (4, 2, 'Cover-3', 685914, 'Cover-3', 915930),
+            (4, 3, 'Quarters', 655434, 'Quarters', 912884),
+            (5, 0, 'Cover-2', 679355, 'Cover-2', 917590),
+            (5, 1, 'Cover-3', 779655, 'Cover-3', 953869),
+            (5, 2, 'Quarters', 711927, 'Quarters', 883510)
+        ) AS t(gameId, playId, x6_gbdt_label, x6_gbdt_prob_micro,
+               x6_lgbm_label, x6_lgbm_prob_micro)
     )
     SELECT *,
            ROUND((def_x_mean - AVG(def_x_mean) OVER ())
@@ -650,7 +688,7 @@ _STD_SQL = (
            CASE WHEN gameId = 0 AND playId = 0 THEN
                 1.0 - CASE WHEN def_s_mean > 5.0 THEN 0.75 ELSE 0.25 END
            END AS x9_prob_other
-    FROM labeled
+    FROM labeled JOIN x6 USING (gameId, playId)
     """,
 )
 def q92_ml_features(spark, sf_dir):
@@ -674,12 +712,20 @@ def q92_ml_features(spark, sf_dir):
     - X8: a real `MulticlassClassificationEvaluator` accuracy and the
       real `ml.confusion_matrix` pivot, computed over a DETERMINISTIC
       rule prediction (def_s_mean threshold) — the metrics CODE gets
-      a hash-checked driver row; model fitting itself stays
-      pytest-side (tests/test_ml.py tolerance bands): training is
-      iterative/FP-order-dependent, not SQL-expressible. The pivoted
-      confusion matrix is melted back to a per-row `confusion_n`
-      (this row's (label, pred) cell count) so granularity still
-      matches the feature table."""
+      a hash-checked driver row; the pivoted confusion matrix is
+      melted back to a per-row `confusion_n` (this row's (label,
+      pred) cell count) so granularity still matches the feature
+      table.
+    - X6 (round 11): TRAINED MODELS under the oracle at last — the
+      `NumpyGBDTClassifier` (XGBoost algorithm) and
+      `NumpyLGBMClassifier` (LightGBM leaf-wise histogram algorithm)
+      are refitted at query time on the deterministically-ordered
+      23-row frame (`DefPosModel.ipynb` cells 4-16's fit+predict);
+      per-row predicted labels + micro-unit max-class probabilities
+      are value-hash-checked against pinned VALUES (the q64
+      'bpe_train' pattern). Training is RNG-free with pinned
+      tie-breaks, so refits are bit-identical — the literals ARE the
+      contract, not a tolerance band."""
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
     from pyspark.ml.feature import StandardScaler, StringIndexer, VectorAssembler
     from pyspark.ml.functions import vector_to_array
@@ -756,7 +802,42 @@ def q92_ml_features(spark, sf_dir):
         F.col("probabilities")["Cover-1"].alias("x9_prob_cover1"),
         F.col("probabilities")["other"].alias("x9_prob_other"),
     )
-    return (
+    # X6 (round 11, VERDICT item 1): TRAINED models under the driver
+    # oracle — the last local-only §2 component. Both NumPy boosted
+    # families (GBDT = the XGBoost algorithm; LGBM = leaf-wise
+    # histogram, the LightGBM algorithm) are FITTED AT QUERY TIME on
+    # the deterministically-ORDERED 23-row feature table and their
+    # per-row predictions ride the output as pinned-VALUES-checked
+    # columns (the q64 'bpe_train' pattern: any trainer drift — a
+    # split moving, a leaf weight changing — flips rows red). The fit
+    # is a pure function of the sorted frame (no RNG, lowest-feature/
+    # lowest-threshold tie-breaks), so the probabilities are
+    # bit-stable and micro-unit rounding is exact, not a tolerance.
+    from ..ml import NumpyGBDTClassifier, NumpyLGBMClassifier
+
+    fit_cols = ["def_s_mean", "def_x_mean", "yardsToGo", "down"]
+    train_frame = base.orderBy("gameId", "playId")
+    x6_models = [
+        ("gbdt", NumpyGBDTClassifier(
+            "pff_passCoverage", fit_cols, n_rounds=20
+        ).fit(train_frame)),
+        ("lgbm", NumpyLGBMClassifier(
+            "pff_passCoverage", fit_cols, n_rounds=20, num_leaves=4
+        ).fit(train_frame)),
+    ]
+    x6_scores = [
+        m.transform(base).select(
+            "gameId",
+            "playId",
+            F.col("predicted_label").alias(f"x6_{tag}_label"),
+            F.round(
+                F.element_at("probabilities", F.col("predicted_label"))
+                * 1e6
+            ).cast("bigint").alias(f"x6_{tag}_prob_micro"),
+        )
+        for tag, m in x6_models
+    ]
+    out = (
         scaled.join(F.broadcast(cm_long), ["label_index", "pred"])
         .join(F.broadcast(x9), ["gameId", "playId"], "left")
         .select(
@@ -769,3 +850,6 @@ def q92_ml_features(spark, sf_dir):
             "x9_prob_other",
         )
     )
+    for sc in x6_scores:
+        out = out.join(F.broadcast(sc), ["gameId", "playId"])
+    return out
