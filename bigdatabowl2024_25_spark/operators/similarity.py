@@ -684,6 +684,7 @@ def semantic_dedup(
     vec_col: str,
     threshold: float,
     assigned: DataFrame | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by embedding clustering — the *batch corpus-level*
@@ -716,7 +717,23 @@ def semantic_dedup(
     (the paper uses k≈n/5000; a cluster capped at c members costs
     O(c²) pairs, never O(n²)). The dominance test and both cosines
     are int64 dots + one IEEE division, engine-exact, inside codegen;
-    the final per-victim aggregate shuffles only pair survivors."""
+    the final per-victim aggregate shuffles only pair survivors.
+
+    `max_cluster_size` (round 11): the HARD guard against the
+    degenerate hot cluster the k≈n/5000 heuristic cannot promise away
+    — mass-produced near-identical spam is exactly what SemDeDup
+    targets, and one such cluster makes one task quadratic. When set,
+    clusters larger than the cap compare each member against only
+    `max_cluster_size` hash-sampled representatives (deterministic:
+    lowest tagged_hash64 of id first), so the worst task is
+    O(c·cap) instead of O(c²); clusters at or under the cap are
+    untouched (exact pairwise). Recall is LOSSY for oversized
+    clusters — a duplicate pair where neither end is a representative
+    goes unseen — which is the documented bargain; the all-clones
+    case still collapses (every clone ranks against the sampled reps)
+    and the global closest-to-centroid extreme always survives. A
+    `UserWarning` fires (one |clusters|-sized count job) naming how
+    many clusters fell back."""
     if assigned is None:
         assigned = ivf_assign_exact(data, cents, id_col, vec_col)
     c = cents.select(
@@ -763,6 +780,41 @@ def semantic_dedup(
         )
         .drop("__civ", "__cnrm")
     )
+    y_src = mem
+    if max_cluster_size is not None:
+        if max_cluster_size < 1:
+            raise ValueError("max_cluster_size must be >= 1")
+        import warnings
+
+        from .text import tagged_hash64
+
+        w = Window.partitionBy("__list").orderBy(
+            tagged_hash64(
+                "semdedup_cap", F.col(id_col).cast("string")
+            ),
+            F.col(id_col),
+        )
+        ranked = mem.withColumn("__rk", F.row_number().over(w))
+        n_over = (
+            ranked.groupBy("__list")
+            .agg(F.max("__rk").alias("__csz"))
+            .filter(F.col("__csz") > max_cluster_size)
+            .count()
+        )
+        if n_over:
+            warnings.warn(
+                f"semantic_dedup: {n_over} cluster(s) exceed "
+                f"max_cluster_size={max_cluster_size}; comparing "
+                "members against that many hash-sampled "
+                "representatives instead of full pairwise "
+                "(recall-lossy for those clusters — consider more "
+                "centroids)",
+                UserWarning,
+                stacklevel=2,
+            )
+        y_src = ranked.filter(
+            F.col("__rk") <= max_cluster_size
+        ).drop("__rk")
     x = mem.select(
         F.col(id_col).alias("__xid"),
         F.col("__list"),
@@ -770,7 +822,7 @@ def semantic_dedup(
         F.col("__nrm").alias("__xnrm"),
         F.col("__cosc").alias("__xcosc"),
     )
-    y = mem.select(
+    y = y_src.select(
         F.col(id_col).alias("__yid"),
         F.col("__list"),
         F.col("__iv").alias("__yiv"),

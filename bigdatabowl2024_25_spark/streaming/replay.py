@@ -282,12 +282,67 @@ def run_to_memory(
     q.awaitTermination()
 
 
+def _reorder_step(buf, max_seen, incoming, delay_us):
+    """Per-key watermark reorder buffer — the upstream stage the
+    order-sensitive stateful ops (funnel / anomaly / CUSUM) document:
+    hold rows until the key's watermark (max event time seen −
+    `delay_us`) passes them, then release in EVENT-TIME order, so
+    greedy per-row state sees the same order the batch operator's
+    sort produces as long as disorder stays within the delay.
+
+    `buf`: pending [(ts, payload)] from state; `incoming`: this
+    batch's [(ts, payload)]; `max_seen`: largest event time ever seen
+    for the key (−1 = none yet; event times must be nonnegative).
+    Returns (released_sorted, new_buf, new_max_seen, n_late).
+
+    Rows at or before the PREVIOUS watermark are late-beyond-delay
+    and dropped (counted in n_late): processing already advanced past
+    their slot, and un-taking greedy state is exactly what this stage
+    exists to avoid — the same bargain Spark's own watermarked
+    aggregations make. Ties on ts release in payload order (None
+    first) so arrival order can never leak into results.
+
+    The watermark is PER KEY because applyInPandasWithState sees one
+    key's state at a time; a global watermark would need a
+    cross-partition aggregate per batch. Per-key is the stricter,
+    deterministic choice: a key's own events gate its releases, so a
+    quiet key never has rows forced out by a chatty one."""
+    wm_prev = max_seen - delay_us
+    n_late = 0
+    for ts, pl in incoming:
+        ts = int(ts)
+        if max_seen >= 0 and ts <= wm_prev:
+            n_late += 1
+            continue
+        buf.append((ts, pl))
+        if ts > max_seen:
+            max_seen = ts
+    if max_seen < 0:
+        return [], buf, max_seen, n_late
+    wm = max_seen - delay_us
+
+    def _key(r):
+        import math
+
+        pl = r[1]
+        if pl is None or (isinstance(pl, float) and math.isnan(pl)):
+            return (r[0], 0, 0)  # NULL/NaN payloads first on ts ties
+        return (r[0], 1, pl)
+
+    buf.sort(key=_key)
+    cut = 0
+    while cut < len(buf) and buf[cut][0] <= wm:
+        cut += 1
+    return buf[:cut], buf[cut:], max_seen, n_late
+
+
 def streaming_funnel(
     stream: DataFrame,
     steps: list[str],
     user_col: str = "user_id",
     ts_col: str = "ts_us",
     type_col: str = "event_type",
+    reorder_delay_us: int | None = None,
 ) -> DataFrame:
     """Streaming ordered funnel — the stateful twin of
     `operators.funnel.funnel_steps`: per-user state is the timestamp
@@ -296,14 +351,20 @@ def streaming_funnel(
     Under in-order ingest (event time monotone per user across
     batches — the replay source's file order, or a Kafka topic keyed
     by user) the final emission per user equals the batch operator
-    exactly, which is what the pytest pins. Out-of-order streams need
-    a watermark + buffer stage upstream; greedy state CANNOT un-take
-    a step (documented limitation, same trade ClickHouse's
-    windowFunnel makes).
+    exactly, which is what the pytest pins. Greedy state CANNOT
+    un-take a step (same trade ClickHouse's windowFunnel makes), so
+    for out-of-order delivery pass `reorder_delay_us`: a per-key
+    watermark reorder buffer (`_reorder_step`) holds rows until the
+    key's max event time is `reorder_delay_us` past them, then feeds
+    them to the greedy state in event-time order — equal to the batch
+    operator whenever disorder stays within the delay; rows later
+    than that are dropped (the standard watermark bargain). Buffered
+    state adds ≤ (delay × per-key rate) rows per key.
 
     State: len(steps) int64s per user — fixed-width, key-cardinality
-    bound, hash-partitioned in the state store. Emission: one row per
-    user per touching batch (update semantics) with t0..tN + reached.
+    bound, hash-partitioned in the state store (+ the reorder buffer
+    fields when enabled). Emission: one row per user per touching
+    batch (update semantics) with t0..tN + reached.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -315,14 +376,32 @@ def streaming_funnel(
         + ", reached int"
     )
     state_schema = ", ".join(f"t{i} long" for i in range(n))
+    if reorder_delay_us is not None:
+        state_schema += (
+            ", buf_ts array<bigint>, buf_ty array<string>, max_seen long"
+        )
 
     def update(key_tuple, pdfs, state):
-        ts = list(state.get) if state.exists else [-1] * n
+        if reorder_delay_us is None:
+            ts = list(state.get) if state.exists else [-1] * n
+            buf, max_seen = [], -1
+        elif state.exists:
+            *core, b_ts, b_ty, max_seen = state.get
+            ts = list(core)
+            buf = list(zip(b_ts, b_ty))
+        else:
+            ts, buf, max_seen = [-1] * n, [], -1
         rows = []
         for pdf in pdfs:
             rows.append(pdf[[ts_col, type_col]])
         ev = pd.concat(rows).sort_values(ts_col)
-        for t, ty in zip(ev[ts_col], ev[type_col]):
+        pairs = zip(ev[ts_col], ev[type_col])
+        if reorder_delay_us is not None:
+            released, buf, max_seen, _late = _reorder_step(
+                buf, max_seen, pairs, reorder_delay_us
+            )
+            pairs = released
+        for t, ty in pairs:
             t = int(t)
             if ty == steps[0] and ts[0] < 0:
                 ts[0] = t
@@ -336,7 +415,17 @@ def streaming_funnel(
                 ):
                     ts[k] = t
                     break
-        state.update(tuple(ts))
+        if reorder_delay_us is None:
+            state.update(tuple(ts))
+        else:
+            state.update(
+                (
+                    *ts,
+                    [t for t, _ in buf],
+                    [ty for _, ty in buf],
+                    max_seen,
+                )
+            )
         # count the contiguous reached prefix (a step can't be taken
         # without its predecessor by construction, but be explicit)
         reached = 0
@@ -368,6 +457,7 @@ def streaming_anomaly(
     t_num: int = 2,
     t_den: int = 1,
     scale: int = 1_000_000,
+    reorder_delay_us: int | None = None,
 ) -> DataFrame:
     """Streaming rolling-window anomaly detection — the stateful twin
     of `operators.windows.rolling_anomaly`, same integer-exact rule:
@@ -376,8 +466,14 @@ def streaming_anomaly(
     over the trailing n rows' micro-units q = floor(value·scale)
     (Python ints are exact like the batch decimal(38,0) path, so under
     in-order ingest per key the flags equal the batch operator
-    bit-for-bit — the streaming_funnel twin discipline; out-of-order
-    streams need a watermark/buffer upstream).
+    bit-for-bit — the streaming_funnel twin discipline; for
+    out-of-order delivery pass `reorder_delay_us` to enable the
+    per-key watermark reorder buffer (`_reorder_step`): rows are held
+    until the watermark passes and processed in event-time order, so
+    flags match the batch operator whenever disorder stays within the
+    delay; later-than-delay rows are dropped, never mis-flagged. A
+    buffered row's (key, ts, value, is_anomaly) row emits in the
+    batch that RELEASES it, not the one that received it).
 
     State: the last n (q or NULL) per key — fixed width, key-bounded,
     encoded alongside a presence mask so a NULL value occupies its
@@ -398,20 +494,34 @@ def streaming_anomaly(
     # q values of the trailing n rows; NULL-value rows hold slot
     # value 0 with mask 0 (absent-from-stats but present-in-window)
     state_schema = "qs array<bigint>, mask array<int>"
+    if reorder_delay_us is not None:
+        state_schema += (
+            ", buf_ts array<bigint>, buf_v array<double>, max_seen long"
+        )
 
     def update(key_tuple, pdfs, state):
         import math
 
-        qs, mask = (
-            (list(state.get[0]), list(state.get[1]))
-            if state.exists
-            else ([], [])
-        )
+        buf, max_seen = [], -1
+        if state.exists:
+            got = state.get
+            qs, mask = list(got[0]), list(got[1])
+            if reorder_delay_us is not None:
+                buf = list(zip(got[2], got[3]))
+                max_seen = got[4]
+        else:
+            qs, mask = [], []
         ev = pd.concat(list(pdfs)).sort_values(
             ts_col, kind="stable"
         )
+        pairs = zip(ev[ts_col], ev[val])
+        if reorder_delay_us is not None:
+            released, buf, max_seen, _late = _reorder_step(
+                buf, max_seen, pairs, reorder_delay_us
+            )
+            pairs = released
         out_ts, out_v, out_flag = [], [], []
-        for ts, v in zip(ev[ts_col], ev[val]):
+        for ts, v in pairs:
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 q, present = None, 0
             else:
@@ -440,7 +550,18 @@ def streaming_anomaly(
             mask.append(present)
             if len(qs) > n:
                 qs, mask = qs[-n:], mask[-n:]
-        state.update((qs, mask))
+        if reorder_delay_us is None:
+            state.update((qs, mask))
+        else:
+            state.update(
+                (
+                    qs,
+                    mask,
+                    [t for t, _ in buf],
+                    [x for _, x in buf],
+                    max_seen,
+                )
+            )
         yield pd.DataFrame(
             {
                 key: [key_tuple[0]] * len(out_ts),
@@ -467,6 +588,7 @@ def streaming_cusum(
     k_scaled: int = 0,
     h_scaled: int = 0,
     scale: int = 1_000_000,
+    reorder_delay_us: int | None = None,
 ) -> DataFrame:
     """Streaming CUSUM drift detection — the stateful twin of
     `operators.windows.cusum_flags`. Where the batch operator uses the
@@ -480,7 +602,12 @@ def streaming_cusum(
     the series (zero deviation, NULL flag) exactly like the batch
     coalesce. State never grows with event volume; P would need
     ~10¹⁰ max-deviation rows to leave int64 — far past any key's
-    plausible series.
+    plausible series. For out-of-order delivery pass
+    `reorder_delay_us` (the per-key watermark reorder buffer,
+    `_reorder_step`): CUSUM is ORDER-SENSITIVE (the running extrema
+    un-reorderable), so rows are held until the watermark passes and
+    fed to the recurrence in event-time order; later-than-delay rows
+    drop rather than corrupt every subsequent flag.
 
     Emits one row per input row: (key, ts, value, cusum_flag)."""
     import math
@@ -492,12 +619,30 @@ def streaming_cusum(
         f"{key} long, {ts_col} long, {val} double, cusum_flag string"
     )
     state_schema = "p long, minp long, maxp long"
+    if reorder_delay_us is not None:
+        state_schema += (
+            ", buf_ts array<bigint>, buf_v array<double>, max_seen long"
+        )
 
     def update(key_tuple, pdfs, state):
-        p, minp, maxp = state.get if state.exists else (0, 0, 0)
+        buf, max_seen = [], -1
+        if state.exists:
+            got = state.get
+            p, minp, maxp = got[0], got[1], got[2]
+            if reorder_delay_us is not None:
+                buf = list(zip(got[3], got[4]))
+                max_seen = got[5]
+        else:
+            p, minp, maxp = 0, 0, 0
         ev = pd.concat(list(pdfs)).sort_values(ts_col, kind="stable")
+        pairs = zip(ev[ts_col], ev[val])
+        if reorder_delay_us is not None:
+            released, buf, max_seen, _late = _reorder_step(
+                buf, max_seen, pairs, reorder_delay_us
+            )
+            pairs = released
         out_ts, out_v, out_f = [], [], []
-        for ts, v in zip(ev[ts_col], ev[val]):
+        for ts, v in pairs:
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 flag, vv = None, None
             else:
@@ -515,7 +660,19 @@ def streaming_cusum(
             out_ts.append(int(ts))
             out_v.append(vv)
             out_f.append(flag)
-        state.update((p, minp, maxp))
+        if reorder_delay_us is None:
+            state.update((p, minp, maxp))
+        else:
+            state.update(
+                (
+                    p,
+                    minp,
+                    maxp,
+                    [t for t, _ in buf],
+                    [x for _, x in buf],
+                    max_seen,
+                )
+            )
         yield pd.DataFrame(
             {
                 key: [key_tuple[0]] * len(out_ts),

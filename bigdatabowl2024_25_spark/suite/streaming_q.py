@@ -199,29 +199,38 @@ _CORP_CTE = f"""
                       ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
     )
     UNION ALL
-    SELECT 'cusum' AS kind, user_id, tu AS win_start_us,
-           CAST(CASE WHEN q IS NULL THEN NULL
-                     WHEN p - LEAST(CAST(0 AS HUGEINT), minp) > 200000000
-                          THEN 1
-                     WHEN GREATEST(CAST(0 AS HUGEINT), maxp) - p > 200000000
-                          THEN 2
-                     ELSE 0 END AS BIGINT) AS n_events,
-           v AS sum_value
+    SELECT kind, user_id, win_start_us, n_events, sum_value
     FROM (
-        SELECT user_id, tu, v, q, p,
-               MIN(p) OVER cu2 AS minp, MAX(p) OVER cu2 AS maxp
+        -- 'cusum': in-order replay; 'ooo' (round 11): the SAME flags
+        -- re-derived for the out-of-order replay + reorder buffer —
+        -- the buffer restores event-time order, so both branches
+        -- must match this one batch recurrence
+        SELECT u.kind, c.user_id, c.tu AS win_start_us,
+               CAST(CASE WHEN q IS NULL THEN NULL
+                         WHEN p - LEAST(CAST(0 AS HUGEINT), minp)
+                              > 200000000 THEN 1
+                         WHEN GREATEST(CAST(0 AS HUGEINT), maxp) - p
+                              > 200000000 THEN 2
+                         ELSE 0 END AS BIGINT) AS n_events,
+               v AS sum_value
         FROM (
-            SELECT user_id, tu, v, q,
-                   SUM(COALESCE(q - 50000000, 0)) OVER cu1 AS p
-            FROM (SELECT user_id, epoch_us(ts) AS tu, MIN(value) AS v,
-                         CAST(FLOOR(MIN(value) * 1000000.0) AS HUGEINT)
-                           AS q
-                  FROM events GROUP BY 1, 2)
-            WINDOW cu1 AS (PARTITION BY user_id ORDER BY tu
+            SELECT user_id, tu, v, q, p,
+                   MIN(p) OVER cu2 AS minp, MAX(p) OVER cu2 AS maxp
+            FROM (
+                SELECT user_id, tu, v, q,
+                       SUM(COALESCE(q - 50000000, 0)) OVER cu1 AS p
+                FROM (SELECT user_id, epoch_us(ts) AS tu,
+                             MIN(value) AS v,
+                             CAST(FLOOR(MIN(value) * 1000000.0)
+                                  AS HUGEINT) AS q
+                      FROM events GROUP BY 1, 2)
+                WINDOW cu1 AS (PARTITION BY user_id ORDER BY tu
+                               ROWS UNBOUNDED PRECEDING)
+            )
+            WINDOW cu2 AS (PARTITION BY user_id ORDER BY tu
                            ROWS UNBOUNDED PRECEDING)
-        )
-        WINDOW cu2 AS (PARTITION BY user_id ORDER BY tu
-                       ROWS UNBOUNDED PRECEDING)
+        ) c
+        CROSS JOIN (SELECT 'cusum' AS kind UNION ALL SELECT 'ooo') u
     )
     """,
 )
@@ -236,7 +245,9 @@ def q93_streaming_windows(spark, sf_dir):
     W2's cross-batch running totals), and (d, round 6) a stream-stream
     range join (`stream_stream_join`, clicks ⋈ views within a 24 h
     lookback — the streaming analogue of the q35/q36 as-of/range
-    joins), and (e, round 6) cross-batch streaming dedup
+    joins), (round 11) the out-of-order CUSUM replay through the
+    per-key watermark reorder buffer (the 'ooo' branch below), and
+    (e, round 6) cross-batch streaming dedup
     (`dedup_stream` over an input with planted re-deliveries — see the
     branch comment below), each drained via availableNow and
     union-tagged.
@@ -539,6 +550,59 @@ def q93_streaming_windows(spark, sf_dir):
             F.col("value").alias("sum_value"),
         )
 
+        # 'ooo' branch (round 11, VERDICT item 2): the SAME CUSUM
+        # recurrence under OUT-OF-ORDER delivery. The three range
+        # files replay MIDDLE, FIRST, LAST (mtimes pinned), so greedy
+        # state without a buffer would corrupt every flag; the
+        # per-key watermark reorder buffer (reorder_delay_us spanning
+        # the full disorder) holds rows and releases them in
+        # event-time order once a per-user flush row (NULL value,
+        # far-future ts — itself never released, so it never emits)
+        # advances the watermark past the real data. Flags must equal
+        # the SAME batch recurrence as 'cusum' — the oracle row is
+        # the identical SQL, tagged 'ooo'.
+        bnds = anom_src.agg(
+            F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+        ).collect()[0]
+        ooo_delay = int(bnds.hi) - int(bnds.lo) + 1
+        ooo_dir = f"{tmp}/ooo_in"
+        anom_src.repartitionByRange(
+            3, "ts_us"
+        ).sortWithinPartitions("ts_us").write.parquet(ooo_dir)
+        _ofiles = sorted(_glob.glob(f"{ooo_dir}/part-*.parquet"))
+        _obase = _abase + 100
+        for _off, _fp in zip((1, 0, 2), _ofiles):
+            _os.utime(_fp, (_obase + _off, _obase + _off))
+        anom_src.select("user_id").distinct().select(
+            "user_id",
+            F.lit(int(bnds.hi) + ooo_delay + 1).alias("ts_us"),
+            F.lit(None).cast("double").alias("value"),
+        ).coalesce(1).write.mode("append").parquet(ooo_dir)
+        for _fp in _glob.glob(f"{ooo_dir}/part-*.parquet"):
+            if _fp not in _ofiles:
+                _os.utime(_fp, (_obase + 3, _obase + 3))
+        ooo_tbl, q9 = _drain(
+            streaming_cusum(
+                stream_from_dir(spark, ooo_dir, anom_schema),
+                k_scaled=50_000_000,
+                h_scaled=200_000_000,
+                reorder_delay_us=ooo_delay,
+            ),
+            "q93_ooo",
+            mode="update",
+        )
+        ooo = ooo_tbl.select(
+            F.lit("ooo").alias("kind"),
+            "user_id",
+            F.col("ts_us").alias("win_start_us"),
+            F.when(F.col("cusum_flag") == "up", 1)
+            .when(F.col("cusum_flag") == "down", 2)
+            .when(F.col("value").isNotNull(), 0)
+            .cast("bigint")
+            .alias("n_events"),
+            F.col("value").alias("sum_value"),
+        )
+
         # 'batch' branch (round 10, VERDICT item 3): the END-TO-END
         # `prepare_batch` daily loop — the batch twin of 'corpus'
         # above, and the last pipeline entry point to come under the
@@ -642,6 +706,7 @@ def q93_streaming_windows(spark, sf_dir):
             .unionByName(batch)
             .unionByName(anomaly)
             .unionByName(cusum)
+            .unionByName(ooo)
             .localCheckpoint()
         )
         q1.stop()
@@ -652,4 +717,5 @@ def q93_streaming_windows(spark, sf_dir):
         q6.stop()
         q7.stop()
         q8.stop()
+        q9.stop()
     return out

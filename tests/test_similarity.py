@@ -870,3 +870,75 @@ def test_semantic_dedup_degenerate_vectors(spark):
         semantic_dedup(
             data, bad_cents, "vec_id", "embedding", threshold=0.9
         ).collect()
+
+
+def test_semantic_dedup_max_cluster_size_guard(spark):
+    """Round-11 VERDICT item 3: the degenerate hot cluster — 200
+    exact clones in ONE cluster (mass-produced spam, the exact thing
+    SemDeDup targets) — must not go O(c²). With max_cluster_size=16
+    every member ranks against ≤16 hash-sampled representatives
+    (n_dups ≤ 16 proves the pair fan-in is capped, vs 199 uncapped),
+    a UserWarning names the fallback, the cluster still collapses to
+    a handful of survivors, and the global lowest id (the clone
+    nothing can out-rank) always survives. Clusters at or under the
+    cap are bit-identical to the uncapped path."""
+    import warnings
+
+    from bigdatabowl2024_25_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    n = 200
+    clone = [1.0, 0.5, 0.0, 0.25]
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "__list int, embedding array<float>"
+    )
+    data = spark.createDataFrame(
+        [(i, clone) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    # uncapped control: the worst victim ranked against every better
+    # clone — the quadratic signature
+    uncapped = semantic_dedup(
+        data, cents, "vec_id", "embedding", threshold=0.99
+    ).collect()
+    assert max(r.n_dups for r in uncapped) == n - 1
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        capped = semantic_dedup(
+            data, cents, "vec_id", "embedding", threshold=0.99,
+            max_cluster_size=16,
+        ).collect()
+    assert any("max_cluster_size=16" in str(x.message) for x in w)
+    assert max(r.n_dups for r in capped) <= 16  # fan-in bounded
+    removed = {r.vec_id for r in capped}
+    survivors = set(range(n)) - removed
+    assert 0 in survivors            # nothing can dominate the lowest id
+    assert len(survivors) <= 32      # the clone pile still collapses
+    # determinism: same removal set on a skewed layout
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        again = semantic_dedup(
+            data.repartition(7), cents, "vec_id", "embedding",
+            threshold=0.99, max_cluster_size=16,
+        ).collect()
+    assert {r.vec_id for r in again} == removed
+
+    # a small cluster under the cap: identical to the uncapped result
+    small = spark.createDataFrame(
+        [(i, clone) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        got_small = semantic_dedup(
+            small, cents, "vec_id", "embedding", threshold=0.99,
+            max_cluster_size=16,
+        ).collect()
+    # no fallback, no semantic_dedup warning (other libs may warn)
+    assert not [x for x in w2 if "semantic_dedup" in str(x.message)]
+    want_small = semantic_dedup(
+        small, cents, "vec_id", "embedding", threshold=0.99
+    ).collect()
+    assert sorted(map(tuple, got_small)) == sorted(map(tuple, want_small))
