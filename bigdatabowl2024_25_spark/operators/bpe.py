@@ -107,12 +107,71 @@ def _bpe_train_local(
     return merges
 
 
+def _safe_merge_batch(rows, full: bool, cap: int = 16):
+    """Maximal prefix of the sorted pair list that sequential BPE
+    would provably pick in exactly this order — the batching lemma
+    that cuts the distributed trainer to one driver round-trip per
+    BATCH instead of per merge (round-11 VERDICT item 4):
+
+    Scan the count-sorted list and accept pairs while
+    (1) CONTIGUITY + DISJOINTNESS: stop at the first pair sharing a
+        symbol with an accepted one. Merging (a,b)→ab only touches
+        adjacencies involving a or b, so a disjoint pair's count is
+        invariant under the accepted merges, and contiguity means
+        every unaccepted old pair still ranks below the candidate.
+        Old-symbol pair counts never rise under a merge, so ranked-
+        below stays below. (This is where WordPiece differs — see
+        wordpiece_train.)
+    (2) NEW-PAIR SAFETY: a merge also CREATES pairs, (x, ab) and
+        (ab, y), and those could outrank a later candidate. Each is
+        bounded by its parent adjacency: count(x·ab) ≤ count_old(x,a)
+        and count(ab·y) ≤ count_old(b,y) — every occurrence of the
+        new pair was such an adjacency before the merge. Those parent
+        pairs are neighbors of an accepted pair, hence unaccepted,
+        hence (contiguity) ranked after the candidate if collected at
+        all; accept only while every collected neighbor — and, when
+        the list was truncated at K, the collection floor rows[-1].cnt
+        that bounds every uncollected pair — is STRICTLY below the
+        candidate's count (strict because a tie would fall to a
+        lexicographic comparison against a symbol that does not exist
+        yet in the old table).
+
+    Applying the accepted batch as left-to-right composed folds is
+    then bit-identical to running them sequentially. `cap` bounds the
+    composed-fold nesting depth (codegen expression tree)."""
+    accepted = []
+    for idx, r in enumerate(rows):
+        if r.cnt < 2 or len(accepted) >= cap:
+            break
+        if any(
+            r.a in (x.a, x.b) or r.b in (x.a, x.b) for x in accepted
+        ):
+            break
+        if accepted:
+            acc_a = {x.a for x in accepted}
+            acc_b = {x.b for x in accepted}
+            neigh = max(
+                (
+                    q.cnt
+                    for q in rows[idx + 1 :]
+                    if q.b in acc_a or q.a in acc_b
+                ),
+                default=0,
+            )
+            floor = 0 if full else rows[-1].cnt
+            if max(neigh, floor) >= r.cnt:
+                break
+        accepted.append(r)
+    return accepted
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
     n_merges: int,
     end_of_word: str = "</w>",
     small_vocab_threshold: int = 65_536,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Learn `n_merges` BPE merges from the corpus; returns them in
     order. Words are split to characters plus an end-of-word marker
@@ -126,10 +185,16 @@ def bpe_train(
     65k-word vocab is a few MB, while n_merges sequential Spark jobs
     on it are pure scheduling overhead). Above the threshold the
     distributed loop runs: per-iteration pair counts shuffle only the
-    vocab-sized table, the driver collect is ONE row (the argmax
-    pair), and the vocab is localCheckpoint-compacted every few
-    rounds to keep lineage flat. Both paths are pinned equal in
-    tests/test_bpe.py."""
+    vocab-sized table, and since round 11 each driver round-trip
+    collects the top-K pair counts and accepts the maximal provably-
+    sequential BATCH of merges (`_safe_merge_batch` — disjoint,
+    contiguous, new-pair-safe), applying them as composed folds in
+    one select: a 32k-merge web-scale vocabulary no longer schedules
+    32k sequential Spark jobs (pass `stats` to read back
+    `round_trips`; falls back to 1 merge/round automatically whenever
+    pairs interact). The vocab is localCheckpoint-compacted per batch
+    to keep lineage flat. Both paths are pinned merge-for-merge equal
+    in tests/test_bpe.py."""
     freqs = word_frequencies(df, text_col)
     vocab = freqs.withColumn(
         "syms",
@@ -144,13 +209,13 @@ def bpe_train(
     # huge unbroken tokens (base64 blobs, minified JS) would pass a
     # row-count gate and still OOM the driver collect
     vocab = vocab.localCheckpoint()
-    stats = vocab.agg(
+    vstats = vocab.agg(
         F.count("*").alias("n"),
         F.coalesce(F.sum(F.size("syms")), F.lit(0)).alias("total_syms"),
     ).collect()[0]
     if (
-        stats.n <= small_vocab_threshold
-        and stats.total_syms <= 64 * small_vocab_threshold
+        vstats.n <= small_vocab_threshold
+        and vstats.total_syms <= 64 * small_vocab_threshold
     ):
         rows = vocab.collect()
         return _bpe_train_local(
@@ -159,9 +224,10 @@ def bpe_train(
     from .components import _release_checkpoint
 
     prev_ckpt = vocab
+    topk = 64
 
     merges: list[tuple[str, str]] = []
-    for i in range(n_merges):
+    while len(merges) < n_merges:
         pairs = (
             vocab.select(
                 F.explode(
@@ -178,20 +244,25 @@ def bpe_train(
             .groupBy("p.a", "p.b")
             .agg(F.sum("n").alias("cnt"))
         )
-        best = pairs.orderBy(
+        rows = pairs.orderBy(
             F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
-        ).limit(1).collect()
-        if not best or best[0].cnt < 2:
-            break  # nothing left worth merging
-        a, b = best[0].a, best[0].b
-        merges.append((a, b))
-        vocab = vocab.select(
-            _merge_pair(F.col("syms"), a, b).alias("syms"), "n"
-        )
-        if (i + 1) % 8 == 0:  # flatten lineage periodically
-            vocab = vocab.localCheckpoint()
-            _release_checkpoint(prev_ckpt)  # bound storage to one copy
-            prev_ckpt = vocab
+        ).limit(topk).collect()
+        if stats is not None:
+            stats["round_trips"] = stats.get("round_trips", 0) + 1
+        batch = _safe_merge_batch(rows, full=len(rows) < topk)
+        batch = batch[: n_merges - len(merges)]
+        if not batch:
+            break  # nothing left worth merging (best cnt < 2)
+        col = F.col("syms")
+        for r in batch:
+            merges.append((r.a, r.b))
+            col = _merge_pair(col, r.a, r.b)
+        # one select applies the whole batch as composed folds, then a
+        # localCheckpoint flattens lineage (1 job per BATCH, not per
+        # merge); superseded blocks released to bound storage
+        vocab = vocab.select(col.alias("syms"), "n").localCheckpoint()
+        _release_checkpoint(prev_ckpt)
+        prev_ckpt = vocab
     return merges
 
 
@@ -364,8 +435,12 @@ def wordpiece_train(
     (count(pair)/(count(a)·count(b)) as one exact-int IEEE division —
     engine-identical, no float sums), and the extra per-iteration
     symbol-count aggregate the denominator needs (vocab-sized, never
-    corpus-sized). Pinned against a pure-Python reference in
-    tests/test_bpe.py."""
+    corpus-sized). NOTE: the bpe_train merge-BATCHING lemma does NOT
+    transfer here — merging (a,b) lowers the symbol counts of a and
+    b, so a neighbor pair's likelihood score RISES (its denominator
+    shrank) and ranked-below does not stay below; the distributed
+    WordPiece loop therefore stays 1 merge per round-trip by design.
+    Pinned against a pure-Python reference in tests/test_bpe.py."""
     freqs = word_frequencies(df, text_col)
     vocab = freqs.select(
         _wp_symbols(F.col("word"), cont).alias("syms"), "n"

@@ -457,3 +457,81 @@ def test_unigram_encode_viterbi_edges_and_fuzz(spark):
     }
     for i, text in docs:
         assert gf[i] == _py_viterbi(text, fv), (i, text, gf[i])
+
+
+def test_bpe_train_batched_round_trips(spark):
+    """Round-11 merge batching: on a corpus whose frequent pairs are
+    symbol-DISJOINT the distributed trainer learns many merges per
+    driver round-trip (>=5x fewer collects), while staying merge-for-
+    merge identical to the sequential local path; on the interacting
+    TEXTS corpus it still matches exactly (the lemma falls back to
+    small batches automatically)."""
+    from bigdatabowl2024_25_spark.operators.bpe import bpe_train
+
+    # 10 symbol-disjoint "families": head pair (A_i, B_i) occurs 3k_i
+    # times across three per-family suffix variants, so every pair a
+    # head merge CREATES — (A_iB_i, S_ij) — is bounded by k_i, far
+    # below every other head's count: all 10 heads are provably the
+    # next 10 sequential merges and fit ONE round-trip. (A naive
+    # "repeat disjoint 2-letter words" corpus does NOT batch: the
+    # (last_char, </w>) pair created by each merge has the full word
+    # count and genuinely IS sequential BPE's next pick — verified
+    # while building this test.)
+    import string
+
+    chars = string.ascii_letters + string.digits
+    texts = []
+    for i in range(10):
+        a, b = chars[5 * i], chars[5 * i + 1]
+        k = 100 - 2 * i
+        for j in range(3):
+            texts.append(" ".join([a + b + chars[5 * i + 2 + j]] * k))
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    want = bpe_train(df, "text", n_merges=10)  # local fast path
+    stats = {}
+    got = bpe_train(
+        df, "text", n_merges=10, small_vocab_threshold=0, stats=stats
+    )
+    assert got == want and len(got) == 10
+    assert stats["round_trips"] == 1  # 10x fewer collects than r10
+
+    # interacting corpus: exactness beats batch size
+    df2 = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    stats2 = {}
+    got2 = bpe_train(
+        df2, "text", n_merges=12, small_vocab_threshold=0, stats=stats2
+    )
+    assert got2 == ref_bpe(TEXTS, 12)
+    assert stats2["round_trips"] <= 12  # never worse than sequential
+
+
+def test_bpe_train_routes_large_vocab_to_distributed(spark):
+    """The >65k-distinct-word gate (the production-scale route): a
+    70k-word corpus must take the distributed batched loop (stats
+    records round trips — the local path never fills it) and still
+    match a from-scratch python reference on the same frequencies."""
+    from pyspark.sql import functions as F
+
+    from bigdatabowl2024_25_spark.operators.bpe import bpe_train
+
+    df = spark.range(70_000).select(
+        F.concat(
+            F.lit("w"),
+            F.col("id").cast("string"),
+            F.lit(" common common"),
+        ).alias("text")
+    )
+    stats = {}
+    got = bpe_train(df, "text", n_merges=6, stats=stats)
+    assert stats.get("round_trips", 0) >= 1  # distributed route taken
+    assert len(got) == 6
+    # python reference over the exact same word frequencies
+    freqs = {"common": 140_000}
+    for i in range(70_000):
+        freqs[f"w{i}"] = 1
+    vocab = [
+        (list(w) + ["</w>"], n) for w, n in sorted(freqs.items())
+    ]
+    from bigdatabowl2024_25_spark.operators.bpe import _bpe_train_local
+
+    assert got == _bpe_train_local(vocab, 6)
