@@ -41,11 +41,13 @@ SEED = 42
 #: in this environment, so the boosted entries are MLlib GBT via
 #: OneVsRest — GBTClassifier is binary-only — plus the pure-NumPy
 #: second-order softprob `NumpyGBDTClassifier` (the XGBoost algorithm
-#: itself, multiclass + calibrated probabilities) and the leaf-wise
-#: histogram `NumpyLGBMClassifier` (the LightGBM algorithm), the
-#: linear entry is multinomial LogisticRegression, and the neural
-#: entry is the pure-NumPy `NumpyMLPClassifier` below).
-MODEL_FAMILIES = ("rf", "logreg", "gbt_ovr", "mlp", "gbdt", "lgbm")
+#: itself, multiclass + calibrated probabilities), the leaf-wise
+#: histogram `NumpyLGBMClassifier` (the LightGBM algorithm), and the
+#: oblivious-tree ordered-boosting `NumpyCatBoostClassifier` (the
+#: CatBoost algorithm); the linear entry is multinomial
+#: LogisticRegression, and the neural entry is the pure-NumPy
+#: `NumpyMLPClassifier` below).
+MODEL_FAMILIES = ("rf", "logreg", "gbt_ovr", "mlp", "gbdt", "lgbm", "catb")
 
 
 def _fit_frame(
@@ -244,11 +246,11 @@ def classifier_pipeline(
             labelCol="label",
             parallelism=4,
         )
-    elif model in ("mlp", "gbdt", "lgbm"):
+    elif model in ("mlp", "gbdt", "lgbm", "catb"):
         raise ValueError(
             f"the {model!r} family is not an MLlib pipeline — use "
             "NumpyMLPClassifier / NumpyGBDTClassifier / "
-            "NumpyLGBMClassifier "
+            "NumpyLGBMClassifier / NumpyCatBoostClassifier "
             "(train_eval/compare_models route them automatically)"
         )
     else:
@@ -337,11 +339,12 @@ def train_eval(
 ) -> tuple[PipelineModel, DataFrame, dict[str, float]]:
     """X5 seed-42 80/20 split, fit, X8 metrics (accuracy + logloss)."""
     train, test = features.randomSplit([0.8, 0.2], seed=SEED)
-    if kwargs.get("model") in ("mlp", "gbdt", "lgbm"):
+    if kwargs.get("model") in ("mlp", "gbdt", "lgbm", "catb"):
         cls = {
             "mlp": NumpyMLPClassifier,
             "gbdt": NumpyGBDTClassifier,
             "lgbm": NumpyLGBMClassifier,
+            "catb": NumpyCatBoostClassifier,
         }[kwargs["model"]]
         kw = {"seed": SEED} if kwargs["model"] == "mlp" else {}
         m = cls(label_col, feature_cols, **kw)
@@ -418,6 +421,87 @@ def tune(
         "best_num_trees": float(best_rf.getNumTrees),
         "best_max_depth": float(best_rf.getMaxDepth()),
         "best_avg_accuracy": float(max(model.avgMetrics)),
+    }
+
+
+def tune_random(
+    features: DataFrame,
+    label_col: str,
+    feature_cols: list[str],
+    n_iter: int = 6,
+    space: dict[str, tuple[int, int]] | None = None,
+    folds: int = 2,
+    seed: int = SEED,
+) -> tuple[PipelineModel, dict[str, float]]:
+    """X6's RANDOMIZED hyperparameter search — the literal analogue of
+    the `RandomizedSearchCV` the reference drafts (commented out) in
+    `DefCoverage.ipynb` cell 3, beside the grid `tune`: sample
+    `n_iter` seed-pinned configurations WITHOUT replacement from
+    integer ranges (`space`: param → (lo, hi) inclusive; defaults
+    mirror the grid's numTrees/maxDepth axes) and evaluate each with
+    the same CrossValidator machinery. Randomized search beats the
+    grid when the budget is small relative to the space (Bergstra &
+    Bengio 2012) — n_iter trials cover n_iter distinct values per
+    axis where a grid covers √n_iter.
+
+    Deterministic: the sample is a pure function of `seed`
+    (random.Random, not numpy — no global state), and CrossValidator
+    folds are seed-pinned, so re-running reproduces the same table.
+    Fold fits are distributed Spark jobs (parallelism=2), scaling
+    with the cluster like `tune`."""
+    import random as _random
+
+    from pyspark.ml.tuning import CrossValidator
+
+    space = space or {"numTrees": (20, 150), "maxDepth": (3, 12)}
+    pipe = classifier_pipeline(label_col, feature_cols)
+    rf = pipe.getStages()[-1]
+    params = {"numTrees": rf.numTrees, "maxDepth": rf.maxDepth}
+    unknown = set(space) - set(params)
+    if unknown:
+        raise ValueError(f"tune_random: unknown params {sorted(unknown)}")
+    total = 1
+    for lo, hi in space.values():
+        total *= hi - lo + 1
+    if n_iter > total:
+        raise ValueError(
+            f"tune_random: n_iter={n_iter} exceeds the {total} distinct "
+            "configurations in the space"
+        )
+    rng = _random.Random(seed)
+    seen: set[tuple[int, ...]] = set()
+    maps = []
+    while len(maps) < n_iter:
+        cfg = tuple(
+            rng.randint(*space[name]) for name in sorted(space)
+        )
+        if cfg in seen:
+            continue
+        seen.add(cfg)
+        maps.append(
+            {
+                params[name]: v
+                for name, v in zip(sorted(space), cfg)
+            }
+        )
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=maps,
+        evaluator=MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction",
+            metricName="accuracy",
+        ),
+        numFolds=folds,
+        seed=seed,
+        parallelism=2,
+    )
+    model = cv.fit(features)
+    best_rf = model.bestModel.stages[-1]
+    return model.bestModel, {
+        "best_num_trees": float(best_rf.getNumTrees),
+        "best_max_depth": float(best_rf.getMaxDepth()),
+        "best_avg_accuracy": float(max(model.avgMetrics)),
+        "n_candidates": float(len(maps)),
     }
 
 
@@ -1114,6 +1198,230 @@ class NumpyLGBMClassifier(NumpyGBDTClassifier):
                 scores[:, c] += self.learning_rate * self._predict_tree(
                     tree, X
                 )
+            self.trees_.append(round_trees)
+        return self
+
+
+class NumpyCatBoostClassifier(NumpyGBDTClassifier):
+    """The reference's CatBoost family (`DefPosModel.ipynb` cell 16's
+    best-accuracy library) as the SEVENTH model family — the two
+    structural signatures of the CatBoost algorithm (Prokhorenkova et
+    al., NeurIPS 2018), in pure NumPy:
+
+    - OBLIVIOUS (symmetric) TREES: every level of a tree applies ONE
+      shared (feature, border) test, so a depth-d tree is a 2^d-leaf
+      decision TABLE — the structure that makes CatBoost inference a
+      few bit-ops per tree and acts as a strong regularizer. Split
+      search picks the border maximizing the TOTAL second-order gain
+      summed across all current leaves; candidate borders are
+      quantile-thinned distinct-value midpoints (≤ `max_borders`,
+      CatBoost's own 254-border quantization).
+    - ORDERED leaf-value estimation (`ordered=True`, the default):
+      during TRAINING, example i's running-score update uses the leaf
+      value estimated only from examples BEFORE i in a seed-pinned
+      permutation (−G_{<i}/(H_{<i}+λ), empty prefix → 0) — the
+      paper's prediction-shift antidote (§4): no example's own target
+      leaks into the gradient it will be scored with next round. The
+      SHIPPED leaf value is the full-leaf Newton weight, as in
+      CatBoost's final model.
+
+    Honest scope notes (the parts of CatBoost NOT here, and why):
+    multi-permutation averaging and ordered TARGET STATISTICS exist
+    to de-bias high-cardinality categorical encodings — these frames
+    are numeric, so there is nothing to encode (StringIndexer labels
+    are the y side, not features); plain boosting is available via
+    `ordered=False` (CatBoost's boosting_type=Plain). The objective
+    is the siblings' multiclass softprob with Newton leaf weights —
+    the shared math of the boosted-family trio, which is what makes
+    the stump-equivalence test meaningful.
+
+    Deterministic under the family discipline: the permutation is the
+    single seed-pinned rng draw; borders, gains, and tie-breaks
+    (lowest feature, lowest border) are order-free given the collected
+    frame — refits are bit-identical and tests pin exact trees. Trees
+    materialize into the shared flat-array layout (each level's split
+    replicated across its 2^level nodes), so `transform` /
+    `_predict_tree` / `evaluate` are inherited — scoring is the same
+    Arrow-batched broadcast-ensemble mapInPandas."""
+
+    def __init__(
+        self,
+        label_col: str,
+        feature_cols: list[str],
+        n_rounds: int = 40,
+        depth: int = 4,
+        learning_rate: float = 0.3,
+        reg_lambda: float = 1.0,
+        max_borders: int = 254,
+        ordered: bool = True,
+        seed: int = SEED,
+        max_fit_rows: int = 1_000_000,
+    ) -> None:
+        if not 1 <= depth <= 16:
+            raise ValueError("depth must be in [1, 16]")
+        if max_borders < 1:
+            raise ValueError("max_borders must be >= 1")
+        self.label_col = label_col
+        self.feature_cols = list(feature_cols)
+        self.n_rounds = n_rounds
+        self.depth = depth
+        self.learning_rate = learning_rate
+        self.reg_lambda = reg_lambda
+        self.max_borders = max_borders
+        self.ordered = ordered
+        self.seed = seed
+        self.max_fit_rows = max_fit_rows
+
+    # -- numpy core -----------------------------------------------------
+    def _borders(self, X):
+        """Per-feature candidate borders: distinct-value midpoints,
+        quantile-thinned to max_borders (CatBoost's quantization)."""
+        import numpy as np
+
+        out = []
+        for j in range(X.shape[1]):
+            d = np.unique(X[:, j])
+            b = (d[:-1] + d[1:]) / 2.0
+            if len(b) > self.max_borders:
+                sel = np.unique(
+                    np.round(
+                        np.linspace(0, len(b) - 1, self.max_borders)
+                    ).astype(np.int64)
+                )
+                b = b[sel]
+            out.append(b)
+        return out
+
+    def _grow_oblivious(self, X, borders, g, h, perm):
+        """One oblivious tree: a list of per-level (feature, border)
+        + per-leaf Newton values + the per-example ORDERED training
+        values (prefix Newton estimates along `perm`)."""
+        import numpy as np
+
+        lam = self.reg_lambda
+        n = len(g)
+        leaf = np.zeros(n, dtype=np.int64)
+        n_leaves = 1
+        splits: list[tuple[int, float]] = []
+        for _level in range(self.depth):
+            Gl = np.bincount(leaf, weights=g, minlength=n_leaves)
+            Hl = np.bincount(leaf, weights=h, minlength=n_leaves)
+            base = (Gl * Gl / (Hl + lam)).sum()
+            best_gain, best_j, best_t = 0.0, -1, 0.0
+            for j in range(X.shape[1]):
+                for t in borders[j]:
+                    m = X[:, j] <= t
+                    GL = np.bincount(
+                        leaf[m], weights=g[m], minlength=n_leaves
+                    )
+                    HL = np.bincount(
+                        leaf[m], weights=h[m], minlength=n_leaves
+                    )
+                    GR, HR = Gl - GL, Hl - HL
+                    gain = (
+                        (GL * GL / (HL + lam)).sum()
+                        + (GR * GR / (HR + lam)).sum()
+                        - base
+                    ) / 2.0
+                    # strict > keeps lowest feature, lowest border
+                    if gain > best_gain:
+                        best_gain, best_j, best_t = float(gain), j, float(t)
+            if best_j < 0:
+                break
+            splits.append((best_j, best_t))
+            leaf = leaf * 2 + (X[:, best_j] > best_t).astype(np.int64)
+            n_leaves *= 2
+        G = np.bincount(leaf, weights=g, minlength=n_leaves)
+        H = np.bincount(leaf, weights=h, minlength=n_leaves)
+        values = -G / (H + lam)
+        if self.ordered:
+            train_vals = np.zeros(n)
+            inv = perm  # perm[k] = example index at ordered position k
+            pg = {}
+            ph = {}
+            for k in inv:
+                lf = leaf[k]
+                sg, sh = pg.get(lf, 0.0), ph.get(lf, 0.0)
+                train_vals[k] = -sg / (sh + lam) if sh > 0 else 0.0
+                pg[lf] = sg + g[k]
+                ph[lf] = sh + h[k]
+        else:
+            train_vals = values[leaf]
+        return splits, values, train_vals
+
+    @staticmethod
+    def _materialize(splits, values, n_features):
+        """Oblivious table → the siblings' flat-array tree (each
+        level's shared split replicated across its 2^level nodes)."""
+        import numpy as np
+
+        depth = len(splits)
+        feat, thr, left, right, val = [], [], [], [], []
+
+        def build(level, leaf_lo):
+            node = len(feat)
+            if level == depth:
+                feat.append(-1)
+                thr.append(0.0)
+                left.append(-1)
+                right.append(-1)
+                val.append(float(values[leaf_lo]))
+                return node
+            j, t = splits[level]
+            feat.append(j)
+            thr.append(t)
+            left.append(-1)
+            right.append(-1)
+            val.append(0.0)
+            l = build(level + 1, leaf_lo * 2)
+            r = build(level + 1, leaf_lo * 2 + 1)
+            left[node] = l
+            right[node] = r
+            return node
+
+        build(0, 0)
+        return (
+            np.array(feat),
+            np.array(thr),
+            np.array(left),
+            np.array(right),
+            np.array(val),
+        )
+
+    def fit(self, df: DataFrame) -> "NumpyCatBoostClassifier":
+        import numpy as np
+
+        pdf, X = _fit_frame(
+            df, "NumpyCatBoostClassifier", self.label_col,
+            self.feature_cols, self.max_fit_rows,
+        )
+        self.classes_ = sorted(pdf[self.label_col].astype(str).unique())
+        idx = {c: i for i, c in enumerate(self.classes_)}
+        y = pdf[self.label_col].astype(str).map(idx).to_numpy()
+        n, k = len(X), len(self.classes_)
+        onehot = np.zeros((n, k))
+        onehot[np.arange(n), y] = 1.0
+
+        borders = self._borders(X)
+        rng = np.random.default_rng(self.seed)
+        perm = rng.permutation(n)
+        scores = np.zeros((n, k))
+        self.trees_ = []
+        for _ in range(self.n_rounds):
+            z = scores - scores.max(axis=1, keepdims=True)
+            e = np.exp(z)
+            p = e / e.sum(axis=1, keepdims=True)
+            grad = p - onehot
+            hess = p * (1.0 - p)
+            round_trees = []
+            for c in range(k):
+                splits, values, train_vals = self._grow_oblivious(
+                    X, borders, grad[:, c], hess[:, c], perm
+                )
+                round_trees.append(
+                    self._materialize(splits, values, X.shape[1])
+                )
+                scores[:, c] += self.learning_rate * train_vals
             self.trees_.append(round_trees)
         return self
 

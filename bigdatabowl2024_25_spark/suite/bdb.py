@@ -645,33 +645,36 @@ _STD_SQL = (
                x6_gbdt_label,
                CAST(x6_gbdt_prob_micro AS BIGINT) AS x6_gbdt_prob_micro,
                x6_lgbm_label,
-               CAST(x6_lgbm_prob_micro AS BIGINT) AS x6_lgbm_prob_micro
+               CAST(x6_lgbm_prob_micro AS BIGINT) AS x6_lgbm_prob_micro,
+               x6_catb_label,
+               CAST(x6_catb_prob_micro AS BIGINT) AS x6_catb_prob_micro
         FROM (VALUES
-            (0, 0, 'Cover-3', 384240, 'Cover-1', 836298),
-            (0, 1, 'Cover-2', 631473, 'Cover-2', 911899),
-            (0, 2, 'Cover-3', 745212, 'Cover-3', 902226),
-            (0, 3, 'Quarters', 838360, 'Quarters', 920362),
-            (1, 0, 'Cover-2', 516661, 'Cover-2', 906492),
-            (1, 1, 'Cover-3', 653283, 'Cover-3', 902226),
-            (1, 2, 'Quarters', 681844, 'Quarters', 886416),
-            (1, 3, 'Cover-1', 577856, 'Cover-1', 860318),
-            (2, 0, 'Cover-3', 455674, 'Cover-3', 885127),
-            (2, 1, 'Quarters', 702333, 'Quarters', 955979),
-            (2, 2, 'Cover-1', 635186, 'Cover-1', 921244),
-            (2, 3, 'Cover-2', 609705, 'Cover-2', 863167),
-            (3, 0, 'Cover-1', 441503, 'Quarters', 783250),
-            (3, 1, 'Cover-2', 517798, 'Cover-1', 884578),
-            (3, 2, 'Cover-2', 606255, 'Cover-2', 942799),
-            (3, 3, 'Cover-3', 689159, 'Cover-3', 884892),
-            (4, 0, 'Cover-1', 676698, 'Cover-1', 901993),
-            (4, 1, 'Cover-2', 598212, 'Cover-2', 940279),
-            (4, 2, 'Cover-3', 685914, 'Cover-3', 915930),
-            (4, 3, 'Quarters', 655434, 'Quarters', 912884),
-            (5, 0, 'Cover-2', 679355, 'Cover-2', 917590),
-            (5, 1, 'Cover-3', 779655, 'Cover-3', 953869),
-            (5, 2, 'Quarters', 711927, 'Quarters', 883510)
+            (0, 0, 'Cover-3', 384240, 'Cover-1', 836298, 'Cover-1', 820655),
+            (0, 1, 'Cover-2', 631473, 'Cover-2', 911899, 'Cover-2', 967111),
+            (0, 2, 'Cover-3', 745212, 'Cover-3', 902226, 'Cover-3', 983056),
+            (0, 3, 'Quarters', 838360, 'Quarters', 920362, 'Quarters', 987571),
+            (1, 0, 'Cover-2', 516661, 'Cover-2', 906492, 'Cover-2', 996451),
+            (1, 1, 'Cover-3', 653283, 'Cover-3', 902226, 'Cover-3', 984866),
+            (1, 2, 'Quarters', 681844, 'Quarters', 886416, 'Quarters', 989176),
+            (1, 3, 'Cover-1', 577856, 'Cover-1', 860318, 'Cover-1', 846253),
+            (2, 0, 'Cover-3', 455674, 'Cover-3', 885127, 'Cover-3', 939007),
+            (2, 1, 'Quarters', 702333, 'Quarters', 955979, 'Quarters', 976457),
+            (2, 2, 'Cover-1', 635186, 'Cover-1', 921244, 'Cover-1', 998084),
+            (2, 3, 'Cover-2', 609705, 'Cover-2', 863167, 'Cover-2', 986406),
+            (3, 0, 'Cover-1', 441503, 'Quarters', 783250, 'Quarters', 692902),
+            (3, 1, 'Cover-2', 517798, 'Cover-1', 884578, 'Cover-1', 932945),
+            (3, 2, 'Cover-2', 606255, 'Cover-2', 942799, 'Cover-2', 995606),
+            (3, 3, 'Cover-3', 689159, 'Cover-3', 884892, 'Cover-3', 987909),
+            (4, 0, 'Cover-1', 676698, 'Cover-1', 901993, 'Cover-1', 957497),
+            (4, 1, 'Cover-2', 598212, 'Cover-2', 940279, 'Cover-2', 997585),
+            (4, 2, 'Cover-3', 685914, 'Cover-3', 915930, 'Cover-3', 999368),
+            (4, 3, 'Quarters', 655434, 'Quarters', 912884, 'Quarters', 970021),
+            (5, 0, 'Cover-2', 679355, 'Cover-2', 917590, 'Cover-2', 985802),
+            (5, 1, 'Cover-3', 779655, 'Cover-3', 953869, 'Cover-3', 957033),
+            (5, 2, 'Quarters', 711927, 'Quarters', 883510, 'Quarters', 987791)
         ) AS t(gameId, playId, x6_gbdt_label, x6_gbdt_prob_micro,
-               x6_lgbm_label, x6_lgbm_prob_micro)
+               x6_lgbm_label, x6_lgbm_prob_micro,
+               x6_catb_label, x6_catb_prob_micro)
     )
     SELECT *,
            ROUND((def_x_mean - AVG(def_x_mean) OVER ())
@@ -813,7 +816,11 @@ def q92_ml_features(spark, sf_dir):
     # is a pure function of the sorted frame (no RNG, lowest-feature/
     # lowest-threshold tie-breaks), so the probabilities are
     # bit-stable and micro-unit rounding is exact, not a tolerance.
-    from ..ml import NumpyGBDTClassifier, NumpyLGBMClassifier
+    from ..ml import (
+        NumpyCatBoostClassifier,
+        NumpyGBDTClassifier,
+        NumpyLGBMClassifier,
+    )
 
     fit_cols = ["def_s_mean", "def_x_mean", "yardsToGo", "down"]
     train_frame = base.orderBy("gameId", "playId")
@@ -823,6 +830,12 @@ def q92_ml_features(spark, sf_dir):
         ).fit(train_frame)),
         ("lgbm", NumpyLGBMClassifier(
             "pff_passCoverage", fit_cols, n_rounds=20, num_leaves=4
+        ).fit(train_frame)),
+        # round 11 late: the oblivious-tree ordered-boosting family
+        # rides the same pinned-VALUES oracle (seed-pinned permutation
+        # → bit-identical refits like its siblings)
+        ("catb", NumpyCatBoostClassifier(
+            "pff_passCoverage", fit_cols, n_rounds=20, depth=3
         ).fit(train_frame)),
     ]
     x6_scores = [

@@ -577,3 +577,160 @@ def test_numpy_families_max_fit_rows_guard(spark):
         assert cls("lab", ["f1"], max_fit_rows=50, **(
             {"epochs": 1} if cls is NumpyMLPClassifier else {"n_rounds": 1}
         )).fit(df).classes_ == ["0", "1"]
+
+
+def test_numpy_catboost_family(spark):
+    """Round 11: the reference's CatBoost family (DefPosModel cell 16)
+    as the SEVENTH family — oblivious (symmetric) trees + ordered
+    leaf-value estimation in pure NumPy. Seed-pinned permutation, so
+    refit equality is exact; transform is the inherited Arrow-batched
+    ensemble scorer."""
+    import random
+
+    from bigdatabowl2024_25_spark.ml import (
+        NumpyCatBoostClassifier,
+        train_eval,
+    )
+
+    random.seed(11)
+    rows = [
+        (
+            f"c{i % 3}",
+            (i % 3) * 3.0 + random.gauss(0, 0.4),
+            -(i % 3) * 2.0 + random.gauss(0, 0.4),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "lab string, f1 double, f2 double")
+
+    model, pred, metrics = train_eval(df, "lab", ["f1", "f2"], model="catb")
+    assert metrics["accuracy"] >= 0.95
+    assert metrics["log_loss"] < 0.3
+    r0 = pred.select("probabilities").first().probabilities
+    assert abs(sum(r0.values()) - 1.0) < 1e-9
+
+    m1 = NumpyCatBoostClassifier("lab", ["f1", "f2"], n_rounds=8).fit(df)
+    m2 = NumpyCatBoostClassifier("lab", ["f1", "f2"], n_rounds=8).fit(df)
+    for r1, r2 in zip(m1.trees_, m2.trees_):
+        for t1, t2 in zip(r1, r2):
+            assert all((a == b).all() for a, b in zip(t1, t2))
+    key = lambda rs: sorted(
+        (r.predicted_label, r.probabilities[r.predicted_label])
+        for r in rs
+    )
+    assert key(m1.transform(df).collect()) == key(
+        m1.transform(df.repartition(7)).collect()
+    )
+    # the oblivious signature: within each tree, every internal node
+    # at the same depth applies ONE shared (feature, border) test
+    feat, thr, left, right, val = m1.trees_[0][0]
+    level = [0]
+    depth_of = {0: 0}
+    for node in range(len(feat)):
+        if feat[node] >= 0:
+            for child in (left[node], right[node]):
+                depth_of[child] = depth_of[node] + 1
+    by_depth = {}
+    for node in range(len(feat)):
+        if feat[node] >= 0:
+            by_depth.setdefault(depth_of[node], set()).add(
+                (feat[node], thr[node])
+            )
+    assert by_depth and all(len(s) == 1 for s in by_depth.values())
+
+
+def test_numpy_catboost_stump_equals_gbdt_exact_split(spark):
+    """depth=1 + exhaustive borders degenerates the oblivious table to
+    the exact depth-1 Newton split: bit-identical trees to
+    NumpyGBDTClassifier(max_depth=1) on the same frame (shared math;
+    only the growth policy and ordered training updates differ, and a
+    stump's SHIPPED values are full-leaf in both)."""
+    import numpy as np
+
+    from bigdatabowl2024_25_spark.ml import (
+        NumpyCatBoostClassifier,
+        NumpyGBDTClassifier,
+    )
+
+    rows = [
+        ("a", 1.0, 9.0), ("a", 2.0, 1.0), ("a", 2.5, 8.0),
+        ("b", 4.0, 2.0), ("b", 5.0, 7.5), ("b", 6.0, 0.5),
+    ]
+    df = spark.createDataFrame(rows, "lab string, f1 double, f2 double")
+    cb = NumpyCatBoostClassifier(
+        "lab", ["f1", "f2"], n_rounds=1, depth=1, ordered=False,
+    ).fit(df)
+    gb = NumpyGBDTClassifier(
+        "lab", ["f1", "f2"], n_rounds=1, max_depth=1,
+        min_child_weight=0.0,
+    ).fit(df)
+    for ct, gt in zip(cb.trees_[0], gb.trees_[0]):
+        for a, b in zip(ct, gt):
+            assert np.array_equal(a, b)
+
+
+def test_numpy_catboost_ordered_vs_plain(spark):
+    """ordered=True must change the TRAINING trajectory (prefix leaf
+    estimates vs full-leaf — the prediction-shift antidote) while both
+    modes stay deterministic and sane. On a tiny frame the second
+    round's trees differ because round-1 scores differ."""
+    from bigdatabowl2024_25_spark.ml import NumpyCatBoostClassifier
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("b", 4.0), ("b", 5.0),
+        ("a", 1.5), ("b", 4.5),
+    ]
+    df = spark.createDataFrame(rows, "lab string, f1 double")
+    po = NumpyCatBoostClassifier(
+        "lab", ["f1"], n_rounds=3, depth=1, ordered=True
+    ).fit(df)
+    pl = NumpyCatBoostClassifier(
+        "lab", ["f1"], n_rounds=3, depth=1, ordered=False
+    ).fit(df)
+    same = all(
+        (a == b).all()
+        for r1, r2 in zip(po.trees_, pl.trees_)
+        for t1, t2 in zip(r1, r2)
+        for a, b in zip(t1, t2)
+    )
+    assert not same
+    for m in (po, pl):
+        p = m.transform(df).select("lab", "predicted_label").collect()
+        assert sum(r.lab == r.predicted_label for r in p) >= 5
+
+
+def test_tune_random_seed_stable_and_bounded(spark):
+    """RandomizedSearchCV analogue (DefCoverage cell 3): seed-pinned
+    sample WITHOUT replacement, n_candidates recorded, same seed ->
+    same best config; n_iter beyond the space size raises."""
+    import pytest
+
+    from bigdatabowl2024_25_spark.suite.bdb import _world
+
+    tracking, plays, players, _pp = _world(spark)
+    feats = ml.coverage_features(tracking, plays, players)
+    kw = dict(
+        n_iter=3,
+        space={"numTrees": (5, 8), "maxDepth": (2, 3)},
+        folds=2,
+    )
+    _best, info = ml.tune_random(
+        feats, "pff_passCoverage", ml.COVERAGE_FEATURE_COLS, **kw
+    )
+    assert info["n_candidates"] == 3.0
+    assert 5 <= info["best_num_trees"] <= 8
+    assert 2 <= info["best_max_depth"] <= 3
+    _best2, info2 = ml.tune_random(
+        feats, "pff_passCoverage", ml.COVERAGE_FEATURE_COLS, **kw
+    )
+    assert info2 == info  # pure function of the seed
+    with pytest.raises(ValueError, match="exceeds"):
+        ml.tune_random(
+            feats, "pff_passCoverage", ml.COVERAGE_FEATURE_COLS,
+            n_iter=99, space={"numTrees": (5, 6), "maxDepth": (2, 2)},
+        )
+    with pytest.raises(ValueError, match="unknown params"):
+        ml.tune_random(
+            feats, "pff_passCoverage", ml.COVERAGE_FEATURE_COLS,
+            space={"learningRate": (1, 2)},
+        )
