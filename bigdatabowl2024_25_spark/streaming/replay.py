@@ -282,6 +282,19 @@ def run_to_memory(
     q.awaitTermination()
 
 
+def _require_event_times(ev, ts_col):
+    """Loud NULL-event-time guard shared by the order-sensitive
+    stateful ops: a NULL timestamp cannot be placed in per-key order,
+    and letting it reach int() raises a cryptic mid-executor numpy
+    error instead of an actionable one."""
+    if ev[ts_col].isna().any():
+        raise ValueError(
+            f"streaming op: NULL event time in '{ts_col}' — "
+            "order-sensitive state cannot place unordered rows; "
+            "filter or repair timestamps upstream"
+        )
+
+
 def _reorder_step(buf, max_seen, incoming, delay_us):
     """Per-key watermark reorder buffer — the upstream stage the
     order-sensitive stateful ops (funnel / anomaly / CUSUM) document:
@@ -307,10 +320,29 @@ def _reorder_step(buf, max_seen, incoming, delay_us):
     cross-partition aggregate per batch. Per-key is the stricter,
     deterministic choice: a key's own events gate its releases, so a
     quiet key never has rows forced out by a chatty one."""
+    import math
+
     wm_prev = max_seen - delay_us
     n_late = 0
     for ts, pl in incoming:
+        # loud guards, not cryptic downstream failures: a NULL/NaN
+        # event time cannot be ordered at all, and a NEGATIVE one
+        # would sit below the max_seen = −1 "none yet" sentinel — the
+        # watermark would never advance and the key's rows would
+        # buffer forever without emitting (a silent blackhole)
+        if ts is None or (isinstance(ts, float) and math.isnan(ts)):
+            raise ValueError(
+                "reorder buffer: NULL event time — an unordered row "
+                "cannot be placed; filter or repair timestamps "
+                "upstream"
+            )
         ts = int(ts)
+        if ts < 0:
+            raise ValueError(
+                f"reorder buffer: negative event time {ts} — event "
+                "times must be nonnegative epoch micros (the per-key "
+                "watermark sentinel reserves negatives)"
+            )
         if max_seen >= 0 and ts <= wm_prev:
             n_late += 1
             continue
@@ -395,6 +427,7 @@ def streaming_funnel(
         for pdf in pdfs:
             rows.append(pdf[[ts_col, type_col]])
         ev = pd.concat(rows).sort_values(ts_col)
+        _require_event_times(ev, ts_col)
         pairs = zip(ev[ts_col], ev[type_col])
         if reorder_delay_us is not None:
             released, buf, max_seen, _late = _reorder_step(
@@ -514,6 +547,7 @@ def streaming_anomaly(
         ev = pd.concat(list(pdfs)).sort_values(
             ts_col, kind="stable"
         )
+        _require_event_times(ev, ts_col)
         pairs = zip(ev[ts_col], ev[val])
         if reorder_delay_us is not None:
             released, buf, max_seen, _late = _reorder_step(
@@ -635,6 +669,7 @@ def streaming_cusum(
         else:
             p, minp, maxp = 0, 0, 0
         ev = pd.concat(list(pdfs)).sort_values(ts_col, kind="stable")
+        _require_event_times(ev, ts_col)
         pairs = zip(ev[ts_col], ev[val])
         if reorder_delay_us is not None:
             released, buf, max_seen, _late = _reorder_step(

@@ -231,3 +231,62 @@ def test_streaming_anomaly_out_of_order_matches_batch(spark, tmp_path):
     assert got == want
     assert len(got) == len(real)
     assert got[(1, 60)] is True  # the planted 50.0 spike
+
+
+def test_reorder_step_rejects_null_and_negative_ts():
+    """Loud guards, not silent corruption: NULL event times cannot be
+    ordered, and a NEGATIVE one sits below the max_seen=-1 sentinel —
+    the watermark would never advance and the key's rows would buffer
+    forever without emitting."""
+    import pytest
+
+    with pytest.raises(ValueError, match="NULL event time"):
+        _reorder_step([], -1, [(None, "a")], 10)
+    with pytest.raises(ValueError, match="NULL event time"):
+        _reorder_step([], -1, [(float("nan"), "a")], 10)
+    with pytest.raises(ValueError, match="negative event time"):
+        _reorder_step([], -1, [(-5, "a")], 10)
+
+
+def test_streaming_ops_reject_null_event_time(spark, tmp_path):
+    """All three order-sensitive streaming ops fail LOUDLY on a NULL
+    event time (previously int(NaN) raised a cryptic numpy error
+    mid-executor) — on both the legacy in-order path and the reorder
+    path."""
+    import pytest
+
+    schema_str = "user_id long, ts_us bigint, event_type string"
+    batches = [[(1, 100, "view"), (1, None, "click")]]
+    flat, schema = _write_batches(spark, tmp_path, schema_str, batches)
+    for kwargs in ({}, {"reorder_delay_us": 10}):
+        q = replay.streaming_funnel(
+            replay.stream_from_dir(spark, flat, schema), STEPS, **kwargs
+        )
+        with pytest.raises(Exception, match="NULL event time"):
+            replay.run_to_memory(
+                q, f"null_ts_{len(kwargs)}", mode="update"
+            )
+
+    vschema_str = "user_id long, ts_us bigint, value double"
+    vbatches = [[(1, 100, 1.0), (1, None, 2.0)]]
+    (tmp_path / "v").mkdir()
+    vflat, vschema = _write_batches(
+        spark, tmp_path / "v", vschema_str, vbatches
+    )
+    with pytest.raises(Exception, match="NULL event time"):
+        replay.run_to_memory(
+            replay.streaming_cusum(
+                replay.stream_from_dir(spark, vflat, vschema),
+                k_scaled=0, h_scaled=10**6,
+            ),
+            "null_ts_cusum",
+            mode="update",
+        )
+    with pytest.raises(Exception, match="NULL event time"):
+        replay.run_to_memory(
+            replay.streaming_anomaly(
+                replay.stream_from_dir(spark, vflat, vschema), n=2
+            ),
+            "null_ts_anom",
+            mode="update",
+        )
