@@ -794,7 +794,15 @@ def semantic_dedup(
             ),
             F.col(id_col),
         )
-        ranked = mem.withColumn("__rk", F.row_number().over(w))
+        # NULL-id rows are INERT in the pairwise stage either way (the
+        # __xid != __yid filter drops their pairs), but left in the
+        # ranking they would tie on the tag-only hash and occupy rep
+        # slots in partition-dependent order — excluding them both
+        # restores layout determinism and frees slots for reps that
+        # can actually dominate
+        ranked = mem.filter(F.col(id_col).isNotNull()).withColumn(
+            "__rk", F.row_number().over(w)
+        )
         n_over = (
             ranked.groupBy("__list")
             .agg(F.max("__rk").alias("__csz"))

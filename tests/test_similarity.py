@@ -942,3 +942,37 @@ def test_semantic_dedup_max_cluster_size_guard(spark):
         small, cents, "vec_id", "embedding", threshold=0.99
     ).collect()
     assert sorted(map(tuple, got_small)) == sorted(map(tuple, want_small))
+
+
+def test_semantic_dedup_cap_null_ids_inert_and_deterministic(spark):
+    """NULL-id rows are inert in the pairwise stage (the xid != yid
+    filter drops their pairs) — under max_cluster_size they must also
+    be EXCLUDED from rep slots, or ties on the tag-only hash would
+    make rep selection (and thus removals) layout-dependent."""
+    import warnings
+
+    from bigdatabowl2024_25_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    clone = [1.0, 0.5, 0.0, 0.25]
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "__list int, embedding array<float>"
+    )
+    rows = [(i, clone) for i in range(40)] + [(None, clone)] * 10
+    data = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        a = {r.vec_id for r in semantic_dedup(
+            data, cents, "vec_id", "embedding", threshold=0.99,
+            max_cluster_size=4,
+        ).collect()}
+        b = {r.vec_id for r in semantic_dedup(
+            data.repartition(9), cents, "vec_id", "embedding",
+            threshold=0.99, max_cluster_size=4,
+        ).collect()}
+    assert a == b            # layout-deterministic despite NULL ids
+    assert None not in a     # NULL-id rows never removed (inert)
+    assert len(a) >= 30      # the clone pile still collapses
