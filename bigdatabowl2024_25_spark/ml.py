@@ -515,6 +515,62 @@ def confusion_matrix(pred: DataFrame) -> DataFrame:
     )
 
 
+def classification_report(
+    pred: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "prediction",
+) -> DataFrame:
+    """X8 widening (round 11): per-class precision / recall / F1 /
+    support — sklearn's `classification_report` table as a DataFrame
+    (the reference prints accuracy/log-loss/confusion; per-class rates
+    are the standard next question every model comparison asks).
+
+    One cells aggregate + two tiny rollups + one |classes|-sized join:
+    precision(c) = TP(c)/Σ_pred=c, recall(c) = TP(c)/support(c),
+    F1 = 2PR/(P+R). All ratios are single IEEE divisions of exact
+    integer counts — correctly rounded, so Spark and an oracle SQL
+    agree bit-for-bit with no rounding step (the A4
+    ratio-of-aggregates discipline). Undefined rates are NULL, not
+    sklearn's zero_division=0: a class never PREDICTED has NULL
+    precision and F1 (honest "undefined", distinguishable from a true
+    zero); rows are one per observed LABEL class (a value appearing
+    only in predictions contributes to other classes' precision
+    denominators but gets no row — it has no recall to report).
+
+    Scale: the cells table is |classes|² after one map-side-combined
+    groupBy over the scored rows; everything after is classes-sized."""
+    cells = pred.groupBy(label_col, pred_col).agg(
+        F.count("*").alias("__n")
+    )
+    by_label = cells.groupBy(label_col).agg(
+        F.sum("__n").alias("support"),
+        F.sum(
+            F.when(
+                F.col(pred_col) == F.col(label_col), F.col("__n")
+            ).otherwise(F.lit(0))
+        ).alias("__tp"),
+    )
+    by_pred = cells.groupBy(F.col(pred_col).alias(label_col)).agg(
+        F.sum("__n").alias("__pred_n")
+    )
+    p = F.col("__tp").cast("double") / F.col("__pred_n")
+    r = F.col("__tp").cast("double") / F.col("support")
+    rep = (
+        by_label.join(F.broadcast(by_pred), label_col, "left")
+        .withColumn("precision", p)
+        .withColumn("recall", r)
+        .withColumn(
+            "f1",
+            F.when(
+                F.col("precision") + F.col("recall") > 0,
+                F.lit(2.0) * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            ),
+        )
+    )
+    return rep.select(label_col, "precision", "recall", "f1", "support")
+
+
 class RuleCoverageModel:
     """A deterministic rule 'model' with the MLlib Transformer calling
     convention: `transform` appends a `probabilities` map column

@@ -635,6 +635,30 @@ _STD_SQL = (
                CASE WHEN f.def_s_mean > 5.0 THEN 1.0 ELSE 0.0 END AS pred
         FROM feats f JOIN lidx l USING (pff_passCoverage)
     ),
+    -- X8 per-class report (round 11): exact int-ratio divisions; a
+    -- class the binary rule never predicts has NULL precision/F1
+    repl AS (
+        SELECT label_index, COUNT(*) AS support,
+               SUM(CASE WHEN pred = label_index THEN 1 ELSE 0 END) AS tp
+        FROM labeled GROUP BY 1
+    ),
+    repp AS (
+        SELECT pred AS label_index, COUNT(*) AS pred_n
+        FROM labeled GROUP BY 1
+    ),
+    report AS (
+        SELECT r.label_index,
+               CAST(r.tp AS DOUBLE) / p.pred_n AS x8_precision,
+               CAST(r.tp AS DOUBLE) / r.support AS x8_recall
+        FROM repl r LEFT JOIN repp p USING (label_index)
+    ),
+    reportf AS (
+        SELECT label_index, x8_precision, x8_recall,
+               CASE WHEN x8_precision + x8_recall > 0
+                    THEN 2.0 * x8_precision * x8_recall
+                         / (x8_precision + x8_recall) END AS x8_f1
+        FROM report
+    ),
     -- X6 trained-model predictions, PINNED: both boosted families are
     -- refitted at query time on the deterministic sorted frame; these
     -- literals were produced by that exact fit (hash-verified across
@@ -692,6 +716,7 @@ _STD_SQL = (
                 1.0 - CASE WHEN def_s_mean > 5.0 THEN 0.75 ELSE 0.25 END
            END AS x9_prob_other
     FROM labeled JOIN x6 USING (gameId, playId)
+         JOIN reportf USING (label_index)
     """,
 )
 def q92_ml_features(spark, sf_dir):
@@ -790,6 +815,26 @@ def q92_ml_features(spark, sf_dir):
         F.col("__pred_s").cast("double").alias("pred"),
         "confusion_n",
     )
+    # X8 widening (round 11): the per-class precision/recall/F1 table
+    # (`ml.classification_report`) over the same deterministic rule
+    # pred, melted back per row by label_index — exact int-ratio IEEE
+    # divisions, so the oracle re-derives them bit-for-bit (classes
+    # the binary rule never predicts carry NULL precision/F1, the
+    # documented "undefined ≠ zero" contract)
+    from ..ml import classification_report
+
+    x8_rep = classification_report(
+        base.select(
+            F.col("label_index").alias("label"),
+            F.col("pred").alias("prediction"),
+        )
+    ).select(
+        F.col("label").alias("label_index"),
+        F.col("precision").alias("x8_precision"),
+        F.col("recall").alias("x8_recall"),
+        F.col("f1").alias("x8_f1"),
+    )
+
     # X9 (round 9, VERDICT item 5): per-play inference through the
     # REAL `ml.predict_for_play` path with the deterministic
     # `RuleCoverageModel` — filter-first scoring of play (0, 0), class
@@ -852,6 +897,7 @@ def q92_ml_features(spark, sf_dir):
     ]
     out = (
         scaled.join(F.broadcast(cm_long), ["label_index", "pred"])
+        .join(F.broadcast(x8_rep), ["label_index"])
         .join(F.broadcast(x9), ["gameId", "playId"], "left")
         .select(
             *[c for c in scaled.columns],
@@ -859,6 +905,9 @@ def q92_ml_features(spark, sf_dir):
             # F.round (HALF_UP) matches DuckDB ROUND; Python's round
             # would bankers-round ties differently
             F.round(F.lit(acc), 6).alias("accuracy"),
+            "x8_precision",
+            "x8_recall",
+            "x8_f1",
             "x9_prob_cover1",
             "x9_prob_other",
         )

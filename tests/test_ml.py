@@ -734,3 +734,41 @@ def test_tune_random_seed_stable_and_bounded(spark):
             feats, "pff_passCoverage", ml.COVERAGE_FEATURE_COLS,
             space={"learningRate": (1, 2)},
         )
+
+
+def test_classification_report_matches_hand_counts(spark):
+    """Per-class P/R/F1/support vs hand-computed counts, including the
+    never-predicted class (NULL precision and F1 — undefined, not
+    sklearn's zero_division=0) and a zero-recall class with defined
+    precision denominator."""
+    import math
+
+    from bigdatabowl2024_25_spark.ml import classification_report
+
+    # labels: a x3, b x2, c x1; predictions collapse c -> a
+    rows = [
+        ("a", "a"), ("a", "a"), ("a", "b"),
+        ("b", "b"), ("b", "a"),
+        ("c", "a"),
+    ]
+    df = spark.createDataFrame(rows, "label string, prediction string")
+    got = {r.label: r for r in classification_report(df).collect()}
+    assert set(got) == {"a", "b", "c"}
+    a, b, c = got["a"], got["b"], got["c"]
+    assert (a.support, b.support, c.support) == (3, 2, 1)
+    assert a.precision == 2 / 4 and a.recall == 2 / 3
+    assert math.isclose(
+        a.f1, 2 * (2 / 4) * (2 / 3) / ((2 / 4) + (2 / 3))
+    )
+    assert b.precision == 1 / 2 and b.recall == 1 / 2 and b.f1 == 0.5
+    # 'c' is never predicted: precision and F1 are NULL, recall 0
+    assert c.precision is None and c.f1 is None and c.recall == 0.0
+    # partitioning invariance (counts are order-free)
+    again = {
+        r.label: (r.precision, r.recall, r.f1, r.support)
+        for r in classification_report(df.repartition(5)).collect()
+    }
+    assert again == {
+        k: (v.precision, v.recall, v.f1, v.support)
+        for k, v in got.items()
+    }
