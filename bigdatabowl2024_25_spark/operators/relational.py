@@ -115,3 +115,57 @@ def union_all(*dfs: DataFrame) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Inner equi-join with EXPLICIT key salting — the classic remedy
+    when one join key is so hot that a single reducer drags the whole
+    stage, and AQE's adaptive skew split cannot reach it (AQE
+    disabled, a streaming micro-batch plan, or skew inside the BUILD
+    side of a sort-merge join that the splitter won't touch).
+    `spark.sql.adaptive.skewJoin` remains the first choice when it
+    applies; this operator is for the plans it can't fix.
+
+    The LEFT (large, skewed) side gets a deterministic salt in
+    [0, n_salts) hashed from its full row; the RIGHT side replicates
+    ×n_salts so every (key, salt) bucket still sees all its matches.
+    The join key becomes (keys…, __salt), so a hot key's rows spread
+    across n_salts reducers instead of one. Membership is EXACTLY the
+    plain inner join — salting moves rows between tasks, never in or
+    out of the result — which is what the q18 'salted' oracle branch
+    value-hashes and the equality test pins.
+
+    Cost model: pass the SMALLER side as `right` — it pays an
+    ×n_salts replication through the shuffle. At genuine hot-key skew
+    that trade is the point: n× a small table's traffic against one
+    straggler owning the hot key's entire left volume. NULL keys drop
+    on both paths (inner equi-join semantics), and the salt column
+    never survives into the output."""
+    if n_salts < 1:
+        raise ValueError("salted_join: n_salts must be >= 1")
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"salted_join: non-key columns collide {sorted(overlap)}; "
+            "alias them apart first (the plain-join contract)"
+        )
+    l = left.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in left.columns]),
+            F.lit(n_salts),
+        ).cast("int"),
+    )
+    r = right.withColumn(
+        "__salt",
+        # explode() is a generator — it cannot nest inside another
+        # expression (e.g. a cast), so the sequence is int-typed at
+        # the source to match the left side's cast salt
+        F.explode(F.sequence(F.lit(0).cast("int"), F.lit(n_salts - 1).cast("int"))),
+    )
+    return l.join(r, list(keys) + ["__salt"]).drop("__salt")

@@ -241,6 +241,12 @@ def q17_sql_text_entry(spark, sf_dir):
            CAST(NULL AS BOOLEAN) AS is_current
     FROM pairs
     UNION ALL
+    -- 'salted' (round 11): the SAME join routed through explicit key
+    -- salting — membership must be bit-identical to the plain join
+    SELECT 'salted', user_id, day, n_pairs, min_gap_us,
+           NULL, NULL, NULL, NULL, NULL
+    FROM pairs
+    UNION ALL
     SELECT 'merge', user_id, NULL, NULL, NULL, name, bal,
            NULL, NULL, NULL
     FROM merged
@@ -294,6 +300,37 @@ def q18_fact_fact_join(spark, sf_dir):
         )
         .select(
             F.lit("pairs").alias("kind"),
+            "user_id",
+            "day",
+            "n_pairs",
+            "min_gap_us",
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("double").alias("bal"),
+            nb.alias("eff_from"),
+            nb.alias("eff_to"),
+            F.lit(None).cast("boolean").alias("is_current"),
+        )
+    )
+
+    # 'salted' (round 11): the SAME fact⋈fact join routed through
+    # `relational.salted_join` — explicit key salting for the hot-key
+    # case AQE's skew split can't reach. Membership must equal the
+    # plain join bit-for-bit (salting moves rows between tasks, never
+    # in or out of the result), so the oracle row is the same pairs
+    # CTE tagged 'salted'.
+    from ..operators.relational import salted_join
+
+    j_s = salted_join(a, b, ["user_id", "day"], n_salts=4).filter(
+        F.col("b_ts") > F.col("a_ts")
+    )
+    salted = (
+        j_s.groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min(F.col("b_ts") - F.col("a_ts")).alias("min_gap_us"),
+        )
+        .select(
+            F.lit("salted").alias("kind"),
             "user_id",
             "day",
             "n_pairs",
@@ -395,7 +432,8 @@ def q18_fact_fact_join(spark, sf_dir):
         "is_current",
     )
     return (
-        pairs.unionByName(merged)
+        pairs.unionByName(salted)
+        .unionByName(merged)
         .unionByName(scd2)
         .unionByName(diffed)
     )
