@@ -535,3 +535,78 @@ def test_bpe_train_routes_large_vocab_to_distributed(spark):
     from bigdatabowl2024_25_spark.operators.bpe import _bpe_train_local
 
     assert got == _bpe_train_local(vocab, 6)
+
+
+def test_safe_merge_batch_lemma_fuzz():
+    """Property test for the batching lemma (pure python — simulates
+    the distributed loop's collect-topK/accept/apply cycle exactly,
+    no Spark): over hundreds of random corpora, applying
+    _safe_merge_batch's accepted batches in order must reproduce the
+    sequential trainer's merge list merge-for-merge. This fuzzes the
+    two proof obligations (disjoint-contiguous count invariance and
+    the new-pair bound) far beyond the handcrafted corpora."""
+    import random
+    from collections import Counter, namedtuple
+
+    from bigdatabowl2024_25_spark.operators.bpe import (
+        _bpe_train_local,
+        _safe_merge_batch,
+    )
+
+    Row = namedtuple("Row", "a b cnt")
+
+    def pair_counts(vocab):
+        pc = Counter()
+        for syms, n in vocab:
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += n
+        return pc
+
+    def apply_merge(vocab, a, b):
+        out = []
+        for syms, n in vocab:
+            nxt = []
+            for s in syms:
+                if nxt and nxt[-1] == a and s == b:
+                    nxt[-1] = a + b
+                else:
+                    nxt.append(s)
+            out.append((nxt, n))
+        return out
+
+    rng = random.Random(1234)
+    for trial in range(300):
+        alpha = "abcdef"[: rng.randint(2, 6)]
+        words = {
+            "".join(
+                rng.choice(alpha)
+                for _ in range(rng.randint(1, 6))
+            ): rng.randint(1, 9)
+            for _ in range(rng.randint(2, 12))
+        }
+        vocab = [(list(w) + ["</w>"], n) for w, n in sorted(words.items())]
+        n_merges = rng.randint(1, 12)
+        want = _bpe_train_local(
+            [(list(s), n) for s, n in vocab], n_merges
+        )
+
+        topk = rng.choice([3, 5, 64])  # truncation paths too
+        got, cur = [], [(list(s), n) for s, n in vocab]
+        for _ in range(200):  # bounded; breaks long before
+            if len(got) >= n_merges:
+                break
+            pc = pair_counts(cur)
+            rows = [
+                Row(a, b, c)
+                for (a, b), c in sorted(
+                    pc.items(), key=lambda kv: (-kv[1], kv[0])
+                )
+            ][:topk]
+            batch = _safe_merge_batch(rows, full=len(rows) < topk)
+            batch = batch[: n_merges - len(got)]
+            if not batch:
+                break
+            for r in batch:
+                got.append((r.a, r.b))
+                cur = apply_merge(cur, r.a, r.b)
+        assert got == want, (trial, words, n_merges, topk, got, want)
