@@ -203,6 +203,19 @@ def bpe_train(
             F.array(F.lit(end_of_word)),
         ),
     ).select("syms", "n")
+    return _train_merges(vocab, n_merges, small_vocab_threshold, stats)
+
+
+def _train_merges(
+    vocab: DataFrame,
+    n_merges: int,
+    small_vocab_threshold: int,
+    stats: dict | None,
+) -> list[tuple[str, str]]:
+    """The size-adaptive count-scored merge loop shared by `bpe_train`
+    (char symbols + end-of-word) and `byte_bpe_train` (byte-unicode
+    symbols, no marker): input is any (syms array<string>, n) vocab
+    table; the symbol scheme is entirely the caller's."""
     # one extra 1-row agg on the already-aggregated vocab table decides
     # the path; its cost is the groupBy we pay either way. Gate on
     # TOTAL SYMBOLS too, not just rows: 65k distinct "words" that are
@@ -974,3 +987,156 @@ def unigram_encode(
         lambda w: _viterbi_pieces(w, vocab, unk),
         out_col,
     )
+
+
+# ---- Byte-level BPE (Radford et al. 2019, the GPT-2 tokenizer) -------
+#
+# The tokenizer family's FOURTH member and the production-LLM default
+# (GPT-2/RoBERTa/Llama-class): BPE over UTF-8 BYTES remapped to a
+# 256-char printable alphabet, with regex pre-tokenization instead of
+# whitespace words. Two properties the char-level trainer lacks:
+# lossless on ANY input (no [UNK], no alphabet assumption — every byte
+# is representable, so encode∘decode is the identity on arbitrary
+# unicode), and spaces ride INSIDE tokens (the 'Ġthe' convention), so
+# detokenization needs no joining rule.
+
+#: GPT-2's pre-tokenization regex (public, from the released encoder):
+#: contractions, optional-space letter runs, optional-space digit
+#: runs, optional-space punctuation runs, then whitespace (trailing
+#: whitespace held together by the lookahead). Java regex supports
+#: \p{L}/\p{N} and lookahead, so this runs inside codegen via
+#: regexp_extract_all.
+GPT2_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's stable byte↔unicode bijection: printable latin bytes
+    map to themselves; the rest (controls, space, DEL, a few latin-1
+    holes) map to 256+k — so every mapped string is printable,
+    space-free, and free of the \\x01-\\x03 rewrite markers by
+    construction (the reason byte_bpe_encode needs no text scrub)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def _byte_map_expr(tok: Column) -> Column:
+    """string → its byte-unicode remap, entirely in codegen and in
+    THREE intrinsic calls: UTF-8 encode → ISO-8859-1 decode (latin-1
+    maps byte b to codepoint U+00b, a 1:1 bridge from bytes to chars)
+    → one `translate` with 256-char from/to literals. No Python
+    touches the corpus. (A first cut used hex-pair split + a
+    512-entry map literal + transform + rejoin — correct but its
+    plan-analysis/codegen overhead measured ~1.7 s per warm q64 run
+    and 5.6 s cold; translate is a single intrinsic with two string
+    constants.)"""
+    b2u = bytes_to_unicode()
+    src = "".join(chr(b) for b in range(256))
+    dst = "".join(b2u[b] for b in range(256))
+    return F.translate(
+        F.decode(F.encode(tok, "UTF-8"), "ISO-8859-1"), src, dst
+    )
+
+
+def byte_pretokenize(text: Column) -> Column:
+    """text → array of GPT-2 pre-tokens (raw, unmapped). NULL text →
+    NULL; empty text → []."""
+    return F.regexp_extract_all(text, F.lit(GPT2_PRETOKEN_PATTERN), 0)
+
+
+def byte_bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    small_vocab_threshold: int = 65_536,
+    stats: dict | None = None,
+) -> list[tuple[str, str]]:
+    """Learn `n_merges` byte-level merges: GPT-2 pre-tokenization →
+    byte-unicode remap → the SAME size-adaptive count-scored merge
+    machinery as `bpe_train` (`_train_merges`: 65k local fast path /
+    batched distributed loop, identical tie-breaks), over single
+    mapped-char symbols with NO end-of-word marker (byte-level tokens
+    carry their leading space as 'Ġ' instead). The corpus-scale step
+    is one explode + map-side-combined groupBy on the PRE-TOKEN (the
+    byte remap runs on the distinct-token table, codegen only).
+
+    Merges and symbols live in the mapped alphabet; feed them to
+    `byte_bpe_encode`, and `decode_byte_tokens` inverts for display."""
+    toks = (
+        df.select(
+            F.explode(byte_pretokenize(F.col(text_col))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = toks.select(
+        F.split(_byte_map_expr(F.col("tok")), "").alias("syms"), "n"
+    )
+    return _train_merges(vocab, n_merges, small_vocab_threshold, stats)
+
+
+def byte_bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "bbpe_tokens",
+) -> DataFrame:
+    """Tokenize with learned byte-level merges — the same codegen
+    string-rewriting engine as `bpe_encode` (marker-wrapped symbols,
+    one replace per merge), applied per PRE-TOKEN inside a transform
+    over the pre-token array. No text scrub is needed: the byte remap
+    puts every symbol in the printable/256+ alphabet, so the \\x01-\\x03
+    markers cannot collide by construction. Output tokens are in the
+    mapped alphabet ('Ġthe'); `decode_byte_tokens` restores the exact
+    original text — byte-level BPE is lossless on ANY input, the
+    property the q64 'bbpe' oracle and the roundtrip fuzz pin."""
+    for ch in (_MARK_L, _MARK_R, _WORD_SEP):
+        if any(ch in a + b for a, b in merges):
+            raise ValueError(
+                "byte_bpe_encode: merge symbols must not contain the "
+                "\\x01-\\x03 marker control chars"
+            )
+
+    def rewrite(tok: Column) -> Column:
+        s = F.regexp_replace(
+            _byte_map_expr(tok), "(?s)(.)", f"{_MARK_L}$1{_MARK_R}"
+        )
+        for a, b in merges:
+            s = F.replace(
+                s,
+                F.lit(f"{_MARK_L}{a}{_MARK_R}{_MARK_L}{b}{_MARK_R}"),
+                F.lit(f"{_MARK_L}{a}{b}{_MARK_R}"),
+            )
+        s = F.replace(s, F.lit(f"{_MARK_R}{_MARK_L}"), F.lit(_WORD_SEP))
+        s = F.regexp_replace(s, f"^{_MARK_L}|{_MARK_R}$", "")
+        return F.split(s, _WORD_SEP)
+
+    arr = F.flatten(
+        F.transform(byte_pretokenize(F.col(text_col)), rewrite)
+    )
+    return df.withColumn(out_col, arr)
+
+
+def decode_byte_tokens(tokens: list[str]) -> str:
+    """Driver-side inverse of the byte-unicode remap: mapped tokens →
+    original text (exact — the lossless-roundtrip half the tests
+    pin). Tiny and pure; for distributed detokenization wrap it in a
+    pandas UDF."""
+    u2b = {u: b for b, u in bytes_to_unicode().items()}
+    return bytes(
+        u2b[ch] for tok in tokens for ch in tok
+    ).decode("utf-8")

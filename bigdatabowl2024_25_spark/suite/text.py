@@ -790,6 +790,85 @@ _BPE_MERGES = [
     ("bl", "e</w>"), ("ta", "ble</w>"),
 ]
 
+#: byte-level encode fixture: contractions, doubled/trailing spaces,
+#: multi-byte UTF-8 — the edges that distinguish the GPT-2 class
+_BBPE_FIXTURE = [
+    (0, "the data scan"),
+    (1, "it's fast,  really fast!"),
+    (2, "naïve café 🎉 "),
+]
+
+#: the byte-level branches' pinned rows: the merge sequence
+#: byte_bpe_train learns from _BPE_CORPUS and the exact (position,
+#: token) stream byte_bpe_encode emits for _BBPE_FIXTURE — both
+#: re-derived at query time, so trainer/encoder drift flips red
+_BBPE_PINNED = [
+    ('bbpe', 0, 0, 3, 'the'),
+    ('bbpe', 0, 1, 5, 'Ġdata'),
+    ('bbpe', 0, 2, 1, 'Ġ'),
+    ('bbpe', 0, 3, 1, 's'),
+    ('bbpe', 0, 4, 3, 'can'),
+    ('bbpe', 1, 0, 1, 'i'),
+    ('bbpe', 1, 1, 1, 't'),
+    ('bbpe', 1, 2, 1, "'"),
+    ('bbpe', 1, 3, 1, 's'),
+    ('bbpe', 1, 4, 1, 'Ġ'),
+    ('bbpe', 1, 5, 1, 'f'),
+    ('bbpe', 1, 6, 1, 'a'),
+    ('bbpe', 1, 7, 1, 's'),
+    ('bbpe', 1, 8, 1, 't'),
+    ('bbpe', 1, 9, 1, ','),
+    ('bbpe', 1, 10, 1, 'Ġ'),
+    ('bbpe', 1, 11, 1, 'Ġ'),
+    ('bbpe', 1, 12, 1, 'r'),
+    ('bbpe', 1, 13, 1, 'e'),
+    ('bbpe', 1, 14, 1, 'a'),
+    ('bbpe', 1, 15, 1, 'l'),
+    ('bbpe', 1, 16, 1, 'l'),
+    ('bbpe', 1, 17, 1, 'y'),
+    ('bbpe', 1, 18, 1, 'Ġ'),
+    ('bbpe', 1, 19, 1, 'f'),
+    ('bbpe', 1, 20, 1, 'a'),
+    ('bbpe', 1, 21, 1, 's'),
+    ('bbpe', 1, 22, 1, 't'),
+    ('bbpe', 1, 23, 1, '!'),
+    ('bbpe', 2, 0, 1, 'n'),
+    ('bbpe', 2, 1, 1, 'a'),
+    ('bbpe', 2, 2, 1, 'Ã'),
+    ('bbpe', 2, 3, 1, '¯'),
+    ('bbpe', 2, 4, 1, 'v'),
+    ('bbpe', 2, 5, 1, 'e'),
+    ('bbpe', 2, 6, 1, 'Ġ'),
+    ('bbpe', 2, 7, 1, 'c'),
+    ('bbpe', 2, 8, 1, 'a'),
+    ('bbpe', 2, 9, 1, 'f'),
+    ('bbpe', 2, 10, 1, 'Ã'),
+    ('bbpe', 2, 11, 1, '©'),
+    ('bbpe', 2, 12, 1, 'Ġ'),
+    ('bbpe', 2, 13, 1, 'ð'),
+    ('bbpe', 2, 14, 1, 'Ł'),
+    ('bbpe', 2, 15, 1, 'İ'),
+    ('bbpe', 2, 16, 1, 'ī'),
+    ('bbpe', 2, 17, 1, 'Ġ'),
+    ('bbpe_train', 0, 0, 2, 't a'),
+    ('bbpe_train', 1, 0, 3, 'a ta'),
+    ('bbpe_train', 2, 0, 4, 'd ata'),
+    ('bbpe_train', 3, 0, 2, 'h e'),
+    ('bbpe_train', 4, 0, 3, 't he'),
+    ('bbpe_train', 5, 0, 5, 'Ġ data'),
+    ('bbpe_train', 6, 0, 2, 'b l'),
+    ('bbpe_train', 7, 0, 3, 'bl e'),
+    ('bbpe_train', 8, 0, 5, 'ta ble'),
+    ('bbpe_train', 9, 0, 6, 'Ġ table'),
+    ('bbpe_train', 10, 0, 2, 'a n'),
+    ('bbpe_train', 11, 0, 3, 'c an'),
+]
+_BBPE_VALUES = ", ".join(
+    f"('{k}', CAST({d} AS BIGINT), CAST({p} AS BIGINT), "
+    f"CAST({b} AS BIGINT), '" + t.replace("'", "''") + "')"
+    for k, d, p, b, t in _BBPE_PINNED
+)
+
 _BPE_TRAIN_VALUES = ", ".join(
     f"('bpe_train', CAST({i} AS BIGINT), CAST(0 AS BIGINT), "
     f"CAST({len(a) + len(b)} AS BIGINT), '{a} {b}')"
@@ -1054,6 +1133,8 @@ _BPE_JOINED = (
     FROM bpe
     UNION ALL
     SELECT * FROM (VALUES {_BPE_TRAIN_VALUES})
+    UNION ALL
+    SELECT * FROM (VALUES {_BBPE_VALUES})
         t(kind, doc_id, part_id, byte_len, content_md5)
     UNION ALL
     SELECT 'wp' AS kind, doc_id,
@@ -1271,6 +1352,49 @@ def q64_binary_plumbing(spark, sf_dir):
         ],
         "kind string, doc_id long, part_id long, byte_len long, "
         "content_md5 string",
+    )
+    # 'bbpe_train' / 'bbpe' (round 11): the BYTE-LEVEL leg of the
+    # tokenizer family — the GPT-2/Llama production class
+    # (`operators.bpe.byte_bpe_train/encode`: byte↔unicode remap +
+    # regex pre-tokenization + the shared batched merge machinery).
+    # Training re-learns the pinned merge sequence from the same
+    # literal corpus at query time; encoding tokenizes a fixture that
+    # exercises the class's defining edges (contractions, doubled and
+    # trailing spaces, multi-byte UTF-8) and emits every (position,
+    # token) against pinned VALUES — trainer OR encoder drift flips
+    # the rows red, and the roundtrip losslessness lives in
+    # tests/test_byte_bpe.py.
+    from ..operators.bpe import byte_bpe_encode, byte_bpe_train
+
+    bb_learned = byte_bpe_train(
+        spark.createDataFrame(_BPE_CORPUS, "doc_id long, text string"),
+        "text",
+        12,
+    )
+    bb_train_rows = spark.createDataFrame(
+        [
+            ("bbpe_train", i, 0, len(a) + len(b), f"{a} {b}")
+            for i, (a, b) in enumerate(bb_learned)
+        ],
+        "kind string, doc_id long, part_id long, byte_len long, "
+        "content_md5 string",
+    )
+    bb_fix = spark.createDataFrame(
+        _BBPE_FIXTURE, "doc_id long, text string"
+    )
+    bbpe = (
+        byte_bpe_encode(bb_fix, "text", bb_learned)
+        .select(
+            "doc_id",
+            F.posexplode("bbpe_tokens").alias("pos", "tok"),
+        )
+        .select(
+            F.lit("bbpe").alias("kind"),
+            "doc_id",
+            F.col("pos").cast("bigint").alias("part_id"),
+            F.length("tok").cast("bigint").alias("byte_len"),
+            F.col("tok").alias("content_md5"),
+        )
     )
     enc2 = encode_tokenizers(
         d,
@@ -1518,6 +1642,8 @@ def q64_binary_plumbing(spark, sf_dir):
         .unionByName(wp_train_rows)
         .unionByName(uni)
         .unionByName(uni_train_rows)
+        .unionByName(bbpe)
+        .unionByName(bb_train_rows)
         .unionByName(budget)
         .unionByName(para)
         .unionByName(parad)
