@@ -1140,3 +1140,34 @@ def decode_byte_tokens(tokens: list[str]) -> str:
     return bytes(
         u2b[ch] for tok in tokens for ch in tok
     ).decode("utf-8")
+
+
+def byte_bpe_decode(
+    df: DataFrame, tokens_col: str, out_col: str = "text"
+) -> DataFrame:
+    """Distributed inverse of `byte_bpe_encode`: mapped token arrays →
+    the exact original text, one Arrow-batched pandas pass (the
+    256-entry inverse map closes over the UDF — the broadcast-codebook
+    pattern; per-row work is a byte-table lookup + one UTF-8 decode,
+    irreducibly procedural like the codecs). NULL arrays → NULL.
+    encode∘decode is the identity on any input — the byte-level
+    guarantee the roundtrip tests pin at DataFrame level too."""
+    from pyspark.sql.types import StringType
+
+    u2b = {u: b for b, u in bytes_to_unicode().items()}
+
+    def dec(col):
+        def one(toks):
+            if toks is None:
+                return None
+            return bytes(
+                u2b[ch] for tok in toks for ch in tok
+            ).decode("utf-8")
+
+        return col.map(one)
+
+    # explicit (fn, returnType) form: the module's
+    # `from __future__ import annotations` stringifies type hints,
+    # which the decorator's hint inspection cannot resolve
+    dec_udf = F.pandas_udf(dec, StringType())
+    return df.withColumn(out_col, dec_udf(F.col(tokens_col)))

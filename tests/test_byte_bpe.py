@@ -164,3 +164,20 @@ def test_byte_bpe_encode_applies_merges_in_order(spark):
         byte_bpe_encode(df, "text", merges).first().bbpe_tokens
     )
     assert toks == ["the", "Ġthe", "m", "e"]
+
+
+def test_byte_bpe_decode_dataframe_roundtrip(spark):
+    """The distributed decode half: encode -> byte_bpe_decode must
+    restore every text exactly inside one DataFrame plan (no driver
+    loop), NULL rows staying NULL."""
+    from bigdatabowl2024_25_spark.operators.bpe import byte_bpe_decode
+
+    texts = TEXTS + ["", "  \x01 mixed  🎉", None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    merges = byte_bpe_train(df.filter(F.col("i") < 3), "text", 8)
+    enc = byte_bpe_encode(df, "text", merges, out_col="toks")
+    back = byte_bpe_decode(enc, "toks", out_col="rt").collect()
+    for r in back:
+        assert r.rt == texts[r.i]
