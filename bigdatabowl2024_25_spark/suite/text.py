@@ -1226,6 +1226,20 @@ def q64_binary_plumbing(spark, sf_dir):
       merges; the oracle re-derives greedy encoding as marker-wrapped
       string rewriting. Row = (doc, n_tokens, joined byte length,
       md5 of the space-joined token stream)."""
+    frames = _q64_branch_frames(spark, sf_dir)
+    out = None
+    for f in frames.values():
+        out = f if out is None else out.unionByName(f)
+    return out
+
+
+def _q64_branch_frames(spark, sf_dir) -> dict:
+    """Every q64 branch as its own DataFrame, keyed by kind, in the
+    exact union order of `q64_binary_plumbing` (dict order IS the
+    plan order). Split out in round 12 so per-branch wall time is
+    measurable in isolation (`scripts/bench_q64_branches.py`) — the
+    r11 driver bench grew q64 +52% with no way to see which leg
+    paid, and the query has become where cost hides (VERDICT r11)."""
     from ..operators.bpe import bpe_encode, bpe_train
     from ..operators.text import chunk_documents, pack_documents
 
@@ -1632,26 +1646,27 @@ def q64_binary_plumbing(spark, sf_dir):
         F.length(c4b).cast("bigint").alias("byte_len"),
         F.md5(c4b).alias("content_md5"),
     )
-    return (
-        doc.unionByName(chunk)
-        .unionByName(pack)
-        .unionByName(seq)
-        .unionByName(bpe)
-        .unionByName(train_rows)
-        .unionByName(wp)
-        .unionByName(wp_train_rows)
-        .unionByName(uni)
-        .unionByName(uni_train_rows)
-        .unionByName(bbpe)
-        .unionByName(bb_train_rows)
-        .unionByName(budget)
-        .unionByName(para)
-        .unionByName(parad)
-        .unionByName(clean)
-        .unionByName(dclean)
-        .unionByName(tmix)
-        .unionByName(c4)
-    )
+    return {
+        "doc": doc,
+        "chunk": chunk,
+        "pack": pack,
+        "seq": seq,
+        "bpe": bpe,
+        "bpe_train": train_rows,
+        "wp": wp,
+        "wp_train": wp_train_rows,
+        "uni": uni,
+        "uni_train": uni_train_rows,
+        "bbpe": bbpe,
+        "bbpe_train": bb_train_rows,
+        "budget": budget,
+        "para": para,
+        "parad": parad,
+        "clean": clean,
+        "dclean": dclean,
+        "tmix": tmix,
+        "c4": c4,
+    }
 
 
 _K, _WIN = 8, 4
