@@ -21,6 +21,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from bigdatabowl2024_25_spark import suite  # noqa: E402
 from bigdatabowl2024_25_spark.session import get_spark  # noqa: E402
 
@@ -84,6 +86,18 @@ def main() -> None:
     unknown = [n for n in HEADLINE if n not in suite.QUERIES]
     if unknown:  # fail loudly: a stale name would silently shrink the gate
         raise SystemExit(f"bench HEADLINE references unknown queries: {unknown}")
+    # session pre-warm BEFORE the timed loop (round-12 VERDICT item 3):
+    # the per-query warm-up collect absorbs each query's own codegen,
+    # but the FIRST query additionally paid executor-pool spin-up,
+    # whole-stage-codegen infrastructure JIT, and parquet footer/HDFS
+    # client init — q01 (the first entry) read 2.0x its budget on the
+    # r11 driver while identical code measured ~1.4 s on a quiet host.
+    # One shuffle-bearing range job + one parquet scan retire those
+    # one-time costs against no query's clock.
+    spark.range(1_000_000).groupBy(
+        (F.col("id") % 7).alias("k")
+    ).count().collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     names = list(HEADLINE)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -107,7 +107,7 @@ def _bpe_train_local(
     return merges
 
 
-def _safe_merge_batch(rows, full: bool, cap: int = 16):
+def _safe_merge_batch(rows, full: bool, products=None, cap: int = 16):
     """Maximal prefix of the sorted pair list that sequential BPE
     would provably pick in exactly this order — the batching lemma
     that cuts the distributed trainer to one driver round-trip per
@@ -138,7 +138,24 @@ def _safe_merge_batch(rows, full: bool, cap: int = 16):
 
     Applying the accepted batch as left-to-right composed folds is
     then bit-identical to running them sequentially. `cap` bounds the
-    composed-fold nesting depth (codegen expression tree)."""
+    composed-fold nesting depth (codegen expression tree).
+
+    (3) ALIAS SAFETY (round-12 ADVICE): both invariants above lean on
+        "an accepted merge's product ab is a NEW symbol". If ab equals
+        an ALREADY-EXISTING symbol (e.g. 'abc' reachable via (a,bc)
+        earlier and (ab,c) now), the merge's new pairs alias existing
+        pairs whose counts then RISE — old-pair monotonicity breaks and
+        the batch could diverge from sequential order. `products` is
+        the caller-maintained set of every multi-char symbol that can
+        exist (initial multi-char symbols + all prior merge products;
+        a single char can never equal a 2-symbol concat): acceptance
+        past the first merge stops when any accepted-or-candidate
+        concat is in it, or when two same-batch products collide. With
+        `products=None` (inventory unknown) batching disables entirely
+        (1 merge per round-trip — always sequential-exact). The FIRST
+        merge of a batch needs no guard: sequential BPE picks the
+        argmax regardless of aliasing; aliasing only invalidates
+        inferences about LATER picks."""
     accepted = []
     for idx, r in enumerate(rows):
         if r.cnt < 2 or len(accepted) >= cap:
@@ -148,6 +165,15 @@ def _safe_merge_batch(rows, full: bool, cap: int = 16):
         ):
             break
         if accepted:
+            if products is None:
+                break
+            batch_prods = {x.a + x.b for x in accepted}
+            if (
+                r.a + r.b in products
+                or r.a + r.b in batch_prods
+                or any(p in products for p in batch_prods)
+            ):
+                break
             acc_a = {x.a for x in accepted}
             acc_b = {x.b for x in accepted}
             neigh = max(
@@ -239,6 +265,25 @@ def _train_merges(
     prev_ckpt = vocab
     topk = 64
 
+    # alias-safety inventory for the batching lemma (round-12 ADVICE):
+    # every multi-char symbol that exists now or can come to exist —
+    # initial multi-char symbols (e.g. bpe_train's '</w>' marker; byte
+    # BPE has none) plus each accepted merge's product. The initial
+    # scan is one distinct on the vocab-sized table; its result is
+    # alphabet-bounded for every symbol scheme shipped here, but an
+    # adversarial caller could seed millions of multi-char symbols, so
+    # past 10k the inventory is declared unknown (products=None) and
+    # batching self-disables to the always-exact 1-merge-per-trip loop.
+    init_multi = (
+        vocab.select(F.explode("syms").alias("s"))
+        .filter(F.length("s") > 1)
+        .distinct()
+        .take(10_001)
+    )
+    products = (
+        None if len(init_multi) > 10_000 else {r.s for r in init_multi}
+    )
+
     merges: list[tuple[str, str]] = []
     while len(merges) < n_merges:
         pairs = (
@@ -262,13 +307,17 @@ def _train_merges(
         ).limit(topk).collect()
         if stats is not None:
             stats["round_trips"] = stats.get("round_trips", 0) + 1
-        batch = _safe_merge_batch(rows, full=len(rows) < topk)
+        batch = _safe_merge_batch(
+            rows, full=len(rows) < topk, products=products
+        )
         batch = batch[: n_merges - len(merges)]
         if not batch:
             break  # nothing left worth merging (best cnt < 2)
         col = F.col("syms")
         for r in batch:
             merges.append((r.a, r.b))
+            if products is not None:
+                products.add(r.a + r.b)
             col = _merge_pair(col, r.a, r.b)
         # one select applies the whole batch as composed folds, then a
         # localCheckpoint flattens lineage (1 job per BATCH, not per
@@ -922,7 +971,22 @@ def unigram_train(
     vocab = subs.filter(
         (F.col("cnt") >= min_count) | (F.length("piece") == 1)
     )
+    from .components import _release_checkpoint
+
+    prev_ckpt: DataFrame | None = None
     for _ in range(n_em_iters):
+        # lineage cut per EM iteration (round 12): without it, iter
+        # i's _scaled_logps collect re-executes every earlier
+        # iteration's Viterbi resegment + recount from scratch —
+        # O(iters^2) work and the largest single slice of q64's
+        # uni_train wall (measured 2.2 s of the 3.7 s trainer total
+        # at sf0.1 before; the checkpoint makes each collect one
+        # iteration of lineage). Values are identical: a checkpoint
+        # is a materialization boundary, not a semantic change.
+        vocab = vocab.localCheckpoint()
+        if prev_ckpt is not None:
+            _release_checkpoint(prev_ckpt)
+        prev_ckpt = vocab
         lit_vocab = [
             (r.piece, r.li)
             for r in _scaled_logps(vocab).collect()
@@ -1131,15 +1195,67 @@ def byte_bpe_encode(
     return df.withColumn(out_col, arr)
 
 
+#: sentinel for bytes the remap never emits — latin-1-unencodable, so
+#: the vectorized decode's encode step trips on it instead of letting
+#: an invalid control/space char pass through silently
+_U2B_SENTINEL = "￿"
+
+
+def _u2b_table() -> dict[int, str]:
+    """str.translate table inverting the byte-unicode remap. Valid
+    mapped chars go to chr(byte); every OTHER codepoint < 256 (chars
+    the remap never emits: controls, space, DEL, the latin-1 holes)
+    goes to the sentinel — without that arm, a stray raw space in a
+    forged token would translate to itself and decode silently wrong.
+    Codepoints ≥ 256 outside the table pass through translate and
+    fail the latin-1 encode on their own."""
+    u2b = {u: b for b, u in bytes_to_unicode().items()}
+    table: dict[int, str] = {ord(u): chr(b) for u, b in u2b.items()}
+    for c in range(256):
+        if chr(c) not in u2b:
+            table[c] = _U2B_SENTINEL
+    return table
+
+
+def _decode_token_stream(toks, table: dict[int, str]) -> str:
+    """Mapped tokens → exact original text, with loud actionable
+    errors (round-12 ADVICE: the previous bare KeyError /
+    UnicodeDecodeError named nothing): a token containing a char
+    outside the byte-unicode alphabet raises ValueError naming the
+    token; a stream that is not valid UTF-8 raises ValueError naming
+    the byte offset (the `_require_event_times` guard style)."""
+    joined = "".join(toks)
+    try:
+        raw = joined.translate(table).encode("iso-8859-1")
+    except UnicodeEncodeError:
+        for t in toks:
+            for ch in t:
+                if ord(ch) not in table or table[ord(ch)] == _U2B_SENTINEL:
+                    raise ValueError(
+                        f"byte-BPE decode: token {t!r} contains {ch!r},"
+                        " which is outside the byte-unicode alphabet —"
+                        " tokens must come from byte_bpe_encode / the"
+                        " bytes_to_unicode remap"
+                    ) from None
+        raise  # unreachable: the encode can only fail on those chars
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError as exc:
+        raise ValueError(
+            "byte-BPE decode: token stream is not valid UTF-8 at byte"
+            f" {exc.start} (…{raw[max(0, exc.start - 4):exc.start + 4]!r}…)"
+            " — decode whole-document token streams, not arbitrary"
+            " slices (a slice can split a multi-byte character)"
+        ) from None
+
+
 def decode_byte_tokens(tokens: list[str]) -> str:
     """Driver-side inverse of the byte-unicode remap: mapped tokens →
     original text (exact — the lossless-roundtrip half the tests
-    pin). Tiny and pure; for distributed detokenization wrap it in a
-    pandas UDF."""
-    u2b = {u: b for b, u in bytes_to_unicode().items()}
-    return bytes(
-        u2b[ch] for tok in tokens for ch in tok
-    ).decode("utf-8")
+    pin). Tiny and pure; `byte_bpe_decode` is the distributed form.
+    Invalid tokens / non-UTF-8 streams raise a loud ValueError naming
+    the offender (round-12 ADVICE), not a bare KeyError."""
+    return _decode_token_stream(tokens, _u2b_table())
 
 
 def byte_bpe_decode(
@@ -1147,24 +1263,45 @@ def byte_bpe_decode(
 ) -> DataFrame:
     """Distributed inverse of `byte_bpe_encode`: mapped token arrays →
     the exact original text, one Arrow-batched pandas pass (the
-    256-entry inverse map closes over the UDF — the broadcast-codebook
-    pattern; per-row work is a byte-table lookup + one UTF-8 decode,
-    irreducibly procedural like the codecs). NULL arrays → NULL.
-    encode∘decode is the identity on any input — the byte-level
-    guarantee the roundtrip tests pin at DataFrame level too."""
+    256-entry inverse table closes over the UDF — the
+    broadcast-codebook pattern). NULL arrays → NULL. encode∘decode is
+    the identity on any input — the byte-level guarantee the roundtrip
+    tests pin at DataFrame level too.
+
+    Round-12 rewrite (VERDICT item 5): the hot path is now BATCH-level
+    pandas string ops — join tokens, one `str.translate` (a C loop
+    over a 256-entry table) and one latin-1-encode/utf-8-decode pair —
+    instead of a per-row pure-Python `bytes(generator)` assembly, the
+    only such loop that had survived in a distributed path. Measured
+    on 5 000 80-token arrays (mixed-ASCII/UTF-8 words): 0.21 s →
+    0.12 s per batch (1.8× — the generator was less dominant than the
+    per-char shape suggested; recorded per house style either way).
+    Invalid input falls back to the per-row guard path, which
+    raises a ValueError naming the offending token / byte offset
+    (round-12 ADVICE) — the fallback only runs on the way to that
+    error, so the hot path stays vectorized."""
     from pyspark.sql.types import StringType
 
-    u2b = {u: b for b, u in bytes_to_unicode().items()}
+    table = _u2b_table()
 
     def dec(col):
-        def one(toks):
-            if toks is None:
-                return None
-            return bytes(
-                u2b[ch] for tok in toks for ch in tok
-            ).decode("utf-8")
-
-        return col.map(one)
+        joined = col.map(
+            lambda toks: None if toks is None else "".join(toks)
+        )
+        try:
+            return (
+                joined.str.translate(table)
+                .str.encode("iso-8859-1")
+                .str.decode("utf-8")
+            )
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            # re-walk row-by-row purely to raise the loud, token-naming
+            # error — never reached on valid input
+            return col.map(
+                lambda toks: None
+                if toks is None
+                else _decode_token_stream(toks, table)
+            )
 
     # explicit (fn, returnType) form: the module's
     # `from __future__ import annotations` stringifies type hints,

@@ -117,6 +117,18 @@ def union_all(*dfs: DataFrame) -> DataFrame:
     return out
 
 
+def _left_salt(columns: list[str], n_salts: int):
+    """The big-side salt expression for `salted_join`, split out so the
+    duplicate-row spreading property is directly testable: xxhash64
+    over every column AND a per-row positional id, mod n_salts."""
+    return F.pmod(
+        F.xxhash64(
+            *[F.col(c) for c in columns], F.monotonically_increasing_id()
+        ),
+        F.lit(n_salts),
+    ).cast("int")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -145,7 +157,18 @@ def salted_join(
     that trade is the point: n× a small table's traffic against one
     straggler owning the hot key's entire left volume. NULL keys drop
     on both paths (inner equi-join semantics), and the salt column
-    never survives into the output."""
+    never survives into the output.
+
+    The salt hashes the full row PLUS a per-row positional id
+    (monotonically_increasing_id, folded in as one more hashed input —
+    never added arithmetically, which could overflow under ANSI mode).
+    Row content alone is not enough: EXACT-DUPLICATE rows on the hot
+    key — a common shape of the very skew this operator exists to fix —
+    would all hash to one salt and the straggler would survive (round-12
+    ADVICE). Membership is salt-independent (the right side replicates
+    every salt), so the id's run-to-run instability cannot change
+    results; a task retry that recomputes a different salt still joins
+    identically."""
     if n_salts < 1:
         raise ValueError("salted_join: n_salts must be >= 1")
     overlap = (set(left.columns) & set(right.columns)) - set(keys)
@@ -154,13 +177,7 @@ def salted_join(
             f"salted_join: non-key columns collide {sorted(overlap)}; "
             "alias them apart first (the plain-join contract)"
         )
-    l = left.withColumn(
-        "__salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in left.columns]),
-            F.lit(n_salts),
-        ).cast("int"),
-    )
+    l = left.withColumn("__salt", _left_salt(left.columns, n_salts))
     r = right.withColumn(
         "__salt",
         # explode() is a generator — it cannot nest inside another

@@ -310,6 +310,7 @@ def prepare_corpus(
     cfg: CorpusConfig | None = None,
     caches: BoundaryCaches | None = None,
     dsir_target: DataFrame | None = None,
+    expose: dict | None = None,
 ) -> DataFrame:
     """Run stages 1-7 over a (id, text, ...metadata) corpus; returns
     the surviving rows with `text_col` cleaned (redacted, optionally
@@ -325,6 +326,16 @@ def prepare_corpus(
     (used only when `cfg.dsir_k` is set). One DataFrame in, one out — the whole
     pipeline is a single lazy plan except `connected_components`'
     bounded iterative step (only when near_dup and candidates exist).
+
+    `expose` (round 12): an optional dict the pipeline fills with
+    named intermediates — currently `pre_dsir`, the stage-0-7 survivor
+    frame the 7b DSIR stage selects FROM (set only when `cfg.dsir_k`
+    is on; it is the `caches`-persisted boundary, so a caller reading
+    it pays nothing extra). A caller that needs both the hygienic
+    corpus AND its DSIR-selected subset previously ran the whole
+    stage-0-7 walk twice (q64's 'clean'+'dclean' measured 3.0 s +
+    4.8 s at sf0.1; sharing the boundary makes it one walk). Consume
+    exposed frames before the `caches` scope releases.
     """
     cfg = cfg or CorpusConfig()
     d = _profile_and_redact(df, text_col, cfg, id_col)
@@ -450,6 +461,8 @@ def prepare_corpus(
         )
 
         d = _fanout(d, cfg, caches)  # model counts + scoring + join read d
+        if expose is not None:
+            expose["pre_dsir"] = d
         model = dsir_model(
             dsir_bucket_counts(dsir_target, text_col, cfg.dsir_dim),
             dsir_bucket_counts(d, text_col, cfg.dsir_dim),

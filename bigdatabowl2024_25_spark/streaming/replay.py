@@ -319,7 +319,20 @@ def _reorder_step(buf, max_seen, incoming, delay_us):
     key's state at a time; a global watermark would need a
     cross-partition aggregate per batch. Per-key is the stricter,
     deterministic choice: a key's own events gate its releases, so a
-    quiet key never has rows forced out by a chatty one."""
+    quiet key never has rows forced out by a chatty one.
+
+    FLUSH REQUIREMENT (round-12 ADVICE — the per-key trade's other
+    face): only a key's OWN later events advance its watermark, so
+    when a key's stream goes quiet its final `delay_us` of rows sit
+    in the buffer indefinitely — event time alone can never prove
+    "nothing more is coming". To drain a key, send it one
+    watermark-advancing event (ts ≥ last ts + delay_us; the suite's
+    replay fixtures append exactly such a flush row per key, and any
+    real pipeline's end-of-stream/heartbeat record does the same). A
+    processing-time fallback (GroupStateTimeout releasing the tail
+    after wall-clock silence) is deliberately NOT implemented: it
+    would make results depend on arrival timing, forfeiting the
+    bit-identical-to-batch guarantee these twins exist for."""
     import math
 
     wm_prev = max_seen - delay_us
@@ -391,7 +404,11 @@ def streaming_funnel(
     them to the greedy state in event-time order — equal to the batch
     operator whenever disorder stays within the delay; rows later
     than that are dropped (the standard watermark bargain). Buffered
-    state adds ≤ (delay × per-key rate) rows per key.
+    state adds ≤ (delay × per-key rate) rows per key. NOTE the flush
+    requirement that comes with the buffer (see `_reorder_step`): a
+    key's final `reorder_delay_us` of rows are withheld until one of
+    its OWN later events advances its watermark — a quiet key needs a
+    watermark-advancing flush/heartbeat row to drain.
 
     State: len(steps) int64s per user — fixed-width, key-cardinality
     bound, hash-partitioned in the state store (+ the reorder buffer
@@ -506,7 +523,10 @@ def streaming_anomaly(
     flags match the batch operator whenever disorder stays within the
     delay; later-than-delay rows are dropped, never mis-flagged. A
     buffered row's (key, ts, value, is_anomaly) row emits in the
-    batch that RELEASES it, not the one that received it).
+    batch that RELEASES it, not the one that received it — and a
+    quiet key's final `reorder_delay_us` of rows stay buffered until
+    a watermark-advancing flush/heartbeat event for THAT key arrives;
+    see `_reorder_step`'s flush-requirement note).
 
     State: the last n (q or NULL) per key — fixed width, key-bounded,
     encoded alongside a presence mask so a NULL value occupies its
@@ -641,7 +661,11 @@ def streaming_cusum(
     `_reorder_step`): CUSUM is ORDER-SENSITIVE (the running extrema
     un-reorderable), so rows are held until the watermark passes and
     fed to the recurrence in event-time order; later-than-delay rows
-    drop rather than corrupt every subsequent flag.
+    drop rather than corrupt every subsequent flag. A quiet key's
+    final `reorder_delay_us` of rows stay buffered until one of its
+    OWN events advances the watermark — send a flush/heartbeat row to
+    drain a finished key (see `_reorder_step`'s flush-requirement
+    note).
 
     Emits one row per input row: (key, ts, value, cusum_flag)."""
     import math

@@ -1531,25 +1531,6 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
             "text"
         ),
     )
-    cleaned = prepare_corpus(
-        pages,
-        cfg=CorpusConfig(
-            min_tokens=_CLEAN_MIN_TOK,
-            max_dup_word_frac=_CLEAN_MAX_DUP,
-            max_top_bigram_frac=1.0,
-            near_dup=False,
-            mixture=_CLEAN_RATES,
-            persist_boundaries=False,
-        ),
-    )
-    clb = F.col("text").cast("binary")
-    clean = cleaned.select(
-        F.lit("clean").alias("kind"),
-        "doc_id",
-        F.col("n_tokens").cast("bigint").alias("part_id"),
-        F.length(clb).cast("bigint").alias("byte_len"),
-        F.md5(clb).alias("content_md5"),
-    )
     # 'dclean' (round 10, VERDICT item 6): the SAME composition with
     # DSIR selection wired in as stage 7b (cfg.dsir_k) — of the
     # hygienic survivors, keep the _DCLEAN_K most like the English
@@ -1564,9 +1545,20 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
     # 4x and q64 measured 11.0 s vs 5.5); scope them and pin the
     # k-row result eagerly so nothing leaks across runs (the q93
     # 'batch' pattern).
+    # Round 12 (VERDICT item 1): 'clean' no longer runs its own
+    # prepare_corpus — its cfg differs from 'dclean' only by the DSIR
+    # stage, so its result IS dclean's exposed `pre_dsir` boundary
+    # (the caches-persisted stage-7b input). One stage-0-7 walk
+    # serves both branches: the two separate calls measured 3.0 s
+    # ('clean', unpersisted) + 4.8 s ('dclean') at sf0.1; shared,
+    # the pair costs the dclean walk alone. Both digests pin eagerly
+    # inside the caches scope (clean's is a doc-count-bounded digest
+    # projection, not the corpus text).
     from ..pipelines.corpus import BoundaryCaches
 
+    clb = F.col("text").cast("binary")
     with BoundaryCaches() as dc_bc:
+        _dc_expose: dict = {}
         dcleaned = prepare_corpus(
             pages,
             cfg=CorpusConfig(
@@ -1588,9 +1580,17 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
                 (F.col("lang") == "en") & (F.col("doc_id") % 5 == 0)
             ).select("doc_id", "text"),
             caches=dc_bc,
+            expose=_dc_expose,
         )
         dclean = dcleaned.select(
             F.lit("dclean").alias("kind"),
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("part_id"),
+            F.length(clb).cast("bigint").alias("byte_len"),
+            F.md5(clb).alias("content_md5"),
+        ).localCheckpoint()
+        clean = _dc_expose["pre_dsir"].select(
+            F.lit("clean").alias("kind"),
             "doc_id",
             F.col("n_tokens").cast("bigint").alias("part_id"),
             F.length(clb).cast("bigint").alias("byte_len"),

@@ -592,6 +592,7 @@ def test_safe_merge_batch_lemma_fuzz():
 
         topk = rng.choice([3, 5, 64])  # truncation paths too
         got, cur = [], [(list(s), n) for s, n in vocab]
+        products = {"</w>"}  # the real loop's alias inventory
         for _ in range(200):  # bounded; breaks long before
             if len(got) >= n_merges:
                 break
@@ -602,11 +603,56 @@ def test_safe_merge_batch_lemma_fuzz():
                     pc.items(), key=lambda kv: (-kv[1], kv[0])
                 )
             ][:topk]
-            batch = _safe_merge_batch(rows, full=len(rows) < topk)
+            batch = _safe_merge_batch(
+                rows, full=len(rows) < topk, products=products
+            )
             batch = batch[: n_merges - len(got)]
             if not batch:
                 break
             for r in batch:
                 got.append((r.a, r.b))
+                products.add(r.a + r.b)
                 cur = apply_merge(cur, r.a, r.b)
         assert got == want, (trial, words, n_merges, topk, got, want)
+
+
+def test_safe_merge_batch_alias_guard():
+    """Round-12 ADVICE: the batching lemma's 'old-pair counts never
+    rise' invariant has a hole when an accepted merge's product a+b
+    ALIASES an already-existing symbol (its new pairs then add to an
+    existing pair's count). The guard must stop the batch at the first
+    such candidate — and must disable batching entirely when the
+    symbol inventory is unknown (products=None)."""
+    from collections import namedtuple
+
+    from bigdatabowl2024_25_spark.operators.bpe import _safe_merge_batch
+
+    Row = namedtuple("Row", "a b cnt")
+    rows = [
+        Row("x", "y", 90),
+        Row("a", "b", 80),  # product 'ab' aliases an existing symbol
+        Row("p", "q", 70),
+    ]
+    # no aliasing: all three are disjoint, floor-safe (full list) —
+    # the whole prefix batches
+    assert len(_safe_merge_batch(rows, full=True, products=set())) == 3
+    # 'ab' already exists as a symbol: accept (x,y), stop before (a,b)
+    assert (
+        len(_safe_merge_batch(rows, full=True, products={"ab"})) == 1
+    )
+    # the FIRST merge aliasing is fine (sequential BPE picks the
+    # argmax regardless) — the batch stops before the SECOND merge
+    assert (
+        len(_safe_merge_batch(rows, full=True, products={"xy"})) == 1
+    )
+    # same-batch product collision: (x,y) then a candidate whose
+    # product equals 'xy' — construct ('x','y') vs ('xy' can only be
+    # re-formed by an (x, y) pair, which shares symbols — covered by
+    # disjointness — so exercise the batch_prods membership arm with
+    # a crafted duplicate-product pair instead)
+    rows2 = [Row("x", "yz", 90), Row("xy", "z", 80)]
+    assert (
+        len(_safe_merge_batch(rows2, full=True, products=set())) == 1
+    )
+    # unknown inventory: batching self-disables to 1 merge per trip
+    assert len(_safe_merge_batch(rows, full=True, products=None)) == 1

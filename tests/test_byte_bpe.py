@@ -131,7 +131,16 @@ def test_byte_bpe_encode_roundtrip_lossless(spark):
     texts = [
         "".join(rng.choice(pool) for _ in range(rng.randint(0, 40)))
         for _ in range(25)
-    ] + ["", "   ", "it's"]
+    ] + [
+        "",
+        "   ",
+        "it's",
+        # round-12 edge audit: a text that IS the rewrite markers —
+        # the mapped alphabet excludes \x01-\x03 by construction, so
+        # the encoder needs no scrub and the roundtrip is exact
+        "\x01\x02\x03",
+        "a\x01b \x02\x03 c",
+    ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "i long, text string"
     )
@@ -181,3 +190,32 @@ def test_byte_bpe_decode_dataframe_roundtrip(spark):
     back = byte_bpe_decode(enc, "toks", out_col="rt").collect()
     for r in back:
         assert r.rt == texts[r.i]
+
+
+def test_byte_bpe_decode_loud_guards(spark):
+    """Round-12 ADVICE: decoding tokens outside the byte-unicode
+    alphabet or a non-UTF-8 stream must raise a ValueError NAMING the
+    offending token / byte offset — not a bare KeyError or
+    UnicodeDecodeError — on both the driver helper and the
+    distributed pandas path."""
+    import pytest
+
+    from bigdatabowl2024_25_spark.operators.bpe import byte_bpe_decode
+
+    # a raw space is never emitted by the remap (space maps to Ġ)
+    with pytest.raises(ValueError, match=r"'bad tok'.*alphabet"):
+        decode_byte_tokens(["the", "bad tok"])
+    # chars >= 256 outside the remap table fail the same way
+    with pytest.raises(ValueError, match="alphabet"):
+        decode_byte_tokens(["あ"])
+    # 'ä' alone is byte 0xE4 — an unterminated UTF-8 lead byte
+    with pytest.raises(ValueError, match="not valid UTF-8"):
+        decode_byte_tokens(["ä"])
+    df = spark.createDataFrame(
+        [(["the", "bad tok"],)], "toks array<string>"
+    )
+    with pytest.raises(Exception, match="alphabet"):
+        byte_bpe_decode(df, "toks").collect()
+    df2 = spark.createDataFrame([(["ä"],)], "toks array<string>")
+    with pytest.raises(Exception, match="not valid UTF-8"):
+        byte_bpe_decode(df2, "toks").collect()

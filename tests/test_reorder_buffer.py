@@ -66,6 +66,35 @@ def test_reorder_step_unit():
     assert _reorder_step([], -1, [], 10) == ([], [], -1, 0)
 
 
+def test_reorder_step_boundaries():
+    """Round-12 edge audit (VERDICT item 6): pin the delay_us=0
+    degenerate case and the ts-exactly-at-watermark boundaries on
+    both sides (release is <=, lateness is <= the PREVIOUS
+    watermark)."""
+    # delay 0: watermark == max_seen, so every first-batch row
+    # releases immediately in event-time order, nothing buffers
+    rel, buf, seen, late = _reorder_step([], -1, [(10, "a"), (30, "c")], 0)
+    assert rel == [(10, "a"), (30, "c")] and buf == [] and seen == 30
+    # delay 0, next batch: ts EQUAL to the previous watermark (30) is
+    # late (processing already advanced past that slot); strictly
+    # newer rows pass straight through
+    rel, buf, seen, late = _reorder_step(
+        buf, seen, [(30, "dup"), (31, "d")], 0
+    )
+    assert late == 1 and rel == [(31, "d")] and buf == [] and seen == 31
+    # ts exactly AT the new watermark releases (<=, not <): with
+    # max_seen=100 and delay=15, wm=85 and the ts=85 row goes out
+    rel, buf, seen, late = _reorder_step([], -1, [(100, "z"), (85, "y")], 15)
+    assert rel == [(85, "y")] and buf == [(100, "z")] and late == 0
+    # ts exactly AT the previous watermark is late; one past it
+    # buffers (and nothing releases — the watermark didn't advance)
+    rel, buf, seen, late = _reorder_step(
+        buf, seen, [(85, "late"), (86, "ok")], 15
+    )
+    assert late == 1 and rel == [] and seen == 100
+    assert buf == [(86, "ok"), (100, "z")]
+
+
 def test_streaming_funnel_out_of_order_matches_batch(spark, tmp_path):
     """Steps arrive REVERSED across micro-batches (purchase+click
     before view). Without the buffer greedy state can only take

@@ -944,6 +944,60 @@ def test_semantic_dedup_max_cluster_size_guard(spark):
     assert sorted(map(tuple, got_small)) == sorted(map(tuple, want_small))
 
 
+def test_semantic_dedup_cap_exact_boundary(spark):
+    """Round-12 edge audit (VERDICT item 6): a cluster with EXACTLY
+    max_cluster_size members must stay on the exact pairwise path —
+    no fallback warning, results bit-equal to uncapped, and the worst
+    victim's n_dups reaching cap−1 (every better-ranked clone counts).
+    One member more trips the fallback, and n_dups stays ≤ cap."""
+    import warnings
+
+    from bigdatabowl2024_25_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    cap = 16
+    clone = [1.0, 0.5, 0.0, 0.25]
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "__list int, embedding array<float>"
+    )
+    at_cap = spark.createDataFrame(
+        [(i, clone) for i in range(cap)],
+        "vec_id long, embedding array<float>",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = semantic_dedup(
+            at_cap, cents, "vec_id", "embedding", threshold=0.99,
+            max_cluster_size=cap,
+        ).collect()
+    assert not [x for x in w if "semantic_dedup" in str(x.message)]
+    want = semantic_dedup(
+        at_cap, cents, "vec_id", "embedding", threshold=0.99
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # exact-tie clones dominate by lower id: the worst victim saw
+    # every better clone — n_dups == cap − 1, the uncapped signature
+    assert max(r.n_dups for r in got) == cap - 1
+
+    over = spark.createDataFrame(
+        [(i, clone) for i in range(cap + 1)],
+        "vec_id long, embedding array<float>",
+    )
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        got_over = semantic_dedup(
+            over, cents, "vec_id", "embedding", threshold=0.99,
+            max_cluster_size=cap,
+        ).collect()
+    assert any(f"max_cluster_size={cap}" in str(x.message) for x in w2)
+    # fan-in bounded by the rep count even one past the boundary; the
+    # worst victim ranks against at most all `cap` representatives
+    assert cap - 1 <= max(r.n_dups for r in got_over) <= cap
+    # the global lowest id still survives
+    assert 0 not in {r.vec_id for r in got_over}
+
+
 def test_semantic_dedup_cap_null_ids_inert_and_deterministic(spark):
     """NULL-id rows are inert in the pairwise stage (the xid != yid
     filter drops their pairs) — under max_cluster_size they must also
