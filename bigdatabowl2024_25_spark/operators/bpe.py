@@ -333,6 +333,98 @@ def _train_merges(
 #: them would corrupt the rewrite, hence the guard in bpe_encode
 _MARK_L, _MARK_R, _WORD_SEP = "\x01", "\x02", "\x03"
 
+#: merge-list size above which the encoders leave the codegen replace
+#: chain for the broadcast merge-rank path: each merge is one
+#: `replace()` call in the plan, so a production 32k-50k vocabulary
+#: would build a 32k-deep expression tree — past codegen's method
+#: limits and paying plan-analysis cost per query. 512 replaces is
+#: comfortably inside codegen (the chain was measured fastest for
+#: moderate lists) while anything trainable beyond that is
+#: production-scale and belongs on the distinct-word path.
+_MERGE_CHAIN_MAX = 512
+
+
+def _ranked_word_encoder(
+    merges: list[tuple[str, str]], end_of_word: str | None = None
+):
+    """Pure-Python single-word BPE encoder, PROVABLY bit-identical to
+    the replace-chain replay (the parity test pins it): apply merges
+    in training order, each as one greedy left-to-right pass — but
+    instead of touching all N merges per word, keep a rank index and
+    repeatedly jump to the SMALLEST rank ≥ the last applied rank whose
+    pair is currently adjacent. Equivalence: between two applied ranks
+    the chain's intervening replaces are no-ops (their pairs are not
+    present — a merge only creates adjacencies involving its own
+    product, so a skipped rank can never become applicable before the
+    next applied rank fires; a rank once passed is never revisited,
+    exactly the chain's single-pass-per-merge semantics, aliasing
+    included). Cost: O(applied · len) dict lookups per word instead
+    of O(N · len) string scans — rank-list lookup via bisect so even
+    duplicate pairs in a merge list replay exactly."""
+    import bisect
+
+    ranks: dict[tuple[str, str], list[int]] = {}
+    for i, (a, b) in enumerate(merges):
+        ranks.setdefault((a, b), []).append(i)
+
+    def enc(word: str) -> list[str]:
+        syms = list(word)
+        if end_of_word is not None:
+            syms.append(end_of_word)
+        pos = 0
+        while len(syms) > 1:
+            best = -1
+            for pair in zip(syms, syms[1:]):
+                lst = ranks.get(pair)
+                if lst:
+                    j = bisect.bisect_left(lst, pos)
+                    if j < len(lst) and (best < 0 or lst[j] < best):
+                        best = lst[j]
+            if best < 0:
+                break
+            a, b = merges[best]
+            merged = a + b
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            syms = out
+            pos = best + 1
+        return syms
+
+    return enc
+
+
+def _ranked_pieces_udf(
+    merges: list[tuple[str, str]],
+    end_of_word: str | None = None,
+    byte_map: bool = False,
+):
+    """Arrow-batched pandas UDF: distinct word/pre-token → its BPE
+    pieces under `_ranked_word_encoder`. The merge-rank dict rides in
+    the UDF closure (the broadcast-codebook pattern — one copy per
+    executor, never per row); with `byte_map` the GPT-2 byte-unicode
+    remap runs Python-side first (the distinct-token table is
+    vocab-sized, so this is never corpus-scale work)."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    enc = _ranked_word_encoder(merges, end_of_word)
+    if byte_map:
+        b2u = bytes_to_unicode()
+
+        def one(w):
+            return enc("".join(b2u[b] for b in w.encode("utf-8")))
+
+    else:
+        one = enc
+
+    def run(col):
+        return col.map(one)
+
+    return F.pandas_udf(run, ArrayType(StringType()))
+
 
 def bpe_encode(
     df: DataFrame,
@@ -340,6 +432,8 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     out_col: str = "bpe_tokens",
     end_of_word: str = "</w>",
+    id_col: str | None = None,
+    merge_threshold: int = _MERGE_CHAIN_MAX,
 ) -> DataFrame:
     """Tokenize with a learned merge list (the standard greedy BPE
     encoder), expressed as pure STRING REWRITING so the whole encode
@@ -360,9 +454,44 @@ def bpe_encode(
     verbatim. Shuffle-free map over the corpus either way; cost is
     O(len(merges) · text length) per row in JVM string intrinsics.
 
-    For production-sized merge lists (30k+), bake the merges into a
-    broadcast ranking dict inside a Pandas UDF instead — this literal
-    replace chain is for moderate lists."""
+    PRODUCTION-VOCAB PATH (round 12, VERDICT item 2): past
+    `merge_threshold` merges (default 512) the replace chain would
+    build a plan with one `replace()` per merge — a 32k-50k GPT-class
+    vocabulary blows whole-stage codegen's method limits and pays
+    plan-analysis cost per query — so the encode reroutes through the
+    distinct-word shape every per-word tokenizer here uses
+    (`encode_tokenizers`): the O(applied·len) rank-indexed replay
+    (`_ranked_word_encoder`, bit-identical to the chain — pinned by
+    the parity test) runs as an Arrow-batched pandas UDF over the
+    DISTINCT-word table only (vocab-sized at any corpus scale), and
+    the corpus pays one posexplode + mapping join + groupBy(id)
+    reassembly. That path needs a row identity, so pass `id_col`
+    whenever merges can exceed the threshold (a loud ValueError
+    reminds you otherwise). Both paths share the contract: '' docs →
+    empty array, NULL docs → NULL."""
+    if len(merges) > merge_threshold:
+        if id_col is None:
+            raise ValueError(
+                f"bpe_encode: {len(merges)} merges exceed the codegen "
+                f"replace-chain limit ({merge_threshold}); the "
+                "distinct-word production path reassembles per "
+                "document and needs id_col — pass id_col=<doc id "
+                "column>"
+            )
+        def _scrubbed_words(c: Column) -> Column:
+            # mirror the chain's text contract exactly: \x01-\x03
+            # scrub + whitespace collapse (tokens + '' filter is the
+            # collapse), so both paths see identical word streams
+            clean = F.regexp_replace(c, "[\x01-\x03]", "")
+            return F.filter(tokens(clean), lambda x: x != F.lit(""))
+
+        return encode_tokenizers(
+            df,
+            text_col,
+            id_col,
+            {out_col: _ranked_pieces_udf(merges, end_of_word)},
+            pretokenize=_scrubbed_words,
+        )
     for ch in (_MARK_L, _MARK_R, _WORD_SEP):
         if ch in end_of_word or any(ch in a + b for a, b in merges):
             raise ValueError(
@@ -399,6 +528,28 @@ def bpe_encode(
         F.split(joined, " ")
     )
     return df.withColumn(out_col, arr)
+
+
+def bpe_decode(
+    df: DataFrame,
+    tokens_col: str,
+    out_col: str = "text",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Inverse of `bpe_encode` (round 12 — the tokenizer family's
+    decode completeness pass): concatenate tokens and turn each
+    end-of-word marker into a space, all in codegen (two intrinsics).
+    Exact inverse of encode up to encode's own text normalization
+    (whitespace collapse + control scrub), for any text that does not
+    itself contain the `end_of_word` string — the classic char-BPE
+    marker ambiguity; byte-level BPE exists precisely to avoid it
+    (its alphabet makes markers unrepresentable). NULL → NULL,
+    [] → ''."""
+    joined = F.array_join(F.col(tokens_col), "")
+    spaced = F.replace(joined, F.lit(end_of_word), F.lit(" "))
+    return df.withColumn(
+        out_col, F.regexp_replace(spaced, " $", "")
+    )
 
 
 # ---- WordPiece (Schuster & Nakajima 2012 / Wu et al. 2016) -----------
@@ -715,19 +866,31 @@ def encode_tokenizers(
     text_col: str,
     id_col: str,
     encoders: dict,
+    pretokenize=None,
 ) -> DataFrame:
     """Shared corpus-side plumbing for per-word tokenizers (WordPiece
-    greedy, Unigram Viterbi, …): run each encoder in `encoders`
-    ({out_col: word Column → array<string> Column}) over the
-    DISTINCT-WORD table only, then posexplode the corpus ONCE, join
-    the combined word→pieces mapping back (vocab-bounded →
-    broadcast), and reassemble per doc in word order — N tokenizers
-    cost ONE corpus pass, not N (the q64 'wp'+'uni' pair measured
-    ~2.5 s per duplicated reassembly at sf0.1). '' docs → empty
-    array, NULL docs → NULL, per output column."""
+    greedy, Unigram Viterbi, production-vocab BPE, …): run each
+    encoder in `encoders` ({out_col: word Column → array<string>
+    Column}) over the DISTINCT-WORD table only, then posexplode the
+    corpus ONCE, join the combined word→pieces mapping back
+    (vocab-bounded → broadcast), and reassemble per doc in word
+    order — N tokenizers cost ONE corpus pass, not N (the q64
+    'wp'+'uni' pair measured ~2.5 s per duplicated reassembly at
+    sf0.1). '' docs → empty array, NULL docs → NULL, per output
+    column.
+
+    `pretokenize` (round 12) swaps the word splitter: a text Column →
+    array<string> Column (default: whitespace `tokens` with empty
+    words dropped). `byte_bpe_encode`'s production path passes the
+    GPT-2 regex pre-tokenizer so the same distinct-table plumbing
+    serves the byte-level family."""
+    if pretokenize is None:
+
+        def pretokenize(c):
+            return F.filter(tokens(c), lambda x: x != F.lit(""))
+
     words = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
-        .filter(F.col("word") != "")
+        df.select(F.explode(pretokenize(F.col(text_col))).alias("word"))
         .distinct()
     )
     mapping = words.select(
@@ -739,9 +902,7 @@ def encode_tokenizers(
     )
     ex = df.select(
         F.col(id_col),
-        F.posexplode(
-            F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
-        ).alias("__i", "word"),
+        F.posexplode(pretokenize(F.col(text_col))).alias("__i", "word"),
     )
     per_doc = (
         ex.join(mapping, "word")
@@ -780,6 +941,50 @@ def encode_tokenizers(
         )
         joined = joined.withColumn(name, out).drop(f"__doc_{name}")
     return joined
+
+
+def wordpiece_decode(
+    df: DataFrame,
+    tokens_col: str,
+    out_col: str = "text",
+    cont: str = "##",
+) -> DataFrame:
+    """Inverse of `wordpiece_encode` (round 12): join tokens with
+    spaces, then fuse every ' ##' junction — the continuation marker
+    IS the word-boundary encoding, so the whole decode is two codegen
+    intrinsics. Exact inverse up to encode's whitespace normalization
+    whenever (a) no word fell back to [UNK] (its characters are gone —
+    the BERT contract, not a decode defect) and (b) no word LITERALLY
+    starts with the marker string (a corpus word '##x' trains a plain
+    '##x'-prefixed piece whose junction is then indistinguishable —
+    the standard WordPiece ambiguity). NULL → NULL, [] → ''."""
+    joined = F.array_join(F.col(tokens_col), " ")
+    return df.withColumn(
+        out_col, F.replace(joined, F.lit(" " + cont), F.lit(""))
+    )
+
+
+def unigram_decode(
+    df: DataFrame,
+    tokens_col: str,
+    out_col: str = "text",
+    word_marker: str | None = None,
+) -> DataFrame:
+    """Inverse of `unigram_encode` at WORD granularity (round 12): a
+    word's Viterbi pieces concatenate back to the word exactly (the
+    roundtrip test pins it). At DOCUMENT granularity the flattened
+    token array carries no word boundaries — Kudo's SentencePiece
+    restores them via the '▁' word-start prefix convention, which
+    this whitespace-word trainer deliberately does not emit — so
+    doc-level decode returns the words CONCATENATED unless the vocab
+    carries such a marker: pass `word_marker` ('▁') to map it back to
+    a space (leading one trimmed). [UNK] words are unrecoverable by
+    construction, as in every Unigram implementation."""
+    joined = F.array_join(F.col(tokens_col), "")
+    if word_marker is not None:
+        spaced = F.replace(joined, F.lit(word_marker), F.lit(" "))
+        joined = F.regexp_replace(spaced, "^ ", "")
+    return df.withColumn(out_col, joined)
 
 
 # ---- Unigram LM tokenizer (Kudo 2018, the SentencePiece model) -------
@@ -1158,6 +1363,8 @@ def byte_bpe_encode(
     text_col: str,
     merges: list[tuple[str, str]],
     out_col: str = "bbpe_tokens",
+    id_col: str | None = None,
+    merge_threshold: int = _MERGE_CHAIN_MAX,
 ) -> DataFrame:
     """Tokenize with learned byte-level merges — the same codegen
     string-rewriting engine as `bpe_encode` (marker-wrapped symbols,
@@ -1167,7 +1374,34 @@ def byte_bpe_encode(
     markers cannot collide by construction. Output tokens are in the
     mapped alphabet ('Ġthe'); `decode_byte_tokens` restores the exact
     original text — byte-level BPE is lossless on ANY input, the
-    property the q64 'bbpe' oracle and the roundtrip fuzz pin."""
+    property the q64 'bbpe' oracle and the roundtrip fuzz pin.
+
+    PRODUCTION-VOCAB PATH (round 12, VERDICT item 2): GPT-2's real
+    vocabulary is 50k merges — a 50k-deep replace chain is past
+    codegen limits, so above `merge_threshold` the encode reroutes
+    through `encode_tokenizers` with the GPT-2 regex pre-tokenizer:
+    the rank-indexed replay (bit-identical to the chain) runs in one
+    Arrow pass over the DISTINCT pre-token table (byte remap included,
+    Python-side — the table is vocab-sized, never corpus-sized), and
+    the corpus pays one posexplode + mapping join + per-doc
+    reassembly. Needs `id_col` (loud ValueError otherwise); both
+    paths share the contract ('' → [], NULL → NULL)."""
+    if len(merges) > merge_threshold:
+        if id_col is None:
+            raise ValueError(
+                f"byte_bpe_encode: {len(merges)} merges exceed the "
+                f"codegen replace-chain limit ({merge_threshold}); "
+                "the distinct-pre-token production path reassembles "
+                "per document and needs id_col — pass id_col=<doc id "
+                "column>"
+            )
+        return encode_tokenizers(
+            df,
+            text_col,
+            id_col,
+            {out_col: _ranked_pieces_udf(merges, byte_map=True)},
+            pretokenize=byte_pretokenize,
+        )
     for ch in (_MARK_L, _MARK_R, _WORD_SEP):
         if any(ch in a + b for a, b in merges):
             raise ValueError(

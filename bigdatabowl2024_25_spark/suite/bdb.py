@@ -596,6 +596,33 @@ _STD_SQL = (
 )
 
 
+# cover_threshold.R's composed disguise stage (round 12, VERDICT item
+# 4), re-derived in SQL over the SAME labeled frame: normalized labels
+# (F4), the dynamic prob_<actual> lookup as a CASE over the
+# class-bounded name set (F13), the confident-or-correct flag (F3),
+# and the sum(dig) rollup (A12). The per-class probabilities are exact
+# dyadic ratios of integer features, so every arithmetic step is
+# bit-equal across engines.
+_CT_NORM = "regexp_replace(pff_passCoverage, '[ -]', '.', 'g')"
+_CT_PRED = (
+    "CASE WHEN def_s_mean > 5.0 THEN pff_passCoverage "
+    "ELSE 'Cover-1' END"
+)
+_CT_PRED_NORM = f"regexp_replace({_CT_PRED}, '[ -]', '.', 'g')"
+_CT_OWN = (
+    f"CASE {_CT_NORM} "
+    "WHEN 'Cover.1' THEN down / 4.0 "
+    "WHEN 'Cover.2' THEN yardsToGo / 16.0 "
+    "WHEN 'Cover.3' THEN (playId % 5) / 8.0 "
+    "WHEN 'Quarters' THEN n_defenders / 8.0 END"
+)
+_CT_DIG = (
+    f"CASE WHEN {_CT_NORM} = {_CT_PRED_NORM} THEN 0 "
+    f"WHEN {_CT_OWN} > 0.8 THEN 0 "
+    f"WHEN {_CT_OWN} <= 0.8 THEN 1 END"
+)
+
+
 @query(
     "q92_ml_features",
     oracle=f"""
@@ -714,7 +741,11 @@ _STD_SQL = (
            END AS x9_prob_cover1,
            CASE WHEN gameId = 0 AND playId = 0 THEN
                 1.0 - CASE WHEN def_s_mean > 5.0 THEN 0.75 ELSE 0.25 END
-           END AS x9_prob_other
+           END AS x9_prob_other,
+           down / 4.0 + yardsToGo / 16.0 + (playId % 5) / 8.0
+               + n_defenders / 8.0 AS ct_prob_sum,
+           {_CT_DIG} AS ct_disguised,
+           CAST(SUM({_CT_DIG}) OVER () AS BIGINT) AS ct_n_disguised
     FROM labeled JOIN x6 USING (gameId, playId)
          JOIN reportf USING (label_index)
     """,
@@ -914,4 +945,33 @@ def q92_ml_features(spark, sf_dir):
     )
     for sc in x6_scores:
         out = out.join(F.broadcast(sc), ["gameId", "playId"])
-    return out
+    # cover_threshold.R's COMPOSED disguise stage (round 12, VERDICT
+    # item 4 — the last reference script gets its one-call twin,
+    # `pipelines.cover_threshold.disguise_data`): a deterministic
+    # predictions frame rides the q92 oracle — per-class probabilities
+    # are exact dyadic feature ratios and the predicted label reuses
+    # the def_s_mean rule, so the oracle re-derives the FULL walk
+    # (normalize → dynamic lookup → flag → rollup) instead of pinning
+    # VALUES; drift in any stage flips the rows red.
+    from ..pipelines.cover_threshold import disguise_data
+
+    ct_preds = base.select(
+        "gameId",
+        "playId",
+        F.col("pff_passCoverage").alias("actual_coverage"),
+        F.when(F.col("def_s_mean") > 5.0, F.col("pff_passCoverage"))
+        .otherwise(F.lit("Cover-1"))
+        .alias("predicted_coverage"),
+        (F.col("down") / F.lit(4.0)).alias("prob_Cover-1"),
+        (F.col("yardsToGo") / F.lit(16.0)).alias("prob_Cover-2"),
+        ((F.col("playId") % 5) / F.lit(8.0)).alias("prob_Cover-3"),
+        (F.col("n_defenders") / F.lit(8.0)).alias("prob_Quarters"),
+    )
+    ct = disguise_data(ct_preds).select(
+        "gameId",
+        "playId",
+        F.col("prob_sum").alias("ct_prob_sum"),
+        F.col("disguised").alias("ct_disguised"),
+        F.col("n_disguised").alias("ct_n_disguised"),
+    )
+    return out.join(F.broadcast(ct), ["gameId", "playId"])

@@ -193,3 +193,50 @@ def test_full_dag_materialized(spark, t, tmp_path):
         d.startswith("gameId=")
         for d in os.listdir(tmp_path / "stages" / "radius_data")
     )
+
+
+def test_cover_threshold_disguise_data(spark):
+    """cover_threshold.R:8-37 as one call (round 12): rowSums with NA
+    propagation, `[ -]`→`.` label normalization, the dynamic
+    prob_<actual> lookup, both disguise arms AT the 0.8 boundary
+    (R's `> .8` is strict: exactly 0.8 with a wrong prediction IS
+    disguised), the documented NULL arm for a class with no prob
+    column, and the broadcast sum(dig) rollup."""
+    from bigdatabowl2024_25_spark.pipelines.cover_threshold import (
+        disguise_data,
+    )
+
+    rows = [
+        # right prediction, low own prob -> not disguised (:31 OR arm)
+        (0, "Cover-1", "Cover-1", 0.2, 0.3),
+        # wrong + own prob exactly 0.8 (NOT > .8) -> disguised
+        (1, "Cover-1", "2 Man", 0.8, 0.1),
+        # wrong + own prob above threshold -> confident, not disguised
+        (2, "2 Man", "Cover-1", 0.1, 0.9),
+        # normalization: 'Cover 1' == 'Cover-1' after [ -] -> '.'
+        (3, "Cover 1", "Cover-1", 0.0, 0.0),
+        # a class with NO prob column -> NULL (R would hard-error)
+        (4, "Quarters", "Cover-1", 0.5, 0.5),
+        # NULL prob -> rowSums NA-propagates; lookup NULL -> NULL dig
+        (5, "Cover-1", "2 Man", None, 0.4),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "play long, actual_coverage string, predicted_coverage string,"
+        " `prob_Cover-1` double, `prob_2 Man` double",
+    )
+    got = {r.play: r for r in disguise_data(df).collect()}
+    assert got[0].disguised == 0 and got[0].prob_sum == 0.5
+    assert got[1].disguised == 1
+    assert got[2].disguised == 0
+    assert got[3].disguised == 0  # normalized labels compare equal
+    assert got[3].actual_norm == "Cover.1"
+    assert got[4].disguised is None
+    assert got[5].disguised is None and got[5].prob_sum is None
+    # sum(dig) rollup skips NULLs and rides every row
+    assert {r.n_disguised for r in got.values()} == {1}
+    import pytest
+
+    with pytest.raises(ValueError, match="probability columns"):
+        disguise_data(df.select("play", "actual_coverage",
+                                "predicted_coverage"))
