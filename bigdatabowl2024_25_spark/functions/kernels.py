@@ -55,6 +55,7 @@ def partial_radius(
     bx: np.ndarray,
     by: np.ndarray,
     n_angles: int = N_ANGLES,
+    method: str = "closed_form",
 ) -> np.ndarray:
     """X1, closed form. Inputs are 1-D arrays of N rows; returns
     (N, n_angles) reachable radii.
@@ -62,7 +63,21 @@ def partial_radius(
     Boundary condition per heading u(θ): r/s = |p0 + r·u − b|/bs.
     With w = p0 − b this is the positive root of
     (bs² − s²)·r² − 2s²(u·w)·r − s²|w|² = 0.
-    """
+
+    `method="optimizer"` routes to `partial_radius_optimizer` — the
+    reference's iterative-solver path (`radius_model.R:47-54`) kept
+    behind this flag for parity testing per SURVEY §7; production
+    always uses the closed form (~10⁴× cheaper, identical semantics,
+    pinned by tests/test_kernels parity)."""
+    if method == "optimizer":
+        return partial_radius_optimizer(
+            player_speed, px, py, ball_speed, bx, by, n_angles
+        )
+    if method != "closed_form":
+        raise ValueError(
+            f"partial_radius: unknown method {method!r} "
+            "(want 'closed_form' or 'optimizer')"
+        )
     s = np.asarray(player_speed, dtype=np.float64)[:, None]
     bs = np.asarray(ball_speed, dtype=np.float64)[:, None]
     wx = (np.asarray(px, dtype=np.float64) - np.asarray(bx, dtype=np.float64))[
@@ -83,6 +98,66 @@ def partial_radius(
         r = (-b + np.sqrt(disc)) / (2.0 * a)
     # player at least as fast as the ball → every radius reachable
     r = np.where(a <= 0.0, R_CAP, r)
+    return np.clip(r, 0.0, R_CAP)
+
+
+def partial_radius_optimizer(
+    player_speed: np.ndarray,
+    px: np.ndarray,
+    py: np.ndarray,
+    ball_speed: np.ndarray,
+    bx: np.ndarray,
+    by: np.ndarray,
+    n_angles: int = N_ANGLES,
+    iters: int = 80,
+) -> np.ndarray:
+    """X1 via the reference's OPTIMIZER path (`radius_model.R:47-54`),
+    kept behind a flag for parity tests per SURVEY §7. The reference
+    runs L-BFGS-B per heading over (time, ball_angle) to find the
+    interception point — at the optimum the ball flies straight at the
+    player's position, so the problem reduces to the 1-D boundary
+    condition g(r) = s·|w + r·u| − bs·r = 0 (w = p0 − b), the same
+    root the closed form extracts from the quadratic. This function
+    solves g by VECTORIZED BISECTION (pure numpy — no scipy in the
+    runtime), an iterative numeric path wholly independent of the
+    quadratic algebra: `iters`=80 halvings of [0, R_CAP] reach ~1e-22
+    radius precision, far below the parity test's 1e-6 gate.
+
+    Semantics shared with `partial_radius` (the adjudicated kernel):
+    when the player is at least as fast as the ball (bs ≤ s) every
+    radius is reachable → R_CAP, applied as the same post-override so
+    the two paths differ only in HOW the a > 0 root is computed.
+    Why bisection is valid there: for bs > s, g(0) = s·|w| ≥ 0 and
+    g(R) < 0 for R ≥ s·|w|/(bs − s) ≥ the positive root (the root
+    pair has product −s²|w|²/a ≤ 0, so exactly one root is positive);
+    g is continuous, so the sign change brackets it. Roots above
+    R_CAP clip to R_CAP exactly as the closed form does."""
+    s = np.asarray(player_speed, dtype=np.float64)[:, None]
+    bs = np.asarray(ball_speed, dtype=np.float64)[:, None]
+    wx = (np.asarray(px, dtype=np.float64) - np.asarray(bx, dtype=np.float64))[
+        :, None
+    ]
+    wy = (np.asarray(py, dtype=np.float64) - np.asarray(by, dtype=np.float64))[
+        :, None
+    ]
+    theta = np.linspace(0.0, 2.0 * np.pi, n_angles, endpoint=False)[None, :]
+    ux, uy = np.cos(theta), np.sin(theta)
+
+    def g(r):
+        return s * np.hypot(wx + r * ux, wy + r * uy) - bs * r
+
+    lo = np.zeros((s.shape[0], n_angles))
+    hi = np.full_like(lo, R_CAP)
+    # no sign change inside [0, R_CAP] → the root (if any) lies beyond
+    # the cap → the clipped answer is R_CAP, which `hi` already is
+    capped = g(hi) >= 0.0
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        gm = g(mid)
+        lo = np.where(gm > 0.0, mid, lo)
+        hi = np.where(gm > 0.0, hi, mid)
+    r = np.where(capped, R_CAP, hi)
+    r = np.where(bs <= s, R_CAP, r)  # the shared a ≤ 0 override
     return np.clip(r, 0.0, R_CAP)
 
 
