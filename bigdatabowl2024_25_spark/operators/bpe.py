@@ -867,6 +867,7 @@ def encode_tokenizers(
     id_col: str,
     encoders: dict,
     pretokenize=None,
+    check_ids: bool = True,
 ) -> DataFrame:
     """Shared corpus-side plumbing for per-word tokenizers (WordPiece
     greedy, Unigram Viterbi, production-vocab BPE, …): run each
@@ -883,7 +884,21 @@ def encode_tokenizers(
     array<string> Column (default: whitespace `tokens` with empty
     words dropped). `byte_bpe_encode`'s production path passes the
     GPT-2 regex pre-tokenizer so the same distinct-table plumbing
-    serves the byte-level family."""
+    serves the byte-level family.
+
+    ID CONTRACT (round-12 edge audit): the reassembly groups by
+    `id_col`, so it is only meaningful when ids uniquely identify
+    rows. A NULL id has no identity to reassemble by → output NULL
+    (typed, auditable — NOT the chain path's encoding; pass real ids
+    for parity). DUPLICATE ids would silently attach the MERGED word
+    stream of every same-id row to each of them — so `check_ids`
+    (default on) plants an in-plan `assert_true` comparing each row's
+    reassembled piece-group count to its own word count; any id
+    collision fails the job loudly with remediation text. Cost: one
+    extra `pretokenize`+`size` per row, fused into the output
+    projection (no extra pass or shuffle) — disable only for corpora
+    whose id uniqueness is already enforced upstream (e.g. by
+    `assert_unique_key`)."""
     if pretokenize is None:
 
         def pretokenize(c):
@@ -919,6 +934,10 @@ def encode_tokenizers(
         )
         .select(
             id_col,
+            # word-group count for the id-collision tripwire below —
+            # piece counts can't stand in for it (one word may encode
+            # to many pieces)
+            F.size("__sorted").alias("__ps_nwords"),
             *[
                 F.flatten(
                     # closure factory, NOT a default arg: F.transform
@@ -933,14 +952,53 @@ def encode_tokenizers(
         )
     )
     joined = df.join(per_doc, id_col, "left")
+    # id-collision tripwire: a row's reassembled word-group count must
+    # equal its OWN word count; same-id rows pool their words in the
+    # groupBy, so any collision inflates the reassembled side.
+    # NULL-safe: NULL text/id rows are exempt (their outputs are NULL
+    # by contract), '' docs compare 0 == 0 (no per_doc row → coalesce).
+    ok = (
+        F.col(id_col).isNull()
+        | F.col(text_col).isNull()
+        | (
+            F.coalesce(F.col("__ps_nwords"), F.lit(0))
+            == F.coalesce(
+                F.size(pretokenize(F.col(text_col))), F.lit(0)
+            )
+        )
+    )
+    guard = F.assert_true(
+        ok,
+        F.concat(
+            F.lit(
+                "encode_tokenizers: duplicate id detected for "
+                f"{id_col}="
+            ),
+            F.col(id_col).cast("string"),
+            F.lit(
+                " — the per-doc reassembly pooled words from multiple"
+                " rows sharing this id; ids must uniquely identify"
+                " rows (dedupe upstream or pass check_ids=False only"
+                " when uniqueness is enforced elsewhere)"
+            ),
+        ),
+    )
     for name in encoders:
-        out = F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+        out = F.when(
+            F.col(text_col).isNull() | F.col(id_col).isNull(),
+            F.lit(None),
+        ).otherwise(
             F.coalesce(
                 F.col(f"__doc_{name}"), F.array().cast("array<string>")
             )
         )
+        if check_ids:
+            # evaluate the tripwire on the output's own projection so
+            # column pruning can never drop it: assert_true is NULL
+            # when `ok`, so the `when` arm is inert on healthy data
+            out = F.when(guard.isNull(), out)
         joined = joined.withColumn(name, out).drop(f"__doc_{name}")
-    return joined
+    return joined.drop("__ps_nwords")
 
 
 def wordpiece_decode(

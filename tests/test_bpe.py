@@ -829,3 +829,67 @@ def test_safe_merge_batch_alias_guard():
     )
     # unknown inventory: batching self-disables to 1 merge per trip
     assert len(_safe_merge_batch(rows, full=True, products=None)) == 1
+
+
+def test_encode_tokenizers_id_contract(spark):
+    """Round-12 edge audit: the reassembly path's id contract —
+    duplicate ids trip the in-plan assert (the groupBy would pool
+    both rows' words and silently attach the merged stream to each),
+    NULL ids yield NULL output (no identity to reassemble by), and
+    check_ids=False restores the unguarded plan for callers that
+    enforce uniqueness upstream."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    merges = [("l", "o"), ("lo", "w")]
+
+    # NULL id → NULL output even though the text is encodable
+    df = spark.createDataFrame(
+        [(1, "low low"), (None, "lower"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.toks
+        for r in bpe_encode(
+            df, "text", merges, out_col="toks",
+            id_col="doc_id", merge_threshold=0,
+        ).collect()
+    }
+    assert out[None] is None
+    assert list(out[1]) == ["low", "</w>", "low", "</w>"]
+    assert list(out[2]) == []
+
+    # duplicate ids → loud in-plan failure naming the id
+    dup = spark.createDataFrame(
+        [(7, "aa bb"), (7, "cc"), (8, "dd")],
+        "doc_id long, text string",
+    )
+    bad = bpe_encode(
+        dup, "text", merges, out_col="toks",
+        id_col="doc_id", merge_threshold=0,
+    )
+    with pytest.raises(SparkRuntimeException, match="duplicate id"):
+        bad.collect()
+
+    # identical duplicate rows are still collisions (words pool)
+    same = spark.createDataFrame(
+        [(7, "aa"), (7, "aa")], "doc_id long, text string"
+    )
+    with pytest.raises(SparkRuntimeException, match="duplicate id"):
+        bpe_encode(
+            same, "text", merges, out_col="toks",
+            id_col="doc_id", merge_threshold=0,
+        ).collect()
+
+    # check_ids=False: unguarded (documented caller responsibility)
+    from bigdatabowl2024_25_spark.operators.bpe import (
+        _ranked_pieces_udf,
+        encode_tokenizers,
+    )
+
+    unguarded = encode_tokenizers(
+        dup, "text", "doc_id",
+        {"toks": _ranked_pieces_udf(merges, "</w>")},
+        check_ids=False,
+    )
+    assert unguarded.count() == 3
