@@ -56,6 +56,7 @@ def _fit_frame(
     label_col: str,
     feature_cols: list[str],
     max_fit_rows: int,
+    extra_cols: list[str] | None = None,
 ):
     """Driver-collect gate shared by the NumPy model families. Their
     contract (SURVEY X6) is a DRIVER-SIZED aggregated feature table —
@@ -81,7 +82,9 @@ def _fit_frame(
             "MLlib families (classifier_pipeline model='rf'/'logreg'/"
             "'gbt_ovr') or aggregate/sample first."
         )
-    pdf = df.select(label_col, *feature_cols).toPandas()
+    # extra_cols ride along in the collected frame (e.g. CatBoost's
+    # categorical columns) but stay out of X and its finiteness checks
+    pdf = df.select(label_col, *feature_cols, *(extra_cols or [])).toPandas()
     if pdf.empty:
         raise ValueError(f"{cls_name}.fit: empty training frame")
     if pdf[label_col].isna().any():
@@ -948,6 +951,14 @@ class NumpyGBDTClassifier:
                 )
         return out
 
+    def _matrix(self, pdf):
+        """Scoring-time feature matrix from an Arrow batch — the hook
+        `NumpyCatBoostClassifier` overrides to append its
+        target-statistic encodings after the numeric columns."""
+        import numpy as np
+
+        return pdf[self.feature_cols].to_numpy(dtype=np.float64)
+
     def fit(self, df: DataFrame) -> "NumpyGBDTClassifier":
         import numpy as np
 
@@ -999,9 +1010,9 @@ class NumpyGBDTClassifier:
             StructType,
         )
 
-        feature_cols = self.feature_cols
         classes = self.classes_
         raw_scores = self._raw_scores
+        matrix = self._matrix
         schema = StructType(
             list(df.schema.fields)
             + [
@@ -1017,7 +1028,7 @@ class NumpyGBDTClassifier:
             import numpy as np
 
             for pdf in it:
-                X = pdf[feature_cols].to_numpy(dtype=np.float64)
+                X = matrix(pdf)
                 z = raw_scores(X)
                 z = z - z.max(axis=1, keepdims=True)
                 e = np.exp(z)
@@ -1281,15 +1292,33 @@ class NumpyCatBoostClassifier(NumpyGBDTClassifier):
       SHIPPED leaf value is the full-leaf Newton weight, as in
       CatBoost's final model.
 
+    - ORDERED TARGET STATISTICS (round 12, `cat_feature_cols`): each
+      categorical column becomes k per-class numeric features — for
+      example i under permutation σ, the smoothed class-share of its
+      category among examples BEFORE i only (paper §3.2:
+      (Σ_{j<σi, cat_j=cat_i} 1[y_j=c] + a·p_c) / (#earlier + a), prior
+      p_c = the class share, weight `prior_weight`) — the
+      target-leakage-free encoding that is CatBoost's other headline
+      idea. INFERENCE uses the full-training-data statistic per
+      category (CatBoost's own convention); unseen categories and
+      empty prefixes fall back to the prior. NULL is its own category
+      (sentinel-coded, documented divergence: CatBoost errors on NaN
+      cat features).
+    - MULTI-PERMUTATION training (`n_permutations` > 1): CatBoost
+      draws s permutations and uses a different one per iteration to
+      average away any single ordering's bias; here round r uses
+      permutation r mod s for BOTH its ordered TS features and its
+      ordered leaf estimation, each permutation's TS matrix binned
+      once per fit.
+
     Honest scope notes (the parts of CatBoost NOT here, and why):
-    multi-permutation averaging and ordered TARGET STATISTICS exist
-    to de-bias high-cardinality categorical encodings — these frames
-    are numeric, so there is nothing to encode (StringIndexer labels
-    are the y side, not features); plain boosting is available via
-    `ordered=False` (CatBoost's boosting_type=Plain). The objective
-    is the siblings' multiclass softprob with Newton leaf weights —
-    the shared math of the boosted-family trio, which is what makes
-    the stump-equivalence test meaningful.
+    feature combinations (greedy TS of cat×cat crosses) are a
+    combinatorial search irrelevant at these frame widths; plain
+    boosting is available via `ordered=False` (CatBoost's
+    boosting_type=Plain). The objective is the siblings' multiclass
+    softprob with Newton leaf weights — the shared math of the
+    boosted-family trio, which is what makes the stump-equivalence
+    test meaningful.
 
     Deterministic under the family discipline: the permutation is the
     single seed-pinned rng draw; borders, gains, and tie-breaks
@@ -1312,11 +1341,27 @@ class NumpyCatBoostClassifier(NumpyGBDTClassifier):
         ordered: bool = True,
         seed: int = SEED,
         max_fit_rows: int = 1_000_000,
+        cat_feature_cols: list[str] | None = None,
+        n_permutations: int = 1,
+        prior_weight: float = 1.0,
     ) -> None:
         if not 1 <= depth <= 16:
             raise ValueError("depth must be in [1, 16]")
         if max_borders < 1:
             raise ValueError("max_borders must be >= 1")
+        if n_permutations < 1:
+            raise ValueError("n_permutations must be >= 1")
+        if prior_weight <= 0:
+            raise ValueError(
+                "prior_weight must be > 0 (it is the TS smoothing "
+                "denominator for empty prefixes)"
+            )
+        overlap = set(cat_feature_cols or []) & set(feature_cols)
+        if overlap:
+            raise ValueError(
+                f"cat_feature_cols overlap feature_cols: {sorted(overlap)}"
+                " — a column is either numeric or categorical, not both"
+            )
         self.label_col = label_col
         self.feature_cols = list(feature_cols)
         self.n_rounds = n_rounds
@@ -1327,6 +1372,9 @@ class NumpyCatBoostClassifier(NumpyGBDTClassifier):
         self.ordered = ordered
         self.seed = seed
         self.max_fit_rows = max_fit_rows
+        self.cat_feature_cols = list(cat_feature_cols or [])
+        self.n_permutations = n_permutations
+        self.prior_weight = prior_weight
 
     # -- numpy core -----------------------------------------------------
     def _borders(self, X):
@@ -1468,12 +1516,100 @@ class NumpyCatBoostClassifier(NumpyGBDTClassifier):
             np.array(val),
         )
 
+    # -- ordered target statistics (round 12) ---------------------------
+    @staticmethod
+    def _cat_strings(col):
+        """pandas column → category strings; NULL is its own category
+        (sentinel the data can't contain: pandas NA never str()s to
+        it)."""
+        import numpy as np
+        import pandas as pd
+
+        vals = col.astype(object)
+        return np.array(
+            ["\x00null\x00" if pd.isna(v) else str(v) for v in vals],
+            dtype=object,
+        )
+
+    @staticmethod
+    def _ordered_ts(vals, onehot, perm, prior, a):
+        """(n,) category strings → (n, k) ordered target statistics
+        under permutation `perm` (paper §3.2): row i's column c is
+        (Σ onehot[j, c] over j with cat_j = cat_i AND σj < σi + a·p_c)
+        / (#such j + a). Vectorized: stable-sort the permutation
+        stream by category so each category's rows sit contiguously
+        IN permutation order, take exclusive prefix sums within each
+        group, then scatter back."""
+        import numpy as np
+
+        n, k = onehot.shape
+        _, codes = np.unique(vals, return_inverse=True)
+        codes_o = codes[perm]
+        oh_o = onehot[perm]
+        sort_idx = np.argsort(codes_o, kind="stable")
+        g = codes_o[sort_idx]
+        ohs = oh_o[sort_idx]
+        csum = np.cumsum(ohs, axis=0)
+        cnt = np.arange(1, n + 1, dtype=np.float64)
+        starts = np.r_[0, np.flatnonzero(np.diff(g)) + 1]
+        start_of = np.repeat(starts, np.diff(np.r_[starts, n]))
+        base = np.zeros((n, k))
+        base_cnt = np.zeros(n)
+        nz = start_of > 0
+        base[nz] = csum[start_of[nz] - 1]
+        base_cnt[nz] = cnt[start_of[nz] - 1]
+        prefix = csum - ohs - base
+        pcnt = cnt - 1.0 - base_cnt
+        ts_sorted = (prefix + a * prior) / (pcnt[:, None] + a)
+        ts = np.empty((n, k))
+        ts[perm[sort_idx]] = ts_sorted
+        return ts
+
+    @staticmethod
+    def _full_ts(vals, onehot, prior, a):
+        """Full-training-data TS per category — what the SHIPPED model
+        applies at inference (CatBoost's convention; ordering exists
+        to de-bias training only). Unseen categories get the prior:
+        (0 + a·p)/(0 + a) = p."""
+        import numpy as np
+
+        cats, codes = np.unique(vals, return_inverse=True)
+        k = onehot.shape[1]
+        sums = np.zeros((len(cats), k))
+        np.add.at(sums, codes, onehot)
+        cnts = np.bincount(codes, minlength=len(cats)).astype(np.float64)
+        table = (sums + a * prior) / (cnts[:, None] + a)
+        return {str(c): table[i].copy() for i, c in enumerate(cats)}
+
+    def _matrix(self, pdf):
+        """Numeric columns + per-cat-column TS blocks, in
+        `cat_feature_cols` order — the layout every tree was trained
+        on. Overrides the parent's hook so the inherited Arrow-batched
+        transform scores categorical models unchanged."""
+        import numpy as np
+
+        X = pdf[self.feature_cols].to_numpy(dtype=np.float64)
+        if not self.cat_feature_cols:
+            return X
+        k = len(self.ts_prior_)
+        blocks = [X]
+        for col in self.cat_feature_cols:
+            vals = self._cat_strings(pdf[col])
+            m = self.ts_maps_[col]
+            prior = self.ts_prior_
+            block = np.empty((len(vals), k))
+            for i, v in enumerate(vals):
+                block[i] = m.get(v, prior)
+            blocks.append(block)
+        return np.hstack(blocks)
+
     def fit(self, df: DataFrame) -> "NumpyCatBoostClassifier":
         import numpy as np
 
+        cats = self.cat_feature_cols
         pdf, X = _fit_frame(
             df, "NumpyCatBoostClassifier", self.label_col,
-            self.feature_cols, self.max_fit_rows,
+            self.feature_cols, self.max_fit_rows, extra_cols=cats,
         )
         self.classes_ = sorted(pdf[self.label_col].astype(str).unique())
         idx = {c: i for i, c in enumerate(self.classes_)}
@@ -1482,17 +1618,49 @@ class NumpyCatBoostClassifier(NumpyGBDTClassifier):
         onehot = np.zeros((n, k))
         onehot[np.arange(n), y] = 1.0
 
-        borders = self._borders(X)
-        B = np.zeros(X.shape, dtype=np.int64)
-        for j in range(X.shape[1]):
-            B[:, j] = np.searchsorted(
-                borders[j], X[:, j], side="left"
-            )
         rng = np.random.default_rng(self.seed)
-        perm = rng.permutation(n)
+        perms = [rng.permutation(n) for _ in range(self.n_permutations)]
+
+        # one feature matrix per permutation when TS features depend
+        # on the ordering; ONE matrix (and one binning) otherwise —
+        # the all-numeric path is byte-identical to pre-round-12 fits
+        if cats:
+            a = self.prior_weight
+            prior = onehot.mean(axis=0)
+            self.ts_prior_ = prior
+            cat_vals = {col: self._cat_strings(pdf[col]) for col in cats}
+            self.ts_maps_ = {
+                col: self._full_ts(cat_vals[col], onehot, prior, a)
+                for col in cats
+            }
+            mats = [
+                np.hstack(
+                    [X]
+                    + [
+                        self._ordered_ts(
+                            cat_vals[col], onehot, perm, prior, a
+                        )
+                        for col in cats
+                    ]
+                )
+                for perm in perms
+            ]
+        else:
+            mats = [X]
+        binned = []
+        for M in mats:
+            borders = self._borders(M)
+            B = np.zeros(M.shape, dtype=np.int64)
+            for j in range(M.shape[1]):
+                B[:, j] = np.searchsorted(borders[j], M[:, j], side="left")
+            binned.append((borders, B))
+
         scores = np.zeros((n, k))
         self.trees_ = []
-        for _ in range(self.n_rounds):
+        for r in range(self.n_rounds):
+            perm = perms[r % len(perms)]
+            borders, B = binned[r % len(binned)]
+            n_feats = mats[r % len(mats)].shape[1]
             z = scores - scores.max(axis=1, keepdims=True)
             e = np.exp(z)
             p = e / e.sum(axis=1, keepdims=True)
@@ -1504,7 +1672,7 @@ class NumpyCatBoostClassifier(NumpyGBDTClassifier):
                     B, borders, grad[:, c], hess[:, c], perm
                 )
                 round_trees.append(
-                    self._materialize(splits, values, X.shape[1])
+                    self._materialize(splits, values, n_feats)
                 )
                 scores[:, c] += self.learning_rate * train_vals
             self.trees_.append(round_trees)

@@ -772,3 +772,139 @@ def test_classification_report_matches_hand_counts(spark):
         k: (v.precision, v.recall, v.f1, v.support)
         for k, v in got.items()
     }
+
+
+def test_catboost_ordered_ts_matches_hand_loop():
+    """Round 12: ordered target statistics (Prokhorenkova et al. §3.2)
+    — the vectorized group-prefix implementation must match a direct
+    O(n²) transcription of the formula, and the full-data inference
+    statistic must give unseen categories exactly the prior."""
+    import numpy as np
+
+    from bigdatabowl2024_25_spark.ml import NumpyCatBoostClassifier
+
+    rng = np.random.default_rng(3)
+    n, k, a = 40, 3, 1.5
+    vals = np.array([f"c{v}" for v in rng.integers(0, 5, n)], dtype=object)
+    y = rng.integers(0, k, n)
+    onehot = np.zeros((n, k))
+    onehot[np.arange(n), y] = 1.0
+    prior = onehot.mean(axis=0)
+    perm = rng.permutation(n)
+
+    got = NumpyCatBoostClassifier._ordered_ts(vals, onehot, perm, prior, a)
+
+    pos = np.empty(n, dtype=int)
+    pos[perm] = np.arange(n)
+    want = np.zeros((n, k))
+    for i in range(n):
+        sums, cnt = np.zeros(k), 0
+        for j in range(n):
+            if vals[j] == vals[i] and pos[j] < pos[i]:
+                sums += onehot[j]
+                cnt += 1
+        want[i] = (sums + a * prior) / (cnt + a)
+    assert np.allclose(got, want, atol=1e-12)
+    # first example in the permutation: empty prefix -> exactly prior
+    first = perm[0]
+    assert np.allclose(got[first], prior)
+
+    full = NumpyCatBoostClassifier._full_ts(vals, onehot, prior, a)
+    for c in set(vals):
+        m = vals == c
+        expect = (onehot[m].sum(axis=0) + a * prior) / (m.sum() + a)
+        assert np.allclose(full[c], expect)
+    assert "unseen" not in full  # _matrix's .get falls back to prior
+
+
+def test_catboost_cat_features_end_to_end(spark):
+    """cat_feature_cols: the label depends on a categorical column the
+    numeric feature can't express — TS encoding must learn it, refits
+    must be bit-identical, scoring must be partition-invariant, and an
+    unseen category at inference must score through the prior rather
+    than crash. NULL is its own category."""
+    import random
+
+    from bigdatabowl2024_25_spark.ml import NumpyCatBoostClassifier
+
+    random.seed(5)
+    cats = ["red", "green", "blue", "white"]
+    lab_of = {"red": "a", "green": "b", "blue": "c", "white": "a"}
+    rows = [
+        (lab_of[c], random.gauss(0, 1.0), c)
+        for _ in range(120)
+        for c in cats
+    ] + [("a", 0.0, None)] * 8  # NULL category, consistently labeled
+    df = spark.createDataFrame(rows, "lab string, f1 double, col string")
+
+    kw = dict(n_rounds=10, depth=2, cat_feature_cols=["col"])
+    m1 = NumpyCatBoostClassifier("lab", ["f1"], **kw).fit(df)
+    m2 = NumpyCatBoostClassifier("lab", ["f1"], **kw).fit(df)
+    for r1, r2 in zip(m1.trees_, m2.trees_):
+        for t1, t2 in zip(r1, r2):
+            assert all((x == y).all() for x, y in zip(t1, t2))
+
+    pred = m1.transform(df)
+    acc = pred.filter("lab = predicted_label").count() / df.count()
+    assert acc >= 0.95  # f1 is pure noise: only the TS encoding works
+    key = lambda rs: sorted(
+        (r.predicted_label, r.probabilities[r.predicted_label])
+        for r in rs
+    )
+    assert key(pred.collect()) == key(
+        m1.transform(df.repartition(7)).collect()
+    )
+
+    unseen = spark.createDataFrame(
+        [("?", 0.1, "NEVER_SEEN")], "lab string, f1 double, col string"
+    )
+    out = m1.transform(unseen).first()
+    assert out.predicted_label in {"a", "b", "c"}
+    assert abs(sum(out.probabilities.values()) - 1.0) < 1e-9
+
+
+def test_catboost_multi_permutation(spark):
+    """n_permutations > 1: round r trains on permutation r mod s for
+    both its TS features and its ordered leaf estimates — trajectory
+    differs from single-permutation training, refits stay
+    bit-identical, and the guards reject bad configs."""
+    import pytest
+
+    from bigdatabowl2024_25_spark.ml import NumpyCatBoostClassifier
+
+    rows = [
+        ("a", 1.0, "x"), ("a", 2.0, "x"), ("b", 4.0, "y"),
+        ("b", 5.0, "y"), ("a", 1.5, "x"), ("b", 4.5, "z"),
+        ("a", 1.2, "z"), ("b", 4.8, "y"),
+    ]
+    df = spark.createDataFrame(rows, "lab string, f1 double, col string")
+    kw = dict(n_rounds=4, depth=2, cat_feature_cols=["col"])
+    s1 = NumpyCatBoostClassifier("lab", ["f1"], **kw).fit(df)
+    s3a = NumpyCatBoostClassifier(
+        "lab", ["f1"], n_permutations=3, **kw
+    ).fit(df)
+    s3b = NumpyCatBoostClassifier(
+        "lab", ["f1"], n_permutations=3, **kw
+    ).fit(df)
+    import numpy as np
+
+    same13 = all(
+        np.array_equal(x, y)
+        for r1, r2 in zip(s1.trees_, s3a.trees_)
+        for t1, t2 in zip(r1, r2)
+        for x, y in zip(t1, t2)
+    )
+    assert not same13
+    for r1, r2 in zip(s3a.trees_, s3b.trees_):
+        for t1, t2 in zip(r1, r2):
+            assert all((x == y).all() for x, y in zip(t1, t2))
+    assert s3a.transform(df).count() == 8
+
+    with pytest.raises(ValueError, match="n_permutations"):
+        NumpyCatBoostClassifier("lab", ["f1"], n_permutations=0)
+    with pytest.raises(ValueError, match="prior_weight"):
+        NumpyCatBoostClassifier("lab", ["f1"], prior_weight=0.0)
+    with pytest.raises(ValueError, match="overlap"):
+        NumpyCatBoostClassifier(
+            "lab", ["f1"], cat_feature_cols=["f1"]
+        )
