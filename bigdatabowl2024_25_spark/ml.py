@@ -1591,16 +1591,23 @@ class NumpyCatBoostClassifier(NumpyGBDTClassifier):
         X = pdf[self.feature_cols].to_numpy(dtype=np.float64)
         if not self.cat_feature_cols:
             return X
-        k = len(self.ts_prior_)
+        prior = self.ts_prior_
         blocks = [X]
         for col in self.cat_feature_cols:
             vals = self._cat_strings(pdf[col])
-            m = self.ts_maps_[col]
-            prior = self.ts_prior_
-            block = np.empty((len(vals), k))
-            for i, v in enumerate(vals):
-                block[i] = m.get(v, prior)
-            blocks.append(block)
+            # vectorized lookup against the fit-time sorted key table
+            # (scoring is corpus-scale — a per-row dict .get here would
+            # be the row-at-a-time Python the house bans in hot paths)
+            keys = self.ts_keys_[col]
+            pos = np.clip(
+                np.searchsorted(keys, vals), 0, len(keys) - 1
+            )
+            hit = keys[pos] == vals
+            blocks.append(
+                np.where(
+                    hit[:, None], self.ts_tables_[col][pos], prior
+                )
+            )
         return np.hstack(blocks)
 
     def fit(self, df: DataFrame) -> "NumpyCatBoostClassifier":
@@ -1633,6 +1640,15 @@ class NumpyCatBoostClassifier(NumpyGBDTClassifier):
                 col: self._full_ts(cat_vals[col], onehot, prior, a)
                 for col in cats
             }
+            # sorted-key arrays for transform's vectorized searchsorted
+            self.ts_keys_ = {}
+            self.ts_tables_ = {}
+            for col in cats:
+                ks = sorted(self.ts_maps_[col])
+                self.ts_keys_[col] = np.array(ks, dtype=object)
+                self.ts_tables_[col] = np.vstack(
+                    [self.ts_maps_[col][x] for x in ks]
+                )
             mats = [
                 np.hstack(
                     [X]
