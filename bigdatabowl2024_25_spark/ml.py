@@ -1526,10 +1526,24 @@ class NumpyCatBoostClassifier(NumpyGBDTClassifier):
         import pandas as pd
 
         vals = col.astype(object)
-        return np.array(
+        out = np.array(
             ["\x00null\x00" if pd.isna(v) else str(v) for v in vals],
             dtype=object,
         )
+        # the sentinel is unreachable from any SANE value, but a
+        # malicious/corrupt string could collide and silently pool
+        # with the NULL category — fail loudly instead (vectorized,
+        # one compare per batch)
+        if len(out) and (
+            np.count_nonzero(out == "\x00null\x00")
+            != int(col.isna().sum())
+        ):
+            raise ValueError(
+                f"categorical column {col.name!r} contains the "
+                "reserved NULL sentinel '\\x00null\\x00' as a real "
+                "value — scrub control characters first"
+            )
+        return out
 
     @staticmethod
     def _ordered_ts(vals, onehot, perm, prior, a):

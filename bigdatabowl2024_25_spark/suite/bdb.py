@@ -698,34 +698,37 @@ _CT_DIG = (
                x6_lgbm_label,
                CAST(x6_lgbm_prob_micro AS BIGINT) AS x6_lgbm_prob_micro,
                x6_catb_label,
-               CAST(x6_catb_prob_micro AS BIGINT) AS x6_catb_prob_micro
+               CAST(x6_catb_prob_micro AS BIGINT) AS x6_catb_prob_micro,
+               x6_cts_label,
+               CAST(x6_cts_prob_micro AS BIGINT) AS x6_cts_prob_micro
         FROM (VALUES
-            (0, 0, 'Cover-3', 384240, 'Cover-1', 836298, 'Cover-1', 820655),
-            (0, 1, 'Cover-2', 631473, 'Cover-2', 911899, 'Cover-2', 967111),
-            (0, 2, 'Cover-3', 745212, 'Cover-3', 902226, 'Cover-3', 983056),
-            (0, 3, 'Quarters', 838360, 'Quarters', 920362, 'Quarters', 987571),
-            (1, 0, 'Cover-2', 516661, 'Cover-2', 906492, 'Cover-2', 996451),
-            (1, 1, 'Cover-3', 653283, 'Cover-3', 902226, 'Cover-3', 984866),
-            (1, 2, 'Quarters', 681844, 'Quarters', 886416, 'Quarters', 989176),
-            (1, 3, 'Cover-1', 577856, 'Cover-1', 860318, 'Cover-1', 846253),
-            (2, 0, 'Cover-3', 455674, 'Cover-3', 885127, 'Cover-3', 939007),
-            (2, 1, 'Quarters', 702333, 'Quarters', 955979, 'Quarters', 976457),
-            (2, 2, 'Cover-1', 635186, 'Cover-1', 921244, 'Cover-1', 998084),
-            (2, 3, 'Cover-2', 609705, 'Cover-2', 863167, 'Cover-2', 986406),
-            (3, 0, 'Cover-1', 441503, 'Quarters', 783250, 'Quarters', 692902),
-            (3, 1, 'Cover-2', 517798, 'Cover-1', 884578, 'Cover-1', 932945),
-            (3, 2, 'Cover-2', 606255, 'Cover-2', 942799, 'Cover-2', 995606),
-            (3, 3, 'Cover-3', 689159, 'Cover-3', 884892, 'Cover-3', 987909),
-            (4, 0, 'Cover-1', 676698, 'Cover-1', 901993, 'Cover-1', 957497),
-            (4, 1, 'Cover-2', 598212, 'Cover-2', 940279, 'Cover-2', 997585),
-            (4, 2, 'Cover-3', 685914, 'Cover-3', 915930, 'Cover-3', 999368),
-            (4, 3, 'Quarters', 655434, 'Quarters', 912884, 'Quarters', 970021),
-            (5, 0, 'Cover-2', 679355, 'Cover-2', 917590, 'Cover-2', 985802),
-            (5, 1, 'Cover-3', 779655, 'Cover-3', 953869, 'Cover-3', 957033),
-            (5, 2, 'Quarters', 711927, 'Quarters', 883510, 'Quarters', 987791)
+            (0, 0, 'Cover-3', 384240, 'Cover-1', 836298, 'Cover-1', 820655, 'Cover-3', 604927),
+            (0, 1, 'Cover-2', 631473, 'Cover-2', 911899, 'Cover-2', 967111, 'Cover-3', 944276),
+            (0, 2, 'Cover-3', 745212, 'Cover-3', 902226, 'Cover-3', 983056, 'Cover-2', 884606),
+            (0, 3, 'Quarters', 838360, 'Quarters', 920362, 'Quarters', 987571, 'Cover-2', 946439),
+            (1, 0, 'Cover-2', 516661, 'Cover-2', 906492, 'Cover-2', 996451, 'Cover-3', 883363),
+            (1, 1, 'Cover-3', 653283, 'Cover-3', 902226, 'Cover-3', 984866, 'Cover-3', 866767),
+            (1, 2, 'Quarters', 681844, 'Quarters', 886416, 'Quarters', 989176, 'Quarters', 797418),
+            (1, 3, 'Cover-1', 577856, 'Cover-1', 860318, 'Cover-1', 846253, 'Cover-2', 995935),
+            (2, 0, 'Cover-3', 455674, 'Cover-3', 885127, 'Cover-3', 939007, 'Cover-3', 953521),
+            (2, 1, 'Quarters', 702333, 'Quarters', 955979, 'Quarters', 976457, 'Quarters', 989311),
+            (2, 2, 'Cover-1', 635186, 'Cover-1', 921244, 'Cover-1', 998084, 'Cover-2', 991442),
+            (2, 3, 'Cover-2', 609705, 'Cover-2', 863167, 'Cover-2', 986406, 'Cover-2', 995598),
+            (3, 0, 'Cover-1', 441503, 'Quarters', 783250, 'Quarters', 692902, 'Quarters', 604227),
+            (3, 1, 'Cover-2', 517798, 'Cover-1', 884578, 'Cover-1', 932945, 'Cover-1', 532540),
+            (3, 2, 'Cover-2', 606255, 'Cover-2', 942799, 'Cover-2', 995606, 'Cover-2', 990725),
+            (3, 3, 'Cover-3', 689159, 'Cover-3', 884892, 'Cover-3', 987909, 'Cover-2', 718842),
+            (4, 0, 'Cover-1', 676698, 'Cover-1', 901993, 'Cover-1', 957497, 'Cover-1', 606180),
+            (4, 1, 'Cover-2', 598212, 'Cover-2', 940279, 'Cover-2', 997585, 'Quarters', 473277),
+            (4, 2, 'Cover-3', 685914, 'Cover-3', 915930, 'Cover-3', 999368, 'Cover-2', 874815),
+            (4, 3, 'Quarters', 655434, 'Quarters', 912884, 'Quarters', 970021, 'Cover-2', 943467),
+            (5, 0, 'Cover-2', 679355, 'Cover-2', 917590, 'Cover-2', 985802, 'Cover-3', 982714),
+            (5, 1, 'Cover-3', 779655, 'Cover-3', 953869, 'Cover-3', 957033, 'Cover-3', 994405),
+            (5, 2, 'Quarters', 711927, 'Quarters', 883510, 'Quarters', 987791, 'Cover-2', 887064)
         ) AS t(gameId, playId, x6_gbdt_label, x6_gbdt_prob_micro,
                x6_lgbm_label, x6_lgbm_prob_micro,
-               x6_catb_label, x6_catb_prob_micro)
+               x6_catb_label, x6_catb_prob_micro,
+               x6_cts_label, x6_cts_prob_micro)
     )
     SELECT *,
            ROUND((def_x_mean - AVG(def_x_mean) OVER ())
@@ -914,8 +917,30 @@ def q92_ml_features(spark, sf_dir):
             "pff_passCoverage", fit_cols, n_rounds=20, depth=3
         ).fit(train_frame)),
     ]
+    # round 12: CatBoost's ORDERED TARGET STATISTICS under the same
+    # pinned-VALUES oracle — `down` becomes a true categorical (string
+    # cast) encoded as leakage-free per-class prefix shares over TWO
+    # alternating permutations (n_permutations=2); the fit is still a
+    # pure function of the sorted frame (seed-pinned rng), so drift in
+    # the TS math, the permutation schedule, or the inference-side
+    # full-data statistics flips rows red.
+    cts_frame = train_frame.withColumn(
+        "down_cat", F.col("down").cast("string")
+    )
+    x6_models.append((
+        "cts",
+        NumpyCatBoostClassifier(
+            "pff_passCoverage",
+            ["def_s_mean", "def_x_mean", "yardsToGo"],
+            n_rounds=20, depth=3,
+            cat_feature_cols=["down_cat"], n_permutations=2,
+        ).fit(cts_frame),
+    ))
+    score_frames = {"cts": base.withColumn(
+        "down_cat", F.col("down").cast("string")
+    )}
     x6_scores = [
-        m.transform(base).select(
+        m.transform(score_frames.get(tag, base)).select(
             "gameId",
             "playId",
             F.col("predicted_label").alias(f"x6_{tag}_label"),
