@@ -1522,28 +1522,22 @@ class NumpyCatBoostClassifier(NumpyGBDTClassifier):
         """pandas column → category strings; NULL is its own category
         (sentinel the data can't contain: pandas NA never str()s to
         it)."""
-        import numpy as np
-        import pandas as pd
-
-        vals = col.astype(object)
-        out = np.array(
-            ["\x00null\x00" if pd.isna(v) else str(v) for v in vals],
-            dtype=object,
-        )
+        sent = "\x00null\x00"
+        isna = col.isna()
+        s = col.astype(object).astype(str)
         # the sentinel is unreachable from any SANE value, but a
         # malicious/corrupt string could collide and silently pool
-        # with the NULL category — fail loudly instead (vectorized,
-        # one compare per batch)
-        if len(out) and (
-            np.count_nonzero(out == "\x00null\x00")
-            != int(col.isna().sum())
-        ):
+        # with the NULL category — fail loudly instead. Pandas-level
+        # equality (Python __eq__ per element) is required here:
+        # numpy's object-array == against a \x00-prefixed scalar
+        # short-circuits on the NUL like a C string and never matches.
+        if bool(((s == sent) & ~isna).any()):
             raise ValueError(
                 f"categorical column {col.name!r} contains the "
                 "reserved NULL sentinel '\\x00null\\x00' as a real "
                 "value — scrub control characters first"
             )
-        return out
+        return s.where(~isna, sent).to_numpy(dtype=object)
 
     @staticmethod
     def _ordered_ts(vals, onehot, perm, prior, a):

@@ -908,3 +908,21 @@ def test_catboost_multi_permutation(spark):
         NumpyCatBoostClassifier(
             "lab", ["f1"], cat_feature_cols=["f1"]
         )
+
+
+def test_catboost_null_sentinel_collision_guard(spark):
+    """A real value equal to the reserved NULL-category sentinel must
+    fail loudly (numpy's object == against a NUL-prefixed scalar
+    compares like a C string and never matches — the guard must use
+    Python-level equality, which this pins)."""
+    import pytest
+
+    from bigdatabowl2024_25_spark.ml import NumpyCatBoostClassifier
+
+    rows = [("a", 1.0, "x"), ("b", 2.0, "\x00null\x00"),
+            ("a", 1.5, None)]
+    df = spark.createDataFrame(rows, "lab string, f1 double, col string")
+    with pytest.raises(ValueError, match="sentinel"):
+        NumpyCatBoostClassifier(
+            "lab", ["f1"], n_rounds=1, cat_feature_cols=["col"]
+        ).fit(df)
