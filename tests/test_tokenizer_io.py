@@ -1,0 +1,96 @@
+"""Tokenizer artifact persistence: every family roundtrips
+bit-identically through the parquet artifact, order restored from the
+explicit rank column, and corrupted artifacts fail loudly."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdatabowl2024_25_spark.operators.bpe import (
+    bpe_encode,
+    bpe_train,
+    byte_bpe_encode,
+    byte_bpe_train,
+    unigram_train,
+    wordpiece_train,
+)
+from bigdatabowl2024_25_spark.operators.tokenizer_io import (
+    load_tokenizer,
+    save_tokenizer,
+)
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wide wider widest new low",
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+
+
+def test_all_families_roundtrip(spark, tmp_path):
+    df = _df(spark)
+    models = {
+        "bpe": bpe_train(df, "text", n_merges=8),
+        "bbpe": byte_bpe_train(df, "text", n_merges=8),
+        "wordpiece": wordpiece_train(df, "text", n_merges=6),
+        "unigram": unigram_train(df, "text", target_vocab=12),
+    }
+    for fam, model in models.items():
+        p = str(tmp_path / fam)
+        save_tokenizer(spark, p, fam, model)
+        fam2, model2 = load_tokenizer(spark, p)
+        assert fam2 == fam
+        assert model2 == model, fam  # bit-identical, order included
+
+    # the loaded BPE merges drive an encode identical to the fresh ones
+    fresh = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in bpe_encode(df, "text", models["bpe"]).collect()
+    }
+    _, loaded = load_tokenizer(spark, str(tmp_path / "bpe"))
+    again = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in bpe_encode(df, "text", loaded).collect()
+    }
+    assert fresh == again
+    # byte-BPE likewise (its mapped-alphabet strings must survive
+    # parquet unicode round-tripping, 'Ġ' included)
+    bfresh = {
+        r.doc_id: list(r.bbpe_tokens)
+        for r in byte_bpe_encode(df, "text", models["bbpe"]).collect()
+    }
+    _, bloaded = load_tokenizer(spark, str(tmp_path / "bbpe"))
+    bagain = {
+        r.doc_id: list(r.bbpe_tokens)
+        for r in byte_bpe_encode(df, "text", bloaded).collect()
+    }
+    assert bfresh == bagain
+
+
+def test_artifact_guards(spark, tmp_path):
+    df = _df(spark)
+    merges = bpe_train(df, "text", n_merges=4)
+
+    with pytest.raises(ValueError, match="unknown family"):
+        save_tokenizer(spark, str(tmp_path / "x"), "sentencepiece", merges)
+    with pytest.raises(ValueError, match="empty"):
+        save_tokenizer(spark, str(tmp_path / "x"), "bpe", [])
+
+    # mixed-family artifact rejected on load
+    p1, p2, pm = (str(tmp_path / n) for n in ("a", "b", "mixed"))
+    save_tokenizer(spark, p1, "bpe", merges)
+    save_tokenizer(spark, p2, "wordpiece", ["a", "b", "##c"])
+    spark.read.parquet(p1).union(spark.read.parquet(p2)).write.parquet(pm)
+    with pytest.raises(ValueError, match="mixes families"):
+        load_tokenizer(spark, pm)
+
+    # gap-ranked artifact rejected (order is load-bearing)
+    pg = str(tmp_path / "gappy")
+    spark.read.parquet(p1).filter("rank <> 1").write.parquet(pg)
+    with pytest.raises(ValueError, match="missing ranks"):
+        load_tokenizer(spark, pg)
