@@ -242,6 +242,17 @@ def _z_sql() -> str:
               AND s_suppkey NOT IN (SELECT n_nationkey FROM nation))
                 AS BIGINT),
            NULL, NULL
+    UNION ALL
+    SELECT kind, CAST(nation AS BIGINT), CAST(n AS BIGINT),
+           CAST(key_sum AS BIGINT), CAST(name_chars AS BIGINT)
+    FROM (VALUES
+        ('tok:bpe:0:w+e', 0, 1, 1, 1),
+        ('tok:bpe:1:l+o', 1, 1, 1, 1),
+        ('tok:bpe:2:n+e', 2, 1, 1, 1),
+        ('tok:bpe:3:lo+we', 3, 1, 2, 2),
+        ('tok:bpe:4:ne+we', 4, 1, 2, 2),
+        ('tok:bpe:5:r+</w>', 5, 1, 1, 4)
+    ) AS tok(kind, nation, n, key_sum, name_chars)
     """
     ),
 )
@@ -409,6 +420,38 @@ def q95_source_sink_roundtrip(spark, sf_dir):
             F.lit(None).cast("bigint").alias("name_chars"),
         )
 
+        # 'tok:*' (round 12): the tokenizer ARTIFACT sink/source —
+        # round-trip a fixture merge list (the exact 6 merges
+        # bpe_train learns from the 'low lower lowest new newer
+        # newest 0-2' range corpus; training itself is already
+        # oracle-pinned by q64 'bpe_train', so re-running it here
+        # would only re-buy ~0.3 s of verified work) through
+        # save_tokenizer / load_tokenizer's real parquet IO in the
+        # same scratch dir, and emit one digest row per LOADED merge
+        # (rank + both halves baked into the kind string). The oracle
+        # is the literal expected list, so a lost row, a reordered
+        # rank, or a corrupted symbol in the persistence layer flips
+        # q95 red.
+        from ..operators.tokenizer_io import (
+            load_tokenizer,
+            save_tokenizer,
+        )
+
+        tok_merges = [
+            ("w", "e"), ("l", "o"), ("n", "e"),
+            ("lo", "we"), ("ne", "we"), ("r", "</w>"),
+        ]
+        save_tokenizer(spark, f"{tmp}/tok_bpe", "bpe", tok_merges)
+        tok_fam, tok_loaded = load_tokenizer(spark, f"{tmp}/tok_bpe")
+        tokd = spark.createDataFrame(
+            [
+                (f"tok:{tok_fam}:{i}:{a}+{b}", i, 1, len(a), len(b))
+                for i, (a, b) in enumerate(tok_loaded)
+            ],
+            "kind string, nation bigint, n bigint, "
+            "key_sum bigint, name_chars bigint",
+        )
+
         # digest is computed from the re-read frames; materialize NOW
         # (localCheckpoint would pin executors; the frames are tiny) so
         # the scratch dir can be removed before returning.
@@ -426,6 +469,7 @@ def q95_source_sink_roundtrip(spark, sf_dir):
             .unionByName(spl_te)
             .unionByName(zorder)
             .unionByName(expectd)
+            .unionByName(tokd)
         )
         rows = out.collect()
     finally:
