@@ -1349,8 +1349,12 @@ class NumpyCatBoostClassifier(NumpyGBDTClassifier):
             raise ValueError("depth must be in [1, 16]")
         if max_borders < 1:
             raise ValueError("max_borders must be >= 1")
-        if n_permutations < 1:
-            raise ValueError("n_permutations must be >= 1")
+        if not 1 <= n_permutations <= 64:
+            # each permutation materializes its own TS feature matrix
+            # (max_fit_rows x classes x cat-columns doubles) on the
+            # driver; CatBoost itself uses s = O(log n) ~ 4, so 64 is
+            # far above any sane setting and keeps memory bounded
+            raise ValueError("n_permutations must be in [1, 64]")
         if prior_weight <= 0:
             raise ValueError(
                 "prior_weight must be > 0 (it is the TS smoothing "

@@ -926,3 +926,50 @@ def test_catboost_null_sentinel_collision_guard(spark):
         NumpyCatBoostClassifier(
             "lab", ["f1"], n_rounds=1, cat_feature_cols=["col"]
         ).fit(df)
+
+
+def test_catboost_ordered_ts_fuzz():
+    """Hypothesis fuzz of the vectorized ordered-TS against the O(n²)
+    formula transcription across category cardinalities, class counts,
+    permutations, and prior weights — including the all-one-category
+    and all-distinct extremes the grouped-prefix trick must get
+    right."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bigdatabowl2024_25_spark.ml import NumpyCatBoostClassifier
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(1, 30),
+        n_cats=st.integers(1, 8),
+        k=st.integers(2, 5),
+        a=st.floats(0.25, 4.0),
+        seed=st.integers(0, 10_000),
+    )
+    def run(n, n_cats, k, a, seed):
+        rng = np.random.default_rng(seed)
+        vals = np.array(
+            [f"c{v}" for v in rng.integers(0, n_cats, n)], dtype=object
+        )
+        y = rng.integers(0, k, n)
+        onehot = np.zeros((n, k))
+        onehot[np.arange(n), y] = 1.0
+        prior = onehot.mean(axis=0)
+        perm = rng.permutation(n)
+        got = NumpyCatBoostClassifier._ordered_ts(
+            vals, onehot, perm, prior, a
+        )
+        pos = np.empty(n, dtype=int)
+        pos[perm] = np.arange(n)
+        for i in range(n):
+            sums, cnt = np.zeros(k), 0
+            for j in range(n):
+                if vals[j] == vals[i] and pos[j] < pos[i]:
+                    sums += onehot[j]
+                    cnt += 1
+            want = (sums + a * prior) / (cnt + a)
+            assert np.allclose(got[i], want, atol=1e-12), (i, n, n_cats)
+
+    run()
