@@ -530,3 +530,35 @@ def test_q71_query_level_dsir_plan(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert shuffles(plan) <= 15
+
+
+def test_production_encode_id_guard_plan_neutral(spark):
+    """Round 12: the encode_tokenizers id-collision tripwire must be
+    plan-neutral — same shuffle count as the unguarded plan (the guard
+    is a projection-level assert_true, never an exchange) and exactly
+    ONE Arrow stage (the distinct-word encoder; the corpus side stays
+    JVM)."""
+    from bigdatabowl2024_25_spark.operators.bpe import (
+        _ranked_pieces_udf,
+        encode_tokenizers,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "low lower lowest new newer") for i in range(4)],
+        "doc_id long, text string",
+    )
+    merges = [("l", "o"), ("lo", "w"), ("n", "e")]
+    enc = _ranked_pieces_udf(merges, "</w>")
+    guarded = plan_of(
+        encode_tokenizers(df, "text", "doc_id", {"toks": enc}),
+        mode="simple",
+    )
+    unguarded = plan_of(
+        encode_tokenizers(
+            df, "text", "doc_id", {"toks": enc}, check_ids=False
+        ),
+        mode="simple",
+    )
+    assert shuffles(guarded) == shuffles(unguarded)
+    assert len(re.findall(r"ArrowEvalPython", guarded)) == 1
+    assert "raise_error" in guarded or "assert_true" in guarded
