@@ -70,6 +70,38 @@ def test_all_families_roundtrip(spark, tmp_path):
         for r in byte_bpe_encode(df, "text", bloaded).collect()
     }
     assert bfresh == bagain
+    # WordPiece / Unigram: encoding from the LOADED artifact must be
+    # token-for-token the fresh encode (vocab order and li values are
+    # load-bearing for greedy matching / Viterbi scores)
+    from bigdatabowl2024_25_spark.operators.bpe import (
+        unigram_encode,
+        wordpiece_encode,
+    )
+
+    _, wp_loaded = load_tokenizer(spark, str(tmp_path / "wordpiece"))
+    wfresh = {
+        r.doc_id: list(r.wp_tokens)
+        for r in wordpiece_encode(
+            df, "text", "doc_id", models["wordpiece"]
+        ).collect()
+    }
+    wagain = {
+        r.doc_id: list(r.wp_tokens)
+        for r in wordpiece_encode(df, "text", "doc_id", wp_loaded).collect()
+    }
+    assert wfresh == wagain
+    _, uni_loaded = load_tokenizer(spark, str(tmp_path / "unigram"))
+    ufresh = {
+        r.doc_id: list(r.uni_tokens)
+        for r in unigram_encode(
+            df, "text", "doc_id", models["unigram"]
+        ).collect()
+    }
+    uagain = {
+        r.doc_id: list(r.uni_tokens)
+        for r in unigram_encode(df, "text", "doc_id", uni_loaded).collect()
+    }
+    assert ufresh == uagain
 
 
 def test_artifact_guards(spark, tmp_path):
