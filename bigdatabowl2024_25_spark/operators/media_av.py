@@ -12,9 +12,15 @@ the last two multimodal stubs the environment allows:
   are written spec-shaped; the decoder walks LIST/movi and decodes
   every '00dc'/'00db' chunk.
 
-Compressed audio (MP3/AAC) and inter-frame video (H.264 …) remain
-honestly stubbed: they need ffmpeg-class codecs this container lacks
-(`multimodal.decode_media(codec='real')`).
+- **IMA ADPCM (round 12)**: a real COMPRESSED audio codec — 4-bit
+  DVI/IMA ADPCM in the standard WAV container (wFormatTag 0x0011),
+  ~4:1 vs 16-bit PCM, pure integer DSP, nibble-stream-equal to
+  CPython's audioop reference (test-pinned). Narrows the stub below
+  to the perceptual-transform families.
+
+Perceptual-transform audio (MP3/AAC) and inter-frame video (H.264 …)
+remain honestly stubbed: they need ffmpeg-class codecs this container
+lacks (`multimodal.decode_media(codec='real')`).
 
 Reference parity: the reference treats media as files on disk next to
 tracking data (`Visualization.R` renders plots to PNG/GIF); this layer
@@ -100,6 +106,174 @@ def resample_wav(payload: bytes, target_rate: int) -> bytes:
     n_out = max(1, int(len(arr)) * target_rate // rate)
     idx = (np.arange(n_out, dtype=np.int64) * rate) // target_rate
     return encode_wav(arr[np.minimum(idx, len(arr) - 1)], target_rate)
+
+
+# --------------------------------------------------------- IMA ADPCM
+#
+# A REAL compressed-audio codec (round 12): IMA/DVI ADPCM inside the
+# standard WAV container (wFormatTag 0x0011) — 4 bits per sample, so
+# ~4:1 against 16-bit PCM, in pure integer DSP (spec: IMA Digital
+# Audio Focus and Technical Working Groups, 1992; the format ffmpeg
+# calls adpcm_ima_wav). This narrows the "compressed audio" stub in
+# `multimodal.decode_media(codec='real')` to the perceptual-transform
+# families (MP3/AAC) that genuinely need ffmpeg-class code: lossy
+# COMPRESSION itself is now first-party, deterministic, and
+# container-correct (a stock player can read these files). Mono only
+# — multi-channel interleaves nibbles in 4-byte word groups, plumbing
+# that adds no algorithmic coverage.
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
+    """One decoder state transition (shared by encode's feedback path
+    — the encoder must track exactly what the decoder will
+    reconstruct, or the error feeds forward)."""
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 8:
+        predictor -= diff
+    else:
+        predictor += diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + int(_IMA_INDEX[nibble & 7])))
+    return predictor, index
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, sample_rate: int = 16_000, block_align: int = 1024
+) -> bytes:
+    """(n,) int16 mono PCM → RIFF/WAVE with IMA ADPCM data. Each
+    block: 4-byte header (first sample verbatim as int16 LE + step
+    index + reserved 0) then two 4-bit codes per byte, low nibble
+    first; samples_per_block = (block_align − 4)·2 + 1. The step
+    index carries ACROSS blocks (each block header snapshots it), so
+    splitting the stream differently changes nothing. Deterministic:
+    same samples → same bytes."""
+    samples = np.asarray(samples)
+    if samples.ndim != 1:
+        raise ValueError("encode_wav_ima_adpcm: mono (1-D) input only")
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav_ima_adpcm: int16 samples required")
+    if len(samples) == 0:
+        raise ValueError("encode_wav_ima_adpcm: empty input")
+    spb = (block_align - 4) * 2 + 1
+    index = 0
+    blocks = []
+    for lo in range(0, len(samples), spb):
+        chunk = samples[lo:lo + spb]
+        predictor = int(chunk[0])
+        blocks.append(struct.pack("<hBB", predictor, index, 0))
+        nibbles = []
+        for s in chunk[1:]:
+            step = int(_IMA_STEPS[index])
+            diff = int(s) - predictor
+            nib = 8 if diff < 0 else 0
+            mag = -diff if diff < 0 else diff
+            if mag >= step:
+                nib |= 4
+                mag -= step
+            if mag >= step >> 1:
+                nib |= 2
+                mag -= step >> 1
+            if mag >= step >> 2:
+                nib |= 1
+            predictor, index = _ima_step(predictor, index, nib)
+            nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)  # pad nibble, decoder drops by count
+        packed = bytes(
+            nibbles[i] | (nibbles[i + 1] << 4)
+            for i in range(0, len(nibbles), 2)
+        )
+        blocks.append(packed)
+    data = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x0011, 1, sample_rate,
+        sample_rate * block_align // spb,  # nominal byte rate
+        block_align, 4,  # bits per sample
+        2, spb,          # cbSize + wSamplesPerBlock extension
+    )
+    fact = struct.pack("<I", len(samples))
+    riff = b"".join([
+        b"WAVEfmt ", struct.pack("<I", len(fmt)), fmt,
+        b"fact", struct.pack("<I", len(fact)), fact,
+        b"data", struct.pack("<I", len(data)), data,
+    ])
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_wav_ima_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE IMA-ADPCM (mono, format 0x0011) → ((n,) int16,
+    sample_rate). Chunk-walked like `decode_wav`; ValueError on
+    anything that is not a well-formed mono IMA file, so the Spark
+    errors='coerce' path can null rows."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_raw, data, n_samples = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_raw = body
+        elif cid == b"fact" and len(body) >= 4:
+            (n_samples,) = struct.unpack_from("<I", body)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt_raw is None or data is None or len(fmt_raw) < 2:
+        raise ValueError("missing fmt/data chunk")
+    # diagnose the format tag BEFORE requiring the IMA-sized fmt
+    # extension — a plain PCM file (16-byte fmt) should say "not IMA",
+    # not "truncated"
+    (tag,) = struct.unpack_from("<H", fmt_raw)
+    if tag != 0x0011:
+        raise ValueError(f"not IMA ADPCM (wFormatTag={tag:#06x})")
+    if len(fmt_raw) < 20:
+        raise ValueError("truncated IMA fmt chunk")
+    _tag, ch, rate, _br, block_align, bits, _cb, spb = struct.unpack_from(
+        "<HHIIHHHH", fmt_raw
+    )
+    if ch != 1 or bits != 4:
+        raise ValueError("mono 4-bit IMA ADPCM only")
+    if spb != (block_align - 4) * 2 + 1:
+        raise ValueError("inconsistent samples-per-block")
+    out: list[int] = []
+    for lo in range(0, len(data), block_align):
+        block = data[lo:lo + block_align]
+        if len(block) < 4:
+            raise ValueError("truncated ADPCM block header")
+        predictor, index, _rsv = struct.unpack_from("<hBB", block)
+        if index > 88:
+            raise ValueError("step index out of range")
+        out.append(predictor)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                predictor, index = _ima_step(predictor, index, nib)
+                out.append(predictor)
+    if n_samples is not None:
+        if n_samples > len(out):
+            raise ValueError("fact count exceeds decoded samples")
+        out = out[:n_samples]  # drop block/byte padding
+    return np.array(out, dtype=np.int16), rate
 
 
 # ------------------------------------------------------------ MJPEG/AVI

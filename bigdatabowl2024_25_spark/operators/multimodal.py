@@ -196,9 +196,11 @@ def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
             if codec == "real":
                 # ---- STUB: audio/video codecs not in this environment ----
                 raise NotImplementedError(
-                    "compressed audio (MP3/AAC) / inter-frame video "
-                    "(H.264) decode requires ffmpeg; not installed — "
-                    "use codec='png'/'jpeg', decode_audio (PCM WAV), "
+                    "perceptual-transform audio (MP3/AAC) / "
+                    "inter-frame video (H.264) decode requires "
+                    "ffmpeg; not installed — use codec='png'/'jpeg', "
+                    "decode_audio (PCM WAV), media_av.decode_wav_"
+                    "ima_adpcm (compressed ADPCM audio, first-party), "
                     "decode_video (MJPEG/AVI), or 'fake'"
                 )
             w, h, c, ok = [], [], [], []
