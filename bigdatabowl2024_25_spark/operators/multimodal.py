@@ -391,6 +391,54 @@ def decode_audio(df: DataFrame) -> DataFrame:
     )
 
 
+ADPCM_AUDIO_SCHEMA = (
+    "media_id long, n_samples long, sample_rate int, "
+    "first_sample int, ok boolean"
+)
+
+
+def decode_audio_adpcm(df: DataFrame) -> DataFrame:
+    """COMPRESSED audio metadata through the first-party IMA-ADPCM
+    codec (`media_av.decode_wav_ima_adpcm`, round 12): same
+    errors='coerce' contract as `decode_audio`. Emits the decoded
+    `first_sample` alongside the counts — the block header carries it
+    verbatim through the lossy path, so an oracle can re-derive it
+    exactly while the quantized tail stays pinned by the audioop
+    cross-check in tests."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_av import decode_wav_ima_adpcm
+
+        for pdf in it:
+            ns, sr, fs, ok = [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    arr, rate = decode_wav_ima_adpcm(bytes(payload))
+                    ns.append(arr.shape[0])
+                    sr.append(rate)
+                    fs.append(int(arr[0]))
+                    ok.append(True)
+                except (ValueError, struct.error, IndexError,
+                        KeyError, OverflowError):
+                    ns.append(None)
+                    sr.append(None)
+                    fs.append(None)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "sample_rate": pd.array(sr, dtype="Int32"),
+                    "first_sample": pd.array(fs, dtype="Int32"),
+                    "ok": ok,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=ADPCM_AUDIO_SCHEMA
+    )
+
+
 def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
     """Real sample-rate conversion through the WAV codec (nearest-
     neighbor index map — the audio analogue of the image resize path).

@@ -431,6 +431,13 @@ _VFP_PAIRS = """VALUES
     SELECT v.a AS doc_id, 'vfp' AS codec, v.b AS d1, v.n AS d2,
            v.off AS d3, TRUE AS ok
     FROM ({_VFP_PAIRS}) v(a, b, n, off)
+    UNION ALL
+    SELECT d AS doc_id, 'adpcm' AS codec,
+           CAST(64 + (d * 7) % 37 AS BIGINT) AS d1,
+           CAST(8000 + (d % 4) * 2000 AS BIGINT) AS d2,
+           CAST((d * (d + 5) * 131) % 3001 - 1500 AS BIGINT) AS d3,
+           TRUE AS ok
+    FROM range(0, 40) t(d)
     """,
 )
 def q94_codec_roundtrip(spark, sf_dir):
@@ -738,6 +745,53 @@ def q94_codec_roundtrip(spark, sf_dir):
     out = out.select(
         F.col("media_id").alias("doc_id"), "codec", "d1", "d2", "d3", "ok"
     )
+    # 'adpcm' (round 12): COMPRESSED audio through the first-party
+    # IMA-ADPCM codec — formula-driven mono signals encoded at
+    # block_align=32 (so every payload crosses a block seam), decoded
+    # distributed (`decode_audio_adpcm`). d3 is the decoded FIRST
+    # sample: the block header carries it verbatim through the lossy
+    # path, so the oracle re-derives it exactly; the quantized tail
+    # is pinned nibble-exact against CPython audioop in test_adpcm.
+    from ..operators.media_av import encode_wav_ima_adpcm
+    from ..operators.multimodal import decode_audio_adpcm
+
+    def make_adpcm(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for raw in pdf["media_id"]:
+                d = int(raw)
+                n = 64 + (d * 7) % 37
+                rate = 8000 + (d % 4) * 2000
+                k = np.arange(n, dtype=np.int64)
+                sig = (((k + d) * (d + 5) * 131) % 3001 - 1500).astype(
+                    np.int16
+                )
+                payloads.append(
+                    encode_wav_ima_adpcm(sig, rate, block_align=32)
+                )
+                ids.append(d)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "source": "synthetic",
+                }
+            )
+
+    adpcm_media = (
+        spark.range(40)
+        .select(F.col("id").alias("media_id"))
+        .mapInPandas(make_adpcm, schema=MEDIA_SCHEMA)
+    )
+    adpcm = decode_audio_adpcm(adpcm_media).select(
+        F.col("media_id").alias("doc_id"),
+        F.lit("adpcm").alias("codec"),
+        F.col("n_samples").cast("long").alias("d1"),
+        F.col("sample_rate").cast("long").alias("d2"),
+        F.col("first_sample").cast("long").alias("d3"),
+        "ok",
+    )
     return (
         out.unionByName(dh64)
         .unionByName(dh_pairs)
@@ -746,4 +800,5 @@ def q94_codec_roundtrip(spark, sf_dir):
         .unionByName(af_pairs)
         .unionByName(vf64)
         .unionByName(vf_pairs)
+        .unionByName(adpcm)
     )
