@@ -173,6 +173,14 @@ def encode_wav_ima_adpcm(
         raise ValueError("encode_wav_ima_adpcm: int16 samples required")
     if len(samples) == 0:
         raise ValueError("encode_wav_ima_adpcm: empty input")
+    if block_align < 5:
+        # spb = (block_align-4)*2+1 ≤ 1: at 4 every block is a bare
+        # header (legal but useless), below 4 the block loop would
+        # silently emit an EMPTY data chunk
+        raise ValueError(
+            "encode_wav_ima_adpcm: block_align must be >= 5 "
+            "(4 header bytes + at least one nibble byte)"
+        )
     spb = (block_align - 4) * 2 + 1
     index = 0
     blocks = []

@@ -99,6 +99,12 @@ def test_corrupt_payload_guards():
         encode_wav_ima_adpcm(x.astype(np.float32), 16000)
     with pytest.raises(ValueError, match="mono"):
         encode_wav_ima_adpcm(np.stack([x, x], axis=1), 16000)
+    with pytest.raises(ValueError, match="block_align"):
+        # spb <= 1: the block loop would silently emit nothing
+        encode_wav_ima_adpcm(x, 16000, block_align=4)
+    # the smallest legal block still roundtrips (3 samples/block)
+    y5, _ = decode_wav_ima_adpcm(encode_wav_ima_adpcm(x, 16000, 5))
+    assert len(y5) == len(x) and y5[0] == x[0]
     # fact count beyond data
     bad = bytearray(good)
     i = bad.index(b"fact")
