@@ -70,14 +70,43 @@ def save_tokenizer(
         )
     rows = []
     for rank, item in enumerate(model):
+        # shape guards: a wrong-family payload (e.g. merge TUPLES
+        # passed as a 'wordpiece' vocab) would otherwise stringify
+        # silently — "('l', 'o')" becomes a vocab piece and every
+        # later encode is quietly wrong
         if family in ("bpe", "bbpe"):
+            if (
+                not isinstance(item, (tuple, list))
+                or len(item) != 2
+                or not all(isinstance(x, str) for x in item)
+            ):
+                raise ValueError(
+                    f"save_tokenizer: {family} expects (str, str) "
+                    f"merge pairs; rank {rank} is {item!r}"
+                )
             a, b = item
-            rows.append((family, rank, str(a), str(b), None, None))
+            rows.append((family, rank, a, b, None, None))
         elif family == "wordpiece":
-            rows.append((family, rank, None, None, str(item), None))
+            if not isinstance(item, str):
+                raise ValueError(
+                    "save_tokenizer: wordpiece expects a list of str "
+                    f"pieces; rank {rank} is {item!r}"
+                )
+            rows.append((family, rank, None, None, item, None))
         else:  # unigram
+            if (
+                not isinstance(item, (tuple, list))
+                or len(item) != 2
+                or not isinstance(item[0], str)
+                or isinstance(item[1], bool)
+                or not isinstance(item[1], int)
+            ):
+                raise ValueError(
+                    "save_tokenizer: unigram expects (str piece, int "
+                    f"li) rows; rank {rank} is {item!r}"
+                )
             piece, li = item
-            rows.append((family, rank, None, None, str(piece), int(li)))
+            rows.append((family, rank, None, None, piece, li))
     # one partition: the artifact is vocab-sized by construction and
     # must read back as one coherent ordered list, not a shard set.
     # repartition(1), NOT coalesce(1): coalescing a parallelized

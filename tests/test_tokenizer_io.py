@@ -112,6 +112,15 @@ def test_artifact_guards(spark, tmp_path):
         save_tokenizer(spark, str(tmp_path / "x"), "sentencepiece", merges)
     with pytest.raises(ValueError, match="empty"):
         save_tokenizer(spark, str(tmp_path / "x"), "bpe", [])
+    # wrong-family payload shapes fail loudly instead of stringifying
+    with pytest.raises(ValueError, match="list of str"):
+        save_tokenizer(spark, str(tmp_path / "x"), "wordpiece", merges)
+    with pytest.raises(ValueError, match="merge pairs"):
+        save_tokenizer(spark, str(tmp_path / "x"), "bpe", ["a", "b"])
+    with pytest.raises(ValueError, match="int"):
+        save_tokenizer(
+            spark, str(tmp_path / "x"), "unigram", [("a", 1.5)]
+        )
 
     # mixed-family artifact rejected on load
     p1, p2, pm = (str(tmp_path / n) for n in ("a", "b", "mixed"))
