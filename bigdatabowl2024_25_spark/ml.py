@@ -1676,19 +1676,25 @@ class NumpyCatBoostClassifier(NumpyGBDTClassifier):
         else:
             mats = [X]
         binned = []
+        feat_counts = []
         for M in mats:
             borders = self._borders(M)
             B = np.zeros(M.shape, dtype=np.int64)
             for j in range(M.shape[1]):
                 B[:, j] = np.searchsorted(borders[j], M[:, j], side="left")
             binned.append((borders, B))
+            feat_counts.append(M.shape[1])
+        # the float64 matrices are only needed for binning; holding
+        # them through the boosting loop (max_fit_rows × n_permutations
+        # near the 64 cap) roughly doubles peak driver memory
+        del mats
 
         scores = np.zeros((n, k))
         self.trees_ = []
         for r in range(self.n_rounds):
             perm = perms[r % len(perms)]
             borders, B = binned[r % len(binned)]
-            n_feats = mats[r % len(mats)].shape[1]
+            n_feats = feat_counts[r % len(feat_counts)]
             z = scores - scores.max(axis=1, keepdims=True)
             e = np.exp(z)
             p = e / e.sum(axis=1, keepdims=True)

@@ -232,7 +232,16 @@ def decode_wav_ima_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE IMA-ADPCM (mono, format 0x0011) → ((n,) int16,
     sample_rate). Chunk-walked like `decode_wav`; ValueError on
     anything that is not a well-formed mono IMA file, so the Spark
-    errors='coerce' path can null rows."""
+    errors='coerce' path can null rows.
+
+    Fact-less files (legal, if non-conforming — our encoder always
+    writes 'fact'): the decode is still bounded by the data-chunk
+    length and block structure (each block yields exactly
+    1 + 2·(block bytes − 4) samples; the RIFF odd-size pad byte is
+    excluded by the chunk walk), but the final block's pad nibble is
+    not distinguishable from a real sample without the fact count, so
+    such files may keep at most ONE spurious trailing sample. That
+    ambiguity is inherent to the format, not recoverable."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt_raw, data, n_samples = 12, None, None, None

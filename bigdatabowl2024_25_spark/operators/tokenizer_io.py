@@ -34,6 +34,8 @@ which parquet does not guarantee across writers.
 
 from __future__ import annotations
 
+import numbers
+
 from pyspark.sql import SparkSession
 
 #: families and the columns they populate
@@ -94,19 +96,22 @@ def save_tokenizer(
                 )
             rows.append((family, rank, None, None, item, None))
         else:  # unigram
+            # numbers.Integral (minus bool) rather than int: a caller
+            # handing back numpy scalars (np.int64 from a vectorized
+            # trainer) has a valid payload and should not be rejected
             if (
                 not isinstance(item, (tuple, list))
                 or len(item) != 2
                 or not isinstance(item[0], str)
                 or isinstance(item[1], bool)
-                or not isinstance(item[1], int)
+                or not isinstance(item[1], numbers.Integral)
             ):
                 raise ValueError(
                     "save_tokenizer: unigram expects (str piece, int "
                     f"li) rows; rank {rank} is {item!r}"
                 )
             piece, li = item
-            rows.append((family, rank, None, None, piece, li))
+            rows.append((family, rank, None, None, piece, int(li)))
     # one partition: the artifact is vocab-sized by construction and
     # must read back as one coherent ordered list, not a shard set.
     # repartition(1), NOT coalesce(1): coalescing a parallelized

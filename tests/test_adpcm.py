@@ -111,3 +111,29 @@ def test_corrupt_payload_guards():
     struct.pack_into("<I", bad, i + 8, 10**6)
     with pytest.raises(ValueError, match="fact count"):
         decode_wav_ima_adpcm(bytes(bad))
+
+
+def test_factless_file_bounded_by_block_structure():
+    """ADVICE r12: a third-party IMA file without a 'fact' chunk
+    (legal, if non-conforming) must still decode bounded by the
+    data-chunk length — at most ONE spurious trailing sample (the
+    final block's pad nibble), never unbounded padding, and the
+    prefix must be bit-identical to the fact-trimmed decode."""
+    for n in (100, 101, 2041, 2042):  # even/odd nibble counts + spb edges
+        x = _signal(n=n)
+        good = encode_wav_ima_adpcm(x, 16000)
+        exact, _ = decode_wav_ima_adpcm(good)
+        assert len(exact) == n
+        # excise the 12-byte fact chunk (8-byte header + 4-byte count)
+        i = good.index(b"fact")
+        factless = good[:i] + good[i + 12:]
+        # RIFF size field must stay consistent with the new length
+        factless = (
+            b"RIFF"
+            + struct.pack("<I", len(factless) - 8)
+            + factless[8:]
+        )
+        y, rate = decode_wav_ima_adpcm(factless)
+        assert rate == 16000
+        assert n <= len(y) <= n + 1  # pad-nibble ambiguity only
+        assert np.array_equal(y[:n], exact)

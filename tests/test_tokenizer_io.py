@@ -135,3 +135,26 @@ def test_artifact_guards(spark, tmp_path):
     spark.read.parquet(p1).filter("rank <> 1").write.parquet(pg)
     with pytest.raises(ValueError, match="missing ranks"):
         load_tokenizer(spark, pg)
+
+
+def test_unigram_numpy_integer_li_accepted(spark, tmp_path):
+    """ADVICE r12: np.int64 is not a Python int — a vectorized trainer
+    handing back numpy scalars has a valid payload and must roundtrip
+    (coerced to Python int), not trip the shape guard."""
+    import numpy as np
+
+    p = str(tmp_path / "np_uni")
+    save_tokenizer(
+        spark, p, "unigram",
+        [("a", np.int64(-12_345)), ("bc", np.int32(-7))],
+    )
+    fam, model = load_tokenizer(spark, p)
+    assert fam == "unigram"
+    assert model == [("a", -12_345), ("bc", -7)]
+    assert all(type(li) is int for _, li in model)
+    # floats (numpy or not) still rejected — li is an exact int64 log
+    with pytest.raises(ValueError, match="int"):
+        save_tokenizer(
+            spark, str(tmp_path / "bad"), "unigram",
+            [("a", np.float64(1.0))],
+        )
