@@ -1137,6 +1137,22 @@ _BPE_JOINED = (
     SELECT * FROM (VALUES {_BBPE_VALUES})
         t(kind, doc_id, part_id, byte_len, content_md5)
     UNION ALL
+    -- bpe_prod: the forced production-path reroute is bit-identical
+    -- to the chain (parity theorem), so it shares the bpe CTE
+    SELECT 'bpe_prod' AS kind, doc_id,
+           CAST(CASE WHEN joined IS NULL THEN NULL
+                WHEN joined = '' THEN 0
+                ELSE len(string_split(joined, ' ')) END AS BIGINT)
+             AS part_id,
+           octet_length(CAST(joined AS BLOB)) AS byte_len,
+           md5(joined) AS content_md5
+    FROM bpe
+    UNION ALL
+    SELECT 'bbpe_prod' AS kind, doc_id, part_id, byte_len, content_md5
+    FROM (VALUES {_BBPE_VALUES})
+        tprod(kind, doc_id, part_id, byte_len, content_md5)
+    WHERE kind = 'bbpe'
+    UNION ALL
     SELECT 'wp' AS kind, doc_id,
            CAST(CASE WHEN joined IS NULL THEN NULL
                 WHEN joined = '' THEN 0
@@ -1410,6 +1426,45 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
             F.col("tok").alias("content_md5"),
         )
     )
+    # 'bpe_prod' / 'bbpe_prod' (round 13, VERDICT item 1): the
+    # production-vocab (>merge_threshold) encode REROUTE itself under
+    # the driver oracle — `merge_threshold=0` forces both encoders
+    # through the distinct-word/pre-token `encode_tokenizers` shape
+    # with the rank-indexed replay Arrow UDF (operators/bpe.py:472,
+    # 1447), the path a 32k/50k GPT-class vocabulary takes. The
+    # outputs are bit-identical to the codegen replace chain (parity
+    # theorem, tests/test_merge.py), so the oracles are the chain
+    # oracles with the kind relabeled; what this buys is the driver
+    # gate on the ROUTING + reassembly plumbing (posexplode → mapping
+    # join → groupBy(id) rebuild) that was pytest-only through r12.
+    bpe_prod_enc = bpe_encode(
+        d, "text", _BPE_MERGES, id_col="doc_id", merge_threshold=0
+    )
+    pj = F.array_join(F.col("bpe_tokens"), " ")
+    pjb = pj.cast("binary")
+    bpe_prod = bpe_prod_enc.select(
+        F.lit("bpe_prod").alias("kind"),
+        "doc_id",
+        F.size(F.col("bpe_tokens")).cast("bigint").alias("part_id"),
+        F.length(pjb).cast("bigint").alias("byte_len"),
+        F.md5(pjb).alias("content_md5"),
+    )
+    bbpe_prod = (
+        byte_bpe_encode(
+            bb_fix, "text", bb_learned, id_col="doc_id", merge_threshold=0
+        )
+        .select(
+            "doc_id",
+            F.posexplode("bbpe_tokens").alias("pos", "tok"),
+        )
+        .select(
+            F.lit("bbpe_prod").alias("kind"),
+            "doc_id",
+            F.col("pos").cast("bigint").alias("part_id"),
+            F.length("tok").cast("bigint").alias("byte_len"),
+            F.col("tok").alias("content_md5"),
+        )
+    )
     enc2 = encode_tokenizers(
         d,
         "text",
@@ -1659,6 +1714,8 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
         "uni_train": uni_train_rows,
         "bbpe": bbpe,
         "bbpe_train": bb_train_rows,
+        "bpe_prod": bpe_prod,
+        "bbpe_prod": bbpe_prod,
         "budget": budget,
         "para": para,
         "parad": parad,

@@ -562,3 +562,27 @@ def test_production_encode_id_guard_plan_neutral(spark):
     assert shuffles(guarded) == shuffles(unguarded)
     assert len(re.findall(r"ArrowEvalPython", guarded)) == 1
     assert "raise_error" in guarded or "assert_true" in guarded
+
+
+def test_q64_forced_production_encode_plan(spark):
+    """Round 13 (VERDICT item 1): the q64 'bpe_prod' branch — the
+    forced merge_threshold=0 reroute through encode_tokenizers — must
+    carry exactly ONE Arrow stage (the distinct-word replay encoder;
+    the corpus-scale posexplode/join/reassembly side stays JVM) and no
+    row-at-a-time Python anywhere."""
+    from bigdatabowl2024_25_spark.operators.bpe import bpe_encode
+    from bigdatabowl2024_25_spark.sources.io import load_table
+    from bigdatabowl2024_25_spark.suite.text import _BPE_MERGES
+
+    d = load_table(spark, SF, "documents")
+    out = bpe_encode(
+        d, "text", _BPE_MERGES, id_col="doc_id", merge_threshold=0
+    )
+    plan = plan_of(out, mode="simple")
+    assert len(re.findall(r"ArrowEvalPython", plan)) == 1
+    assert "BatchEvalPython" not in plan
+    # the word→pieces mapping is vocab-bounded → must BROADCAST onto
+    # the posexploded corpus (the corpus-scale side never shuffles for
+    # the mapping; the one legitimate SortMergeJoin is the final
+    # per-doc reassembly join, corpus ⋈ corpus-keyed aggregate)
+    assert re.search(r"BroadcastHashJoin \[word#\d+\]", plan)
