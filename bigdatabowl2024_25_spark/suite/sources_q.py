@@ -253,6 +253,26 @@ def _z_sql() -> str:
         ('tok:bpe:4:ne+we', 4, 1, 2, 2),
         ('tok:bpe:5:r+</w>', 5, 1, 1, 4)
     ) AS tok(kind, nation, n, key_sum, name_chars)
+    UNION ALL
+    SELECT kind, CAST(nation AS BIGINT), CAST(n AS BIGINT),
+           CAST(key_sum AS BIGINT), CAST(name_chars AS BIGINT)
+    FROM (VALUES
+        ('qw:0', 0, 1, 524288, -393216),
+        ('qw:1', 1, 1, -1310720, -393216),
+        ('qw:2', 2, 1, 8192, -393216),
+        ('qw:3', 3, 1, 3145728, -393216),
+        ('lm:<s>+the', NULL, 2, NULL, NULL),
+        ('lm:<s>+a', NULL, 1, NULL, NULL),
+        ('lm:the+cat', NULL, 2, NULL, NULL),
+        ('lm:a+cat', NULL, 1, NULL, NULL),
+        ('lm:cat+sat', NULL, 2, NULL, NULL),
+        ('lm:cat+ran', NULL, 1, NULL, NULL),
+        ('lmc:<s>', NULL, 3, NULL, NULL),
+        ('lmc:the', NULL, 2, NULL, NULL),
+        ('lmc:cat', NULL, 3, NULL, NULL),
+        ('lmc:a', NULL, 1, NULL, NULL),
+        ('lm:vocab', NULL, 6, NULL, NULL)
+    ) AS model_art(kind, nation, n, key_sum, name_chars)
     """
     ),
 )
@@ -452,6 +472,75 @@ def q95_source_sink_roundtrip(spark, sf_dir):
             "key_sum bigint, name_chars bigint",
         )
 
+        # 'qw:*' / 'lm:*' (round 13): the model-artifact layer
+        # (operators/model_io) through the same digest. Quality
+        # weights ride the KB-sized repartition(1) path with exact
+        # 2^-k binary-fraction fixtures (so the ×2^20 quantization is
+        # integer-exact on any IEEE engine); the bigram-LM count
+        # tables ride the DISTRIBUTED write/load path — the shape a
+        # corpus-scale model takes — with integer counts of a literal
+        # 3-doc corpus. Every digest row is computed from the LOADED
+        # artifact, so a lost row, broken rank, or corrupted count in
+        # the persistence layer flips q95 red against the pinned
+        # VALUES oracle.
+        from ..operators.model_io import (
+            load_lm,
+            load_quality_weights,
+            save_lm,
+            save_quality_weights,
+        )
+        from ..operators.ngram_lm import lm_train
+
+        qw_fix = [0.5, -1.25, 0.0078125, 3.0]
+        save_quality_weights(spark, f"{tmp}/qw", qw_fix, -0.375)
+        lqw, lqi = load_quality_weights(spark, f"{tmp}/qw")
+        qwd = spark.createDataFrame(
+            [
+                (f"qw:{i}", i, 1, int(w * (1 << 20)), int(lqi * (1 << 20)))
+                for i, w in enumerate(lqw)
+            ],
+            "kind string, nation bigint, n bigint, "
+            "key_sum bigint, name_chars bigint",
+        )
+        lm_corpus = spark.createDataFrame(
+            [(0, "the cat sat"), (1, "the cat ran"), (2, "a cat sat")],
+            "doc_id long, text string",
+        )
+        save_lm(
+            spark, f"{tmp}/lm", *lm_train(lm_corpus, "text", "doc_id")
+        )
+        lm_b, lm_c, lm_v = load_lm(spark, f"{tmp}/lm")
+        _nb = F.lit(None).cast("bigint")
+        lmd = (
+            lm_b.select(
+                F.concat(
+                    F.lit("lm:"), "prev", F.lit("+"), "tok"
+                ).alias("kind"),
+                _nb.alias("nation"),
+                F.col("cb").cast("bigint").alias("n"),
+                _nb.alias("key_sum"),
+                _nb.alias("name_chars"),
+            )
+            .unionByName(
+                lm_c.select(
+                    F.concat(F.lit("lmc:"), F.col("prev")).alias("kind"),
+                    _nb.alias("nation"),
+                    F.col("cu").cast("bigint").alias("n"),
+                    _nb.alias("key_sum"),
+                    _nb.alias("name_chars"),
+                )
+            )
+            .unionByName(
+                lm_v.select(
+                    F.lit("lm:vocab").alias("kind"),
+                    _nb.alias("nation"),
+                    F.col("v").cast("bigint").alias("n"),
+                    _nb.alias("key_sum"),
+                    _nb.alias("name_chars"),
+                )
+            )
+        )
+
         # digest is computed from the re-read frames; materialize NOW
         # (localCheckpoint would pin executors; the frames are tiny) so
         # the scratch dir can be removed before returning.
@@ -470,6 +559,8 @@ def q95_source_sink_roundtrip(spark, sf_dir):
             .unionByName(zorder)
             .unionByName(expectd)
             .unionByName(tokd)
+            .unionByName(qwd)
+            .unionByName(lmd)
         )
         rows = out.collect()
     finally:
