@@ -197,11 +197,13 @@ def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
                 # ---- STUB: audio/video codecs not in this environment ----
                 raise NotImplementedError(
                     "perceptual-transform audio (MP3/AAC) / "
-                    "inter-frame video (H.264) decode requires "
-                    "ffmpeg; not installed — use codec='png'/'jpeg', "
-                    "decode_audio (PCM WAV), media_av.decode_wav_"
-                    "ima_adpcm (compressed ADPCM audio, first-party), "
-                    "decode_video (MJPEG/AVI), or 'fake'"
+                    "transform-coded video (H.264 DCT/CABAC) decode "
+                    "requires ffmpeg; not installed — use "
+                    "codec='png'/'jpeg', decode_audio (PCM WAV), "
+                    "decode_audio_adpcm (compressed ADPCM audio, "
+                    "first-party), decode_video (MJPEG/AVI), "
+                    "decode_video_ifv (motion-compensated inter-frame "
+                    "video, first-party), or 'fake'"
                 )
             w, h, c, ok = [], [], [], []
             for payload in pdf["payload"]:
@@ -395,6 +397,69 @@ ADPCM_AUDIO_SCHEMA = (
     "media_id long, n_samples long, sample_rate int, "
     "first_sample int, ok boolean"
 )
+
+IFV_VIDEO_SCHEMA = (
+    "media_id long, n_frames long, fps int, width int, height int, "
+    "first_pixel long, ok boolean"
+)
+
+
+def decode_video_ifv(df: DataFrame) -> DataFrame:
+    """COMPRESSED (inter-frame) video metadata through the first-party
+    IFV codec (`media_av.decode_avi_ifv`, round 13): same
+    errors='coerce' contract as the other decoders. Emits
+    `first_pixel` — R + 256·G + 65536·B of pixel (0, 0) of the FIRST
+    frame, which is an I-frame and therefore LOSSLESS, so an oracle
+    can re-derive it exactly while the quantized P-frame tail stays
+    pinned by the error-bound/seam tests in tests/test_ifv.py.
+    Payloads decode where they sit (mapInPandas, never shuffled); at
+    100 TB the GOP structure is what lets row groups of video split
+    across executors with no cross-chunk state."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        from .media_av import decode_avi_ifv
+
+        for pdf in it:
+            nf, fps, w, h, px, ok = [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    frames, rate = decode_avi_ifv(bytes(payload))
+                    f0 = frames[0]
+                    nf.append(len(frames))
+                    fps.append(rate)
+                    w.append(f0.shape[1])
+                    h.append(f0.shape[0])
+                    px.append(
+                        int(f0[0, 0, 0])
+                        + 256 * int(f0[0, 0, 1])
+                        + 65536 * int(f0[0, 0, 2])
+                    )
+                    ok.append(True)
+                except (ValueError, zlib.error, struct.error,
+                        IndexError, KeyError, OverflowError):
+                    nf.append(None)
+                    fps.append(None)
+                    w.append(None)
+                    h.append(None)
+                    px.append(None)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames": pd.array(nf, dtype="Int64"),
+                    "fps": pd.array(fps, dtype="Int32"),
+                    "width": pd.array(w, dtype="Int32"),
+                    "height": pd.array(h, dtype="Int32"),
+                    "first_pixel": pd.array(px, dtype="Int64"),
+                    "ok": ok,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=IFV_VIDEO_SCHEMA
+    )
 
 
 def decode_audio_adpcm(df: DataFrame) -> DataFrame:

@@ -438,6 +438,15 @@ _VFP_PAIRS = """VALUES
            CAST((d * (d + 5) * 131) % 3001 - 1500 AS BIGINT) AS d3,
            TRUE AS ok
     FROM range(0, 40) t(d)
+    UNION ALL
+    SELECT d AS doc_id, 'ifv' AS codec,
+           CAST(3 + d % 4 AS BIGINT) AS d1,
+           CAST(5000000 + (12 + (d * 5) % 9) * 1000 + (9 + d % 6)
+                AS BIGINT) AS d2,
+           CAST((d * 13) % 256 + 256 * ((d * 13 + 29) % 256)
+                + 65536 * ((d * 13 + 58) % 256) AS BIGINT) AS d3,
+           TRUE AS ok
+    FROM range(0, 40) t2(d)
     """,
 )
 def q94_codec_roundtrip(spark, sf_dir):
@@ -792,6 +801,69 @@ def q94_codec_roundtrip(spark, sf_dir):
         F.col("first_sample").cast("long").alias("d3"),
         "ok",
     )
+    # 'ifv' (round 13): COMPRESSED video through the first-party
+    # inter-frame codec — formula-driven frame stacks with dims off
+    # the 8-px block grid (so every payload exercises pad+crop) and a
+    # gop=3 GOP structure (every payload crosses an I/P seam), decoded
+    # distributed (`decode_video_ifv`). d1/d2 re-derive the header
+    # fields (frame count, fps/width/height packed); d3 is pixel
+    # (0, 0) of the FIRST frame — an I-frame, lossless by
+    # construction, so the oracle re-derives it from the generator
+    # formula exactly; the quantized P-frame tail is pinned by the
+    # error-bound/seam/translation tests in tests/test_ifv.py.
+    from ..operators.media_av import encode_avi_ifv
+    from ..operators.multimodal import decode_video_ifv
+
+    def make_ifv(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for raw in pdf["media_id"]:
+                d = int(raw)
+                h, w, nf = 9 + d % 6, 12 + (d * 5) % 9, 3 + d % 4
+                frames = [
+                    (
+                        (
+                            np.add.outer(
+                                np.arange(h) * 11, np.arange(w) * 7
+                            )[..., None]
+                            + np.arange(3) * 29
+                            + d * 13
+                            + i * 17
+                        )
+                        % 256
+                    ).astype(np.uint8)
+                    for i in range(nf)
+                ]
+                payloads.append(
+                    encode_avi_ifv(frames, fps=5, q=6, gop=3)
+                )
+                ids.append(d)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "video",
+                    "payload": payloads,
+                    "source": "synthetic",
+                }
+            )
+
+    ifv_media = (
+        spark.range(40)
+        .select(F.col("id").alias("media_id"))
+        .mapInPandas(make_ifv, schema=MEDIA_SCHEMA)
+    )
+    ifv = decode_video_ifv(ifv_media).select(
+        F.col("media_id").alias("doc_id"),
+        F.lit("ifv").alias("codec"),
+        F.col("n_frames").cast("long").alias("d1"),
+        (
+            F.col("fps").cast("long") * 1_000_000
+            + F.col("width").cast("long") * 1_000
+            + F.col("height").cast("long")
+        ).alias("d2"),
+        F.col("first_pixel").alias("d3"),
+        "ok",
+    )
     return (
         out.unionByName(dh64)
         .unionByName(dh_pairs)
@@ -801,4 +873,5 @@ def q94_codec_roundtrip(spark, sf_dir):
         .unionByName(vf64)
         .unionByName(vf_pairs)
         .unionByName(adpcm)
+        .unionByName(ifv)
     )

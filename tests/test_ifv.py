@@ -1,0 +1,199 @@
+"""IFV inter-frame video (round 13): the motion-compensated codec —
+roundtrip error bounds, GOP/closed-loop seam behavior (no drift),
+motion-estimation efficiency on pure translation, determinism, and
+the corrupt-payload guard contract."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from bigdatabowl2024_25_spark.operators.media_av import (
+    decode_avi_ifv,
+    encode_avi_ifv,
+)
+
+
+def _scene(n=10, h=37, w=50, seed=0, step=(1, 2)):
+    """A textured scene translating by `step` px/frame — the content
+    class motion compensation exists for."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h + n * abs(step[0]) + 8,
+                                 w + n * abs(step[1]) + 8, 3)).astype(
+        np.uint8
+    )
+    return [
+        base[i * step[0]: i * step[0] + h, i * step[1]: i * step[1] + w]
+        .copy()
+        for i in range(n)
+    ]
+
+
+def test_roundtrip_error_bound_and_ratio():
+    frames = _scene()
+    for q in (2, 6, 16):
+        p = encode_avi_ifv(frames, fps=5, q=q, gop=4)
+        out, fps = decode_avi_ifv(p)
+        assert fps == 5 and len(out) == len(frames)
+        bound = q // 2 + 1
+        for f, o in zip(frames, out):
+            assert o.shape == f.shape and o.dtype == np.uint8
+            assert int(np.abs(o.astype(int) - f.astype(int)).max()) <= bound
+    # random texture is zlib-incompressible, so beating raw at all on
+    # a translating scene is the motion compensation working
+    p = encode_avi_ifv(frames, fps=5, q=8, gop=10)
+    assert sum(f.nbytes for f in frames) / len(p) > 2.0
+
+
+def test_iframes_lossless_and_gop_seams():
+    """Every I-frame decodes bit-exact; the closed-loop discipline
+    keeps the LAST P-frame of each GOP inside the same error bound as
+    the first (no drift accumulation across the GOP)."""
+    frames = _scene(n=12)
+    q, gop = 6, 4
+    out, _ = decode_avi_ifv(encode_avi_ifv(frames, fps=5, q=q, gop=gop))
+    bound = q // 2 + 1
+    for i, (f, o) in enumerate(zip(frames, out)):
+        err = int(np.abs(o.astype(int) - f.astype(int)).max())
+        if i % gop == 0:
+            assert err == 0  # I-frame: zlib, lossless
+        else:
+            assert err <= bound  # incl. the last frame before a seam
+
+
+def test_pure_translation_residuals_vanish():
+    """When motion is exactly representable (integer translation
+    within the search range, interior blocks), the predictor should
+    capture it and residuals quantize to ~zero: interior pixels decode
+    EXACTLY despite q=16."""
+    frames = _scene(n=4, step=(2, 3))
+    out, _ = decode_avi_ifv(
+        encode_avi_ifv(frames, fps=5, q=16, gop=4, search=4)
+    )
+    # interior region: exact. The margin grows by the per-frame step —
+    # border-clamp mismatch (the only content motion cannot model)
+    # drags inward with the scene at step px/frame
+    for i, (f, o) in enumerate(zip(frames, out)):
+        m = 8 + 3 * i
+        assert (o[m:-m, m:-m] == f[m:-m, m:-m]).all()
+
+
+def test_determinism_and_nonmultiple_dims():
+    # 9x13 is far from the 8-px block grid: padding + crop must be
+    # transparent, and encoding must be byte-stable
+    rng = np.random.default_rng(3)
+    frames = [
+        rng.integers(0, 256, (9, 13, 3)).astype(np.uint8)
+        for _ in range(5)
+    ]
+    p1 = encode_avi_ifv(frames, fps=7, q=4, gop=2)
+    p2 = encode_avi_ifv(frames, fps=7, q=4, gop=2)
+    assert p1 == p2
+    out, fps = decode_avi_ifv(p1)
+    assert fps == 7 and all(o.shape == (9, 13, 3) for o in out)
+    for f, o in zip(frames, out):
+        assert int(np.abs(o.astype(int) - f.astype(int)).max()) <= 3
+
+
+def test_single_frame_and_gop_one():
+    f = [_scene(n=1)[0]]
+    out, _ = decode_avi_ifv(encode_avi_ifv(f, q=8))
+    assert (out[0] == f[0]).all()
+    # gop=1: all-I (lossless video, degenerate but legal)
+    frames = _scene(n=3)
+    out, _ = decode_avi_ifv(encode_avi_ifv(frames, q=8, gop=1))
+    assert all((o == f).all() for o, f in zip(out, frames))
+
+
+def test_corrupt_payload_guards():
+    frames = _scene(n=4)
+    good = encode_avi_ifv(frames, fps=5, q=6, gop=4)
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi_ifv(b"junk")
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_avi_ifv([])
+    with pytest.raises(ValueError, match="q must be"):
+        encode_avi_ifv(frames, q=1)
+    with pytest.raises(ValueError, match="uint8 RGB"):
+        encode_avi_ifv([frames[0].astype(np.float32)])
+    with pytest.raises(ValueError, match="share dimensions"):
+        encode_avi_ifv([frames[0], frames[0][:-1]])
+    with pytest.raises(ValueError, match="gop"):
+        encode_avi_ifv(frames, gop=0)
+
+    # flip the first frame's type byte: 'I' -> 'X'
+    i_pos = good.index(b"00dc") + 8
+    bad = bytearray(good)
+    assert bad[i_pos:i_pos + 1] == b"I"
+    bad[i_pos] = ord("X")
+    with pytest.raises(ValueError, match="unknown IFV frame type"):
+        decode_avi_ifv(bytes(bad))
+
+    # truncate the last chunk body
+    with pytest.raises(ValueError, match="truncated|error"):
+        decode_avi_ifv(good[:-20])
+
+    # a P-frame with no I-frame before it: excise the first chunk by
+    # rebuilding movi with only P frames — simpler: corrupt the I
+    # marker into a P marker and expect the size guard or the
+    # reference guard to fire loudly (never a silent wrong decode)
+    bad2 = bytearray(good)
+    bad2[i_pos] = ord("P")
+    with pytest.raises(ValueError):
+        decode_avi_ifv(bytes(bad2))
+
+    # corrupt zlib stream
+    bad3 = bytearray(good)
+    bad3[i_pos + 5] ^= 0xFF
+    with pytest.raises((ValueError, zlib.error)):
+        decode_avi_ifv(bytes(bad3))
+
+
+def test_mjpeg_decoder_rejects_ifv():
+    """Container cross-talk: an IFV file handed to the MJPEG decoder
+    must error (its chunks are not JPEG), never silently decode."""
+    from bigdatabowl2024_25_spark.operators.media_av import (
+        decode_avi_mjpeg,
+    )
+
+    p = encode_avi_ifv(_scene(n=2), q=8)
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(p)
+
+
+def test_distributed_decode_matches_local(spark):
+    import pandas as pd
+
+    from bigdatabowl2024_25_spark.operators.multimodal import (
+        decode_video_ifv,
+    )
+
+    payloads = []
+    for d in range(6):
+        h, w, nf = 9 + d % 6, 12 + (d * 5) % 9, 3 + d % 4
+        frames = [
+            ((np.add.outer(np.arange(h) * 11, np.arange(w) * 7)[..., None]
+              + np.arange(3) * 29 + d * 13 + i * 17) % 256).astype(
+                np.uint8
+            )
+            for i in range(nf)
+        ]
+        payloads.append((d, encode_avi_ifv(frames, fps=5, q=6, gop=3)))
+    df = spark.createDataFrame(
+        payloads + [(99, b"not a video")],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in decode_video_ifv(df).collect()}
+    for d in range(6):
+        r = rows[d]
+        assert r.ok and r.n_frames == 3 + d % 4 and r.fps == 5
+        assert (r.height, r.width) == (9 + d % 6, 12 + (d * 5) % 9)
+        # first frame is lossless: pixel (0,0) comes straight from
+        # the generator formula
+        exp = [(k * 29 + d * 13) % 256 for k in range(3)]
+        assert r.first_pixel == exp[0] + 256 * exp[1] + 65536 * exp[2]
+    assert rows[99].ok is False and rows[99].n_frames is None
