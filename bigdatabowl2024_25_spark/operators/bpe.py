@@ -1198,6 +1198,7 @@ def unigram_train(
     max_piece_len: int = 6,
     n_em_iters: int = 2,
     min_count: int = 2,
+    word_marker: str | None = None,
 ) -> list[tuple[str, int]]:
     """Fit a Unigram LM vocabulary; returns [(piece, li)] sorted by
     piece, with li the final micro-int log-prob `unigram_encode`
@@ -1211,8 +1212,42 @@ def unigram_train(
     bloom-literal class of bounded collect), Viterbi-resegment the
     WORD table under those literals, and recount pieces. Single chars
     keep a count ≥ 1 floor so every word stays segmentable (the
-    coverage guarantee SentencePiece gets from character fallback)."""
+    coverage guarantee SentencePiece gets from character fallback).
+
+    `word_marker` (round 13, opt-in — default None keeps the learned
+    vocabulary byte-stable): SentencePiece's '▁' word-start
+    convention. Every word is prefixed with the marker before
+    training, so the marker joins the alphabet and learned pieces
+    carry it only at WORD-INITIAL position (substrings never cross
+    words, so no piece can hold an interior marker) — which is
+    exactly what lets `unigram_decode(word_marker=...)` restore word
+    boundaries from a flat document token stream. Pass the same
+    marker to `unigram_encode`. The marker must be absent from the
+    corpus (checked against the distinct-word table — vocab-sized,
+    one bounded job) or decode would hallucinate spaces."""
     freqs = word_frequencies(df, text_col).localCheckpoint()
+    if word_marker is not None:
+        if len(word_marker) != 1:
+            raise ValueError(
+                "unigram_train: word_marker must be a single char "
+                f"(got {word_marker!r})"
+            )
+        clash = (
+            freqs.filter(F.col("word").contains(word_marker))
+            .limit(1)
+            .count()
+        )
+        if clash:
+            raise ValueError(
+                f"unigram_train: word_marker {word_marker!r} occurs "
+                "in the corpus — decode would hallucinate word "
+                "boundaries; pick a character outside the corpus "
+                "alphabet"
+            )
+        freqs = freqs.select(
+            F.concat(F.lit(word_marker), F.col("word")).alias("word"),
+            "n",
+        ).localCheckpoint()
     chars = (
         freqs.select(
             F.explode(F.split(F.col("word"), "")).alias("piece"), "n"
@@ -1300,18 +1335,30 @@ def unigram_encode(
     vocab: list[tuple[str, int]],
     out_col: str = "uni_tokens",
     unk: str = "[UNK]",
+    word_marker: str | None = None,
 ) -> DataFrame:
     """Tokenize with a fitted Unigram vocabulary: Viterbi per DISTINCT
     word (max Σ li, ties to the lexicographically smallest path),
     whole-word [unk] when no segmentation exists. Same corpus shape as
     `wordpiece_encode`: the DP runs only on the distinct-word table;
     the corpus pays one posexplode + a broadcastable mapping join +
-    one groupBy(id) reassembly."""
+    one groupBy(id) reassembly.
+
+    `word_marker` must match the trainer's: words are marker-prefixed
+    before the DP so they segment under the marked vocabulary, and
+    the document token stream then carries recoverable word
+    boundaries for `unigram_decode(word_marker=...)`."""
+    if word_marker is None:
+        seg = lambda w: _viterbi_pieces(w, vocab, unk)  # noqa: E731
+    else:
+        seg = lambda w: _viterbi_pieces(  # noqa: E731
+            F.concat(F.lit(word_marker), w), vocab, unk
+        )
     return _encode_via_word_mapping(
         df,
         text_col,
         id_col,
-        lambda w: _viterbi_pieces(w, vocab, unk),
+        seg,
         out_col,
     )
 

@@ -137,3 +137,27 @@ def test_factless_file_bounded_by_block_structure():
         assert rate == 16000
         assert n <= len(y) <= n + 1  # pad-nibble ambiguity only
         assert np.array_equal(y[:n], exact)
+
+
+def test_exact_block_boundary_counts():
+    """Round 13 edge audit: n_samples exactly == samples_per_block
+    (one perfectly full block, even nibble count, no pad), == spb ± 1
+    (pad nibble / one-sample spill into a new block), and the minimum
+    legal block_align=5 (spb=3) at its own boundaries — every count
+    decodes exactly and the byte layout matches the block formula."""
+    for ba in (5, 32):
+        spb = (ba - 4) * 2 + 1
+        for n in (spb - 1, spb, spb + 1, 2 * spb, 2 * spb + 1):
+            x = _signal(n=n)
+            p = encode_wav_ima_adpcm(x, 16000, block_align=ba)
+            y, rate = decode_wav_ima_adpcm(p)
+            assert rate == 16000 and len(y) == n
+            assert y[0] == x[0]  # header carries it verbatim
+            # data-chunk length follows the block structure exactly:
+            # full blocks are block_align bytes; the tail block is
+            # 4 + ceil((n_tail - 1) / 2) bytes
+            i = p.index(b"data")
+            (dlen,) = struct.unpack_from("<I", p, i + 4)
+            full, tail = divmod(n, spb)
+            want = full * ba + (4 + (tail - 1 + 1) // 2 if tail else 0)
+            assert dlen == want, (ba, n, dlen, want)

