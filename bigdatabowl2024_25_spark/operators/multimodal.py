@@ -196,14 +196,17 @@ def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
             if codec == "real":
                 # ---- STUB: audio/video codecs not in this environment ----
                 raise NotImplementedError(
-                    "perceptual-transform audio (MP3/AAC) / "
+                    "standards-conformant perceptual audio (MP3/AAC "
+                    "psychoacoustic models + Huffman tables) / "
                     "transform-coded video (H.264 DCT/CABAC) decode "
                     "requires ffmpeg; not installed — use "
                     "codec='png'/'jpeg', decode_audio (PCM WAV), "
                     "decode_audio_adpcm (compressed ADPCM audio, "
-                    "first-party), decode_video (MJPEG/AVI), "
-                    "decode_video_ifv (motion-compensated inter-frame "
-                    "video, first-party), or 'fake'"
+                    "first-party), decode_audio_mdct (MDCT "
+                    "transform-coded audio, first-party), "
+                    "decode_video (MJPEG/AVI), decode_video_ifv "
+                    "(motion-compensated inter-frame video, "
+                    "first-party), or 'fake'"
                 )
             w, h, c, ok = [], [], [], []
             for payload in pdf["payload"]:
@@ -402,6 +405,63 @@ IFV_VIDEO_SCHEMA = (
     "media_id long, n_frames long, fps int, width int, height int, "
     "first_pixel long, ok boolean"
 )
+
+MDCT_AUDIO_SCHEMA = (
+    "media_id long, n_samples long, sample_rate int, frame int, "
+    "qbits int, n_frames long, ok boolean"
+)
+
+
+def decode_audio_mdct(df: DataFrame) -> DataFrame:
+    """TRANSFORM-CODED audio metadata through the first-party MDCT
+    codec (`media_av.decode_wav_mdct`, round 13): same errors='coerce'
+    contract as the other decoders. Emits the header-exact fields
+    (fact sample count, rate, frame size, qbits, the padding-rule
+    frame count) — the transform path is float, so content fields are
+    pinned by the SNR/seam tests in tests/test_mdct.py, not the
+    oracle; ok=True still requires a FULL decode (zlib + mantissa
+    block sizes + overlap-add), so a corrupted payload cannot pass."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib as _z
+
+        from .media_av import decode_wav_mdct, mdct_info
+
+        for pdf in it:
+            ns, sr, fr, qb, nf, ok = [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    arr, rate = decode_wav_mdct(bytes(payload))
+                    info = mdct_info(bytes(payload))
+                    ns.append(len(arr))
+                    sr.append(rate)
+                    fr.append(info["frame"])
+                    qb.append(info["qbits"])
+                    nf.append(info["n_frames"])
+                    ok.append(True)
+                except (ValueError, _z.error, struct.error,
+                        IndexError, KeyError, OverflowError):
+                    ns.append(None)
+                    sr.append(None)
+                    fr.append(None)
+                    qb.append(None)
+                    nf.append(None)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "sample_rate": pd.array(sr, dtype="Int32"),
+                    "frame": pd.array(fr, dtype="Int32"),
+                    "qbits": pd.array(qb, dtype="Int32"),
+                    "n_frames": pd.array(nf, dtype="Int64"),
+                    "ok": ok,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=MDCT_AUDIO_SCHEMA
+    )
 
 
 def decode_video_ifv(df: DataFrame) -> DataFrame:

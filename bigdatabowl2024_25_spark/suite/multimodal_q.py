@@ -447,6 +447,14 @@ _VFP_PAIRS = """VALUES
                 + 65536 * ((d * 13 + 58) % 256) AS BIGINT) AS d3,
            TRUE AS ok
     FROM range(0, 40) t2(d)
+    UNION ALL
+    SELECT d AS doc_id, 'mdct' AS codec,
+           CAST(300 + (d * 29) % 200 AS BIGINT) AS d1,
+           CAST(8000 + (d % 4) * 2000 AS BIGINT) AS d2,
+           CAST((300 + (d * 29) % 200 + 255) // 256 + 1 AS BIGINT)
+             AS d3,
+           TRUE AS ok
+    FROM range(0, 40) t3(d)
     """,
 )
 def q94_codec_roundtrip(spark, sf_dir):
@@ -852,6 +860,53 @@ def q94_codec_roundtrip(spark, sf_dir):
         .select(F.col("id").alias("media_id"))
         .mapInPandas(make_ifv, schema=MEDIA_SCHEMA)
     )
+    # 'mdct' (round 13): TRANSFORM-CODED audio through the first-party
+    # MDCT codec — formula-driven signals at varied lengths/rates,
+    # decoded distributed (`decode_audio_mdct`). The transform path is
+    # float, so the oracle pins the header-exact fields only (fact
+    # sample count, rate, the padding-rule frame count); ok=True still
+    # requires a full decode (zlib + mantissa sizes + overlap-add),
+    # and the content fidelity is pinned by tests/test_mdct.py's
+    # SNR/TDAC/seam suite.
+    from ..operators.media_av import encode_wav_mdct
+    from ..operators.multimodal import decode_audio_mdct
+
+    def make_mdct(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for raw in pdf["media_id"]:
+                d = int(raw)
+                n = 300 + (d * 29) % 200
+                rate = 8000 + (d % 4) * 2000
+                k = np.arange(n, dtype=np.float64)
+                sig = (
+                    9000.0 * np.sin(2 * np.pi * (100 + d * 7) * k / rate)
+                    + 4000.0 * np.sin(2 * np.pi * (300 + d * 11) * k / rate)
+                ).astype(np.int16)
+                payloads.append(encode_wav_mdct(sig, rate))
+                ids.append(d)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "source": "synthetic",
+                }
+            )
+
+    mdct_media = (
+        spark.range(40)
+        .select(F.col("id").alias("media_id"))
+        .mapInPandas(make_mdct, schema=MEDIA_SCHEMA)
+    )
+    mdct = decode_audio_mdct(mdct_media).select(
+        F.col("media_id").alias("doc_id"),
+        F.lit("mdct").alias("codec"),
+        F.col("n_samples").cast("long").alias("d1"),
+        F.col("sample_rate").cast("long").alias("d2"),
+        F.col("n_frames").cast("long").alias("d3"),
+        "ok",
+    )
     ifv = decode_video_ifv(ifv_media).select(
         F.col("media_id").alias("doc_id"),
         F.lit("ifv").alias("codec"),
@@ -874,4 +929,5 @@ def q94_codec_roundtrip(spark, sf_dir):
         .unionByName(vf_pairs)
         .unionByName(adpcm)
         .unionByName(ifv)
+        .unionByName(mdct)
     )
