@@ -595,6 +595,77 @@ def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
     )
 
 
+TRANSCODE_SCHEMA = (
+    "media_id long, payload binary, n_bytes_in long, n_bytes_out long"
+)
+
+
+def transcode_audio(df: DataFrame, codec: str = "adpcm") -> DataFrame:
+    """PCM-WAV payloads → COMPRESSED payloads through a first-party
+    codec ('adpcm' — 4:1 fixed-rate integer DSP, or 'mdct' —
+    content-adaptive transform coding): the compress-before-storage
+    pass a 100 TB media pipeline runs once at ingest. Distributed
+    mapInPandas; payloads never shuffle; corrupt inputs coerce to a
+    null row (the resize_audio contract). Multi-channel inputs
+    downmix deterministically (integer mean across channels —
+    floor division, bit-stable on any platform); both target codecs
+    are mono by design. Emits before/after byte counts so the
+    achieved ratio is a queryable column."""
+    if codec not in ("adpcm", "mdct"):
+        raise ValueError(
+            f"transcode_audio: codec must be 'adpcm' or 'mdct' "
+            f"(got {codec!r})"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib as _z
+
+        from .media_av import (
+            decode_wav,
+            encode_wav_ima_adpcm,
+            encode_wav_mdct,
+        )
+
+        for pdf in it:
+            outs, nin, nout = [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                try:
+                    arr, rate = decode_wav(raw)
+                    if arr.shape[1] > 1:
+                        mono = (
+                            arr.astype(np.int32).sum(axis=1)
+                            // arr.shape[1]
+                        ).astype(np.int16)
+                    else:
+                        mono = arr[:, 0]
+                    enc = (
+                        encode_wav_ima_adpcm(mono, rate)
+                        if codec == "adpcm"
+                        else encode_wav_mdct(mono, rate)
+                    )
+                    outs.append(enc)
+                    nin.append(len(raw))
+                    nout.append(len(enc))
+                except (ValueError, _z.error, struct.error,
+                        IndexError, KeyError, OverflowError):
+                    outs.append(None)
+                    nin.append(len(raw))
+                    nout.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": outs,
+                    "n_bytes_in": pd.array(nin, dtype="Int64"),
+                    "n_bytes_out": pd.array(nout, dtype="Int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=TRANSCODE_SCHEMA
+    )
+
+
 VIDEO_SCHEMA = (
     "media_id long, n_frames long, width int, height int, fps int, "
     "ok boolean"

@@ -455,6 +455,15 @@ _VFP_PAIRS = """VALUES
              AS d3,
            TRUE AS ok
     FROM range(0, 40) t3(d)
+    UNION ALL
+    SELECT d AS doc_id, 'xcode' AS codec,
+           CAST(64 + (80 + (d * 13) % 60) // 2 AS BIGINT) AS d1,
+           CAST(80 + (d * 13) % 60 AS BIGINT) AS d2,
+           CAST(CASE WHEN d % 2 = 0 THEN -1500
+                ELSE FLOOR((-3000 + ((d + 7) * 173) % 3001) / 2.0)
+                END AS BIGINT) AS d3,
+           TRUE AS ok
+    FROM range(0, 24) t4(d)
     """,
 )
 def q94_codec_roundtrip(spark, sf_dir):
@@ -907,6 +916,67 @@ def q94_codec_roundtrip(spark, sf_dir):
         F.col("n_frames").cast("long").alias("d3"),
         "ok",
     )
+    # 'xcode' (round 13): the ingest-time COMPRESS pass —
+    # `transcode_audio` (PCM → ADPCM, stereo downmixed by integer
+    # mean) chained into `decode_audio_adpcm` on the transcoded
+    # payloads, so the branch drives transcode + decode end to end.
+    # ADPCM's fixed-rate layout makes the compressed byte count an
+    # exact function of n (64 + n//2 for sub-block signals), and the
+    # block header carries the first DOWNMIXED sample verbatim — both
+    # oracle-re-derived from the generator formula, stereo legs
+    # included (floor-division downmix is engine-exact).
+    from ..operators.media_av import encode_wav
+    from ..operators.multimodal import transcode_audio
+
+    def make_pcm(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for raw in pdf["media_id"]:
+                d = int(raw)
+                n = 80 + (d * 13) % 60
+                rate = 8000 + (d % 3) * 4000
+                ch = 1 + d % 2
+                t = np.arange(n * ch, dtype=np.int64)
+                sig = ((t * (d + 7) * 173) % 3001 - 1500).astype(
+                    np.int16
+                ).reshape(n, ch)
+                payloads.append(encode_wav(sig, rate))
+                ids.append(d)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "source": "synthetic",
+                }
+            )
+
+    pcm_media = (
+        spark.range(24)
+        .select(F.col("id").alias("media_id"))
+        .mapInPandas(make_pcm, schema=MEDIA_SCHEMA)
+    )
+    xcoded = transcode_audio(pcm_media, codec="adpcm")
+    xdec = decode_audio_adpcm(
+        xcoded.select("media_id", "payload")
+    ).select(
+        "media_id",
+        F.col("n_samples").cast("long").alias("d2"),
+        F.col("first_sample").cast("long").alias("d3"),
+        "ok",
+    )
+    xcode = (
+        xcoded.select(
+            "media_id",
+            F.col("n_bytes_out").alias("d1"),
+        )
+        .join(xdec, "media_id")
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.lit("xcode").alias("codec"),
+            "d1", "d2", "d3", "ok",
+        )
+    )
     ifv = decode_video_ifv(ifv_media).select(
         F.col("media_id").alias("doc_id"),
         F.lit("ifv").alias("codec"),
@@ -930,4 +1000,5 @@ def q94_codec_roundtrip(spark, sf_dir):
         .unionByName(adpcm)
         .unionByName(ifv)
         .unionByName(mdct)
+        .unionByName(xcode)
     )

