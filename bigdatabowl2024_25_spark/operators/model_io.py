@@ -30,6 +30,11 @@ Scale split, deliberate:
   potentially GBs before pruning) → saved as a DISTRIBUTED union
   write with no collect and loaded back as DataFrames, so the
   train-once/score-many story holds at 100 TB.
+
+Out of scope on purpose: MLlib estimators/PipelineModels — Spark
+ships native `model.save(path)` / `PipelineModel.load(path)` ML
+persistence for those; this module covers exactly the trained state
+that has NO built-in persistence story.
 """
 
 from __future__ import annotations
