@@ -923,3 +923,117 @@ def decode_wav_mdct(payload: bytes) -> tuple[np.ndarray, int]:
         np.clip(np.round(y), -32768, 32767).astype(np.int16),
         rate,
     )
+
+
+def sample_ifv_frames(
+    payload: bytes, every_n: int = 1
+) -> list[np.ndarray]:
+    """Frame sampling with GOP-level pruning — the inter-frame
+    analogue of `sample_avi_frames`' chunk slicing: a P-frame needs
+    its GOP's earlier frames, so per-frame pruning is impossible, but
+    whole GOPs containing no kept frame are SKIPPED without inflating
+    a single byte of them (the keyframe flags in the container mark
+    the boundaries). This is exactly why the GOP is the executor
+    split unit at 100 TB: decode cost scales with the GOPs you
+    touch, not the stream length. Within a touched GOP, frames decode
+    up to the last kept index only."""
+    if every_n < 1:
+        raise ValueError("sample_ifv_frames: every_n must be >= 1")
+    data = bytes(payload)
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
+    dims: list[int] | None = None
+    bodies: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal dims
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            if pos + 8 + ln > end:
+                raise ValueError(f"truncated {cid!r} chunk")
+            if cid == b"LIST":
+                walk(pos + 12, pos + 8 + ln)
+            elif cid == b"avih":
+                if ln < 40:
+                    raise ValueError("avih too short")
+                vals = struct.unpack("<10I", data[pos + 8 : pos + 48])
+                dims = [vals[9], vals[8]]
+            elif cid in (b"00dc", b"00db"):
+                body = data[pos + 8 : pos + 8 + ln]
+                if len(body) & 1 and body[-1:] == b"\x00":
+                    body = body[:-1]
+                bodies.append(body)
+            pos += 8 + ln + (ln & 1)
+
+    walk(12, end)
+    if not bodies or dims is None:
+        raise ValueError("no video frames found")
+    # GOP boundaries from the frame-type bytes (no inflate needed)
+    gop_starts = [
+        i for i, b in enumerate(bodies) if b[:1] == b"I"
+    ]
+    if not gop_starts or gop_starts[0] != 0:
+        raise ValueError("stream does not start with an I-frame")
+    keep = set(range(0, len(bodies), every_n))
+    # decode only GOPs that contain a kept frame, and within each
+    # only up to its last kept index
+    import zlib
+
+    h, w = dims
+    out: dict[int, np.ndarray] = {}
+    bounds = gop_starts + [len(bodies)]
+    for g0, g1 in zip(bounds, bounds[1:]):
+        kept_here = [i for i in range(g0, g1) if i in keep]
+        if not kept_here:
+            continue  # whole GOP skipped — zero inflate cost
+        prev: np.ndarray | None = None
+        for i in range(g0, kept_here[-1] + 1):
+            body = bodies[i]
+            if body[:1] == b"I":
+                raw = zlib.decompress(body[1:])
+                if len(raw) != h * w * 3:
+                    raise ValueError("I-frame size mismatch")
+                f = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+                prev = _ifv_pad(f, _IFV_BLOCK)
+                if i in keep:
+                    out[i] = f
+                continue
+            if body[:1] != b"P" or prev is None or len(body) < 3:
+                raise ValueError("malformed P-frame in GOP")
+            q, B = body[1], body[2]
+            ph, pw = prev.shape[:2]
+            if q < 2 or B == 0 or ph % B or pw % B:
+                raise ValueError("corrupt P-frame header")
+            nbh, nbw = ph // B, pw // B
+            raw = zlib.decompress(body[3:])
+            n_mv = nbh * nbw * 2
+            if len(raw) != n_mv + ph * pw * 3:
+                raise ValueError("P-frame payload size mismatch")
+            mv = np.frombuffer(raw[:n_mv], dtype=np.int8).reshape(
+                nbh, nbw, 2
+            )
+            rq = np.frombuffer(raw[n_mv:], dtype=np.int8).reshape(
+                ph, pw, 3
+            )
+            pred = np.empty((ph, pw, 3), dtype=np.int16)
+            for dy, dx in np.unique(mv.reshape(-1, 2), axis=0):
+                shifted = _ifv_shift(prev, int(dy), int(dx)).astype(
+                    np.int16
+                )
+                mask = np.repeat(
+                    np.repeat(
+                        (mv[:, :, 0] == dy) & (mv[:, :, 1] == dx),
+                        B, axis=0,
+                    ),
+                    B, axis=1,
+                )
+                pred[mask] = shifted[mask]
+            recon = np.clip(
+                pred + rq.astype(np.int16) * int(q), 0, 255
+            ).astype(np.uint8)
+            prev = recon
+            if i in keep:
+                out[i] = recon[:h, :w]
+    return [out[i] for i in sorted(out)]

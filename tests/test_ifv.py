@@ -223,3 +223,26 @@ def test_ifv_fuzz_roundtrip_bound():
         for f, o in zip(frames, out):
             assert o.shape == f.shape
             assert int(np.abs(o.astype(int) - f.astype(int)).max()) <= bound
+
+
+def test_sample_ifv_frames_gop_pruning():
+    """GOP-pruned sampling returns exactly the frames full decode
+    returns at those indices (bit-identical — the closed loop means a
+    partially-decoded GOP reconstructs the same states), and the
+    guard contract holds."""
+    frames = _scene(n=12)
+    p = encode_avi_ifv(frames, fps=5, q=6, gop=3)
+    from bigdatabowl2024_25_spark.operators.media_av import (
+        sample_ifv_frames,
+    )
+
+    full, _ = decode_avi_ifv(p)
+    for every_n in (1, 2, 4, 5, 7, 12):
+        got = sample_ifv_frames(p, every_n)
+        want = full[::every_n]
+        assert len(got) == len(want)
+        assert all((g == w).all() for g, w in zip(got, want))
+    with pytest.raises(ValueError, match="every_n"):
+        sample_ifv_frames(p, 0)
+    with pytest.raises(ValueError, match="RIFF"):
+        sample_ifv_frames(b"junk")
