@@ -529,6 +529,10 @@ def encode_avi_ifv(
             raise ValueError(
                 "encode_avi_ifv: frames must be (h, w, 3) uint8 RGB"
             )
+        if f.shape[0] == 0 or f.shape[1] == 0:
+            raise ValueError(
+                "encode_avi_ifv: zero-area frames are not encodable"
+            )
         if f.shape[:2] != (h, w):
             raise ValueError(
                 "encode_avi_ifv: all frames must share dimensions"
@@ -864,6 +868,11 @@ def mdct_info(payload: bytes) -> dict:
     )
     if ch != 1:
         raise ValueError("mono MDCT only")
+    if frame < 16 or frame & (frame - 1) or not 2 <= qbits <= 15:
+        # validate HERE: half=0 from a corrupt header would divide by
+        # zero below, an unhandled ZeroDivisionError instead of the
+        # ValueError the errors='coerce' path catches
+        raise ValueError("corrupt MDCT frame/qbits header")
     half = frame // 2
     n_frames = (n_samples + half - 1) // half + 1
     return {

@@ -99,19 +99,31 @@ def save_quality_weights(
     rejects gaps."""
     if not weights:
         raise ValueError("save_quality_weights: empty weight vector")
+    import math
+
+    # finiteness matters, not just type: a NaN weight would roundtrip
+    # as NaN and then poison every logit it touches downstream, with
+    # the artifact itself looking healthy (NaN != NaN also breaks any
+    # later equality audit silently)
     bad = [
         (i, w) for i, w in enumerate(weights)
-        if isinstance(w, bool) or not isinstance(w, numbers.Real)
+        if isinstance(w, bool)
+        or not isinstance(w, numbers.Real)
+        or not math.isfinite(float(w))
     ]
     if bad:
         raise ValueError(
-            f"save_quality_weights: non-numeric weights {bad[:3]}"
+            f"save_quality_weights: non-numeric/non-finite weights "
+            f"{bad[:3]}"
         )
-    if isinstance(intercept, bool) or not isinstance(
-        intercept, numbers.Real
+    if (
+        isinstance(intercept, bool)
+        or not isinstance(intercept, numbers.Real)
+        or not math.isfinite(float(intercept))
     ):
         raise ValueError(
-            f"save_quality_weights: non-numeric intercept {intercept!r}"
+            f"save_quality_weights: non-numeric/non-finite intercept "
+            f"{intercept!r}"
         )
     rows = [
         _row("weight", rank=i, dval=float(w))

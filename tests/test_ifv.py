@@ -246,3 +246,10 @@ def test_sample_ifv_frames_gop_pruning():
         sample_ifv_frames(p, 0)
     with pytest.raises(ValueError, match="RIFF"):
         sample_ifv_frames(b"junk")
+
+
+def test_zero_area_frames_rejected():
+    with pytest.raises(ValueError, match="zero-area"):
+        encode_avi_ifv([np.zeros((0, 8, 3), dtype=np.uint8)])
+    with pytest.raises(ValueError, match="zero-area"):
+        encode_avi_ifv([np.zeros((8, 0, 3), dtype=np.uint8)])

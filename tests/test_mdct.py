@@ -220,3 +220,18 @@ def test_transcode_audio_both_codecs(spark):
         ).astype(np.int16)
         y1, _ = dec(bytes(got[1].payload))
         assert _snr(want, y1) > 15.0
+
+
+def test_corrupt_frame_header_is_valueerror_not_zerodivision():
+    """A corrupt frame field (0) must surface as ValueError from
+    mdct_info itself — half=0 would otherwise divide by zero before
+    decode's guard, escaping the errors='coerce' exception set."""
+    x = _mix(n=500)
+    good = bytearray(encode_wav_mdct(x, 16000))
+    i = good.index(b"fmt ")
+    # frame lives at fmt-body offset 18 (tag2+ch2+rate4+br4+ba2+bits2+cb2)
+    struct.pack_into("<H", good, i + 8 + 18, 0)
+    with pytest.raises(ValueError, match="corrupt MDCT"):
+        mdct_info(bytes(good))
+    with pytest.raises(ValueError, match="corrupt MDCT"):
+        decode_wav_mdct(bytes(good))

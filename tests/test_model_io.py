@@ -245,3 +245,45 @@ def test_model_io_guards(spark, tmp_path):
     ).write.parquet(bad)
     with pytest.raises(ValueError, match="trees"):
         load_model(spark, bad)
+
+
+def test_round13_edge_hardening(spark, tmp_path):
+    """Round-13 proactive edge pass on the round's own surface:
+    non-finite quality weights rejected loudly; degenerate model
+    shapes (a stump-depth GBDT, an MLP with NO hidden layers)
+    roundtrip bit-exactly; CatBoost without categoricals roundtrips
+    through the same artifact shape."""
+    import math
+
+    import numpy as np
+
+    with pytest.raises(ValueError, match="non-finite"):
+        save_quality_weights(
+            spark, str(tmp_path / "x"), [0.1, float("nan")], 0.0
+        )
+    with pytest.raises(ValueError, match="non-finite"):
+        save_quality_weights(
+            spark, str(tmp_path / "x"), [0.1], float("inf")
+        )
+
+    from bigdatabowl2024_25_spark.ml import (
+        NumpyCatBoostClassifier,
+        NumpyGBDTClassifier,
+        NumpyMLPClassifier,
+    )
+
+    df = _clf_frame(spark, n=80)
+    # stump-class GBDT (max_depth=1) and a no-hidden-layer MLP
+    for name, m in (
+        ("stump", NumpyGBDTClassifier(
+            "lab", ["f1", "f2"], n_rounds=2, max_depth=1).fit(df)),
+        ("mlp0", NumpyMLPClassifier(
+            "lab", ["f1", "f2"], hidden=(), epochs=10).fit(df)),
+        ("cb_nocat", NumpyCatBoostClassifier(
+            "lab", ["f1", "f2"], n_rounds=2, depth=1).fit(df)),
+    ):
+        p = str(tmp_path / name)
+        save_model(spark, p, m)
+        loaded = load_model(spark, p)
+        assert _probs(loaded.transform(df)) == _probs(m.transform(df)), name
+    assert load_model(spark, str(tmp_path / "mlp0")).hidden == ()
