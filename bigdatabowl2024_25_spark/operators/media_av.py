@@ -455,6 +455,41 @@ def _ifv_pad(frame: np.ndarray, B: int) -> np.ndarray:
     return frame
 
 
+_DCT8: np.ndarray | None = None
+
+
+def _dct8() -> np.ndarray:
+    """Orthonormal 8×8 DCT-II matrix (C @ C.T == I), cached — the
+    same transform class JPEG and H.26x residual coding use."""
+    global _DCT8
+    if _DCT8 is None:
+        x = np.arange(8)
+        C = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16.0)
+        C *= np.sqrt(2.0 / 8.0)
+        C[0] *= 1.0 / np.sqrt(2.0)
+        _DCT8 = C
+    return _DCT8
+
+
+def _blocks_dct(resid: np.ndarray) -> np.ndarray:
+    """Per-8×8-block, per-channel forward DCT of a (ph, pw, 3)
+    residual plane (ph, pw multiples of 8)."""
+    C = _dct8()
+    ph, pw = resid.shape[:2]
+    R = resid.reshape(ph // 8, 8, pw // 8, 8, 3).astype(np.float64)
+    D = np.einsum("ub,ibjck,vc->iujvk", C, R, C, optimize=True)
+    return D.reshape(ph, pw, 3)
+
+
+def _blocks_idct(coef: np.ndarray) -> np.ndarray:
+    """Inverse of `_blocks_dct` (orthonormal → transpose)."""
+    C = _dct8()
+    ph, pw = coef.shape[:2]
+    D = coef.reshape(ph // 8, 8, pw // 8, 8, 3)
+    R = np.einsum("ub,iujvk,vc->ibjck", C, D, C, optimize=True)
+    return R.reshape(ph, pw, 3)
+
+
 def _ifv_shift(frame: np.ndarray, dy: int, dx: int) -> np.ndarray:
     """Motion-compensated source block fetch with border clamp
     (unrestricted MVs: out-of-frame references clamp to the edge —
@@ -471,6 +506,7 @@ def encode_avi_ifv(
     q: int = 8,
     gop: int = 8,
     search: int = 4,
+    transform: bool = False,
 ) -> bytes:
     """List of (h, w, 3) uint8 RGB frames → RIFF 'AVI ' bytes with one
     'IFV1' video stream — a real INTER-FRAME codec with the structure
@@ -496,10 +532,23 @@ def encode_avi_ifv(
       q//2 + 1 for q ≥ 2 (the +1 from the int8 clip at |r| = 255;
       rounding is IEEE round-half-even, identical on every platform).
 
+    **Transform mode** (round 13, `transform=True`): residuals are
+    DCT-quantized instead of spatially quantized — per 8×8 block per
+    channel, an orthonormal DCT-II, uniform quantization by `q` in
+    the COEFFICIENT domain (int16 mantissas), inverse transform in
+    the closed loop. This is the transform-coded video family's
+    structure (H.26x residual coding minus the standard entropy
+    tables): smooth residual energy compacts into few coefficients,
+    so typical error is ~q/√12 RMS rather than a hard per-pixel
+    bound (orthonormality preserves L2), pinned by SNR tests. Frame
+    type 'T'; spatial mode stays byte-identical to pre-round-13.
+
     Frame chunks are self-describing ('I' + zlib(raw) /
-    'P' + q + B + zlib(mv ‖ residual)), so the decoder needs no
-    side-band beyond the AVI headers. Deterministic: same frames →
-    same bytes (fixed zlib level, no RNG)."""
+    'P'|'T' + q + B + zlib(mv ‖ residual|coeffs)), so the decoder
+    needs no side-band beyond the AVI headers. Deterministic: same
+    frames → same bytes (fixed zlib level, no RNG; the transform
+    mode is float and deterministic per BLAS build, the JPEG/MDCT
+    policy)."""
     import zlib
 
     if not frames:
@@ -565,18 +614,37 @@ def encode_avi_ifv(
             )
             pred[mask] = shifted[mask]
         resid = cur - pred
-        rq = np.clip(np.round(resid / q), -127, 127).astype(np.int8)
-        recon = np.clip(
-            pred + rq.astype(np.int16) * q, 0, 255
-        ).astype(np.uint8)
         mv = np.empty((nbh, nbw, 2), dtype=np.int8)
         for ci in np.unique(best):
             mv[best == ci] = cands[ci]
-        chunks.append(
-            b"P"
-            + bytes([q, B])
-            + zlib.compress(mv.tobytes() + rq.tobytes(), 6)
-        )
+        if transform:
+            # coefficient-domain quantization: |DCT| ≤ 8·255 = 2040
+            # for ±255 residuals (orthonormal max gain √64), so /q≥2
+            # always fits int16 — the clip is belt-and-braces
+            cq = np.clip(
+                np.round(_blocks_dct(resid) / q), -32767, 32767
+            ).astype("<i2")
+            resid_hat = np.round(
+                _blocks_idct(cq.astype(np.float64) * q)
+            ).astype(np.int16)
+            recon = np.clip(pred + resid_hat, 0, 255).astype(np.uint8)
+            chunks.append(
+                b"T"
+                + bytes([q, B])
+                + zlib.compress(mv.tobytes() + cq.tobytes(), 6)
+            )
+        else:
+            rq = np.clip(
+                np.round(resid / q), -127, 127
+            ).astype(np.int8)
+            recon = np.clip(
+                pred + rq.astype(np.int16) * q, 0, 255
+            ).astype(np.uint8)
+            chunks.append(
+                b"P"
+                + bytes([q, B])
+                + zlib.compress(mv.tobytes() + rq.tobytes(), 6)
+            )
         keyflags.append(False)
         prev = recon
 
@@ -657,7 +725,8 @@ def decode_avi_ifv(payload: bytes) -> tuple[list[np.ndarray], int]:
             frames.append(f)
             prev = _ifv_pad(f, _IFV_BLOCK)
             return
-        if body[0:1] != b"P":
+        kind = body[0:1]
+        if kind not in (b"P", b"T"):
             raise ValueError(
                 f"unknown IFV frame type {body[0:1]!r}"
             )
@@ -668,23 +737,31 @@ def decode_avi_ifv(payload: bytes) -> tuple[list[np.ndarray], int]:
         q, B = body[1], body[2]
         if q < 2 or B == 0:
             raise ValueError("corrupt P-frame quantizer/block size")
+        if kind == b"T" and B != _IFV_BLOCK:
+            raise ValueError("T-frame block size must be 8 (DCT grid)")
         ph, pw = prev.shape[:2]
         if ph % B or pw % B:
             raise ValueError("P-frame block size mismatch")
         nbh, nbw = ph // B, pw // B
         raw = zlib.decompress(body[3:])
         n_mv = nbh * nbw * 2
-        if len(raw) != n_mv + ph * pw * 3:
+        unit = 2 if kind == b"T" else 1
+        if len(raw) != n_mv + ph * pw * 3 * unit:
             raise ValueError(
                 f"P-frame payload size {len(raw)} != "
-                f"{n_mv} mv + {ph * pw * 3} residual bytes"
+                f"{n_mv} mv + {ph * pw * 3 * unit} residual bytes"
             )
         mv = np.frombuffer(raw[:n_mv], dtype=np.int8).reshape(
             nbh, nbw, 2
         )
-        rq = np.frombuffer(raw[n_mv:], dtype=np.int8).reshape(
-            ph, pw, 3
-        )
+        if kind == b"T":
+            rq = np.frombuffer(raw[n_mv:], dtype="<i2").reshape(
+                ph, pw, 3
+            )
+        else:
+            rq = np.frombuffer(raw[n_mv:], dtype=np.int8).reshape(
+                ph, pw, 3
+            )
         pred = np.empty((ph, pw, 3), dtype=np.int16)
         flat = mv.reshape(-1, 2)
         for dy, dx in np.unique(flat, axis=0):
@@ -699,9 +776,15 @@ def decode_avi_ifv(payload: bytes) -> tuple[list[np.ndarray], int]:
                 B, axis=1,
             )
             pred[mask] = shifted[mask]
-        recon = np.clip(
-            pred + rq.astype(np.int16) * int(q), 0, 255
-        ).astype(np.uint8)
+        if kind == b"T":
+            resid_hat = np.round(
+                _blocks_idct(rq.astype(np.float64) * int(q))
+            ).astype(np.int16)
+            recon = np.clip(pred + resid_hat, 0, 255).astype(np.uint8)
+        else:
+            recon = np.clip(
+                pred + rq.astype(np.int16) * int(q), 0, 255
+            ).astype(np.uint8)
         frames.append(recon[:h, :w])
         prev = recon
 
@@ -1009,7 +1092,7 @@ def sample_ifv_frames(
                 if i in keep:
                     out[i] = f
                 continue
-            if body[:1] != b"P" or prev is None or len(body) < 3:
+            if body[:1] not in (b"P", b"T") or prev is None or len(body) < 3:
                 raise ValueError("malformed P-frame in GOP")
             q, B = body[1], body[2]
             ph, pw = prev.shape[:2]
@@ -1018,14 +1101,20 @@ def sample_ifv_frames(
             nbh, nbw = ph // B, pw // B
             raw = zlib.decompress(body[3:])
             n_mv = nbh * nbw * 2
-            if len(raw) != n_mv + ph * pw * 3:
+            unit = 2 if body[:1] == b"T" else 1
+            if len(raw) != n_mv + ph * pw * 3 * unit:
                 raise ValueError("P-frame payload size mismatch")
             mv = np.frombuffer(raw[:n_mv], dtype=np.int8).reshape(
                 nbh, nbw, 2
             )
-            rq = np.frombuffer(raw[n_mv:], dtype=np.int8).reshape(
-                ph, pw, 3
-            )
+            if body[:1] == b"T":
+                rq = np.frombuffer(raw[n_mv:], dtype="<i2").reshape(
+                    ph, pw, 3
+                )
+            else:
+                rq = np.frombuffer(raw[n_mv:], dtype=np.int8).reshape(
+                    ph, pw, 3
+                )
             pred = np.empty((ph, pw, 3), dtype=np.int16)
             for dy, dx in np.unique(mv.reshape(-1, 2), axis=0):
                 shifted = _ifv_shift(prev, int(dy), int(dx)).astype(
@@ -1039,9 +1128,17 @@ def sample_ifv_frames(
                     B, axis=1,
                 )
                 pred[mask] = shifted[mask]
-            recon = np.clip(
-                pred + rq.astype(np.int16) * int(q), 0, 255
-            ).astype(np.uint8)
+            if body[:1] == b"T":
+                resid_hat = np.round(
+                    _blocks_idct(rq.astype(np.float64) * int(q))
+                ).astype(np.int16)
+                recon = np.clip(pred + resid_hat, 0, 255).astype(
+                    np.uint8
+                )
+            else:
+                recon = np.clip(
+                    pred + rq.astype(np.int16) * int(q), 0, 255
+                ).astype(np.uint8)
             prev = recon
             if i in keep:
                 out[i] = recon[:h, :w]

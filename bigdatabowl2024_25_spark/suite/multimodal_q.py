@@ -851,8 +851,16 @@ def q94_codec_roundtrip(spark, sf_dir):
                     ).astype(np.uint8)
                     for i in range(nf)
                 ]
+                # odd docs ride the TRANSFORM mode ('T' frames, DCT
+                # residual coding) — both modes share the oracle rows
+                # (header fields + the lossless first I-frame pixel
+                # are mode-independent), so the driver gate covers
+                # the transform decode path too
                 payloads.append(
-                    encode_avi_ifv(frames, fps=5, q=6, gop=3)
+                    encode_avi_ifv(
+                        frames, fps=5, q=6, gop=3,
+                        transform=bool(d % 2),
+                    )
                 )
                 ids.append(d)
             yield pd.DataFrame(

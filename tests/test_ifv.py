@@ -253,3 +253,65 @@ def test_zero_area_frames_rejected():
         encode_avi_ifv([np.zeros((0, 8, 3), dtype=np.uint8)])
     with pytest.raises(ValueError, match="zero-area"):
         encode_avi_ifv([np.zeros((8, 0, 3), dtype=np.uint8)])
+
+
+def test_transform_mode_roundtrip_and_seams():
+    """The DCT transform mode ('T' frames): orthonormality preserves
+    L2 so the coefficient-domain quantizer gives ~q/sqrt(12) RMS error
+    (pinned as a generous x3 band); I-frames stay lossless, the closed
+    loop holds across GOP seams, encoding is byte-stable, and the
+    spatial mode's bytes are untouched by the new parameter."""
+    frames = _scene(n=9)
+    q, gop = 8, 3
+    p = encode_avi_ifv(frames, fps=5, q=q, gop=gop, transform=True)
+    out, fps = decode_avi_ifv(p)
+    assert fps == 5 and len(out) == len(frames)
+    rms_budget = 3.0 * q / np.sqrt(12.0)
+    for i, (f, o) in enumerate(zip(frames, out)):
+        assert o.shape == f.shape
+        err = o.astype(float) - f.astype(float)
+        if i % gop == 0:
+            assert (o == f).all()
+        else:
+            assert float(np.sqrt((err ** 2).mean())) <= rms_budget, i
+    # determinism + default-mode byte stability
+    assert p == encode_avi_ifv(frames, fps=5, q=q, gop=gop, transform=True)
+    assert encode_avi_ifv(frames, fps=5, q=q, gop=gop) == encode_avi_ifv(
+        frames, fps=5, q=q, gop=gop, transform=False
+    )
+    # GOP-pruned sampling reconstructs T-frame GOPs bit-identically
+    from bigdatabowl2024_25_spark.operators.media_av import (
+        sample_ifv_frames,
+    )
+
+    for every_n in (2, 4):
+        got = sample_ifv_frames(p, every_n)
+        want = out[::every_n]
+        assert all((g == w).all() for g, w in zip(got, want))
+    # distributed decode reads T-mode files like any other IFV file
+    # (first frame is a lossless I-frame either way)
+
+
+def test_transform_mode_beats_spatial_on_smooth_content():
+    """Transform coding's reason to exist: on smooth residuals the
+    DCT compacts energy into few coefficients — at the same q the 'T'
+    mode must reconstruct strictly better (lower worst-frame RMSE) on
+    a smooth gradient scene, at a comparable payload size."""
+    yy, xx = np.mgrid[0:80, 0:100]
+    base = np.stack(
+        [(yy * 2 + xx) % 256, (yy + xx * 2) % 256, (yy * 3) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    frames = [base[i:i + 64, 2 * i:2 * i + 80].copy() for i in range(6)]
+
+    def worst_rmse(payload):
+        out, _ = decode_avi_ifv(payload)
+        return max(
+            float(np.sqrt(((o.astype(float) - f.astype(float)) ** 2).mean()))
+            for o, f in zip(out, frames)
+        )
+
+    ps = encode_avi_ifv(frames, fps=5, q=8, gop=6)
+    pt = encode_avi_ifv(frames, fps=5, q=8, gop=6, transform=True)
+    assert worst_rmse(pt) < worst_rmse(ps)
+    assert len(pt) < 2 * len(ps)
