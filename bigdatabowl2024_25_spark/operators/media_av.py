@@ -33,11 +33,12 @@ the last two multimodal stubs the environment allows:
 
 What remains honestly stubbed
 (`multimodal.decode_media(codec='real')`): STANDARDS-CONFORMANT
-perceptual audio (MP3/AAC — psychoacoustic models, standard Huffman
-tables, interchange bitstreams) and transform-coded video
-(H.264-class DCT/CABAC); both compression FAMILIES now have
-first-party members above, the stubs cover wire-format conformance
-only.
+bitstreams only — MP3/AAC (psychoacoustic models + standard Huffman
+tables) and H.26x (CABAC/CAVLC entropy conformance). Every
+compression TECHNIQUE family now has a first-party member above:
+predictive audio (ADPCM), transform audio (MDCT), inter-frame motion
+compensation (IFV), and transform-coded video residuals (IFV 'T'
+mode).
 
 Reference parity: the reference treats media as files on disk next to
 tracking data (`Visualization.R` renders plots to PNG/GIF); this layer

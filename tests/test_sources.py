@@ -218,3 +218,34 @@ def test_read_jsonl_schema_already_has_corrupt_col(spark, tmp_path):
     got = read_jsonl(spark, str(f), schema)
     assert got.schema.fieldNames().count("_corrupt_record") == 1
     assert got.count() == 1
+
+
+def test_binary_payload_parquet_roundtrip(spark, tmp_path):
+    """Round 13: binary-column parquet IO is byte-exact — the media
+    pipeline's storage contract. Payloads include non-UTF8 bytes, all
+    256 byte values, empty bytes, NULL, and a real codec output;
+    write_table partition-parallel, re-read, compare bytes."""
+    import numpy as np
+
+    from bigdatabowl2024_25_spark.operators.media_av import (
+        encode_wav_ima_adpcm,
+    )
+    from bigdatabowl2024_25_spark.sources.io import write_table
+
+    payloads = [
+        (0, bytes(range(256))),
+        (1, b"\xff\xfe\x00\x01ab"),
+        (2, b""),
+        (3, None),
+        (4, encode_wav_ima_adpcm(
+            (np.arange(100) % 97).astype(np.int16) * 100, 8000
+        )),
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    path = str(tmp_path / "blobs")
+    write_table(df, path)
+    back = {
+        r.media_id: (None if r.payload is None else bytes(r.payload))
+        for r in spark.read.parquet(path).collect()
+    }
+    assert back == dict(payloads)
