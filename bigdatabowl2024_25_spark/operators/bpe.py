@@ -1244,10 +1244,18 @@ def unigram_train(
                 "boundaries; pick a character outside the corpus "
                 "alphabet"
             )
-        freqs = freqs.select(
+        from .components import _release_checkpoint as _release
+
+        unmarked = freqs
+        # re-checkpoint the marker-prefixed reselect (cheap: one
+        # vocab-sized map over the existing checkpoint) and RELEASE
+        # the superseded blocks — without the release the unmarked
+        # word table stays pinned in executor storage for the session
+        freqs = unmarked.select(
             F.concat(F.lit(word_marker), F.col("word")).alias("word"),
             "n",
         ).localCheckpoint()
+        _release(unmarked)
     chars = (
         freqs.select(
             F.explode(F.split(F.col("word"), "")).alias("piece"), "n"
@@ -1347,13 +1355,45 @@ def unigram_encode(
     `word_marker` must match the trainer's: words are marker-prefixed
     before the DP so they segment under the marked vocabulary, and
     the document token stream then carries recoverable word
-    boundaries for `unigram_decode(word_marker=...)`."""
+    boundaries for `unigram_decode(word_marker=...)`. The trainer's
+    clash check covers only ITS corpus — a scoring-time document
+    containing the marker would encode an interior marker token and
+    decode would hallucinate a word boundary with no error anywhere,
+    so the encoder plants an in-plan tripwire (the encode_tokenizers
+    id-guard pattern: cost is one `contains` per DISTINCT word, no
+    extra pass or shuffle) that fails the job loudly instead."""
     if word_marker is None:
         seg = lambda w: _viterbi_pieces(w, vocab, unk)  # noqa: E731
     else:
-        seg = lambda w: _viterbi_pieces(  # noqa: E731
-            F.concat(F.lit(word_marker), w), vocab, unk
-        )
+        if len(word_marker) != 1:
+            raise ValueError(
+                "unigram_encode: word_marker must be a single char "
+                f"(got {word_marker!r})"
+            )
+
+        def seg(w):
+            clean = F.when(
+                F.assert_true(
+                    ~w.contains(word_marker),
+                    F.concat(
+                        F.lit(
+                            "unigram_encode: scoring corpus contains "
+                            f"the word marker {word_marker!r} (word="
+                        ),
+                        w,
+                        F.lit(
+                            ") — decode would hallucinate word "
+                            "boundaries; scrub the marker upstream or "
+                            "train/encode with a character outside "
+                            "the corpus alphabet"
+                        ),
+                    ),
+                ).isNull(),
+                w,
+            )
+            return _viterbi_pieces(
+                F.concat(F.lit(word_marker), clean), vocab, unk
+            )
     return _encode_via_word_mapping(
         df,
         text_col,

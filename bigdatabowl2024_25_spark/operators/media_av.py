@@ -501,6 +501,87 @@ def _ifv_shift(frame: np.ndarray, dy: int, dx: int) -> np.ndarray:
     return frame[ys][:, xs]
 
 
+def _bounded_inflate(data: bytes, expected: int, what: str) -> bytes:
+    """zlib inflate with the output size KNOWN from headers and
+    enforced during decompression — an attacker-sized stream (a
+    decompression bomb in a 100 KB payload) must raise the coerce
+    path's ValueError after at most `expected`+1 bytes, never OOM an
+    executor. Also rejects short streams and trailing garbage."""
+    import zlib
+
+    d = zlib.decompressobj()
+    raw = d.decompress(data, expected + 1)
+    # allow exactly one trailing NUL: RIFF chunks are word-aligned, so
+    # an odd-length zlib stream legitimately carries one pad byte
+    # after it (the old unbounded zlib.decompress ignored trailing
+    # garbage entirely; this keeps only the legal pad)
+    if (
+        len(raw) != expected
+        or not d.eof
+        or d.unused_data not in (b"", b"\x00")
+        or d.unconsumed_tail
+    ):
+        raise ValueError(
+            f"{what} size mismatch (expected {expected} bytes)"
+        )
+    return raw
+
+
+def _decode_ifv_iframe(body: bytes, h: int, w: int) -> np.ndarray:
+    raw = _bounded_inflate(body[1:], h * w * 3, "I-frame")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _decode_ifv_pframe(prev: np.ndarray, body: bytes) -> np.ndarray:
+    """Shared P/T-frame reconstruction (decode_avi_ifv AND
+    sample_ifv_frames — ONE copy, so the two decoders cannot
+    diverge): parse mv + residual/coefficients, rebuild the
+    motion-compensated prediction from the previous RECONSTRUCTED
+    frame, add the dequantized residual. Returns the PADDED
+    reconstruction (callers crop)."""
+    kind = body[0:1]
+    if kind not in (b"P", b"T"):
+        raise ValueError(f"unknown IFV frame type {kind!r}")
+    if len(body) < 3:
+        raise ValueError("truncated P-frame header")
+    q, B = body[1], body[2]
+    if q < 2 or B == 0:
+        raise ValueError("corrupt P-frame quantizer/block size")
+    if kind == b"T" and B != _IFV_BLOCK:
+        raise ValueError("T-frame block size must be 8 (DCT grid)")
+    ph, pw = prev.shape[:2]
+    if ph % B or pw % B:
+        raise ValueError("P-frame block size mismatch")
+    nbh, nbw = ph // B, pw // B
+    n_mv = nbh * nbw * 2
+    unit = 2 if kind == b"T" else 1
+    raw = _bounded_inflate(
+        body[3:], n_mv + ph * pw * 3 * unit, "P-frame payload"
+    )
+    mv = np.frombuffer(raw[:n_mv], dtype=np.int8).reshape(nbh, nbw, 2)
+    rq = np.frombuffer(
+        raw[n_mv:], dtype="<i2" if kind == b"T" else np.int8
+    ).reshape(ph, pw, 3)
+    pred = np.empty((ph, pw, 3), dtype=np.int16)
+    for dy, dx in np.unique(mv.reshape(-1, 2), axis=0):
+        shifted = _ifv_shift(prev, int(dy), int(dx)).astype(np.int16)
+        mask = np.repeat(
+            np.repeat(
+                (mv[:, :, 0] == dy) & (mv[:, :, 1] == dx), B, axis=0
+            ),
+            B, axis=1,
+        )
+        pred[mask] = shifted[mask]
+    if kind == b"T":
+        resid_hat = np.round(
+            _blocks_idct(rq.astype(np.float64) * int(q))
+        ).astype(np.int16)
+        return np.clip(pred + resid_hat, 0, 255).astype(np.uint8)
+    return np.clip(
+        pred + rq.astype(np.int16) * int(q), 0, 255
+    ).astype(np.uint8)
+
+
 def encode_avi_ifv(
     frames: list[np.ndarray],
     fps: int = 10,
@@ -562,6 +643,10 @@ def encode_avi_ifv(
         )
     if gop < 1:
         raise ValueError("encode_avi_ifv: gop must be >= 1")
+    if not 1 <= fps <= 1_000_000:
+        # 0 divides; negative breaks the '<I' pack; >1e6 would write
+        # us_per_frame=0 and decode as fps=0 — all silent wrongness
+        raise ValueError("encode_avi_ifv: fps must be in [1, 1000000]")
     if not 0 <= search <= 120:
         raise ValueError("encode_avi_ifv: search must be in [0, 120]")
     h, w = frames[0].shape[:2]
@@ -698,8 +783,6 @@ def decode_avi_ifv(payload: bytes) -> tuple[list[np.ndarray], int]:
     construction. ValueError on anything malformed (not AVI, P-frame
     before any I-frame, truncated/oversized frame bodies), so the
     Spark errors='coerce' path can null rows."""
-    import zlib
-
     data = bytes(payload)
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
@@ -717,75 +800,17 @@ def decode_avi_ifv(payload: bytes) -> tuple[list[np.ndarray], int]:
         if not body:
             raise ValueError("empty IFV frame chunk")
         if body[0:1] == b"I":
-            raw = zlib.decompress(body[1:])
-            if len(raw) != h * w * 3:
-                raise ValueError(
-                    f"I-frame size {len(raw)} != {h}x{w}x3"
-                )
-            f = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+            f = _decode_ifv_iframe(body, h, w)
             frames.append(f)
             prev = _ifv_pad(f, _IFV_BLOCK)
             return
-        kind = body[0:1]
-        if kind not in (b"P", b"T"):
+        if body[0:1] not in (b"P", b"T"):
             raise ValueError(
                 f"unknown IFV frame type {body[0:1]!r}"
             )
         if prev is None:
             raise ValueError("P-frame before any I-frame")
-        if len(body) < 3:
-            raise ValueError("truncated P-frame header")
-        q, B = body[1], body[2]
-        if q < 2 or B == 0:
-            raise ValueError("corrupt P-frame quantizer/block size")
-        if kind == b"T" and B != _IFV_BLOCK:
-            raise ValueError("T-frame block size must be 8 (DCT grid)")
-        ph, pw = prev.shape[:2]
-        if ph % B or pw % B:
-            raise ValueError("P-frame block size mismatch")
-        nbh, nbw = ph // B, pw // B
-        raw = zlib.decompress(body[3:])
-        n_mv = nbh * nbw * 2
-        unit = 2 if kind == b"T" else 1
-        if len(raw) != n_mv + ph * pw * 3 * unit:
-            raise ValueError(
-                f"P-frame payload size {len(raw)} != "
-                f"{n_mv} mv + {ph * pw * 3 * unit} residual bytes"
-            )
-        mv = np.frombuffer(raw[:n_mv], dtype=np.int8).reshape(
-            nbh, nbw, 2
-        )
-        if kind == b"T":
-            rq = np.frombuffer(raw[n_mv:], dtype="<i2").reshape(
-                ph, pw, 3
-            )
-        else:
-            rq = np.frombuffer(raw[n_mv:], dtype=np.int8).reshape(
-                ph, pw, 3
-            )
-        pred = np.empty((ph, pw, 3), dtype=np.int16)
-        flat = mv.reshape(-1, 2)
-        for dy, dx in np.unique(flat, axis=0):
-            shifted = _ifv_shift(prev, int(dy), int(dx)).astype(
-                np.int16
-            )
-            mask = np.repeat(
-                np.repeat(
-                    (mv[:, :, 0] == dy) & (mv[:, :, 1] == dx),
-                    B, axis=0,
-                ),
-                B, axis=1,
-            )
-            pred[mask] = shifted[mask]
-        if kind == b"T":
-            resid_hat = np.round(
-                _blocks_idct(rq.astype(np.float64) * int(q))
-            ).astype(np.int16)
-            recon = np.clip(pred + resid_hat, 0, 255).astype(np.uint8)
-        else:
-            recon = np.clip(
-                pred + rq.astype(np.int16) * int(q), 0, 255
-            ).astype(np.uint8)
+        recon = _decode_ifv_pframe(prev, body)
         frames.append(recon[:h, :w])
         prev = recon
 
@@ -881,9 +906,14 @@ def encode_wav_mdct(
         raise ValueError("encode_wav_mdct: int16 samples required")
     if len(samples) == 0:
         raise ValueError("encode_wav_mdct: empty input")
-    if frame < 16 or frame & (frame - 1):
+    if frame < 16 or frame > 32768 or frame & (frame - 1):
+        # upper bound: the header stores frame in a 16-bit field; an
+        # oversized value would die in struct.pack as struct.error —
+        # which errors='coerce' wrappers CATCH, silently coercing a
+        # caller configuration error into all-null rows
         raise ValueError(
-            "encode_wav_mdct: frame must be a power of two >= 16"
+            "encode_wav_mdct: frame must be a power of two in "
+            "[16, 32768]"
         )
     if not 2 <= qbits <= 15:
         raise ValueError("encode_wav_mdct: qbits must be in [2, 15]")
@@ -930,8 +960,12 @@ def mdct_info(payload: bytes) -> dict:
     (ceil(n/(frame/2)) + 1). ValueError on non-MDCT input."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
+    # bound the walk at the RIFF-declared size (the decode_wav rule):
+    # bytes appended past the envelope (concatenated streams, forged
+    # trailing fact/data chunks) must be invisible, not last-wins
+    end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
     pos, fmt_raw, n_samples = 12, None, None
-    while pos + 8 <= len(payload):
+    while pos + 8 <= end:
         cid = payload[pos:pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8:pos + 8 + size]
@@ -981,8 +1015,9 @@ def decode_wav_mdct(payload: bytes) -> tuple[np.ndarray, int]:
     n_samples, rate = info["n_samples"], info["sample_rate"]
     if frame < 16 or frame & (frame - 1) or not 2 <= qbits <= 15:
         raise ValueError("corrupt MDCT frame/qbits header")
+    end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
     pos, data = 12, None
-    while pos + 8 <= len(payload):
+    while pos + 8 <= end:
         cid = payload[pos:pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         if cid == b"data":
@@ -990,16 +1025,11 @@ def decode_wav_mdct(payload: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)
     if data is None:
         raise ValueError("missing data chunk")
-    raw = zlib.decompress(data)
     half = frame // 2
     nfr = info["n_frames"]
     qdt = np.dtype("<i1") if qbits <= 8 else np.dtype("<i2")
     want = nfr * 4 + nfr * half * qdt.itemsize
-    if len(raw) != want:
-        raise ValueError(
-            f"MDCT payload size {len(raw)} != expected {want} "
-            f"({nfr} frames x {half} coefficients)"
-        )
+    raw = _bounded_inflate(data, want, "MDCT payload")
     scale = np.frombuffer(raw[: nfr * 4], dtype="<f4").astype(
         np.float64
     )
@@ -1071,9 +1101,9 @@ def sample_ifv_frames(
         raise ValueError("stream does not start with an I-frame")
     keep = set(range(0, len(bodies), every_n))
     # decode only GOPs that contain a kept frame, and within each
-    # only up to its last kept index
-    import zlib
-
+    # only up to its last kept index — through the SAME
+    # _decode_ifv_iframe/_decode_ifv_pframe helpers as decode_avi_ifv,
+    # so the sampled and full views cannot diverge on any payload
     h, w = dims
     out: dict[int, np.ndarray] = {}
     bounds = gop_starts + [len(bodies)]
@@ -1085,62 +1115,14 @@ def sample_ifv_frames(
         for i in range(g0, kept_here[-1] + 1):
             body = bodies[i]
             if body[:1] == b"I":
-                raw = zlib.decompress(body[1:])
-                if len(raw) != h * w * 3:
-                    raise ValueError("I-frame size mismatch")
-                f = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+                f = _decode_ifv_iframe(body, h, w)
                 prev = _ifv_pad(f, _IFV_BLOCK)
                 if i in keep:
                     out[i] = f
                 continue
-            if body[:1] not in (b"P", b"T") or prev is None or len(body) < 3:
+            if prev is None:
                 raise ValueError("malformed P-frame in GOP")
-            q, B = body[1], body[2]
-            ph, pw = prev.shape[:2]
-            if q < 2 or B == 0 or ph % B or pw % B:
-                raise ValueError("corrupt P-frame header")
-            nbh, nbw = ph // B, pw // B
-            raw = zlib.decompress(body[3:])
-            n_mv = nbh * nbw * 2
-            unit = 2 if body[:1] == b"T" else 1
-            if len(raw) != n_mv + ph * pw * 3 * unit:
-                raise ValueError("P-frame payload size mismatch")
-            mv = np.frombuffer(raw[:n_mv], dtype=np.int8).reshape(
-                nbh, nbw, 2
-            )
-            if body[:1] == b"T":
-                rq = np.frombuffer(raw[n_mv:], dtype="<i2").reshape(
-                    ph, pw, 3
-                )
-            else:
-                rq = np.frombuffer(raw[n_mv:], dtype=np.int8).reshape(
-                    ph, pw, 3
-                )
-            pred = np.empty((ph, pw, 3), dtype=np.int16)
-            for dy, dx in np.unique(mv.reshape(-1, 2), axis=0):
-                shifted = _ifv_shift(prev, int(dy), int(dx)).astype(
-                    np.int16
-                )
-                mask = np.repeat(
-                    np.repeat(
-                        (mv[:, :, 0] == dy) & (mv[:, :, 1] == dx),
-                        B, axis=0,
-                    ),
-                    B, axis=1,
-                )
-                pred[mask] = shifted[mask]
-            if body[:1] == b"T":
-                resid_hat = np.round(
-                    _blocks_idct(rq.astype(np.float64) * int(q))
-                ).astype(np.int16)
-                recon = np.clip(pred + resid_hat, 0, 255).astype(
-                    np.uint8
-                )
-            else:
-                recon = np.clip(
-                    pred + rq.astype(np.int16) * int(q), 0, 255
-                ).astype(np.uint8)
-            prev = recon
+            prev = _decode_ifv_pframe(prev, body)
             if i in keep:
-                out[i] = recon[:h, :w]
+                out[i] = prev[:h, :w]
     return [out[i] for i in sorted(out)]

@@ -432,6 +432,15 @@ def load_model(spark: SparkSession, path: str):
         # it below once layers are rebuilt
         mu = {r.i: r.dval for r in rows if r.part == "mu"}
         sd = {r.i: r.dval for r in rows if r.part == "sd"}
+        if sorted(mu) != list(range(len(mu))) or sorted(sd) != list(
+            range(len(sd))
+        ) or not mu or len(mu) != len(sd) or None in mu.values() or (
+            None in sd.values()
+        ):
+            raise ValueError(
+                f"load_model: {path} MLP mu/sd parts are incomplete "
+                "— corrupted artifact"
+            )
         Ws: dict[int, dict[tuple[int, int], float]] = {}
         bs: dict[int, dict[int, float]] = {}
         for r in rows:
@@ -470,9 +479,13 @@ def load_model(spark: SparkSession, path: str):
     nodes: dict[int, dict[int, dict[str, float]]] = {}
     for r in rows:
         if r.part == "tree":
-            nodes.setdefault(r.rank, {}).setdefault(r.i, {})[r.key] = (
-                r.lval if r.lval is not None else r.dval
-            )
+            v = r.lval if r.lval is not None else r.dval
+            if v is None:
+                raise ValueError(
+                    f"load_model: {path} tree node field {r.key!r} "
+                    "holds NULL — corrupted artifact"
+                )
+            nodes.setdefault(r.rank, {}).setdefault(r.i, {})[r.key] = v
     if not nodes or len(nodes) % k != 0:
         raise ValueError(
             f"load_model: {path} holds {len(nodes)} trees — not a "
@@ -505,6 +518,13 @@ def load_model(spark: SparkSession, path: str):
     model.trees_ = trees
     if family == "NumpyCatBoostClassifier" and model.cat_feature_cols:
         prior = {r.i: r.dval for r in rows if r.part == "ts_prior"}
+        if sorted(prior) != list(range(len(prior))) or not prior or (
+            None in prior.values()
+        ):
+            raise ValueError(
+                f"load_model: {path} ts_prior part is incomplete — "
+                "corrupted artifact"
+            )
         model.ts_prior_ = np.array([prior[i] for i in range(len(prior))])
         model.ts_keys_ = {}
         model.ts_tables_ = {}

@@ -217,7 +217,7 @@ def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
                         h.append(arr.shape[0])
                         c.append(arr.shape[2])
                         ok.append(True)
-                    except (ValueError, zlib.error, struct.error,
+                    except (TypeError, ValueError, zlib.error, struct.error,
                             IndexError, KeyError, OverflowError):
                         w.append(None)
                         h.append(None)
@@ -317,7 +317,7 @@ def resize_media(
                         ys = (np.arange(height) * arr.shape[0]) // height
                         xs = (np.arange(width) * arr.shape[1]) // width
                         payloads.append(enc(arr[ys][:, xs]))
-                    except (ValueError, zlib.error, struct.error,
+                    except (TypeError, ValueError, zlib.error, struct.error,
                             IndexError, KeyError, OverflowError):
                         payloads.append(None)
                 else:
@@ -375,7 +375,7 @@ def decode_audio(df: DataFrame) -> DataFrame:
                     sr.append(rate)
                     ch.append(arr.shape[1])
                     ok.append(True)
-                except (ValueError, struct.error, IndexError,
+                except (TypeError, ValueError, struct.error, IndexError,
                         KeyError, OverflowError):
                     ns.append(None)
                     sr.append(None)
@@ -439,7 +439,7 @@ def decode_audio_mdct(df: DataFrame) -> DataFrame:
                     qb.append(info["qbits"])
                     nf.append(info["n_frames"])
                     ok.append(True)
-                except (ValueError, _z.error, struct.error,
+                except (TypeError, ValueError, _z.error, struct.error,
                         IndexError, KeyError, OverflowError):
                     ns.append(None)
                     sr.append(None)
@@ -497,7 +497,7 @@ def decode_video_ifv(df: DataFrame) -> DataFrame:
                         + 65536 * int(f0[0, 0, 2])
                     )
                     ok.append(True)
-                except (ValueError, zlib.error, struct.error,
+                except (TypeError, ValueError, zlib.error, struct.error,
                         IndexError, KeyError, OverflowError):
                     nf.append(None)
                     fps.append(None)
@@ -543,7 +543,7 @@ def decode_audio_adpcm(df: DataFrame) -> DataFrame:
                     sr.append(rate)
                     fs.append(int(arr[0]))
                     ok.append(True)
-                except (ValueError, struct.error, IndexError,
+                except (TypeError, ValueError, struct.error, IndexError,
                         KeyError, OverflowError):
                     ns.append(None)
                     sr.append(None)
@@ -578,7 +578,7 @@ def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
             for payload in pdf["payload"]:
                 try:
                     payloads.append(resample_wav(bytes(payload), target_rate))
-                except (ValueError, struct.error, IndexError,
+                except (TypeError, ValueError, struct.error, IndexError,
                         KeyError, OverflowError):
                     payloads.append(None)
             yield pd.DataFrame(
@@ -629,6 +629,14 @@ def transcode_audio(df: DataFrame, codec: str = "adpcm") -> DataFrame:
         for pdf in it:
             outs, nin, nout = [], [], []
             for payload in pdf["payload"]:
+                if payload is None:
+                    # an upstream coerce already nulled this row
+                    # (resample/transcode failure): propagate the
+                    # null instead of dying on bytes(None)
+                    outs.append(None)
+                    nin.append(None)
+                    nout.append(None)
+                    continue
                 raw = bytes(payload)
                 try:
                     arr, rate = decode_wav(raw)
@@ -647,7 +655,7 @@ def transcode_audio(df: DataFrame, codec: str = "adpcm") -> DataFrame:
                     outs.append(enc)
                     nin.append(len(raw))
                     nout.append(len(enc))
-                except (ValueError, _z.error, struct.error,
+                except (TypeError, ValueError, _z.error, struct.error,
                         IndexError, KeyError, OverflowError):
                     outs.append(None)
                     nin.append(len(raw))
@@ -700,7 +708,7 @@ def decode_video(df: DataFrame, every_n: int = 1) -> DataFrame:
                     w.append(frames[0].shape[1])
                     fps_l.append(fps)
                     ok.append(True)
-                except (ValueError, struct.error, IndexError,
+                except (TypeError, ValueError, struct.error, IndexError,
                         KeyError, OverflowError):
                     nf.append(None)
                     w.append(None)

@@ -955,3 +955,41 @@ def test_unigram_word_marker_doc_roundtrip(spark):
     )
     with _pytest.raises(ValueError, match="occurs in the corpus"):
         unigram_train(clash, "text", target_vocab=8, word_marker="▁")
+
+
+def test_unigram_encode_marker_tripwire(spark):
+    """Round-13 review fix: the trainer's clash check covers only its
+    own corpus — a SCORING document containing the marker must fail
+    the encode job loudly (in-plan tripwire), never decode a word as
+    two with no error anywhere. Marker shape is validated at encode
+    too."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from bigdatabowl2024_25_spark.operators.bpe import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "the data table"), (1, "data table scan")],
+        "doc_id long, text string",
+    )
+    vocab = unigram_train(train, "text", target_vocab=12, word_marker="▁")
+    with pytest.raises(ValueError, match="single char"):
+        unigram_encode(
+            train, "text", "doc_id", vocab, word_marker="▁▁"
+        )
+    dirty = spark.createDataFrame(
+        [(0, "clean words"), (1, "inter▁ior marker")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(SparkRuntimeException, match="hallucinate"):
+        unigram_encode(
+            dirty, "text", "doc_id", vocab, word_marker="▁"
+        ).collect()
+    # clean scoring corpora are unaffected by the tripwire
+    got = unigram_encode(
+        train, "text", "doc_id", vocab, word_marker="▁"
+    ).collect()
+    assert all(r.uni_tokens for r in got)

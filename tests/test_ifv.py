@@ -315,3 +315,45 @@ def test_transform_mode_beats_spatial_on_smooth_content():
     pt = encode_avi_ifv(frames, fps=5, q=8, gop=6, transform=True)
     assert worst_rmse(pt) < worst_rmse(ps)
     assert len(pt) < 2 * len(ps)
+
+
+def test_review_fixes_bomb_fps_and_sampler_parity():
+    """Round-13 review fixes: (a) a zlib decompression bomb in a
+    frame chunk raises the coerce-path ValueError instead of
+    inflating unbounded; (b) fps is validated; (c) the sampler and
+    the full decoder REJECT the same corrupt T-frame (shared
+    reconstruction helper — they cannot diverge)."""
+    frames = _scene(n=4)
+    good = encode_avi_ifv(frames, fps=5, q=6, gop=4, transform=True)
+
+    # (a) replace the first I-frame body IN PLACE (same chunk length,
+    # so the container stays structurally valid) with a stream that
+    # inflates to ~10x the expected frame size: the bounded inflate
+    # must stop at expected+1 bytes and raise, never inflate it all
+    i_pos = good.index(b"00dc")
+    (ln,) = struct.unpack("<I", good[i_pos + 4:i_pos + 8])
+    bomb = b"I" + zlib.compress(b"\x00" * 60_000, 9)
+    assert len(bomb) <= ln  # fits the original chunk
+    bomb = bomb + b"\x00" * (ln - len(bomb))
+    bad = bytearray(good)
+    bad[i_pos + 8:i_pos + 8 + ln] = bomb
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_avi_ifv(bytes(bad))
+
+    # (b) fps bounds
+    for fps in (0, -3, 2_000_000):
+        with pytest.raises(ValueError, match="fps"):
+            encode_avi_ifv(frames, fps=fps)
+
+    # (c) corrupt a T-frame's block-size byte: both views must raise
+    from bigdatabowl2024_25_spark.operators.media_av import (
+        sample_ifv_frames,
+    )
+
+    t_pos = good.index(b"00dc", i_pos + 8)  # second frame chunk
+    assert good[t_pos + 8:t_pos + 9] == b"T"
+    corrupt = bytearray(good)
+    corrupt[t_pos + 10] = 2  # B=2 on a T frame
+    for fn in (decode_avi_ifv, lambda p: sample_ifv_frames(p, 1)):
+        with pytest.raises(ValueError):
+            fn(bytes(corrupt))

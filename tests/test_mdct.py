@@ -235,3 +235,64 @@ def test_corrupt_frame_header_is_valueerror_not_zerodivision():
         mdct_info(bytes(good))
     with pytest.raises(ValueError, match="corrupt MDCT"):
         decode_wav_mdct(bytes(good))
+
+
+def test_review_fixes_mdct_bounds_and_envelope():
+    """Round-13 review fixes: frame upper bound is a clean ValueError
+    (not a struct.error the coerce wrappers would swallow as data
+    corruption); bytes appended past the RIFF envelope — including a
+    forged trailing 'fact' chunk — are invisible to both the info
+    probe and the decoder; a mantissa-stream bomb raises bounded."""
+    x = _mix(n=800)
+    with pytest.raises(ValueError, match="power of two"):
+        encode_wav_mdct(x, 16000, frame=65536)
+
+    good = encode_wav_mdct(x, 16000)
+    forged = good + b"fact" + struct.pack("<I", 4) + struct.pack(
+        "<I", 7
+    )
+    assert mdct_info(forged)["n_samples"] == 800
+    y0, _ = decode_wav_mdct(good)
+    y1, _ = decode_wav_mdct(forged)
+    assert (y0 == y1).all()
+
+    # bomb in the data chunk, in place (same chunk length)
+    i = good.index(b"data")
+    (dlen,) = struct.unpack_from("<I", good, i + 4)
+    bomb = zlib.compress(b"\x00" * 10_000_000, 9)[:dlen]
+    bad = bytearray(good)
+    bad[i + 8:i + 8 + dlen] = bomb.ljust(dlen, b"\x00")
+    with pytest.raises(ValueError, match="size mismatch|corrupt|error"):
+        decode_wav_mdct(bytes(bad))
+
+
+def test_review_fix_null_payload_coerces(spark):
+    """A NULL payload (an upstream coerce already failed that row)
+    must propagate as a null row through transcode_audio and the
+    decode wrappers — never kill the task on bytes(None)."""
+    from bigdatabowl2024_25_spark.operators.multimodal import (
+        decode_audio_adpcm,
+        decode_audio_mdct,
+        decode_video_ifv,
+        transcode_audio,
+    )
+    from bigdatabowl2024_25_spark.operators.media_av import encode_wav
+
+    df = spark.createDataFrame(
+        [(0, encode_wav(_mix(n=500), 16000)), (1, None)],
+        "media_id long, payload binary",
+    )
+    tc = {r.media_id: r for r in transcode_audio(df, "adpcm").collect()}
+    assert tc[0].payload is not None and tc[1].payload is None
+    assert tc[1].n_bytes_in is None and tc[1].n_bytes_out is None
+    # chain the transcoded frame (with its null row) into the decoder
+    dec = {
+        r.media_id: r
+        for r in decode_audio_adpcm(
+            transcode_audio(df, "adpcm").select("media_id", "payload")
+        ).collect()
+    }
+    assert dec[0].ok and dec[1].ok is False
+    for wrapper in (decode_audio_mdct, decode_video_ifv):
+        got = {r.media_id: r for r in wrapper(df).collect()}
+        assert got[1].ok is False  # null payload -> ok=False row

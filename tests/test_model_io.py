@@ -287,3 +287,51 @@ def test_round13_edge_hardening(spark, tmp_path):
         loaded = load_model(spark, p)
         assert _probs(loaded.transform(df)) == _probs(m.transform(df)), name
     assert load_model(spark, str(tmp_path / "mlp0")).hidden == ()
+
+
+def test_review_fix_corrupt_artifacts_are_valueerror(spark, tmp_path):
+    """Round-13 review fix: every corrupt-artifact shape surfaces as
+    the documented ValueError, never a bare KeyError/TypeError from
+    the rebuild comprehensions (callers' except-ValueError fallbacks
+    depend on it)."""
+    import pyspark.sql.functions as F
+
+    from bigdatabowl2024_25_spark.ml import (
+        NumpyGBDTClassifier,
+        NumpyMLPClassifier,
+    )
+
+    df = _clf_frame(spark, n=60)
+    mlp_p = str(tmp_path / "mlp")
+    save_model(
+        spark, mlp_p,
+        NumpyMLPClassifier("lab", ["f1", "f2"], hidden=(4,), epochs=5)
+        .fit(df),
+    )
+    # drop one mu row -> ValueError, not KeyError
+    bad1 = str(tmp_path / "mlp_bad")
+    spark.read.parquet(mlp_p).filter(
+        (F.col("part") != "mu") | (F.col("i") != 0)
+    ).write.parquet(bad1)
+    with pytest.raises(ValueError, match="mu/sd"):
+        load_model(spark, bad1)
+
+    gb_p = str(tmp_path / "gb")
+    save_model(
+        spark, gb_p,
+        NumpyGBDTClassifier("lab", ["f1", "f2"], n_rounds=1, max_depth=1)
+        .fit(df),
+    )
+    # NULL out a tree field's value -> ValueError, not TypeError
+    bad2 = str(tmp_path / "gb_bad")
+    art = spark.read.parquet(gb_p)
+    art.withColumn(
+        "dval",
+        F.when(
+            (F.col("part") == "tree") & (F.col("key") == "thr")
+            & (F.col("i") == 0) & (F.col("rank") == 0),
+            F.lit(None).cast("double"),
+        ).otherwise(F.col("dval")),
+    ).write.parquet(bad2)
+    with pytest.raises(ValueError, match="NULL"):
+        load_model(spark, bad2)
