@@ -264,3 +264,72 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     travels in the file footer, so no explicit schema is needed —
     unlike JSONL there is no inference pass to avoid."""
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob_filter: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """The MEDIA-INGEST source (round 13): Spark's built-in
+    `binaryFile` format — one row per file with (path,
+    modificationTime, length, content binary). This is how raw
+    image/audio/video files land as the binary payload columns the
+    multimodal layer processes; at 100 TB the listing parallelizes
+    and each file reads where its task runs, no driver-side IO.
+
+    `glob_filter` maps to pathGlobFilter (server-side name filter —
+    files that do not match are never opened); `max_bytes` plants a
+    loud in-plan guard REJECTING files above the bound instead of
+    letting a surprise multi-GB blob OOM a task mid-pipeline (length
+    comes from the file status, so the check costs nothing)."""
+    reader = spark.read.format("binaryFile")
+    if glob_filter is not None:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    df = reader.load(path)
+    if max_bytes is not None:
+        ok = F.col("length") <= F.lit(int(max_bytes))
+        df = df.withColumn(
+            "content",
+            F.when(
+                F.assert_true(
+                    ok,
+                    F.concat(
+                        F.lit(
+                            "read_binary_files: file exceeds "
+                            f"max_bytes={int(max_bytes)}: "
+                        ),
+                        F.col("path"),
+                        F.lit(" ("),
+                        F.col("length").cast("string"),
+                        F.lit(
+                            " bytes) — raise the bound or exclude it "
+                            "via glob_filter"
+                        ),
+                    ),
+                ).isNull(),
+                F.col("content"),
+            ),
+        )
+    return df
+
+
+def read_text_files(
+    spark: SparkSession,
+    path: str,
+    wholetext: bool = True,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """The raw-CORPUS ingest source: Spark's built-in `text` format.
+    `wholetext=True` (default) reads ONE ROW PER FILE — the
+    one-document-per-file layout raw LLM corpora arrive in before any
+    parquet conversion; False reads one row per line (log-style
+    inputs, optionally with a custom `line_sep`). Either way the
+    column is `value string` and the scan parallelizes per file/split
+    like any other source."""
+    # NOTE: pass these as .text() kwargs, not reader options — on
+    # Spark 4.1 `option("wholetext", "true")` is silently ignored by
+    # DataFrameReader.text (measured: 2 rows for a 2-line file), the
+    # kwarg form is honored
+    return spark.read.text(path, wholetext=wholetext, lineSep=line_sep)

@@ -249,3 +249,66 @@ def test_binary_payload_parquet_roundtrip(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert back == dict(payloads)
+
+
+def test_binary_files_ingest(spark, tmp_path):
+    """Round 13: the media-ingest source — one row per file, content
+    byte-exact (non-UTF8 bytes included), pathGlobFilter prunes
+    non-matching files without opening them, and the max_bytes guard
+    rejects oversized blobs loudly instead of OOMing a task."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from bigdatabowl2024_25_spark.sources.io import read_binary_files
+
+    d = tmp_path / "media"
+    d.mkdir()
+    blobs = {
+        "a.bin": bytes(range(256)),
+        "b.bin": b"\xff\x00small",
+        "c.txt": b"not matched by the glob",
+    }
+    for name, data in blobs.items():
+        (d / name).write_bytes(data)
+
+    df = read_binary_files(spark, str(d), glob_filter="*.bin")
+    got = {
+        r.path.rsplit("/", 1)[-1]: (bytes(r.content), r.length)
+        for r in df.collect()
+    }
+    assert set(got) == {"a.bin", "b.bin"}
+    for name in got:
+        assert got[name] == (blobs[name], len(blobs[name]))
+
+    # byte-bound guard: the big file trips it, loudly
+    with pytest.raises(SparkRuntimeException, match="max_bytes"):
+        read_binary_files(
+            spark, str(d), glob_filter="*.bin", max_bytes=100
+        ).collect()
+    # bound above every file: clean pass-through
+    ok = read_binary_files(
+        spark, str(d), glob_filter="*.bin", max_bytes=10_000
+    )
+    assert ok.count() == 2
+
+
+def test_text_files_ingest(spark, tmp_path):
+    """Round 13: the raw-corpus ingest source — wholetext=True reads
+    one DOCUMENT per file (the raw LLM-corpus layout), wholetext=False
+    one row per line; multi-line documents survive byte-exactly."""
+    from bigdatabowl2024_25_spark.sources.io import read_text_files
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    docs = {
+        "doc1.txt": "first document\nwith two lines",
+        "doc2.txt": "second document",
+    }
+    for name, text in docs.items():
+        (d / name).write_text(text)
+
+    whole = read_text_files(spark, str(d / "*.txt"))
+    assert sorted(r.value for r in whole.collect()) == sorted(
+        docs.values()
+    )
+    lines = read_text_files(spark, str(d / "*.txt"), wholetext=False)
+    assert lines.count() == 3
