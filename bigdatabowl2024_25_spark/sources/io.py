@@ -279,6 +279,11 @@ def read_binary_files(
     multimodal layer processes; at 100 TB the listing parallelizes
     and each file reads where its task runs, no driver-side IO.
 
+    Caveat (measured on Spark 4.1): ZERO-LENGTH files are silently
+    skipped by the binaryFile file index — an empty blob never
+    surfaces a row. If empties carry meaning upstream, land them with
+    a sentinel byte or track them in a manifest.
+
     `glob_filter` maps to pathGlobFilter (server-side name filter —
     files that do not match are never opened); `max_bytes` plants a
     loud in-plan guard REJECTING files above the bound instead of

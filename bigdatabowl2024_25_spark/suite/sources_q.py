@@ -47,6 +47,43 @@ from .registry import query
 
 #: columns that survive the CSV roundtrip losslessly (no floats: CSV
 #: double formatting is engine-specific; parquet carries them fine)
+#: raw-file ingest fixtures (round 13): literal bytes/documents whose
+#: digests pin the binaryFile and wholetext sources under the oracle
+_BIN_FIXTURE = {
+    "a.bin": bytes(range(256)),
+    "b.bin": b"\xff\x00\x01IFV",
+    # NOT empty: Spark's binaryFile source silently skips zero-length
+    # files (measured: an empty fixture never surfaced a row), so the
+    # single-NUL file pins the smallest ingestable payload instead
+    "c.bin": b"\x00",
+}
+_TXT_FIXTURE = {
+    "doc1.txt": "first document\nwith two lines",
+    "doc2.txt": "second document",
+}
+import hashlib as _hashlib
+
+_INGEST_PINNED = [
+    (
+        f"bin:{name}",
+        len(data),
+        int(_hashlib.md5(data).hexdigest()[:12], 16),
+    )
+    for name, data in sorted(_BIN_FIXTURE.items())
+] + [
+    (
+        f"txt:{name}",
+        len(text.encode()),
+        int(_hashlib.md5(text.encode()).hexdigest()[:12], 16),
+    )
+    for name, text in sorted(_TXT_FIXTURE.items())
+]
+_INGEST_VALUES = ", ".join(
+    f"('{k}', CAST(NULL AS BIGINT), CAST({n} AS BIGINT), "
+    f"CAST({h} AS BIGINT), CAST(NULL AS BIGINT))"
+    for k, n, h in _INGEST_PINNED
+)
+
 _CSV_COLS = ["s_suppkey", "s_name", "s_nationkey"]
 
 _CSV_SCHEMA = StructType(
@@ -273,6 +310,10 @@ def _z_sql() -> str:
         ('lmc:a', NULL, 1, NULL, NULL),
         ('lm:vocab', NULL, 6, NULL, NULL)
     ) AS model_art(kind, nation, n, key_sum, name_chars)
+    UNION ALL
+    SELECT kind, nation, n, key_sum, name_chars
+    FROM (VALUES {_INGEST_VALUES})
+        ingest(kind, nation, n, key_sum, name_chars)
     """
     ),
 )
@@ -541,6 +582,62 @@ def q95_source_sink_roundtrip(spark, sf_dir):
             )
         )
 
+        # 'bin:*' / 'txt:*' (round 13): the raw-file INGEST sources —
+        # literal fixture files written to scratch, read back through
+        # read_binary_files (pathGlobFilter live: the planted .skip
+        # file must never surface) and read_text_files (wholetext —
+        # one document per file), each row digested as (byte length,
+        # first 48 bits of the content md5). The oracle is the pinned
+        # digest list computed from the same literals, so a mangled
+        # byte, a split document, or a glob leak flips q95 red.
+        import os
+
+        from ..sources.io import read_binary_files, read_text_files
+
+        bdir = f"{tmp}/ingest"
+        os.makedirs(bdir)
+        for bname, bdata in _BIN_FIXTURE.items():
+            with open(f"{bdir}/{bname}", "wb") as fh:
+                fh.write(bdata)
+        with open(f"{bdir}/decoy.skip", "wb") as fh:
+            fh.write(b"must never surface")
+        for tname, ttext in _TXT_FIXTURE.items():
+            with open(f"{bdir}/{tname}", "w") as fh:
+                fh.write(ttext)
+        fname = F.element_at(F.split(F.col("path"), "/"), -1)
+        md48 = F.conv(
+            F.substring(F.md5(F.col("content")), 1, 12), 16, 10
+        ).cast("bigint")
+        bind = read_binary_files(
+            spark, bdir, glob_filter="*.bin", max_bytes=10_000
+        ).select(
+            F.concat(F.lit("bin:"), fname).alias("kind"),
+            F.lit(None).cast("bigint").alias("nation"),
+            F.col("length").cast("bigint").alias("n"),
+            md48.alias("key_sum"),
+            F.lit(None).cast("bigint").alias("name_chars"),
+        )
+        txtd = read_text_files(spark, f"{bdir}/*.txt").select(
+            F.lit(None).cast("bigint").alias("nation"),
+            F.length(F.col("value").cast("binary"))
+            .cast("bigint")
+            .alias("n"),
+            F.conv(
+                F.substring(F.md5(F.col("value").cast("binary")), 1, 12),
+                16, 10,
+            ).cast("bigint").alias("key_sum"),
+            F.lit(None).cast("bigint").alias("name_chars"),
+            # wholetext keeps no path column; recover the doc identity
+            # from the fixture's unique first words (two docs only)
+            F.concat(
+                F.lit("txt:"),
+                F.when(
+                    F.col("value").startswith("first"),
+                    F.lit("doc1.txt"),
+                ).otherwise(F.lit("doc2.txt")),
+            ).alias("kind"),
+        ).select("kind", "nation", "n", "key_sum", "name_chars")
+
         # digest is computed from the re-read frames; materialize NOW
         # (localCheckpoint would pin executors; the frames are tiny) so
         # the scratch dir can be removed before returning.
@@ -561,6 +658,8 @@ def q95_source_sink_roundtrip(spark, sf_dir):
             .unionByName(tokd)
             .unionByName(qwd)
             .unionByName(lmd)
+            .unionByName(bind)
+            .unionByName(txtd)
         )
         rows = out.collect()
     finally:
