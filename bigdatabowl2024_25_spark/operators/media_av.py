@@ -573,9 +573,20 @@ def _decode_ifv_pframe(prev: np.ndarray, body: bytes) -> np.ndarray:
         )
         pred[mask] = shifted[mask]
     if kind == b"T":
+        # legit coefficients are bounded: |DCT of a ±255 residual| ≤
+        # 8·255 = 2040, so |mantissa| ≤ round(2040/q). A forged frame
+        # above the bound would push the IDCT to ~1e8 where a bare
+        # float64→int16 cast is C-cast UB (platform-dependent wrap,
+        # silently wrong ok=True frames) — reject it loudly instead
+        if rq.size and int(np.abs(rq).max()) * int(q) > 2040 + int(q):
+            raise ValueError(
+                "T-frame coefficient exceeds the residual bound"
+            )
         resid_hat = np.round(
             _blocks_idct(rq.astype(np.float64) * int(q))
-        ).astype(np.int16)
+        )
+        # float-domain add + clip BEFORE the cast: bit-identical to
+        # the int16 path for in-range values, never overflows
         return np.clip(pred + resid_hat, 0, 255).astype(np.uint8)
     return np.clip(
         pred + rq.astype(np.int16) * int(q), 0, 255
@@ -710,9 +721,12 @@ def encode_avi_ifv(
             cq = np.clip(
                 np.round(_blocks_dct(resid) / q), -32767, 32767
             ).astype("<i2")
+            # float-domain closed loop, mirroring _decode_ifv_pframe
+            # exactly (same round→add→clip order, so encoder and
+            # decoder reconstructions stay bit-identical)
             resid_hat = np.round(
                 _blocks_idct(cq.astype(np.float64) * q)
-            ).astype(np.int16)
+            )
             recon = np.clip(pred + resid_hat, 0, 255).astype(np.uint8)
             chunks.append(
                 b"T"
@@ -1046,6 +1060,53 @@ def decode_wav_mdct(payload: bytes) -> tuple[np.ndarray, int]:
         np.clip(np.round(y), -32768, 32767).astype(np.int16),
         rate,
     )
+
+
+def ifv_info(payload: bytes) -> dict:
+    """Header-only probe of an IFV payload — no frame inflates:
+    (fps, width, height, n_frames, n_keyframes). The frame-type bytes
+    sit in plaintext ahead of each chunk's zlib stream, so GOP
+    geometry is readable at container speed (what a scheduler uses to
+    plan GOP-aligned splits). ValueError on malformed containers."""
+    data = bytes(payload)
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
+    us_per_frame = None
+    dims: list[int] | None = None
+    n_frames = n_keyframes = 0
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal us_per_frame, dims, n_frames, n_keyframes
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            if pos + 8 + ln > end:
+                raise ValueError(f"truncated {cid!r} chunk")
+            if cid == b"LIST":
+                walk(pos + 12, pos + 8 + ln)
+            elif cid == b"avih":
+                if ln < 40:
+                    raise ValueError("avih too short")
+                vals = struct.unpack("<10I", data[pos + 8 : pos + 48])
+                us_per_frame = vals[0]
+                dims = [vals[9], vals[8]]
+            elif cid in (b"00dc", b"00db"):
+                n_frames += 1
+                if data[pos + 8 : pos + 9] == b"I":
+                    n_keyframes += 1
+            pos += 8 + ln + (ln & 1)
+
+    walk(12, end)
+    if not n_frames or dims is None:
+        raise ValueError("no video frames found")
+    return {
+        "fps": 1_000_000 // us_per_frame if us_per_frame else 0,
+        "width": dims[1],
+        "height": dims[0],
+        "n_frames": n_frames,
+        "n_keyframes": n_keyframes,
+    }
 
 
 def sample_ifv_frames(

@@ -432,10 +432,12 @@ def load_model(spark: SparkSession, path: str):
         # it below once layers are rebuilt
         mu = {r.i: r.dval for r in rows if r.part == "mu"}
         sd = {r.i: r.dval for r in rows if r.part == "sd"}
-        if sorted(mu) != list(range(len(mu))) or sorted(sd) != list(
-            range(len(sd))
-        ) or not mu or len(mu) != len(sd) or None in mu.values() or (
-            None in sd.values()
+        if (
+            None in mu or None in sd  # NULL index would break sorted()
+            or sorted(mu) != list(range(len(mu)))
+            or sorted(sd) != list(range(len(sd)))
+            or not mu or len(mu) != len(sd)
+            or None in mu.values() or None in sd.values()
         ):
             raise ValueError(
                 f"load_model: {path} MLP mu/sd parts are incomplete "
@@ -445,8 +447,20 @@ def load_model(spark: SparkSession, path: str):
         bs: dict[int, dict[int, float]] = {}
         for r in rows:
             if r.part == "W":
+                if r.rank is None or r.i is None or r.j is None or (
+                    r.dval is None
+                ):
+                    raise ValueError(
+                        f"load_model: {path} W row holds NULL — "
+                        "corrupted artifact"
+                    )
                 Ws.setdefault(r.rank, {})[(r.i, r.j)] = r.dval
             elif r.part == "b":
+                if r.rank is None or r.i is None or r.dval is None:
+                    raise ValueError(
+                        f"load_model: {path} b row holds NULL — "
+                        "corrupted artifact"
+                    )
                 bs.setdefault(r.rank, {})[r.i] = r.dval
         if not Ws or set(Ws) != set(bs):
             raise ValueError(
@@ -518,9 +532,9 @@ def load_model(spark: SparkSession, path: str):
     model.trees_ = trees
     if family == "NumpyCatBoostClassifier" and model.cat_feature_cols:
         prior = {r.i: r.dval for r in rows if r.part == "ts_prior"}
-        if sorted(prior) != list(range(len(prior))) or not prior or (
-            None in prior.values()
-        ):
+        if None in prior or sorted(prior) != list(
+            range(len(prior))
+        ) or not prior or None in prior.values():
             raise ValueError(
                 f"load_model: {path} ts_prior part is incomplete — "
                 "corrupted artifact"

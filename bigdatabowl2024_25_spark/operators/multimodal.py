@@ -223,6 +223,12 @@ def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
                         h.append(None)
                         c.append(None)
                         ok.append(False)
+                elif payload is None:
+                    # an upstream coerce nulled this row: propagate
+                    w.append(None)
+                    h.append(None)
+                    c.append(None)
+                    ok.append(False)
                 else:
                     digest = hashlib.md5(bytes(payload)).digest()
                     # deterministic fake dimensions from the content hash
@@ -258,6 +264,9 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in it:
             feats = []
             for payload in pdf["payload"]:
+                if payload is None:
+                    feats.append(None)
+                    continue
                 seed = int.from_bytes(
                     hashlib.md5(bytes(payload)).digest()[:8], "big"
                 )
@@ -320,6 +329,8 @@ def resize_media(
                     except (TypeError, ValueError, zlib.error, struct.error,
                             IndexError, KeyError, OverflowError):
                         payloads.append(None)
+                elif payload is None:
+                    payloads.append(None)  # propagate upstream nulls
                 else:
                     digest = hashlib.md5(bytes(payload)).digest()
                     reps = out_len // len(digest) + 1
@@ -464,7 +475,7 @@ def decode_audio_mdct(df: DataFrame) -> DataFrame:
     )
 
 
-def decode_video_ifv(df: DataFrame) -> DataFrame:
+def decode_video_ifv(df: DataFrame, every_n: int = 1) -> DataFrame:
     """COMPRESSED (inter-frame) video metadata through the first-party
     IFV codec (`media_av.decode_avi_ifv`, round 13): same
     errors='coerce' contract as the other decoders. Emits
@@ -472,20 +483,35 @@ def decode_video_ifv(df: DataFrame) -> DataFrame:
     frame, which is an I-frame and therefore LOSSLESS, so an oracle
     can re-derive it exactly while the quantized P-frame tail stays
     pinned by the error-bound/seam tests in tests/test_ifv.py.
-    Payloads decode where they sit (mapInPandas, never shuffled); at
-    100 TB the GOP structure is what lets row groups of video split
-    across executors with no cross-chunk state."""
+    Payloads decode where they sit (mapInPandas, never shuffled).
+
+    `every_n` > 1 routes through the GOP-PRUNED sampler
+    (`media_av.sample_ifv_frames`): whole GOPs with no kept frame are
+    skipped without inflating a byte, and a touched GOP decodes only
+    up to its last kept index — THE property that makes the GOP the
+    executor split unit at 100 TB (decode cost scales with GOPs
+    touched, not stream length). `n_frames` then counts the SAMPLED
+    frames; fps/width/height still report the container's native
+    header values (a header-only probe, no extra inflate)."""
+    if every_n < 1:
+        raise ValueError("decode_video_ifv: every_n must be >= 1")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
 
-        from .media_av import decode_avi_ifv
+        from .media_av import decode_avi_ifv, ifv_info, sample_ifv_frames
 
         for pdf in it:
             nf, fps, w, h, px, ok = [], [], [], [], [], []
             for payload in pdf["payload"]:
                 try:
-                    frames, rate = decode_avi_ifv(bytes(payload))
+                    if every_n == 1:
+                        frames, rate = decode_avi_ifv(bytes(payload))
+                    else:
+                        frames = sample_ifv_frames(
+                            bytes(payload), every_n
+                        )
+                        rate = ifv_info(bytes(payload))["fps"]
                     f0 = frames[0]
                     nf.append(len(frames))
                     fps.append(rate)

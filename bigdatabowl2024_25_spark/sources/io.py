@@ -285,38 +285,36 @@ def read_binary_files(
     a sentinel byte or track them in a manifest.
 
     `glob_filter` maps to pathGlobFilter (server-side name filter —
-    files that do not match are never opened); `max_bytes` plants a
-    loud in-plan guard REJECTING files above the bound instead of
-    letting a surprise multi-GB blob OOM a task mid-pipeline (length
-    comes from the file status, so the check costs nothing)."""
+    files that do not match are never opened). `max_bytes` protects
+    against a surprise multi-GB blob OOMing a task TWO ways, because
+    an in-plan guard alone fires only AFTER the blob has materialized
+    into the row: (1) a loud EAGER check over a content-free
+    projection (the binaryFile source prunes the content column, so
+    the probe reads file STATUSES only — one cheap listing job, the
+    assert_unique_key precedent) raises ValueError naming the first
+    offending file; (2) the returned frame carries a pushed-down
+    `length <= max_bytes` filter, which the binaryFile source applies
+    at the FILE INDEX — oversized files are never opened even if one
+    appears between the probe and the read."""
     reader = spark.read.format("binaryFile")
     if glob_filter is not None:
         reader = reader.option("pathGlobFilter", glob_filter)
     df = reader.load(path)
     if max_bytes is not None:
-        ok = F.col("length") <= F.lit(int(max_bytes))
-        df = df.withColumn(
-            "content",
-            F.when(
-                F.assert_true(
-                    ok,
-                    F.concat(
-                        F.lit(
-                            "read_binary_files: file exceeds "
-                            f"max_bytes={int(max_bytes)}: "
-                        ),
-                        F.col("path"),
-                        F.lit(" ("),
-                        F.col("length").cast("string"),
-                        F.lit(
-                            " bytes) — raise the bound or exclude it "
-                            "via glob_filter"
-                        ),
-                    ),
-                ).isNull(),
-                F.col("content"),
-            ),
+        bound = int(max_bytes)
+        over = (
+            df.select("path", "length")  # content pruned: status-only
+            .filter(F.col("length") > bound)
+            .limit(1)
+            .collect()
         )
+        if over:
+            raise ValueError(
+                f"read_binary_files: file exceeds max_bytes={bound}: "
+                f"{over[0].path} ({over[0].length} bytes) — raise the "
+                "bound or exclude it via glob_filter"
+            )
+        df = df.filter(F.col("length") <= bound)
     return df
 
 

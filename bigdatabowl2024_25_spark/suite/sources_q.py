@@ -14,6 +14,7 @@ recomputes the same digest straight from the base table.
 
 from __future__ import annotations
 
+import hashlib
 import shutil
 import tempfile
 
@@ -47,6 +48,16 @@ from .registry import query
 
 #: columns that survive the CSV roundtrip losslessly (no floats: CSV
 #: double formatting is engine-specific; parquet carries them fine)
+_CSV_COLS = ["s_suppkey", "s_name", "s_nationkey"]
+
+_CSV_SCHEMA = StructType(
+    [
+        StructField("s_suppkey", LongType()),
+        StructField("s_name", StringType()),
+        StructField("s_nationkey", LongType()),
+    ]
+)
+
 #: raw-file ingest fixtures (round 13): literal bytes/documents whose
 #: digests pin the binaryFile and wholetext sources under the oracle
 _BIN_FIXTURE = {
@@ -61,20 +72,18 @@ _TXT_FIXTURE = {
     "doc1.txt": "first document\nwith two lines",
     "doc2.txt": "second document",
 }
-import hashlib as _hashlib
-
 _INGEST_PINNED = [
     (
         f"bin:{name}",
         len(data),
-        int(_hashlib.md5(data).hexdigest()[:12], 16),
+        int(hashlib.md5(data).hexdigest()[:12], 16),
     )
     for name, data in sorted(_BIN_FIXTURE.items())
 ] + [
     (
         f"txt:{name}",
         len(text.encode()),
-        int(_hashlib.md5(text.encode()).hexdigest()[:12], 16),
+        int(hashlib.md5(text.encode()).hexdigest()[:12], 16),
     )
     for name, text in sorted(_TXT_FIXTURE.items())
 ]
@@ -82,16 +91,6 @@ _INGEST_VALUES = ", ".join(
     f"('{k}', CAST(NULL AS BIGINT), CAST({n} AS BIGINT), "
     f"CAST({h} AS BIGINT), CAST(NULL AS BIGINT))"
     for k, n, h in _INGEST_PINNED
-)
-
-_CSV_COLS = ["s_suppkey", "s_name", "s_nationkey"]
-
-_CSV_SCHEMA = StructType(
-    [
-        StructField("s_suppkey", LongType()),
-        StructField("s_name", StringType()),
-        StructField("s_nationkey", LongType()),
-    ]
 )
 
 

@@ -357,3 +357,31 @@ def test_review_fixes_bomb_fps_and_sampler_parity():
     for fn in (decode_avi_ifv, lambda p: sample_ifv_frames(p, 1)):
         with pytest.raises(ValueError):
             fn(bytes(corrupt))
+
+
+def test_decode_video_ifv_every_n_and_info(spark):
+    """The distributed decoder's GOP-pruned sampling path: sampled
+    frame counts match the stride, header fields still report native
+    values, and ifv_info reads GOP geometry without inflating."""
+    import pandas as pd
+
+    from bigdatabowl2024_25_spark.operators.media_av import ifv_info
+    from bigdatabowl2024_25_spark.operators.multimodal import (
+        decode_video_ifv,
+    )
+
+    frames = _scene(n=10)
+    p = encode_avi_ifv(frames, fps=5, q=6, gop=3)
+    info = ifv_info(p)
+    assert info == {
+        "fps": 5, "width": 50, "height": 37,
+        "n_frames": 10, "n_keyframes": 4,
+    }
+    df = spark.createDataFrame([(0, p)], "media_id long, payload binary")
+    full = decode_video_ifv(df).collect()[0]
+    sampled = decode_video_ifv(df, every_n=4).collect()[0]
+    assert full.n_frames == 10 and sampled.n_frames == 3  # 0,4,8
+    assert (sampled.fps, sampled.width, sampled.height) == (5, 50, 37)
+    assert sampled.first_pixel == full.first_pixel  # frame 0 kept
+    with pytest.raises(ValueError, match="every_n"):
+        decode_video_ifv(df, every_n=0)

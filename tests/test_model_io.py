@@ -335,3 +335,31 @@ def test_review_fix_corrupt_artifacts_are_valueerror(spark, tmp_path):
     ).write.parquet(bad2)
     with pytest.raises(ValueError, match="NULL"):
         load_model(spark, bad2)
+
+
+def test_review_fix_mlp_weight_corruption_is_valueerror(spark, tmp_path):
+    """Round-13 second-review fix: MLP W/b rows with NULL values (the
+    corruption shape already pinned for trees) surface as ValueError
+    too."""
+    import pyspark.sql.functions as F
+
+    from bigdatabowl2024_25_spark.ml import NumpyMLPClassifier
+
+    df = _clf_frame(spark, n=60)
+    p = str(tmp_path / "mlp")
+    save_model(
+        spark, p,
+        NumpyMLPClassifier("lab", ["f1", "f2"], hidden=(4,), epochs=5)
+        .fit(df),
+    )
+    bad = str(tmp_path / "mlp_w_bad")
+    spark.read.parquet(p).withColumn(
+        "dval",
+        F.when(
+            (F.col("part") == "W") & (F.col("rank") == 0)
+            & (F.col("i") == 0) & (F.col("j") == 0),
+            F.lit(None).cast("double"),
+        ).otherwise(F.col("dval")),
+    ).write.parquet(bad)
+    with pytest.raises(ValueError, match="W row holds NULL"):
+        load_model(spark, bad)

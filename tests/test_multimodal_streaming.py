@@ -756,3 +756,26 @@ def test_dedup_stream_cross_batch(spark, tmp_path):
     )
     replay.run_to_memory(wm, "dedup_wm_test", mode="append")
     assert spark.table("dedup_wm_test").count() == n_distinct
+
+
+def test_fake_branches_coerce_null_payloads(spark):
+    """Round-13 second-review fix: the 'fake' pseudo-decode branches
+    of decode_media / resize_media and extract_features hash the
+    payload with no try — an upstream-nulled payload must coerce to a
+    null/ok=False row there too, not die on bytes(None)."""
+    from bigdatabowl2024_25_spark.operators.multimodal import (
+        decode_media,
+        extract_features,
+        resize_media,
+    )
+
+    df = spark.createDataFrame(
+        [(0, b"some payload"), (1, None)],
+        "media_id long, payload binary",
+    )
+    dec = {r.media_id: r for r in decode_media(df).collect()}
+    assert dec[0].ok and dec[1].ok is False and dec[1].width is None
+    rs = {r.media_id: r for r in resize_media(df, 16, 16).collect()}
+    assert rs[0].payload is not None and rs[1].payload is None
+    fe = {r.media_id: r for r in extract_features(df, dim=4).collect()}
+    assert fe[0].features is not None and fe[1].features is None

@@ -256,8 +256,6 @@ def test_binary_files_ingest(spark, tmp_path):
     byte-exact (non-UTF8 bytes included), pathGlobFilter prunes
     non-matching files without opening them, and the max_bytes guard
     rejects oversized blobs loudly instead of OOMing a task."""
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
-
     from bigdatabowl2024_25_spark.sources.io import read_binary_files
 
     d = tmp_path / "media"
@@ -279,11 +277,12 @@ def test_binary_files_ingest(spark, tmp_path):
     for name in got:
         assert got[name] == (blobs[name], len(blobs[name]))
 
-    # byte-bound guard: the big file trips it, loudly
-    with pytest.raises(SparkRuntimeException, match="max_bytes"):
+    # byte-bound guard: the big file trips it EAGERLY (content-free
+    # status probe -> ValueError at call time, before any blob reads)
+    with pytest.raises(ValueError, match="max_bytes"):
         read_binary_files(
             spark, str(d), glob_filter="*.bin", max_bytes=100
-        ).collect()
+        )
     # bound above every file: clean pass-through
     ok = read_binary_files(
         spark, str(d), glob_filter="*.bin", max_bytes=10_000
