@@ -332,11 +332,17 @@ def encode_avi_mjpeg(
     for f in frames:
         if f.shape[:2] != (h, w):
             raise ValueError("all frames must share dimensions")
-        j = encode_jpeg(f, quality)
-        jpegs.append(j + (b"\x00" if len(j) & 1 else b""))
+        jpegs.append(encode_jpeg(f, quality))
 
     def chunk(cid: bytes, body: bytes) -> bytes:
-        return cid + struct.pack("<I", len(body)) + body
+        # RIFF spec: the declared size EXCLUDES the word-alignment pad
+        # byte; the pad is appended outside it (and counts toward the
+        # enclosing LIST's size). Pre-r14 the pad was folded into the
+        # size and decoders stripped trailing NULs to compensate — an
+        # interop trap for conformant external files whose odd body
+        # legitimately ends in 0x00.
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
 
     def lst(four_cc: bytes, body: bytes) -> bytes:
         return b"LIST" + struct.pack("<I", 4 + len(body)) + four_cc + body
@@ -367,7 +373,7 @@ def encode_avi_mjpeg(
     idx, off = [], 4  # offsets are relative to the 'movi' fourcc
     for j in jpegs:
         idx.append(struct.pack("<4sIII", b"00dc", _AVIIF_KEYFRAME, off, len(j)))
-        off += 8 + len(j)
+        off += 8 + len(j) + (len(j) & 1)
     idx1 = chunk(b"idx1", b"".join(idx))
     body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -400,8 +406,9 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[list[np.ndarray], int]:
                     "<I", data[pos + 8 : pos + 12]
                 )
             elif cid in (b"00dc", b"00db"):
-                body = data[pos + 8 : pos + 8 + ln].rstrip(b"\x00")
-                frames.append(decode_jpeg(body))
+                # ln excludes the RIFF pad byte (spec), so the slice
+                # is exact — the pad is skipped by the ln&1 advance
+                frames.append(decode_jpeg(data[pos + 8 : pos + 8 + ln]))
             pos += 8 + ln + (ln & 1)
 
     walk(12, end)
@@ -433,7 +440,7 @@ def sample_avi_frames(
             if cid == b"LIST":
                 walk(pos + 12, pos + 8 + ln)
             elif cid in (b"00dc", b"00db"):
-                raw.append(data[pos + 8 : pos + 8 + ln].rstrip(b"\x00"))
+                raw.append(data[pos + 8 : pos + 8 + ln])
             pos += 8 + ln + (ln & 1)
 
     walk(12, end)
@@ -511,14 +518,13 @@ def _bounded_inflate(data: bytes, expected: int, what: str) -> bytes:
 
     d = zlib.decompressobj()
     raw = d.decompress(data, expected + 1)
-    # allow exactly one trailing NUL: RIFF chunks are word-aligned, so
-    # an odd-length zlib stream legitimately carries one pad byte
-    # after it (the old unbounded zlib.decompress ignored trailing
-    # garbage entirely; this keeps only the legal pad)
+    # no trailing bytes tolerated: since r14 the RIFF word-alignment
+    # pad lives OUTSIDE the declared chunk size (spec rule), so the
+    # body slice handed here is exactly the zlib stream
     if (
         len(raw) != expected
         or not d.eof
-        or d.unused_data not in (b"", b"\x00")
+        or d.unused_data
         or d.unconsumed_tail
     ):
         raise ValueError(
@@ -749,12 +755,15 @@ def encode_avi_ifv(
         prev = recon
 
     def chunk(cid: bytes, body: bytes) -> bytes:
-        return cid + struct.pack("<I", len(body)) + body
+        # RIFF spec: declared size excludes the word-alignment pad
+        # byte (same rule as encode_avi_mjpeg) — decoders skip the pad
+        # via the ln&1 advance, never by inspecting body bytes
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
 
     def lst(four_cc: bytes, body: bytes) -> bytes:
         return b"LIST" + struct.pack("<I", 4 + len(body)) + four_cc + body
 
-    padded = [c + (b"\x00" if len(c) & 1 else b"") for c in chunks]
     avih = struct.pack(
         "<IIIIIIIIII4I",
         1_000_000 // fps, 0, 0, _AVIF_HASINDEX, len(chunks),
@@ -773,16 +782,16 @@ def encode_avi_ifv(
         chunk(b"avih", avih)
         + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi = lst(b"movi", b"".join(chunk(b"00dc", c) for c in padded))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", c) for c in chunks))
     idx, off = [], 4
-    for c, key in zip(padded, keyflags):
+    for c, key in zip(chunks, keyflags):
         idx.append(
             struct.pack(
                 "<4sIII", b"00dc",
                 _AVIIF_KEYFRAME if key else 0, off, len(c),
             )
         )
-        off += 8 + len(c)
+        off += 8 + len(c) + (len(c) & 1)
     idx1 = chunk(b"idx1", b"".join(idx))
     body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -844,10 +853,9 @@ def decode_avi_ifv(payload: bytes) -> tuple[list[np.ndarray], int]:
                 us_per_frame = vals[0]
                 dims = [vals[9], vals[8]]  # height, width
             elif cid in (b"00dc", b"00db"):
-                body = data[pos + 8 : pos + 8 + ln]
-                if len(body) & 1 and body[-1:] == b"\x00":
-                    body = body[:-1]
-                decode_frame(body)
+                # ln excludes the pad byte; exact slice (the ln&1
+                # advance skips the pad — never strip body bytes)
+                decode_frame(data[pos + 8 : pos + 8 + ln])
             pos += 8 + ln + (ln & 1)
 
     walk(12, end)
@@ -1145,10 +1153,7 @@ def sample_ifv_frames(
                 vals = struct.unpack("<10I", data[pos + 8 : pos + 48])
                 dims = [vals[9], vals[8]]
             elif cid in (b"00dc", b"00db"):
-                body = data[pos + 8 : pos + 8 + ln]
-                if len(body) & 1 and body[-1:] == b"\x00":
-                    body = body[:-1]
-                bodies.append(body)
+                bodies.append(data[pos + 8 : pos + 8 + ln])
             pos += 8 + ln + (ln & 1)
 
     walk(12, end)

@@ -471,6 +471,15 @@ def load_model(spark: SparkSession, path: str):
             wd, bd = Ws[layer], bs[layer]
             n_in = 1 + max(i for i, _ in wd)
             n_out = 1 + max(j for _, j in wd)
+            # dense-grid completeness: np.empty would silently ship
+            # uninitialized memory for any interior cell the artifact
+            # lost, violating the loud-ValueError contract
+            if len(wd) != n_in * n_out or len(bd) != n_out:
+                raise ValueError(
+                    f"load_model: {path} MLP layer {layer} has "
+                    f"{len(wd)}/{n_in * n_out} W cells and "
+                    f"{len(bd)}/{n_out} b cells — corrupted artifact"
+                )
             W = np.empty((n_in, n_out))
             for (i, j), v in wd.items():
                 W[i, j] = v
@@ -557,6 +566,14 @@ def load_model(spark: SparkSession, path: str):
                 for r in rows
                 if r.part == "ts_table" and r.key == col
             }
+            # same dense-grid check as the MLP layers: a missing or
+            # NULL interior cell must raise, not read np.empty garbage
+            if len(cells) != len(ks) * k or None in cells.values():
+                raise ValueError(
+                    f"load_model: {path} ts_table[{col}] has "
+                    f"{len(cells)}/{len(ks) * k} cells — corrupted "
+                    "artifact"
+                )
             table = np.empty((len(ks), k))
             for (i, j), v in cells.items():
                 table[i, j] = v

@@ -626,14 +626,14 @@ def q95_source_sink_roundtrip(spark, sf_dir):
                 16, 10,
             ).cast("bigint").alias("key_sum"),
             F.lit(None).cast("bigint").alias("name_chars"),
-            # wholetext keeps no path column; recover the doc identity
-            # from the fixture's unique first words (two docs only)
+            # wholetext keeps no path COLUMN, but input_file_name()
+            # still works for the text source — true file identity,
+            # not content sniffing (a third fixture file or an edited
+            # prefix now surfaces as a missing-row diff, not a silent
+            # mislabel)
             F.concat(
                 F.lit("txt:"),
-                F.when(
-                    F.col("value").startswith("first"),
-                    F.lit("doc1.txt"),
-                ).otherwise(F.lit("doc2.txt")),
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
             ).alias("kind"),
         ).select("kind", "nation", "n", "key_sum", "name_chars")
 
