@@ -533,8 +533,41 @@ def _bounded_inflate(data: bytes, expected: int, what: str) -> bytes:
     return raw
 
 
+#: entropy-stage registry shared by IFV and MDCT: mode byte → coder.
+#: 0 = zlib (LZ77+huffman, the bootstrap stage), 1 = first-party
+#: canonical Huffman (operators/huffman.py)
+_ENTROPY_MODES = {"zlib": 0, "huffman": 1}
+
+
+def _entropy_pack(raw: bytes, emode: int) -> bytes:
+    if emode == 0:
+        import zlib
+
+        return zlib.compress(raw, 6)
+    from .huffman import huff_encode_bytes
+
+    return huff_encode_bytes(raw)
+
+
+def _entropy_unpack(
+    data: bytes, expected: int, what: str, emode: int
+) -> bytes:
+    """Mode-dispatched inverse of `_entropy_pack`, with the output
+    size KNOWN and enforced either way (the decompression-bomb guard
+    applies to both stages)."""
+    if emode == 0:
+        return _bounded_inflate(data, expected, what)
+    if emode == 1:
+        from .huffman import huff_decode_bytes
+
+        return huff_decode_bytes(data, expected, what)
+    raise ValueError(f"{what}: unknown entropy mode {emode}")
+
+
 def _decode_ifv_iframe(body: bytes, h: int, w: int) -> np.ndarray:
-    raw = _bounded_inflate(body[1:], h * w * 3, "I-frame")
+    if len(body) < 2:
+        raise ValueError("truncated I-frame header")
+    raw = _entropy_unpack(body[2:], h * w * 3, "I-frame", body[1])
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
 
 
@@ -548,9 +581,9 @@ def _decode_ifv_pframe(prev: np.ndarray, body: bytes) -> np.ndarray:
     kind = body[0:1]
     if kind not in (b"P", b"T"):
         raise ValueError(f"unknown IFV frame type {kind!r}")
-    if len(body) < 3:
+    if len(body) < 4:
         raise ValueError("truncated P-frame header")
-    q, B = body[1], body[2]
+    q, B, emode = body[1], body[2], body[3]
     if q < 2 or B == 0:
         raise ValueError("corrupt P-frame quantizer/block size")
     if kind == b"T" and B != _IFV_BLOCK:
@@ -561,8 +594,8 @@ def _decode_ifv_pframe(prev: np.ndarray, body: bytes) -> np.ndarray:
     nbh, nbw = ph // B, pw // B
     n_mv = nbh * nbw * 2
     unit = 2 if kind == b"T" else 1
-    raw = _bounded_inflate(
-        body[3:], n_mv + ph * pw * 3 * unit, "P-frame payload"
+    raw = _entropy_unpack(
+        body[4:], n_mv + ph * pw * 3 * unit, "P-frame payload", emode
     )
     mv = np.frombuffer(raw[:n_mv], dtype=np.int8).reshape(nbh, nbw, 2)
     rq = np.frombuffer(
@@ -606,6 +639,7 @@ def encode_avi_ifv(
     gop: int = 8,
     search: int = 4,
     transform: bool = False,
+    entropy: str = "zlib",
 ) -> bytes:
     """List of (h, w, 3) uint8 RGB frames → RIFF 'AVI ' bytes with one
     'IFV1' video stream — a real INTER-FRAME codec with the structure
@@ -640,16 +674,28 @@ def encode_avi_ifv(
     tables): smooth residual energy compacts into few coefficients,
     so typical error is ~q/√12 RMS rather than a hard per-pixel
     bound (orthonormality preserves L2), pinned by SNR tests. Frame
-    type 'T'; spatial mode stays byte-identical to pre-round-13.
+    type 'T'.
 
-    Frame chunks are self-describing ('I' + zlib(raw) /
-    'P'|'T' + q + B + zlib(mv ‖ residual|coeffs)), so the decoder
-    needs no side-band beyond the AVI headers. Deterministic: same
-    frames → same bytes (fixed zlib level, no RNG; the transform
-    mode is float and deterministic per BLAS build, the JPEG/MDCT
-    policy)."""
-    import zlib
+    **Entropy stage** (round 14, `entropy='huffman'`): frame payloads
+    are coded with the first-party canonical-Huffman coder
+    (operators/huffman.py) instead of zlib — the codebook-based stage
+    H.26x builds on (theirs context-adaptive, ours static per frame).
+    Quantization is UNCHANGED, so the error bounds and the decoded
+    pixels are identical across entropy modes; only the byte stream
+    differs.
 
+    Frame chunks are self-describing ('I' + emode + coded(raw) /
+    'P'|'T' + q + B + emode + coded(mv ‖ residual|coeffs), where
+    emode byte 0 = zlib, 1 = huffman), so the decoder needs no
+    side-band beyond the AVI headers. Deterministic: same frames →
+    same bytes (fixed zlib level / canonical codebooks, no RNG; the
+    transform mode is float and deterministic per BLAS build, the
+    JPEG/MDCT policy)."""
+    if entropy not in _ENTROPY_MODES:
+        raise ValueError(
+            "encode_avi_ifv: entropy must be 'zlib' or 'huffman'"
+        )
+    emode = _ENTROPY_MODES[entropy]
     if not frames:
         raise ValueError("encode_avi_ifv: need at least one frame")
     if not 2 <= q <= 255:
@@ -690,7 +736,9 @@ def encode_avi_ifv(
                 "encode_avi_ifv: all frames must share dimensions"
             )
         if i % gop == 0:
-            chunks.append(b"I" + zlib.compress(f.tobytes(), 6))
+            chunks.append(
+                b"I" + bytes([emode]) + _entropy_pack(f.tobytes(), emode)
+            )
             keyflags.append(True)
             prev = _ifv_pad(f, B)
             continue
@@ -736,8 +784,8 @@ def encode_avi_ifv(
             recon = np.clip(pred + resid_hat, 0, 255).astype(np.uint8)
             chunks.append(
                 b"T"
-                + bytes([q, B])
-                + zlib.compress(mv.tobytes() + cq.tobytes(), 6)
+                + bytes([q, B, emode])
+                + _entropy_pack(mv.tobytes() + cq.tobytes(), emode)
             )
         else:
             rq = np.clip(
@@ -748,8 +796,8 @@ def encode_avi_ifv(
             ).astype(np.uint8)
             chunks.append(
                 b"P"
-                + bytes([q, B])
-                + zlib.compress(mv.tobytes() + rq.tobytes(), 6)
+                + bytes([q, B, emode])
+                + _entropy_pack(mv.tobytes() + rq.tobytes(), emode)
             )
         keyflags.append(False)
         prev = recon
@@ -889,11 +937,75 @@ def _mdct_basis(frame: int) -> tuple[np.ndarray, np.ndarray]:
     return w, basis
 
 
+def _mdct_band_edges(half: int, n_bands: int) -> np.ndarray:
+    """Deterministic geometric-ish band partition of the `half`
+    MDCT coefficients into `n_bands` strictly nonempty bands —
+    narrow at low frequencies, wide at high, the critical-band shape
+    every perceptual codec uses. Pure function of (half, n_bands), so
+    the decoder rebuilds it from the header alone (no edge table in
+    the stream). Requires 1 <= n_bands <= half."""
+    edges = [0]
+    for k in range(1, n_bands + 1):
+        nxt = max(edges[-1] + 1, int(round(half ** (k / n_bands))))
+        edges.append(min(nxt, half - (n_bands - k)))
+    edges[-1] = half
+    return np.array(edges, dtype=np.int64)
+
+
+def _psy_allocate(
+    X: np.ndarray, qbits: int, edges: np.ndarray
+) -> np.ndarray:
+    """Per-frame, per-band mantissa bit allocation under a simple
+    masking model — the psychoacoustic stage the uniform quantizer
+    stubbed out. X is (nfr, half) MDCT coefficients; returns (nfr, B)
+    integer bit counts r with sum_b width_b * r_b <= qbits * half
+    per frame (the UNIFORM mode's budget — equal bitrate by
+    construction).
+
+    Model (classic simplified MPEG-1 psychoacoustic shape, public
+    knowledge): band power E_b masks its neighbors through a
+    triangular spreading function (10 dB self-offset, 8 dB per band
+    of distance); bits follow the signal-to-mask ratio at half a bit
+    per 3 dB (the quantizer-noise slope), centered on `qbits`, then a
+    per-frame water level (vectorized bisection) fits the integer
+    allocation to the budget. Bands holding tones keep fine
+    mantissas; bands buried under a neighbor's masking skirt give
+    their bits away."""
+    nfr, half = X.shape
+    B = len(edges) - 1
+    widths = np.diff(edges).astype(np.float64)
+    band_idx = np.repeat(np.arange(B), np.diff(edges))
+    # band mean power (nfr, B)
+    E = np.zeros((nfr, B))
+    np.add.at(E, (slice(None), band_idx), X * X)
+    E = E / widths + 1e-12
+    d = np.abs(np.arange(B)[:, None] - np.arange(B)[None, :])
+    spread = 10.0 ** (-(1.0 + 0.8 * d))
+    T = E @ spread.T + 1e-300
+    raw = qbits + 0.5 * np.log2(E / T)
+    budget = float(qbits * half)
+    # largest per-frame water level c with
+    # sum_b w_b * clip(round(raw + c), 2, 15) <= budget
+    lo = np.full(nfr, -40.0)
+    hi = np.full(nfr, 40.0)
+    for _ in range(50):
+        mid = (lo + hi) / 2.0
+        used = (
+            np.clip(np.round(raw + mid[:, None]), 2, 15) * widths
+        ).sum(axis=1)
+        ok = used <= budget
+        lo = np.where(ok, mid, lo)
+        hi = np.where(ok, hi, mid)
+    return np.clip(np.round(raw + lo[:, None]), 2, 15).astype(np.int64)
+
+
 def encode_wav_mdct(
     samples: np.ndarray,
     sample_rate: int = 16_000,
     frame: int = 512,
     qbits: int = 8,
+    entropy: str = "zlib",
+    alloc: str = "uniform",
 ) -> bytes:
     """(n,) int16 mono PCM → WAV-shaped RIFF bytes under the
     first-party MDCT TRANSFORM codec — the structural skeleton of the
@@ -918,9 +1030,39 @@ def encode_wav_mdct(
     and in parallel; within a row the overlap-add is sequential, the
     ADPCM block-carry story. Deterministic for a fixed numpy/BLAS
     build (float transform; the q94 oracle pins only exactly-carried
-    header fields, same policy as JPEG's float DCT)."""
+    header fields, same policy as JPEG's float DCT).
+
+    **Round 14 — the two formerly-stubbed perceptual stages, both
+    opt-in (defaults keep the round-13 bytes identical):**
+
+    - `entropy='huffman'`: the zlib stage is replaced by the
+      first-party canonical-Huffman coder over mantissa SYMBOLS
+      (operators/huffman.py) — the MP3/AAC codebook idea with one
+      static codebook per payload. Scalefactors (float32, entropy-
+      hostile) stay zlib-framed. Quantization unchanged, so decoded
+      samples are bit-identical across entropy modes.
+    - `alloc='psy'`: per-band scalefactors with masking-driven bit
+      allocation (`_psy_allocate`) instead of one scale + uniform
+      `qbits` for the whole frame — the psychoacoustic bit-allocation
+      stage, under the SAME total bit budget (qbits·half per frame),
+      so the SNR gain over uniform is pinned at equal bitrate.
+
+    Wire format: defaults keep the legacy cbSize=4 fmt extension
+    (frame, qbits); any non-default mode writes cbSize=8
+    (frame, qbits, flags, n_bands) where flags bit0 = huffman and
+    bit1 = per-band alloc. Data chunk: zlib mode packs
+    zlib(scales ‖ mantissas); huffman mode packs
+    u32 scale-block-len ‖ zlib(scales) ‖ huffman(mantissas+bias)."""
     import zlib
 
+    if entropy not in _ENTROPY_MODES:
+        raise ValueError(
+            "encode_wav_mdct: entropy must be 'zlib' or 'huffman'"
+        )
+    if alloc not in ("uniform", "psy"):
+        raise ValueError(
+            "encode_wav_mdct: alloc must be 'uniform' or 'psy'"
+        )
     samples = np.asarray(samples)
     if samples.ndim != 1:
         raise ValueError("encode_wav_mdct: mono (1-D) input only")
@@ -952,20 +1094,60 @@ def encode_wav_mdct(
     )
     frames = np.lib.stride_tricks.sliding_window_view(xp, frame)[::half]
     X = (frames * w) @ basis
-    mx = np.abs(X).max(axis=1)
-    mx[mx == 0] = 1.0  # silent frame: any scale works, mantissas are 0
-    scale = (mx / lim).astype("<f4")
-    q = np.clip(
-        np.round(X / scale.astype(np.float64)[:, None]), -lim, lim
-    ).astype("<i1" if qbits <= 8 else "<i2")
-    data = zlib.compress(scale.tobytes() + q.tobytes(), 6)
+    if alloc == "psy":
+        n_bands = min(16, half)
+        edges = _mdct_band_edges(half, n_bands)
+        band_idx = np.repeat(np.arange(n_bands), np.diff(edges))
+        r = _psy_allocate(X, qbits, edges)          # (nfr, B)
+        lim_b = (1 << (r - 1)) - 1                  # (nfr, B)
+        # per-band scalefactors off the band max (zero-band guard as
+        # in the uniform path)
+        nfr_ = X.shape[0]
+        mxb = np.zeros((nfr_, n_bands))
+        np.maximum.at(mxb, (slice(None), band_idx), np.abs(X))
+        mxb[mxb == 0] = 1.0
+        scale = (mxb / lim_b).astype("<f4")          # (nfr, B)
+        sc_coef = scale.astype(np.float64)[:, band_idx]
+        lim_coef = lim_b[:, band_idx]
+        q = np.clip(
+            np.round(X / sc_coef), -lim_coef, lim_coef
+        ).astype("<i2")
+    else:
+        n_bands = 1
+        mx = np.abs(X).max(axis=1)
+        mx[mx == 0] = 1.0  # silent frame: any scale works, mantissas 0
+        scale = (mx / lim).astype("<f4")
+        q = np.clip(
+            np.round(X / scale.astype(np.float64)[:, None]), -lim, lim
+        ).astype(
+            "<i1"
+            if qbits <= 8 and entropy == "zlib"
+            else "<i2"
+        )
+    if entropy == "huffman":
+        from .huffman import huff_encode
+
+        sc_blk = zlib.compress(scale.tobytes(), 6)
+        # bias mantissas into u16 symbol space: |q| <= 2^14 - 1 for
+        # qbits <= 15, so q + 2^14 is always in [1, 2^15 - 1]
+        data = (
+            struct.pack("<I", len(sc_blk))
+            + sc_blk
+            + huff_encode(q.astype(np.int64).ravel() + (1 << 14))
+        )
+    else:
+        data = zlib.compress(scale.tobytes() + q.tobytes(), 6)
+    flags = (_ENTROPY_MODES[entropy]) | (2 if alloc == "psy" else 0)
+    if flags == 0:
+        ext = struct.pack("<HHH", 4, frame, qbits)
+    else:
+        ext = struct.pack("<HHHHH", 8, frame, qbits, flags, n_bands)
     fmt = struct.pack(
-        "<HHIIHHHHH",
+        "<HHIIHH",
         _MDCT_TAG, 1, sample_rate,
         max(1, sample_rate * len(data) // max(1, len(samples))),
         0, 16,    # block_align n/a, "bits" nominal
-        4, frame, qbits,  # cbSize + (frame, qbits) extension
-    )
+    ) + ext
     fact = struct.pack("<I", len(samples))
     riff = b"".join([
         b"WAVEfmt ", struct.pack("<I", len(fmt)), fmt,
@@ -1003,7 +1185,7 @@ def mdct_info(payload: bytes) -> dict:
         raise ValueError(f"not MDCT (wFormatTag={tag:#06x})")
     if len(fmt_raw) < 22 or n_samples is None:
         raise ValueError("truncated MDCT fmt / missing fact chunk")
-    _t, ch, rate, _br, _ba, _bits, _cb, frame, qbits = struct.unpack_from(
+    _t, ch, rate, _br, _ba, _bits, cb, frame, qbits = struct.unpack_from(
         "<HHIIHHHHH", fmt_raw
     )
     if ch != 1:
@@ -1014,6 +1196,21 @@ def mdct_info(payload: bytes) -> dict:
         # ValueError the errors='coerce' path catches
         raise ValueError("corrupt MDCT frame/qbits header")
     half = frame // 2
+    # round-14 extension: cbSize=8 appends (flags, n_bands); legacy
+    # cbSize=4 payloads mean zlib + uniform (flags=0, one band)
+    flags, n_bands = 0, 1
+    if cb >= 8:
+        if len(fmt_raw) < 26:
+            raise ValueError("truncated MDCT extended fmt")
+        flags, n_bands = struct.unpack_from("<HH", fmt_raw, 22)
+        if flags & ~3:
+            raise ValueError("unknown MDCT flags")
+        if not 1 <= n_bands <= half:
+            raise ValueError("corrupt MDCT n_bands header")
+        if not (flags & 2) and n_bands != 1:
+            # uniform alloc with a multi-band count would misparse
+            # the scale block — reject the forged combination
+            raise ValueError("inconsistent MDCT alloc flags")
     n_frames = (n_samples + half - 1) // half + 1
     return {
         "sample_rate": rate,
@@ -1021,6 +1218,9 @@ def mdct_info(payload: bytes) -> dict:
         "frame": frame,
         "qbits": qbits,
         "n_frames": n_frames,
+        "entropy": "huffman" if flags & 1 else "zlib",
+        "alloc": "psy" if flags & 2 else "uniform",
+        "n_bands": n_bands,
     }
 
 
@@ -1049,17 +1249,46 @@ def decode_wav_mdct(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("missing data chunk")
     half = frame // 2
     nfr = info["n_frames"]
-    qdt = np.dtype("<i1") if qbits <= 8 else np.dtype("<i2")
-    want = nfr * 4 + nfr * half * qdt.itemsize
-    raw = _bounded_inflate(data, want, "MDCT payload")
-    scale = np.frombuffer(raw[: nfr * 4], dtype="<f4").astype(
-        np.float64
-    )
-    q = np.frombuffer(raw[nfr * 4:], dtype=qdt).reshape(
-        nfr, half
-    ).astype(np.float64)
+    B = info["n_bands"]
+    psy = info["alloc"] == "psy"
+    n_scales = nfr * B
+    if info["entropy"] == "huffman":
+        from .huffman import huff_decode
+
+        if len(data) < 4:
+            raise ValueError("truncated MDCT huffman payload")
+        (sc_len,) = struct.unpack_from("<I", data)
+        if len(data) < 4 + sc_len:
+            raise ValueError("truncated MDCT scale block")
+        raw_sc = _bounded_inflate(
+            data[4 : 4 + sc_len], n_scales * 4, "MDCT scales"
+        )
+        q = (
+            huff_decode(data[4 + sc_len :], nfr * half, "MDCT mantissas")
+            - (1 << 14)
+        ).reshape(nfr, half).astype(np.float64)
+    else:
+        qdt = np.dtype(
+            "<i1" if qbits <= 8 and not psy else "<i2"
+        )
+        want = n_scales * 4 + nfr * half * qdt.itemsize
+        raw = _bounded_inflate(data, want, "MDCT payload")
+        raw_sc = raw[: n_scales * 4]
+        q = np.frombuffer(raw[n_scales * 4 :], dtype=qdt).reshape(
+            nfr, half
+        ).astype(np.float64)
+    scale = np.frombuffer(raw_sc, dtype="<f4").astype(np.float64)
+    if psy:
+        # rebuild the deterministic band map from the header alone
+        # and broadcast each band's scalefactor across its bins
+        band_idx = np.repeat(
+            np.arange(B), np.diff(_mdct_band_edges(half, B))
+        )
+        sc_coef = scale.reshape(nfr, B)[:, band_idx]
+    else:
+        sc_coef = scale[:, None]
     w, basis = _mdct_basis(frame)
-    yfr = (4.0 / frame) * (q * scale[:, None]) @ basis.T * w
+    yfr = (4.0 / frame) * (q * sc_coef) @ basis.T * w
     out = np.zeros(half * (nfr + 1))
     for i in range(nfr):
         out[i * half:i * half + frame] += yfr[i]

@@ -31,10 +31,14 @@ Scale split, deliberate:
   write with no collect and loaded back as DataFrames, so the
   train-once/score-many story holds at 100 TB.
 
-Out of scope on purpose: MLlib estimators/PipelineModels — Spark
-ships native `model.save(path)` / `PipelineModel.load(path)` ML
-persistence for those; this module covers exactly the trained state
-that has NO built-in persistence story.
+Round 14 makes the API uniform across all 8 model families: fitted
+MLlib PipelineModels (rf / logreg / gbt_ovr pipelines) route through
+`save_model`/`load_model` too — delegating to Spark's native MLWriter
+under `{path}/mllib` with a marker table at `{path}/model_io_meta`
+for dispatch — and `RuleCoverageModel` persists its rule
+configuration, so ONE save/load call works for every model the
+engine can produce (loaded transform ≡ fresh transform, pinned per
+family in tests/test_model_io.py).
 """
 
 from __future__ import annotations
@@ -281,10 +285,42 @@ def save_model(spark: SparkSession, path: str, model) -> None:
     families outside the registry — silent pickle-style opacity is
     exactly what this layer replaces."""
     family = type(model).__name__
+    # ---- uniform-API dispatch (round 14): ONE save/load surface for
+    # all 8 model families. MLlib PipelineModels delegate to Spark's
+    # native MLWriter under {path}/mllib plus a marker table at
+    # {path}/model_io_meta (so load_model can route without guessing
+    # from directory shape); RuleCoverageModel persists its rule
+    # configuration as typed rows. A numpy-family overwrite of the
+    # same path wipes the whole dir (parquet overwrite semantics), so
+    # the two layouts can never coexist stale.
+    from pyspark.ml import PipelineModel
+
+    if isinstance(model, PipelineModel):
+        model.write().overwrite().save(f"{path}/mllib")
+        _write_small(
+            spark,
+            f"{path}/model_io_meta",
+            [_row("meta", key="family", sval="PipelineModel")],
+        )
+        return
+    if family == "RuleCoverageModel":
+        # configuration, not fitted state — persisted so the X9
+        # inference path has the same train-once/score-anywhere story
+        rows = [
+            _row("meta", key="family", sval=family),
+            _row("rule", key="feature", sval=model.feature),
+            _row("rule", key="threshold", dval=float(model.threshold)),
+            _row("rule", key="p_hit", dval=float(model.p_hit)),
+        ] + [
+            _row("class", rank=r, sval=c)
+            for r, c in enumerate(model.classes)
+        ]
+        _write_small(spark, path, rows)
+        return
     if family not in _HYPERS:
         raise ValueError(
             f"save_model: unknown family {family!r} (supported: "
-            f"{sorted(_HYPERS)})"
+            f"{sorted(_HYPERS) + ['PipelineModel', 'RuleCoverageModel']})"
         )
     if not hasattr(model, "classes_"):
         raise ValueError(
@@ -390,11 +426,56 @@ def load_model(spark: SparkSession, path: str):
     rank gaps."""
     import numpy as np
 
+    from pyspark.errors import AnalysisException
+
     from .. import ml
 
+    # uniform-API dispatch: an MLlib artifact announces itself via the
+    # marker table (probed first — a bare numpy-artifact path has no
+    # such subdir and the probe misses cleanly)
+    try:
+        marker = _read_artifact(
+            spark, f"{path}/model_io_meta", "load_model"
+        ).collect()
+    except AnalysisException:
+        marker = None
+    if marker is not None:
+        fam = {
+            r.key: r.sval for r in marker if r.part == "meta"
+        }.get("family")
+        if fam != "PipelineModel":
+            raise ValueError(
+                f"load_model: {path} marker names family {fam!r} — "
+                "corrupted artifact"
+            )
+        from pyspark.ml import PipelineModel
+
+        return PipelineModel.load(f"{path}/mllib")
     rows = _read_artifact(spark, path, "load_model").collect()
     meta = {r.key: r.sval for r in rows if r.part == "meta"}
     family = meta.get("family")
+    if family == "RuleCoverageModel":
+        rule = {r.key: r for r in rows if r.part == "rule"}
+        classes = _ranked(
+            {r.rank: r.sval for r in rows if r.part == "class"},
+            "class", path,
+        )
+        missing = {"feature", "threshold", "p_hit"} - set(rule)
+        if missing or len(classes) != 2 or (
+            rule["feature"].sval is None
+            or rule["threshold"].dval is None
+            or rule["p_hit"].dval is None
+        ):
+            raise ValueError(
+                f"load_model: {path} RuleCoverageModel artifact is "
+                f"incomplete (missing {sorted(missing) or 'values'})"
+            )
+        return ml.RuleCoverageModel(
+            feature=rule["feature"].sval,
+            threshold=float(rule["threshold"].dval),
+            classes=(classes[0], classes[1]),
+            p_hit=float(rule["p_hit"].dval),
+        )
     if family not in _HYPERS:
         raise ValueError(
             f"load_model: {path} holds family {family!r} — not a "

@@ -196,17 +196,21 @@ def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
             if codec == "real":
                 # ---- STUB: audio/video codecs not in this environment ----
                 raise NotImplementedError(
-                    "standards-conformant perceptual audio (MP3/AAC "
-                    "psychoacoustic models + Huffman tables) / "
-                    "transform-coded video (H.264 DCT/CABAC) decode "
-                    "requires ffmpeg; not installed — use "
-                    "codec='png'/'jpeg', decode_audio (PCM WAV), "
-                    "decode_audio_adpcm (compressed ADPCM audio, "
-                    "first-party), decode_audio_mdct (MDCT "
-                    "transform-coded audio, first-party), "
-                    "decode_video (MJPEG/AVI), decode_video_ifv "
-                    "(motion-compensated inter-frame video, "
-                    "first-party), or 'fake'"
+                    "decoding EXTERNAL container formats (MP3/AAC/"
+                    "H.264 files produced by other encoders) requires "
+                    "ffmpeg; not installed. Every perceptual STAGE now "
+                    "exists first-party: decode_audio_mdct (MDCT "
+                    "transform audio with canonical-Huffman entropy "
+                    "coding and psychoacoustic masking-driven bit "
+                    "allocation — the MP3/AAC pipeline), "
+                    "decode_video_ifv (motion-compensated inter-frame "
+                    "video with DCT transform mode and Huffman entropy "
+                    "— the H.26x pipeline minus CABAC context "
+                    "modeling), decode_audio_adpcm, decode_audio (PCM "
+                    "WAV), decode_video (MJPEG/AVI), "
+                    "codec='png'/'jpeg', or 'fake'. The remaining gap "
+                    "is bitstream-format compatibility with external "
+                    "files, not codec capability"
                 )
             w, h, c, ok = [], [], [], []
             for payload in pdf["payload"]:

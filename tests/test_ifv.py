@@ -332,7 +332,7 @@ def test_review_fixes_bomb_fps_and_sampler_parity():
     # must stop at expected+1 bytes and raise, never inflate it all
     i_pos = good.index(b"00dc")
     (ln,) = struct.unpack("<I", good[i_pos + 4:i_pos + 8])
-    bomb = b"I" + zlib.compress(b"\x00" * 60_000, 9)
+    bomb = b"I\x00" + zlib.compress(b"\x00" * 60_000, 9)
     assert len(bomb) <= ln  # fits the original chunk
     bomb = bomb + b"\x00" * (ln - len(bomb))
     bad = bytearray(good)

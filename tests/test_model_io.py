@@ -363,3 +363,119 @@ def test_review_fix_mlp_weight_corruption_is_valueerror(spark, tmp_path):
     ).write.parquet(bad)
     with pytest.raises(ValueError, match="W row holds NULL"):
         load_model(spark, bad)
+
+
+def test_uniform_api_mllib_pipeline_roundtrip(spark, tmp_path):
+    """Round 14: the SAME save_model/load_model surface covers the
+    MLlib families — a fitted classifier_pipeline PipelineModel
+    roundtrips through the marker-table dispatch with loaded scores
+    identical to the fresh fit's."""
+    from pyspark.ml import PipelineModel
+
+    from bigdatabowl2024_25_spark.ml import classifier_pipeline
+
+    df = _clf_frame(spark, n=120)
+    fitted = classifier_pipeline(
+        "lab", ["f1", "f2"], n_trees=5, max_depth=3
+    ).fit(df)
+    p = str(tmp_path / "rf")
+    save_model(spark, p, fitted)
+    loaded = load_model(spark, p)
+    assert isinstance(loaded, PipelineModel)
+    fresh = sorted(
+        (r.doc_id, r.prediction, tuple(r.probability))
+        for r in fitted.transform(df)
+        .select("doc_id", "prediction", "probability").collect()
+    )
+    back = sorted(
+        (r.doc_id, r.prediction, tuple(r.probability))
+        for r in loaded.transform(df)
+        .select("doc_id", "prediction", "probability").collect()
+    )
+    assert back == fresh
+    # overwrite the SAME path with a numpy-family artifact: the
+    # parquet overwrite wipes the dir, so dispatch must flip back
+    from bigdatabowl2024_25_spark.ml import NumpyGBDTClassifier
+
+    m = NumpyGBDTClassifier("lab", ["f1", "f2"], n_rounds=3,
+                            max_depth=2).fit(df)
+    save_model(spark, p, m)
+    assert type(load_model(spark, p)) is NumpyGBDTClassifier
+
+
+def test_uniform_api_rule_coverage_roundtrip(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from bigdatabowl2024_25_spark.ml import (
+        RuleCoverageModel,
+        classifier_pipeline,
+    )
+
+    m = RuleCoverageModel(
+        feature="f1", threshold=2.5, classes=("Cover-1", "other"),
+        p_hit=0.8,
+    )
+    p = str(tmp_path / "rule")
+    save_model(spark, p, m)
+    loaded = load_model(spark, p)
+    assert type(loaded) is RuleCoverageModel
+    assert (loaded.feature, loaded.threshold, loaded.classes,
+            loaded.p_hit) == ("f1", 2.5, ("Cover-1", "other"), 0.8)
+    df = _clf_frame(spark, n=20)
+    assert (
+        sorted(map(str, m.transform(df).collect()))
+        == sorted(map(str, loaded.transform(df).collect()))
+    )
+    # incomplete rule artifact → loud ValueError
+    bad = str(tmp_path / "rule_bad")
+    spark.read.parquet(p).filter(
+        ~((F.col("part") == "rule") & (F.col("key") == "threshold"))
+    ).write.parquet(bad)
+    with pytest.raises(ValueError, match="incomplete"):
+        load_model(spark, bad)
+    # corrupted marker family on an mllib-layout artifact
+    mk = str(tmp_path / "marker_bad")
+    save_model(
+        spark, mk,
+        classifier_pipeline("lab", ["f1"], n_trees=2, max_depth=2)
+        .fit(_clf_frame(spark, n=30)),
+    )
+    # materialize before overwriting the SAME path (lazy read would
+    # see its own deletion)
+    tampered = spark.read.parquet(f"{mk}/model_io_meta").withColumn(
+        "sval", F.lit("EvilModel")
+    )
+    rows_t, schema_t = tampered.collect(), tampered.schema
+    spark.createDataFrame(rows_t, schema_t).write.mode(
+        "overwrite"
+    ).parquet(f"{mk}/model_io_meta")
+    with pytest.raises(ValueError, match="marker names family"):
+        load_model(spark, mk)
+
+
+def test_cross_family_tamper_is_valueerror(spark, tmp_path):
+    """Round-14 edge audit: an artifact saved by one family whose
+    meta row is tampered to name ANOTHER family must raise a loud
+    ValueError (the named family's parts are missing), never build a
+    model off mismatched parts."""
+    import pyspark.sql.functions as F
+
+    from bigdatabowl2024_25_spark.ml import NumpyGBDTClassifier
+
+    df = _clf_frame(spark, n=60)
+    p = str(tmp_path / "gbdt")
+    save_model(
+        spark, p,
+        NumpyGBDTClassifier("lab", ["f1", "f2"], n_rounds=3,
+                            max_depth=2).fit(df),
+    )
+    tam = str(tmp_path / "gbdt_as_mlp")
+    spark.read.parquet(p).withColumn(
+        "sval",
+        F.when(
+            (F.col("part") == "meta") & (F.col("key") == "family"),
+            F.lit("NumpyMLPClassifier"),
+        ).otherwise(F.col("sval")),
+    ).write.parquet(tam)
+    with pytest.raises(ValueError):
+        load_model(spark, tam)
