@@ -38,6 +38,17 @@ from .registry import query
 
 _N_DOCS = 64
 
+#: partition count for the 24-64-row payload-generator fixtures.
+#: spark.range(N) defaults to the session parallelism (32 locally),
+#: which turns every fixture into ~1-row Arrow batches — across the
+#: 15-branch union that is 400+ near-empty python-worker tasks, and
+#: it DOMINATED q94's fused wall (measured round 14: 12.0-12.7 s
+#: warm at default partitioning vs 3.5-3.8 s at 4 partitions,
+#: identical rows). This is fixture plumbing, not the scale path: a
+#: real ingest replaces the generator with read_binary_files, whose
+#: partitioning follows the files.
+_FIXTURE_PARTS = 4
+
 
 # ---- dhash branches: perceptual-hash near-dup over REAL PNG bytes ----
 # 32 formula images at the hash grid's own 8×9 geometry (resize =
@@ -582,7 +593,7 @@ def q94_codec_roundtrip(spark, sf_dir):
             )
 
     dh_media = (
-        spark.range(_DH_N)
+        spark.range(0, _DH_N, 1, _FIXTURE_PARTS)
         .select(F.col("id").alias("media_id"))
         .mapInPandas(make_dhash_payloads, schema=MEDIA_SCHEMA)
     )
@@ -668,7 +679,7 @@ def q94_codec_roundtrip(spark, sf_dir):
             )
 
     af_media = (
-        spark.range(_AF_N)
+        spark.range(0, _AF_N, 1, _FIXTURE_PARTS)
         .select(F.col("id").alias("media_id"))
         .mapInPandas(make_afp_payloads, schema=MEDIA_SCHEMA)
     )
@@ -739,7 +750,7 @@ def q94_codec_roundtrip(spark, sf_dir):
             )
 
     vf_media = (
-        spark.range(_DH_N)
+        spark.range(0, _DH_N, 1, _FIXTURE_PARTS)
         .select(F.col("id").alias("media_id"))
         .mapInPandas(make_vfp_payloads, schema=MEDIA_SCHEMA)
     )
@@ -806,7 +817,7 @@ def q94_codec_roundtrip(spark, sf_dir):
             )
 
     adpcm_media = (
-        spark.range(40)
+        spark.range(0, 40, 1, _FIXTURE_PARTS)
         .select(F.col("id").alias("media_id"))
         .mapInPandas(make_adpcm, schema=MEDIA_SCHEMA)
     )
@@ -876,7 +887,7 @@ def q94_codec_roundtrip(spark, sf_dir):
             )
 
     ifv_media = (
-        spark.range(40)
+        spark.range(0, 40, 1, _FIXTURE_PARTS)
         .select(F.col("id").alias("media_id"))
         .mapInPandas(make_ifv, schema=MEDIA_SCHEMA)
     )
@@ -927,7 +938,7 @@ def q94_codec_roundtrip(spark, sf_dir):
             )
 
     mdct_media = (
-        spark.range(40)
+        spark.range(0, 40, 1, _FIXTURE_PARTS)
         .select(F.col("id").alias("media_id"))
         .mapInPandas(make_mdct, schema=MEDIA_SCHEMA)
     )
@@ -975,7 +986,7 @@ def q94_codec_roundtrip(spark, sf_dir):
             )
 
     pcm_media = (
-        spark.range(24)
+        spark.range(0, 24, 1, _FIXTURE_PARTS)
         .select(F.col("id").alias("media_id"))
         .mapInPandas(make_pcm, schema=MEDIA_SCHEMA)
     )
