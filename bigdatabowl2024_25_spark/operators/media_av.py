@@ -534,9 +534,12 @@ def _bounded_inflate(data: bytes, expected: int, what: str) -> bytes:
 
 
 #: entropy-stage registry shared by IFV and MDCT: mode byte → coder.
-#: 0 = zlib (LZ77+huffman, the bootstrap stage), 1 = first-party
-#: canonical Huffman (operators/huffman.py)
-_ENTROPY_MODES = {"zlib": 0, "huffman": 1}
+#: 0 = zlib (LZ77+static-huffman, the bootstrap stage), 1 =
+#: first-party canonical Huffman (operators/huffman.py, static
+#: codebooks), 2 = first-party context-adaptive binary range coder
+#: (operators/range_coder.py — the CABAC/LZMA family, no codebook in
+#: the stream)
+_ENTROPY_MODES = {"zlib": 0, "huffman": 1, "range": 2}
 
 
 def _entropy_pack(raw: bytes, emode: int) -> bytes:
@@ -544,23 +547,31 @@ def _entropy_pack(raw: bytes, emode: int) -> bytes:
         import zlib
 
         return zlib.compress(raw, 6)
-    from .huffman import huff_encode_bytes
+    if emode == 1:
+        from .huffman import huff_encode_bytes
 
-    return huff_encode_bytes(raw)
+        return huff_encode_bytes(raw)
+    from .range_coder import rc_encode_bytes
+
+    return rc_encode_bytes(raw)
 
 
 def _entropy_unpack(
     data: bytes, expected: int, what: str, emode: int
 ) -> bytes:
     """Mode-dispatched inverse of `_entropy_pack`, with the output
-    size KNOWN and enforced either way (the decompression-bomb guard
-    applies to both stages)."""
+    size KNOWN and enforced every way (the decompression-bomb guard
+    applies to all stages)."""
     if emode == 0:
         return _bounded_inflate(data, expected, what)
     if emode == 1:
         from .huffman import huff_decode_bytes
 
         return huff_decode_bytes(data, expected, what)
+    if emode == 2:
+        from .range_coder import rc_decode_bytes
+
+        return rc_decode_bytes(data, expected, what)
     raise ValueError(f"{what}: unknown entropy mode {emode}")
 
 
@@ -693,7 +704,8 @@ def encode_avi_ifv(
     JPEG/MDCT policy)."""
     if entropy not in _ENTROPY_MODES:
         raise ValueError(
-            "encode_avi_ifv: entropy must be 'zlib' or 'huffman'"
+            "encode_avi_ifv: entropy must be 'zlib', 'huffman', or "
+            "'range'"
         )
     emode = _ENTROPY_MODES[entropy]
     if not frames:
@@ -1057,7 +1069,8 @@ def encode_wav_mdct(
 
     if entropy not in _ENTROPY_MODES:
         raise ValueError(
-            "encode_wav_mdct: entropy must be 'zlib' or 'huffman'"
+            "encode_wav_mdct: entropy must be 'zlib', 'huffman', or "
+            "'range'"
         )
     if alloc not in ("uniform", "psy"):
         raise ValueError(
@@ -1121,7 +1134,7 @@ def encode_wav_mdct(
             np.round(X / scale.astype(np.float64)[:, None]), -lim, lim
         ).astype(
             "<i1"
-            if qbits <= 8 and entropy == "zlib"
+            if qbits <= 8 and entropy != "huffman"
             else "<i2"
         )
     if entropy == "huffman":
@@ -1135,9 +1148,18 @@ def encode_wav_mdct(
             + sc_blk
             + huff_encode(q.astype(np.int64).ravel() + (1 << 14))
         )
+    elif entropy == "range":
+        # same blob layout as zlib, different byte codec: the
+        # context-adaptive range coder needs no codebook at all
+        from .range_coder import rc_encode_bytes
+
+        data = rc_encode_bytes(scale.tobytes() + q.tobytes())
     else:
         data = zlib.compress(scale.tobytes() + q.tobytes(), 6)
-    flags = (_ENTROPY_MODES[entropy]) | (2 if alloc == "psy" else 0)
+    flags = (
+        (1 if entropy == "huffman" else 4 if entropy == "range" else 0)
+        | (2 if alloc == "psy" else 0)
+    )
     if flags == 0:
         ext = struct.pack("<HHH", 4, frame, qbits)
     else:
@@ -1203,7 +1225,7 @@ def mdct_info(payload: bytes) -> dict:
         if len(fmt_raw) < 26:
             raise ValueError("truncated MDCT extended fmt")
         flags, n_bands = struct.unpack_from("<HH", fmt_raw, 22)
-        if flags & ~3:
+        if flags & ~7 or (flags & 1 and flags & 4):
             raise ValueError("unknown MDCT flags")
         if not 1 <= n_bands <= half:
             raise ValueError("corrupt MDCT n_bands header")
@@ -1218,7 +1240,9 @@ def mdct_info(payload: bytes) -> dict:
         "frame": frame,
         "qbits": qbits,
         "n_frames": n_frames,
-        "entropy": "huffman" if flags & 1 else "zlib",
+        "entropy": (
+            "huffman" if flags & 1 else "range" if flags & 4 else "zlib"
+        ),
         "alloc": "psy" if flags & 2 else "uniform",
         "n_bands": n_bands,
     }
@@ -1272,7 +1296,12 @@ def decode_wav_mdct(payload: bytes) -> tuple[np.ndarray, int]:
             "<i1" if qbits <= 8 and not psy else "<i2"
         )
         want = n_scales * 4 + nfr * half * qdt.itemsize
-        raw = _bounded_inflate(data, want, "MDCT payload")
+        if info["entropy"] == "range":
+            from .range_coder import rc_decode_bytes
+
+            raw = rc_decode_bytes(data, want, "MDCT payload")
+        else:
+            raw = _bounded_inflate(data, want, "MDCT payload")
         raw_sc = raw[: n_scales * 4]
         q = np.frombuffer(raw[n_scales * 4 :], dtype=qdt).reshape(
             nfr, half

@@ -204,9 +204,11 @@ def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
                     "coding and psychoacoustic masking-driven bit "
                     "allocation — the MP3/AAC pipeline), "
                     "decode_video_ifv (motion-compensated inter-frame "
-                    "video with DCT transform mode and Huffman entropy "
-                    "— the H.26x pipeline minus CABAC context "
-                    "modeling), decode_audio_adpcm, decode_audio (PCM "
+                    "video with DCT transform mode and Huffman or "
+                    "context-adaptive binary range-coder entropy — "
+                    "the full H.26x pipeline structure including the "
+                    "CABAC-family stage), decode_audio_adpcm, "
+                    "decode_audio (PCM "
                     "WAV), decode_video (MJPEG/AVI), "
                     "codec='png'/'jpeg', or 'fake'. The remaining gap "
                     "is bitstream-format compatibility with external "

@@ -863,17 +863,18 @@ def q94_codec_roundtrip(spark, sf_dir):
                     for i in range(nf)
                 ]
                 # odd docs ride the TRANSFORM mode ('T' frames, DCT
-                # residual coding); every third doc rides the r14
-                # canonical-HUFFMAN entropy stage (so I/P/T frames
-                # each decode under both entropy modes here). All
-                # modes share the oracle rows — header fields + the
-                # lossless first I-frame pixel are mode-independent —
-                # so the driver gate covers every decode path
+                # residual coding); docs cycle the THREE r14 entropy
+                # stages (zlib / canonical huffman / context-adaptive
+                # range coder), so I/P/T frames each decode under
+                # every entropy mode here. All modes share the oracle
+                # rows — header fields + the lossless first I-frame
+                # pixel are mode-independent — so the driver gate
+                # covers every decode path
                 payloads.append(
                     encode_avi_ifv(
                         frames, fps=5, q=6, gop=3,
                         transform=bool(d % 2),
-                        entropy="huffman" if d % 3 == 0 else "zlib",
+                        entropy=("huffman", "range", "zlib")[d % 3],
                     )
                 )
                 ids.append(d)
@@ -914,16 +915,16 @@ def q94_codec_roundtrip(spark, sf_dir):
                     9000.0 * np.sin(2 * np.pi * (100 + d * 7) * k / rate)
                     + 4000.0 * np.sin(2 * np.pi * (300 + d * 11) * k / rate)
                 ).astype(np.int16)
-                # r14: cycle the four entropy × allocation mode
-                # combinations across docs — the oracle fields (fact
-                # count, rate, padding-rule frame count) are
-                # mode-independent, so the driver gate now also
-                # drives the huffman entropy and psychoacoustic
-                # per-band decode paths
+                # r14: cycle the entropy (zlib/huffman/range) ×
+                # allocation (uniform/psy) mode grid across docs —
+                # the oracle fields (fact count, rate, padding-rule
+                # frame count) are mode-independent, so the driver
+                # gate drives every entropy and allocation decode
+                # path
                 payloads.append(
                     encode_wav_mdct(
                         sig, rate,
-                        entropy="huffman" if d % 2 else "zlib",
+                        entropy=("zlib", "huffman", "range")[d % 3],
                         alloc="psy" if d % 4 >= 2 else "uniform",
                     )
                 )
