@@ -784,6 +784,20 @@ _BPE_CORPUS = [
     (2, "the table scan reads data"),
     (3, "fast data scan in the table"),
 ]
+
+
+def _lit_df(spark, rows, schema):
+    """Literal fixture frame with BOUNDED partitions (2): plain
+    createDataFrame slices even a 4-row literal across the session
+    parallelism (32 locally), and the resulting ~empty tasks dominate
+    the tokenizer trainers' driver-probe jobs — the q94
+    _FIXTURE_PARTS finding applied here (measured round 14: 0.1-0.3 s
+    saved per trainer call, consistent across all four families).
+    Literal fixtures are O(1)-sized by construction, so nothing that
+    scales is serialized."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema
+    )
 _BPE_MERGES = [
     ("e", "</w>"), ("t", "a"), ("a", "ta"), ("ata", "</w>"),
     ("d", "ata</w>"), ("h", "e</w>"), ("t", "he</w>"), ("b", "l"),
@@ -1322,7 +1336,7 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
         ).alias("content_md5"),
     )
     trained = bpe_train(
-        spark.createDataFrame(_BPE_CORPUS, "doc_id long, text string"),
+        _lit_df(spark, _BPE_CORPUS, "doc_id long, text string"),
         "text",
         len(_BPE_MERGES),
     )
@@ -1344,7 +1358,7 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
     from ..operators.bpe import wordpiece_train
 
     wp_learned = wordpiece_train(
-        spark.createDataFrame(_BPE_CORPUS, "doc_id long, text string"),
+        _lit_df(spark, _BPE_CORPUS, "doc_id long, text string"),
         "text",
         n_merges=10,
     )
@@ -1369,7 +1383,7 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
     )
 
     uni_learned = unigram_train(
-        spark.createDataFrame(_BPE_CORPUS, "doc_id long, text string"),
+        _lit_df(spark, _BPE_CORPUS, "doc_id long, text string"),
         "text",
         target_vocab=12,
         max_piece_len=6,
@@ -1397,7 +1411,7 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
     from ..operators.bpe import byte_bpe_encode, byte_bpe_train
 
     bb_learned = byte_bpe_train(
-        spark.createDataFrame(_BPE_CORPUS, "doc_id long, text string"),
+        _lit_df(spark, _BPE_CORPUS, "doc_id long, text string"),
         "text",
         12,
     )
@@ -1409,8 +1423,8 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
         "kind string, doc_id long, part_id long, byte_len long, "
         "content_md5 string",
     )
-    bb_fix = spark.createDataFrame(
-        _BBPE_FIXTURE, "doc_id long, text string"
+    bb_fix = _lit_df(
+        spark, _BBPE_FIXTURE, "doc_id long, text string"
     )
     bbpe = (
         byte_bpe_encode(bb_fix, "text", bb_learned)
