@@ -117,6 +117,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def literal_df(
+    spark: SparkSession, rows: list, schema, parts: int = 2
+) -> DataFrame:
+    """Literal fixture frame with BOUNDED partitions. Plain
+    `createDataFrame` slices a rows list across the session default
+    parallelism (32 on the local test host), so a 4-row literal
+    becomes ~1-row tasks — and across a many-branch plan those
+    near-empty tasks dominate the wall clock (the round-14 q94
+    finding: 12.0 → 3.5 s fused warm after bounding the fixture
+    partitioning; the q64 tokenizer trainers saved 0.1-0.3 s per
+    driver-probe call the same way). Literal fixtures are O(1)-sized
+    by construction, so 2 partitions serialize nothing that scales —
+    at 100 TB real inputs arrive through the file sources, whose
+    partitioning follows the data."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts), schema
+    )
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES
 ) -> dict[str, DataFrame]:

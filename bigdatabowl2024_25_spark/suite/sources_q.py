@@ -35,6 +35,7 @@ from ..operators.sampling import (
 )
 from ..sources.io import (
     assert_unique_key,
+    literal_df,
     load_table,
     read_csv,
     read_jsonl,
@@ -503,7 +504,7 @@ def q95_source_sink_roundtrip(spark, sf_dir):
         ]
         save_tokenizer(spark, f"{tmp}/tok_bpe", "bpe", tok_merges)
         tok_fam, tok_loaded = load_tokenizer(spark, f"{tmp}/tok_bpe")
-        tokd = spark.createDataFrame(
+        tokd = literal_df(spark, 
             [
                 (f"tok:{tok_fam}:{i}:{a}+{b}", i, 1, len(a), len(b))
                 for i, (a, b) in enumerate(tok_loaded)
@@ -534,7 +535,7 @@ def q95_source_sink_roundtrip(spark, sf_dir):
         qw_fix = [0.5, -1.25, 0.0078125, 3.0]
         save_quality_weights(spark, f"{tmp}/qw", qw_fix, -0.375)
         lqw, lqi = load_quality_weights(spark, f"{tmp}/qw")
-        qwd = spark.createDataFrame(
+        qwd = literal_df(spark, 
             [
                 (f"qw:{i}", i, 1, int(w * (1 << 20)), int(lqi * (1 << 20)))
                 for i, w in enumerate(lqw)
@@ -542,7 +543,7 @@ def q95_source_sink_roundtrip(spark, sf_dir):
             "kind string, nation bigint, n bigint, "
             "key_sum bigint, name_chars bigint",
         )
-        lm_corpus = spark.createDataFrame(
+        lm_corpus = literal_df(spark, 
             [(0, "the cat sat"), (1, "the cat ran"), (2, "a cat sat")],
             "doc_id long, text string",
         )
@@ -663,4 +664,4 @@ def q95_source_sink_roundtrip(spark, sf_dir):
         rows = out.collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return literal_df(spark, rows, out.schema)

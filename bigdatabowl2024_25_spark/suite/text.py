@@ -787,17 +787,12 @@ _BPE_CORPUS = [
 
 
 def _lit_df(spark, rows, schema):
-    """Literal fixture frame with BOUNDED partitions (2): plain
-    createDataFrame slices even a 4-row literal across the session
-    parallelism (32 locally), and the resulting ~empty tasks dominate
-    the tokenizer trainers' driver-probe jobs — the q94
-    _FIXTURE_PARTS finding applied here (measured round 14: 0.1-0.3 s
-    saved per trainer call, consistent across all four families).
-    Literal fixtures are O(1)-sized by construction, so nothing that
-    scales is serialized."""
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 2), schema
-    )
+    """Bounded-partition literal frame for the tokenizer trainers'
+    driver-probe corpora — see `sources.io.literal_df` (measured
+    round 14: 0.1-0.3 s saved per trainer call, all four families)."""
+    from ..sources.io import literal_df
+
+    return literal_df(spark, rows, schema)
 _BPE_MERGES = [
     ("e", "</w>"), ("t", "a"), ("a", "ta"), ("ata", "</w>"),
     ("d", "ata</w>"), ("h", "e</w>"), ("t", "he</w>"), ("b", "l"),
