@@ -682,7 +682,13 @@ def bm25_topk(
 
     spark = df.sparkSession
     qrows = [(int(q), t) for q, ts in queries.items() for t in ts]
-    qtable = spark.createDataFrame(qrows, "q_id bigint, term string")
+    # bounded partitions: the query table is workload-sized (tens of
+    # terms), and the default 32-slice parallelize pays ~empty tasks
+    # on every BM25 call (the round-14 literal_df finding); it is
+    # broadcast into the join either way
+    from ..sources.io import literal_df
+
+    qtable = literal_df(spark, qrows, "q_id bigint, term string")
 
     n = F.col("__n_docs").cast("double")
     avgdl = F.col("__sum_dl") / n

@@ -1335,7 +1335,7 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
         "text",
         len(_BPE_MERGES),
     )
-    train_rows = spark.createDataFrame(
+    train_rows = _lit_df(spark, 
         [
             ("bpe_train", i, 0, len(a) + len(b), f"{a} {b}")
             for i, (a, b) in enumerate(trained)
@@ -1357,7 +1357,7 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
         "text",
         n_merges=10,
     )
-    wp_train_rows = spark.createDataFrame(
+    wp_train_rows = _lit_df(spark, 
         [("wp_train", i, 0, len(p), p) for i, p in enumerate(wp_learned)],
         "kind string, doc_id long, part_id long, byte_len long, "
         "content_md5 string",
@@ -1384,7 +1384,7 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
         max_piece_len=6,
         n_em_iters=2,
     )
-    uni_train_rows = spark.createDataFrame(
+    uni_train_rows = _lit_df(spark, 
         [
             ("uni_train", i, li, len(p), p)
             for i, (p, li) in enumerate(uni_learned)
@@ -1410,7 +1410,7 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
         "text",
         12,
     )
-    bb_train_rows = spark.createDataFrame(
+    bb_train_rows = _lit_df(spark, 
         [
             ("bbpe_train", i, 0, len(a) + len(b), f"{a} {b}")
             for i, (a, b) in enumerate(bb_learned)
