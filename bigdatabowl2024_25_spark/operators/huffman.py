@@ -148,14 +148,22 @@ def huff_encode(symbols: np.ndarray) -> bytes:
     len_of[c_syms] = c_lens
     s_codes = code_of[symbols]
     s_lens = len_of[symbols]
-    # (n, 16) bit matrix: row i holds code bits MSB-first in the first
-    # s_lens[i] columns; masked row-major flatten preserves order
+    # (chunk, 16) bit matrix per 1M-symbol chunk: row i holds code
+    # bits MSB-first in the first s_lens[i] columns; masked row-major
+    # flatten preserves order. Chunking bounds the matrix peak at
+    # ~16 MB regardless of payload size (a 6 MB video frame would
+    # otherwise transiently allocate ~100 MB per task).
     j = np.arange(_MAX_LEN)
-    shift = s_lens[:, None] - 1 - j[None, :]
-    bits = (
-        (s_codes[:, None] >> np.maximum(shift, 0).astype(np.uint32)) & 1
-    ).astype(np.uint8)
-    flat = bits[shift >= 0]
+    chunks = []
+    for lo in range(0, len(symbols), 1 << 20):
+        sc = s_codes[lo : lo + (1 << 20)]
+        sl = s_lens[lo : lo + (1 << 20)]
+        shift = sl[:, None] - 1 - j[None, :]
+        bits = (
+            (sc[:, None] >> np.maximum(shift, 0).astype(np.uint32)) & 1
+        ).astype(np.uint8)
+        chunks.append(bits[shift >= 0])
+    flat = chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
     stream = np.packbits(flat).tobytes()
     return (
         _HDR.pack(len(c_syms), *counts[1:].tolist())
@@ -218,9 +226,17 @@ def huff_decode(
     if n_bits < len(bits) and bits[n_bits:].any():
         raise ValueError(f"{what}: nonzero huffman padding bits")
     padded = np.concatenate([bits, np.zeros(_MAX_LEN, dtype=np.uint8)])
-    windows = np.lib.stride_tricks.sliding_window_view(
-        padded, _MAX_LEN
-    ) @ (1 << np.arange(_MAX_LEN - 1, -1, -1, dtype=np.int64))
+    # precomputed 16-bit windows, built as 16 shifted 1-D ORs: peak
+    # memory is 2 bytes/bit for the result plus one transient shifted
+    # copy — never a 2-D (n_bits, 16) materialization (a sliding-
+    # window matmul would transiently cost 8-32 bytes/bit on large
+    # payloads)
+    n_all = len(bits)
+    windows = np.zeros(n_all, dtype=np.uint16)
+    for k in range(_MAX_LEN):
+        windows |= padded[k : k + n_all].astype(np.uint16) << (
+            _MAX_LEN - 1 - k
+        )
     out = np.empty(n_symbols, dtype=np.int64)
     cursor = 0
     for i in range(n_symbols):
