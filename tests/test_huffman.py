@@ -293,3 +293,28 @@ def test_psy_allocation_beats_uniform_at_equal_bitrate():
     # (2) comparable compressed size: psy still shapes noise better
     assert sz_psy6 < int(1.15 * sz_uni12)
     assert nmr_psy6 < nmr_uni12 - 2.0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=65_535), max_size=400)
+)
+def test_huffman_roundtrip_hypothesis(vals):
+    syms = np.array(vals, dtype=np.int64)
+    blk = huff_encode(syms)
+    assert (huff_decode(blk, len(syms)) == syms).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=600))
+def test_huffman_bytes_roundtrip_hypothesis(raw):
+    from bigdatabowl2024_25_spark.operators.huffman import (
+        huff_decode_bytes,
+        huff_encode_bytes,
+    )
+
+    assert huff_decode_bytes(huff_encode_bytes(raw), len(raw)) == raw

@@ -141,3 +141,29 @@ def test_mdct_range_mode_decodes_identically():
     z = np.zeros(300, dtype=np.int16)
     y, _ = decode_wav_mdct(encode_wav_mdct(z, rate, entropy="range"))
     assert (y == 0).all()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=800))
+def test_range_roundtrip_hypothesis(raw):
+    assert rc_decode_bytes(rc_encode_bytes(raw), len(raw)) == raw
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=6, max_size=200), st.integers(0, 199))
+def test_range_bitflip_never_silently_wrong(raw, pos):
+    """Any single bit flip in the coded stream either still decodes
+    (to the SAME length — size is enforced by the header) or raises
+    ValueError; it must never return bytes of the wrong length or
+    crash with a non-ValueError."""
+    enc = bytearray(rc_encode_bytes(raw))
+    enc[4 + pos % max(1, len(enc) - 4)] ^= 1 << (pos % 8)
+    try:
+        out = rc_decode_bytes(bytes(enc), len(raw))
+        assert len(out) == len(raw)
+    except ValueError:
+        pass
