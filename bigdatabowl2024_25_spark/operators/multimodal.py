@@ -706,6 +706,93 @@ def transcode_audio(df: DataFrame, codec: str = "adpcm") -> DataFrame:
     )
 
 
+def transcode_video(
+    df: DataFrame,
+    q: int = 8,
+    gop: int = 8,
+    search: int = 4,
+    transform: bool = False,
+    entropy: str = "zlib",
+) -> DataFrame:
+    """MJPEG-AVI payloads → IFV inter-frame payloads: the VIDEO leg
+    of the compress-before-storage ingest pass (`transcode_audio`'s
+    sibling). Intra-only MJPEG is what crawls and capture rigs
+    produce (every frame a keyframe — large); re-encoding through the
+    motion-compensated codec buys the inter-frame redundancy back and
+    chooses the entropy stage per the q/gop/transform/entropy knobs.
+
+    Distributed mapInPandas; payloads never shuffle; corrupt or
+    non-MJPEG inputs coerce to a null row with `n_bytes_in` kept for
+    audit (the transcode_audio contract). fps carries over from the
+    source container (a header-less source defaults to 10). The
+    re-encode is lossy RELATIVE TO THE DECODED MJPEG FRAMES within
+    the IFV error bound (q//2+1 spatial; JPEG already quantized the
+    pixels before us), and I-frames preserve the decoded frames
+    exactly."""
+    # validate the knobs HERE, once on the driver — encode_avi_ifv
+    # would raise identically, but inside the coerce loop that means
+    # every row silently nulls instead of the caller learning the
+    # configuration is wrong
+    if entropy not in ("zlib", "huffman", "range"):
+        raise ValueError(
+            "transcode_video: entropy must be 'zlib', 'huffman', or "
+            "'range'"
+        )
+    if not 2 <= q <= 255 or gop < 1 or not 0 <= search <= 120:
+        raise ValueError(
+            "transcode_video: q in [2, 255], gop >= 1, "
+            "search in [0, 120] required"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_av import decode_avi_mjpeg, encode_avi_ifv
+
+        for pdf in it:
+            outs, nin, nout = [], [], []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    outs.append(None)
+                    nin.append(None)
+                    nout.append(None)
+                    continue
+                raw = bytes(payload)
+                try:
+                    frames, fps = decode_avi_mjpeg(raw)
+                    enc = encode_avi_ifv(
+                        [
+                            f if f.ndim == 3 and f.shape[2] == 3
+                            else np.repeat(
+                                f[..., :1] if f.ndim == 3 else f[..., None],
+                                3, axis=-1,
+                            )
+                            for f in frames
+                        ],
+                        fps=fps if fps >= 1 else 10,
+                        q=q, gop=gop, search=search,
+                        transform=transform, entropy=entropy,
+                    )
+                    outs.append(enc)
+                    nin.append(len(raw))
+                    nout.append(len(enc))
+                except (TypeError, ValueError, zlib.error, struct.error,
+                        IndexError, KeyError, OverflowError):
+                    outs.append(None)
+                    nin.append(len(raw))
+                    nout.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": outs,
+                    "n_bytes_in": pd.array(nin, dtype="Int64"),
+                    "n_bytes_out": pd.array(nout, dtype="Int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=TRANSCODE_SCHEMA
+    )
+
+
 VIDEO_SCHEMA = (
     "media_id long, n_frames long, width int, height int, fps int, "
     "ok boolean"

@@ -475,6 +475,12 @@ _VFP_PAIRS = """VALUES
                 END AS BIGINT) AS d3,
            TRUE AS ok
     FROM range(0, 24) t4(d)
+    UNION ALL
+    SELECT d AS doc_id, 'vxcode' AS codec,
+           CAST(2 + (d % 16) % 3 AS BIGINT) AS d1,
+           CAST(5000000 + 9 * 1000 + 8 AS BIGINT) AS d2,
+           CAST(0 AS BIGINT) AS d3, TRUE AS ok
+    FROM range(0, {_DH_N}) t5(d)
     """,
 )
 def q94_codec_roundtrip(spark, sf_dir):
@@ -1012,6 +1018,33 @@ def q94_codec_roundtrip(spark, sf_dir):
             "d1", "d2", "d3", "ok",
         )
     )
+    # 'vxcode' (round 14): the VIDEO compress-at-ingest pass —
+    # `transcode_video` (MJPEG → IFV inter-frame, range-coder
+    # entropy) chained into `decode_video_ifv` on the transcoded
+    # payloads, end to end under the oracle. Header fields carry over
+    # from the MJPEG source (frame count, fps/width/height), so the
+    # oracle re-derives them from the vfp fixture formula; pixel
+    # content is NOT formula-derivable (JPEG quantized it before the
+    # re-encode) and is pinned by the error-bound test in
+    # tests/test_round14_edges.py instead. ok=True still requires the
+    # full transcode + range-decode chain to succeed per payload.
+    from ..operators.multimodal import transcode_video
+
+    vxcode = decode_video_ifv(
+        transcode_video(vf_media, q=6, gop=3, entropy="range")
+        .select("media_id", "payload")
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        F.lit("vxcode").alias("codec"),
+        F.col("n_frames").cast("long").alias("d1"),
+        (
+            F.col("fps").cast("long") * 1_000_000
+            + F.col("width").cast("long") * 1_000
+            + F.col("height").cast("long")
+        ).alias("d2"),
+        F.lit(0).cast("long").alias("d3"),
+        "ok",
+    )
     ifv = decode_video_ifv(ifv_media).select(
         F.col("media_id").alias("doc_id"),
         F.lit("ifv").alias("codec"),
@@ -1036,4 +1069,5 @@ def q94_codec_roundtrip(spark, sf_dir):
         .unionByName(ifv)
         .unionByName(mdct)
         .unionByName(xcode)
+        .unionByName(vxcode)
     )

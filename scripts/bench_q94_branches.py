@@ -1,6 +1,6 @@
 """Per-branch wall-time attribution for q94_codec_roundtrip.
 
-The headline bench times q94 as one union of 15 codec branches, so a
+The headline bench times q94 as one union of 16 codec branches, so a
 regression inside it is invisible (r13 VERDICT: 11.2-12.0 s warmed
 quiet readings vs the claimed 7.3-9.8 s steady state, no attribution).
 Unlike q64 (whose branches need trainer-side rebuilds), every q94
@@ -46,7 +46,7 @@ BRANCHES = [
     "dhash64", "dhash", "dincr",
     "afp64", "afp",
     "vfp64", "vfp",
-    "adpcm", "ifv", "mdct", "xcode",
+    "adpcm", "ifv", "mdct", "xcode", "vxcode",
 ]
 
 

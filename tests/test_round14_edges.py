@@ -163,3 +163,61 @@ def test_read_binary_files_zero_match_and_only_empty(spark, tmp_path):
     assert read_binary_files(
         spark, d, glob_filter="*.dat", max_bytes=1
     ).count() == 0
+
+
+def test_transcode_video_mjpeg_to_ifv(spark):
+    """The video compress-at-ingest pass: MJPEG payloads re-encode
+    through the inter-frame codec distributed; decoded output stays
+    within the IFV error bound OF THE DECODED MJPEG FRAMES (JPEG
+    already quantized the pixels), fps/dims/frame counts carry over,
+    compression beats the intra-only source on a translating scene,
+    and corrupt / non-MJPEG inputs coerce to null rows."""
+    from bigdatabowl2024_25_spark.operators.media_av import (
+        decode_avi_ifv,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from bigdatabowl2024_25_spark.operators.multimodal import (
+        transcode_video,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (60, 80, 3)).astype(np.uint8)
+    payloads = []
+    for d in range(4):
+        frames = [
+            base[i : i + 40, 2 * i : 2 * i + 50].copy()
+            for i in range(3 + d)
+        ]
+        payloads.append((d, encode_avi_mjpeg(frames, fps=5 + d)))
+    df = spark.createDataFrame(
+        payloads + [(9, b"not a video"), (10, None)],
+        "media_id long, payload binary",
+    )
+    q = 6
+    rows = {
+        r.media_id: r
+        for r in transcode_video(df, q=q, gop=3, entropy="range")
+        .collect()
+    }
+    for d, src in payloads:
+        r = rows[d]
+        assert r.n_bytes_in == len(src) and r.n_bytes_out == len(
+            r.payload
+        )
+        out, fps = decode_avi_ifv(bytes(r.payload))
+        ref, src_fps = decode_avi_mjpeg(src)
+        assert fps == src_fps == 5 + d and len(out) == len(ref)
+        bound = q // 2 + 1
+        for o, f in zip(out, ref):
+            assert o.shape == f.shape
+            assert int(np.abs(o.astype(int) - f.astype(int)).max()) <= bound
+        # inter-frame coding wins on the translating scene
+        assert r.n_bytes_out < r.n_bytes_in
+    assert rows[9].payload is None and rows[9].n_bytes_in == 11
+    assert rows[10].payload is None and rows[10].n_bytes_in is None
+    # configuration errors raise on the driver, never coerce
+    with pytest.raises(ValueError, match="entropy"):
+        transcode_video(df, entropy="lzma")
+    with pytest.raises(ValueError, match="q in"):
+        transcode_video(df, q=1)
