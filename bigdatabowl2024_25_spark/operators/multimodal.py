@@ -632,7 +632,12 @@ TRANSCODE_SCHEMA = (
 )
 
 
-def transcode_audio(df: DataFrame, codec: str = "adpcm") -> DataFrame:
+def transcode_audio(
+    df: DataFrame,
+    codec: str = "adpcm",
+    entropy: str = "zlib",
+    alloc: str = "uniform",
+) -> DataFrame:
     """PCM-WAV payloads → COMPRESSED payloads through a first-party
     codec ('adpcm' — 4:1 fixed-rate integer DSP, or 'mdct' —
     content-adaptive transform coding): the compress-before-storage
@@ -642,11 +647,28 @@ def transcode_audio(df: DataFrame, codec: str = "adpcm") -> DataFrame:
     downmix deterministically (integer mean across channels —
     floor division, bit-stable on any platform); both target codecs
     are mono by design. Emits before/after byte counts so the
-    achieved ratio is a queryable column."""
+    achieved ratio is a queryable column.
+
+    `entropy`/`alloc` (round 14) forward to the MDCT encoder's
+    entropy-stage and bit-allocation knobs; ADPCM has neither stage,
+    so non-default values with codec='adpcm' raise on the driver
+    rather than being silently ignored."""
     if codec not in ("adpcm", "mdct"):
         raise ValueError(
             f"transcode_audio: codec must be 'adpcm' or 'mdct' "
             f"(got {codec!r})"
+        )
+    if entropy not in ("zlib", "huffman", "range") or alloc not in (
+        "uniform", "psy",
+    ):
+        raise ValueError(
+            "transcode_audio: entropy must be zlib/huffman/range, "
+            "alloc uniform/psy"
+        )
+    if codec == "adpcm" and (entropy != "zlib" or alloc != "uniform"):
+        raise ValueError(
+            "transcode_audio: entropy/alloc apply to the MDCT codec "
+            "only — ADPCM has no entropy stage or band allocator"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -682,7 +704,9 @@ def transcode_audio(df: DataFrame, codec: str = "adpcm") -> DataFrame:
                     enc = (
                         encode_wav_ima_adpcm(mono, rate)
                         if codec == "adpcm"
-                        else encode_wav_mdct(mono, rate)
+                        else encode_wav_mdct(
+                            mono, rate, entropy=entropy, alloc=alloc
+                        )
                     )
                     outs.append(enc)
                     nin.append(len(raw))

@@ -221,3 +221,32 @@ def test_transcode_video_mjpeg_to_ifv(spark):
         transcode_video(df, entropy="lzma")
     with pytest.raises(ValueError, match="q in"):
         transcode_video(df, q=1)
+
+
+def test_transcode_audio_mode_knobs(spark):
+    """entropy/alloc forward to the MDCT encoder (loaded headers
+    prove it); non-default knobs with codec='adpcm' raise on the
+    driver instead of being silently ignored."""
+    from bigdatabowl2024_25_spark.operators.media_av import (
+        encode_wav,
+        mdct_info,
+    )
+    from bigdatabowl2024_25_spark.operators.multimodal import (
+        transcode_audio,
+    )
+
+    sig = (np.arange(400, dtype=np.int64) * 131 % 3001 - 1500).astype(
+        np.int16
+    ).reshape(-1, 1)
+    df = spark.createDataFrame(
+        [(0, encode_wav(sig, 8000))], "media_id long, payload binary"
+    )
+    row = transcode_audio(
+        df, codec="mdct", entropy="range", alloc="psy"
+    ).collect()[0]
+    info = mdct_info(bytes(row.payload))
+    assert info["entropy"] == "range" and info["alloc"] == "psy"
+    with pytest.raises(ValueError, match="MDCT codec only"):
+        transcode_audio(df, codec="adpcm", entropy="huffman")
+    with pytest.raises(ValueError, match="entropy must be"):
+        transcode_audio(df, codec="mdct", entropy="lzma")
