@@ -24,8 +24,10 @@ from bigdatabowl2024_25_spark.operators.media_av import (
 
 def test_ifv_parameter_extremes():
     """gop=1 (all-I, lossless), search=0 (zero-motion predictor),
-    single frame, and q at the 255 header cap — each in BOTH entropy
-    modes; the sampler agrees with the full decode everywhere."""
+    single frame, and q at the 255 header cap — each under the zlib
+    and huffman entropy stages (the range stage's cross-mode identity
+    is pinned in test_range_coder); the sampler agrees with the full
+    decode everywhere."""
     rng = np.random.default_rng(7)
     frames = [
         rng.integers(0, 256, (11, 14, 3)).astype(np.uint8)
