@@ -124,6 +124,14 @@ def huff_encode(symbols: np.ndarray) -> bytes:
     """Integer array (values in [0, 65535]) → self-delimiting
     canonical-Huffman block (table + bitstream)."""
     symbols = np.asarray(symbols)
+    if symbols.size and not np.issubdtype(symbols.dtype, np.integer):
+        # a float array like [1.5, 2.7] passes the range check, then
+        # astype(int64) silently truncates — a LOSSY "roundtrip"
+        # violating the module's loud-ValueError contract
+        raise ValueError(
+            f"huff_encode: symbols must be an integer array, got "
+            f"dtype {symbols.dtype}"
+        )
     if symbols.size and (
         symbols.min() < 0 or symbols.max() > 0xFFFF
     ):

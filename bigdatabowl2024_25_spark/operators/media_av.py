@@ -575,10 +575,25 @@ def _entropy_unpack(
     raise ValueError(f"{what}: unknown entropy mode {emode}")
 
 
+def _is_legacy_zlib_byte(b: int) -> bool:
+    """Pre-round-14 IFV frames carried NO emode byte — the entropy
+    payload (always zlib) started where the emode byte now sits. The
+    two layouts are unambiguous at that byte: an emode is 0-2, while
+    a zlib CMF byte always has low nibble 8 (CM=8, deflate) and high
+    nibble <= 7 (window size), i.e. one of 0x08..0x78 — disjoint
+    sets. Lets decode_avi_ifv read archives written by earlier
+    encoder versions instead of coercing them to nulls."""
+    return (b & 0x0F) == 8 and (b >> 4) <= 7
+
+
 def _decode_ifv_iframe(body: bytes, h: int, w: int) -> np.ndarray:
     if len(body) < 2:
         raise ValueError("truncated I-frame header")
-    raw = _entropy_unpack(body[2:], h * w * 3, "I-frame", body[1])
+    if _is_legacy_zlib_byte(body[1]):
+        # pre-r14 layout: 'I' + zlib(raw), no emode byte
+        raw = _bounded_inflate(body[1:], h * w * 3, "I-frame")
+    else:
+        raw = _entropy_unpack(body[2:], h * w * 3, "I-frame", body[1])
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
 
 
@@ -594,7 +609,12 @@ def _decode_ifv_pframe(prev: np.ndarray, body: bytes) -> np.ndarray:
         raise ValueError(f"unknown IFV frame type {kind!r}")
     if len(body) < 4:
         raise ValueError("truncated P-frame header")
-    q, B, emode = body[1], body[2], body[3]
+    q, B = body[1], body[2]
+    if _is_legacy_zlib_byte(body[3]):
+        # pre-r14 layout: kind + q + B + zlib(payload), no emode byte
+        emode, payload = 0, body[3:]
+    else:
+        emode, payload = body[3], body[4:]
     if q < 2 or B == 0:
         raise ValueError("corrupt P-frame quantizer/block size")
     if kind == b"T" and B != _IFV_BLOCK:
@@ -606,7 +626,7 @@ def _decode_ifv_pframe(prev: np.ndarray, body: bytes) -> np.ndarray:
     n_mv = nbh * nbw * 2
     unit = 2 if kind == b"T" else 1
     raw = _entropy_unpack(
-        body[4:], n_mv + ph * pw * 3 * unit, "P-frame payload", emode
+        payload, n_mv + ph * pw * 3 * unit, "P-frame payload", emode
     )
     mv = np.frombuffer(raw[:n_mv], dtype=np.int8).reshape(nbh, nbw, 2)
     rq = np.frombuffer(

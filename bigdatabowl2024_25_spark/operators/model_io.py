@@ -296,6 +296,18 @@ def save_model(spark: SparkSession, path: str, model) -> None:
     from pyspark.ml import PipelineModel
 
     if isinstance(model, PipelineModel):
+        # the numpy→mllib direction needs an explicit wipe: MLWriter
+        # only replaces {path}/mllib, so a numpy-family artifact's
+        # root-level part-*.parquet would survive and a raw
+        # spark.read.parquet(path) would still yield the stale model
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            for st in fs.listStatus(jpath):
+                if st.getPath().getName() not in (
+                    "mllib", "model_io_meta"
+                ):
+                    fs.delete(st.getPath(), True)
         model.write().overwrite().save(f"{path}/mllib")
         _write_small(
             spark,

@@ -39,6 +39,16 @@ _PROB_INIT = 1 << (_PROB_BITS - 1)
 _MOVE_BITS = 5
 _N_CTX = 8  # previous byte's top 3 bits
 
+#: Hard per-payload cap for the ENCODE side. Adaptive coding is
+#: inherently sequential, so this stage is an interpreted per-byte
+#: loop: measured ~300 KB/s encode / ~350 KB/s decode (see SCALE.md
+#: "range coder" row). 1 MiB ≈ 3.5 s inside one task — the largest
+#: payload that is a cost, not a stall. Above it, the caller gets a
+#: loud redirect to entropy='huffman' (chunked-numpy, ~1000× faster)
+#: instead of silently parking an executor for minutes. Decode stays
+#: unguarded so pre-guard archives remain readable.
+_RC_MAX_PAYLOAD = 1 << 20
+
 
 def _new_probs() -> list[list[int]]:
     return [[_PROB_INIT] * 256 for _ in range(_N_CTX)]
@@ -128,6 +138,13 @@ def rc_encode_bytes(raw: bytes) -> bytes:
     """Bytes → u32 length header + context-adaptive range-coded
     stream. Deterministic; size-competitive with zlib on residual-
     like data without any codebook or dictionary in the stream."""
+    if len(raw) > _RC_MAX_PAYLOAD:
+        raise ValueError(
+            f"rc_encode_bytes: payload of {len(raw)} bytes exceeds "
+            f"the {_RC_MAX_PAYLOAD}-byte range-coder cap (adaptive "
+            "coding runs ~300 KB/s in one task; use entropy="
+            "'huffman' for payloads this large)"
+        )
     enc = _Encoder()
     probs = _new_probs()
     ctx = 0
@@ -157,6 +174,12 @@ def rc_decode_bytes(
             f"header says {n})"
         )
     if expected == 0:
+        # an empty payload codes to exactly the 5 flush bytes
+        if len(data) - 4 > 5:
+            raise ValueError(
+                f"{what}: trailing garbage after an empty "
+                "range-coded stream"
+            )
         return b""
     dec = _Decoder(data[4:], what)
     probs = _new_probs()
@@ -170,4 +193,14 @@ def rc_decode_bytes(
         b = node & 0xFF
         out[i] = b
         ctx = b >> 5
+    # strict framing, matching the family contract (zlib rejects any
+    # unused_data; huffman checks the exact ceil(n_bits/8) length):
+    # the decoder may legitimately leave up to the 5 flush-tail bytes
+    # unread, but anything beyond that is trailing garbage appended
+    # to a valid stream — reject it instead of decoding silently
+    if len(dec.data) - dec.pos > 5:
+        raise ValueError(
+            f"{what}: {len(dec.data) - dec.pos} unconsumed bytes "
+            "after a complete range-coded stream (trailing garbage)"
+        )
     return bytes(out)
