@@ -517,7 +517,16 @@ def _bounded_inflate(data: bytes, expected: int, what: str) -> bytes:
     import zlib
 
     d = zlib.decompressobj()
-    raw = d.decompress(data, expected + 1)
+    try:
+        raw = d.decompress(data, expected + 1)
+    except zlib.error as exc:
+        # normalize to the family's ValueError contract (huffman and
+        # range already raise it): a corrupt deflate stream must look
+        # the same to callers as any other malformed payload — the
+        # coerce wrappers catch zlib.error too, but standalone decoder
+        # users should only ever need to handle ValueError (pinned by
+        # the round-15 codec-matrix bit-flip fuzz)
+        raise ValueError(f"{what}: corrupt deflate stream ({exc})")
     # no trailing bytes tolerated: since r14 the RIFF word-alignment
     # pad lives OUTSIDE the declared chunk size (spec rule), so the
     # body slice handed here is exactly the zlib stream
