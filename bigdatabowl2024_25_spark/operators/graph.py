@@ -40,6 +40,44 @@ from pyspark.sql import functions as F
 DEFAULT_SCALE = 10**12
 
 
+def _cut(df: DataFrame, eager: bool) -> DataFrame:
+    """Lineage cut for the PER-ROUND loop frames (ranks/auths/hubs).
+
+    ``eager=True`` → ``localCheckpoint(eager=True)``: truncates the
+    logical plan AND materializes — the every-``eager_every``
+    failure-domain bound (a mid-chain loss never recomputes more than
+    that many rounds).
+
+    ``eager=False`` → ``persist()``, NOT ``localCheckpoint(eager=
+    False)``. Round-15 measurement: under AQE, a lazy localCheckpoint
+    calls ``toRdd`` at CONSTRUCTION time, which executes the
+    subtree's shuffle stages immediately as a standalone
+    mini-execution (own job submission + AQE replan). For the serial
+    round chain, persist() defers that work into the one consuming
+    job with identical results; the physical plan reads the
+    InMemoryRelation leaf, so the 3-references-per-round recompute
+    blowup still cannot happen. Two bounded costs, both acceptable:
+    the LOGICAL tree grows between eager cuts (≤ 3^``eager_every``
+    subtree references — analysis-time only), and superseded cached
+    rounds linger in storage until LRU eviction (cache blocks are
+    evictable; localCheckpoint blocks are not).
+
+    DELIBERATELY NOT USED for the fan-out frames (``e``, ``base``,
+    ``nodes``, q74's ``pr_edges``) — those keep
+    ``localCheckpoint(eager=False)``. Measured A/B on the fused q74
+    union: persisting the fan-out frames REGRESSED 10.8 → 19 s,
+    because the union's branches consume them from parallel stages —
+    uncached-yet InMemoryRelations race their population (duplicated
+    upstream work), and cached plans bypass AQE partition coalescing
+    (``canChangeCachedPlanOutputPartitioning`` defaults false; turning
+    it on recovered only 19 → 18 s). Construction-time execution via
+    toRdd serializes that shared materialization exactly once, which
+    is the right trade for frames with many concurrent consumers."""
+    if eager:
+        return df.localCheckpoint(eager=True)
+    return df.persist()
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -142,18 +180,17 @@ def pagerank(
             )
         )
         # Each round references the previous ranks THREE times (share
-        # join, dangling aggregate, next-round base), so a lazy plan
+        # join, dangling aggregate, next-round base), so an uncut plan
         # TRIPLES per round — 3^n subtree copies (observed: 9 KB → 28
         # KB per extra round; the composed-pipeline OOM lesson from
-        # pipelines/corpus._fanout applies). A lazy localCheckpoint
-        # truncates the logical plan NOW and materializes at first
-        # use, keeping per-round plan size constant; `eager_every`
-        # additionally forces materialization so a failure mid-chain
-        # never recomputes more than that many rounds.
+        # pipelines/corpus._fanout applies). `_cut` persists each
+        # round (physical-plan leaf, no re-execution per reference —
+        # see _cut for why persist, not lazy localCheckpoint) and
+        # every `eager_every` rounds checkpoints eagerly so the
+        # LOGICAL tree stays bounded and a failure mid-chain never
+        # recomputes more than that many rounds.
         if (i + 1) < iterations:
-            ranks = ranks.localCheckpoint(
-                eager=((i + 1) % eager_every == 0)
-            )
+            ranks = _cut(ranks, (i + 1) % eager_every == 0)
     return ranks.select("node", "rank_scaled")
 
 
@@ -285,8 +322,8 @@ def hits(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    nodes = nodes.localCheckpoint(eager=False)
 
     def _renorm(raw: DataFrame, col: str) -> DataFrame:
         """raw (node, col) → all-nodes L1-renormalized (node, col)."""
@@ -324,7 +361,7 @@ def hits(
         # auths is referenced TWICE every round (h_raw below, then the
         # next round's a_raw — or the final output join), so cut its
         # lineage unconditionally; final-round hubs is referenced once
-        auths = _renorm(a_raw, "a").localCheckpoint(eager=False)
+        auths = _cut(_renorm(a_raw, "a"), False)
         h_raw = (
             e.join(
                 _maybe_b(auths.select(F.col("node").alias("dst"), "a")),
@@ -335,9 +372,7 @@ def hits(
         )
         hubs = _renorm(h_raw, "h")
         if (i + 1) < iterations:
-            hubs = hubs.localCheckpoint(
-                eager=((i + 1) % eager_every == 0)
-            )
+            hubs = _cut(hubs, (i + 1) % eager_every == 0)
     return (
         hubs.join(auths, "node")
         .select(
@@ -469,8 +504,8 @@ def trustrank(
             F.coalesce("deg", F.lit(0)).alias("deg"),
             F.coalesce("__s", F.lit(0)).alias("is_seed"),
         )
-        .localCheckpoint(eager=False)
     )
+    base = base.localCheckpoint(eager=False)
     counts = base.agg(
         F.coalesce(F.sum("is_seed"), F.lit(0)).alias("ns")
     )
@@ -530,9 +565,7 @@ def trustrank(
             )
         )
         if (i + 1) < iterations:
-            ranks = ranks.localCheckpoint(
-                eager=((i + 1) % eager_every == 0)
-            )
+            ranks = _cut(ranks, (i + 1) % eager_every == 0)
     return ranks.select("node", "rank_scaled")
 
 

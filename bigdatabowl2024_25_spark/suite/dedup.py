@@ -1047,9 +1047,8 @@ def q74_near_dup_clusters(spark, sf_dir):
             (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
-        # the fact⋈fact derivation feeds BOTH centrality branches —
-        # checkpoint once so 'hits' reuses pagerank's materialization
-        # instead of re-running the join+distinct
+        # the fact⋈fact derivation feeds all four centrality branches
+        # — checkpoint once so they share ONE materialization
         .localCheckpoint(eager=False)
     )
     pr = pagerank(pr_edges, iterations=3).select(

@@ -51,26 +51,35 @@ def main() -> None:
 
     out: dict[str, list[float]] = {}
 
-    def timed(label: str, df) -> None:
-        df.collect()  # warm
+    def timed(label: str, thunk) -> None:
+        # REBUILD the plan per collect (bench.py does the same):
+        # localCheckpoint materializations are per-DataFrame, so
+        # collecting one cached object would measure the
+        # post-checkpoint replay (~0.3 s), not the per-run cost the
+        # headline bench actually pays
+        thunk().collect()  # warm (JIT/codegen only — state not kept)
         samples = []
         for _ in range(2):
+            # t0 BEFORE construction: q74 does driver-side eager work
+            # inside the query callable (the size-adaptive CC collects
+            # its funnel-sized edge list), exactly like bench.py's
+            # `fn(spark, sf_dir).collect()` timing
             t0 = time.perf_counter()
-            df.collect()
+            thunk().collect()
             samples.append(round(time.perf_counter() - t0, 3))
         out[label] = samples
         print(f"{label:18s} {samples}", file=sys.stderr)
 
     # the q72 subtree alone (the funnel the 'cc' branch sits on)
-    timed("q72_subtree", q72_near_dup_pairs(spark, sf_dir))
+    timed("q72_subtree", lambda: q72_near_dup_pairs(spark, sf_dir))
     for b in BRANCHES:
         timed(
             f"branch:{b}",
-            q74_near_dup_clusters(spark, sf_dir).filter(
+            lambda b=b: q74_near_dup_clusters(spark, sf_dir).filter(
                 F.col("kind") == b
             ),
         )
-    timed("fused", q74_near_dup_clusters(spark, sf_dir))
+    timed("fused", lambda: q74_near_dup_clusters(spark, sf_dir))
     print(json.dumps({
         "metric": "q74_branch_attribution",
         "sf_dir": sf_dir,
