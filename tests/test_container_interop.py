@@ -211,3 +211,41 @@ def test_avi_ifv_external_shapes(entropy):
     # trailing bytes after the AVI form end are ignored, not parsed
     got3, _ = decode_avi_ifv(canonical + b"\xde\xad\xbe\xef" * 8)
     assert all((a == b).all() for a, b in zip(got3, ref))
+
+
+# ------------------------------------------- property-driven shapes
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+#: filler chunk ids external tools actually emit (JUNK = alignment
+#: filler, PAD  = Sound Forge, FLLR = ProTools, bext = BWF metadata)
+_FILLER_IDS = (b"JUNK", b"PAD ", b"FLLR", b"bext")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    inserts=st.lists(
+        st.tuples(
+            st.integers(0, 8),                # insertion slot
+            st.sampled_from(_FILLER_IDS),
+            st.integers(0, 64),               # body length (odd OR even)
+        ),
+        max_size=5,
+    ),
+    tail=st.integers(0, 64),
+)
+def test_wav_random_filler_property(inserts, tail):
+    """ANY spec-conformant scatter of filler chunks between a WAV's
+    real chunks — arbitrary ids, odd or even lengths, any top-level
+    slots, plus post-form trailing bytes — decodes identically to the
+    canonical file. Generalizes the hand-picked shapes above."""
+    samples, canonical = _pcm_fixture()
+    form, chunks = riff_parse(canonical)
+    for slot, cid, ln in inserts:
+        chunks = _insert(
+            chunks, min(slot, len(chunks)), cid, b"\xa5" * ln
+        )
+    data = riff_build(form, chunks) + b"\xee" * tail
+    arr, rate = decode_wav(data)
+    assert rate == 22050 and (arr[:, 0] == samples).all()
