@@ -41,41 +41,40 @@ DEFAULT_SCALE = 10**12
 
 
 def _cut(df: DataFrame, eager: bool) -> DataFrame:
-    """Lineage cut for the PER-ROUND loop frames (ranks/auths/hubs).
+    """Lineage cut for the per-round loop frames (ranks/auths/hubs):
+    ``localCheckpoint`` — lazy between ``eager_every`` marks, eager at
+    them (the failure-domain bound: a mid-chain loss never recomputes
+    more than that many rounds).
 
-    ``eager=True`` → ``localCheckpoint(eager=True)``: truncates the
-    logical plan AND materializes — the every-``eager_every``
-    failure-domain bound (a mid-chain loss never recomputes more than
-    that many rounds).
+    Round 15 investigated replacing the lazy cuts with ``persist()``
+    and REJECTED it on three measurements, kept here so the next
+    reader doesn't re-run the experiment:
 
-    ``eager=False`` → ``persist()``, NOT ``localCheckpoint(eager=
-    False)``. Round-15 measurement: under AQE, a lazy localCheckpoint
-    calls ``toRdd`` at CONSTRUCTION time, which executes the
-    subtree's shuffle stages immediately as a standalone
-    mini-execution (own job submission + AQE replan). For the serial
-    round chain, persist() defers that work into the one consuming
-    job with identical results; the physical plan reads the
-    InMemoryRelation leaf, so the 3-references-per-round recompute
-    blowup still cannot happen. Two bounded costs, both acceptable:
-    the LOGICAL tree grows between eager cuts (≤ 3^``eager_every``
-    subtree references — analysis-time only), and superseded cached
-    rounds linger in storage until LRU eviction (cache blocks are
-    evictable; localCheckpoint blocks are not).
+    1. Under AQE, ``localCheckpoint(eager=False)`` calls ``toRdd`` at
+       construction, which executes the subtree's shuffle stages
+       immediately as a standalone mini-execution — q74 measured
+       ~11 s construct / ~1 s collect. That LOOKS like waste, but for
+       the serial round chain the mini-jobs do exactly the work the
+       final collect would otherwise do: swapping them for persist()
+       left the fused q74 union at parity (10.8-11.0 s both ways).
+    2. persist() does NOT truncate the visible/logical plan — each
+       round still embeds the previous round's tree ~3× (explain
+       string measured 8.8 KB → 85 KB over iterations 1→3), the exact
+       blowup the plan test pins (`test_pagerank_round_is_join_plus_
+       agg`) and the reason the cut exists.
+    3. persist() on the FAN-OUT frames (``e``, ``base``, ``nodes``,
+       q74's ``pr_edges``) actively regressed the fused union 10.8 →
+       19 s: the union's branches consume them from parallel stages,
+       so uncached-yet InMemoryRelations race their population
+       (duplicated upstream work), and cached plans bypass AQE
+       partition coalescing (`canChangeCachedPlanOutputPartitioning`
+       defaults false; enabling it recovered only 1 s).
 
-    DELIBERATELY NOT USED for the fan-out frames (``e``, ``base``,
-    ``nodes``, q74's ``pr_edges``) — those keep
-    ``localCheckpoint(eager=False)``. Measured A/B on the fused q74
-    union: persisting the fan-out frames REGRESSED 10.8 → 19 s,
-    because the union's branches consume them from parallel stages —
-    uncached-yet InMemoryRelations race their population (duplicated
-    upstream work), and cached plans bypass AQE partition coalescing
-    (``canChangeCachedPlanOutputPartitioning`` defaults false; turning
-    it on recovered only 19 → 18 s). Construction-time execution via
-    toRdd serializes that shared materialization exactly once, which
-    is the right trade for frames with many concurrent consumers."""
-    if eager:
-        return df.localCheckpoint(eager=True)
-    return df.persist()
+    Net: construction-time materialization via toRdd is the RIGHT
+    behavior for both frame classes here — it serializes shared
+    materializations exactly once and keeps per-round plans
+    constant-size. Full A/B table in SCALE.md round-15 q74 section."""
+    return df.localCheckpoint(eager=eager)
 
 
 def pagerank(
