@@ -330,14 +330,32 @@ def band_keys(k: int, bands: int) -> list[Column]:
 
 
 def lsh_candidates(
-    sigs: DataFrame, id_col: str, k: int = 8, bands: int = 4
+    sigs: DataFrame,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the k-wide signature into `bands` groups of k/bands rows;
     docs sharing any band key become a candidate pair (id_a < id_b).
 
     The band key is md5 of the concatenated signature slice — a compact
     fixed-width join key. Self-join happens per band key, so skew is
-    bounded by the largest near-dup cluster, not by n."""
+    bounded by the largest near-dup cluster, not by n.
+
+    ``max_bucket`` is the production skew guard the round-15 scale
+    probe showed is needed on dense corpora: candidate volume is
+    Σ_buckets c·(c-1)/2, and a corpus whose random-pair Jaccard is
+    non-negligible (tiny shared vocabulary, boilerplate/templated
+    text) grows that sum as ~n² even though every single bucket stays
+    modest (measured on the probe's x2/x4 points: 9.1k → 31.8k → 128k
+    candidate pairs for 5k → 10k → 20k docs). Buckets with occupancy
+    > max_bucket are dropped BEFORE the self-join: an over-occupied
+    band bucket is near-constant content whose pairs flood the verify
+    stage with near-zero information. Documented recall trade — pairs
+    whose ONLY shared band is an over-occupied one are lost; real
+    near-dup pairs collide in several bands and survive. Default None
+    preserves exact funnel semantics (the oracle-checked path)."""
     keys = band_keys(k, bands)
     # explode one array instead of a `bands`-way union: the signature
     # aggregate subtree appears ONCE in the plan, not `bands` times
@@ -345,6 +363,17 @@ def lsh_candidates(
         F.col(id_col).alias("doc"),
         F.explode(F.array(*keys)).alias("band_key"),
     )
+    if max_bucket is not None:
+        # occupancy join is on the SAME key as the self-join below, so
+        # it rides the same hash partitioning — no extra shuffle of
+        # the banded relation
+        occ = (
+            banded.groupBy("band_key")
+            .agg(F.count("*").alias("__occ"))
+            .filter(F.col("__occ") <= max_bucket)
+            .select("band_key")
+        )
+        banded = banded.join(occ, "band_key")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

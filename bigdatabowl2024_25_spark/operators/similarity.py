@@ -1212,6 +1212,7 @@ def lsh_near_dup(
     planes: int = 6,
     tables: int = 4,
     dims: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via the LSH candidate funnel: pairs
     that collide in ANY hash table are exactly rescored (quantized
@@ -1232,13 +1233,34 @@ def lsh_near_dup(
     recall vs the exact all-pairs baseline is the documented LSH
     trade (tests/test_similarity.py pins it on the test corpus).
     Norms are computed once per vector BEFORE the explode; the
-    per-candidate cost is exactly one zip_with dot."""
+    per-candidate cost is exactly one zip_with dot.
+
+    ``max_bucket`` (round 15): the same production occupancy guard as
+    `dedup.lsh_candidates` — the ~tables·n²/2^planes expectation above
+    is QUADRATIC, and the scale probe measured q80's 'neardup' branch
+    at growth exponent ~1.5 on the x2/x4 points because of it. Tables
+    whose bucket holds > max_bucket vectors are near-constant regions
+    of the sphere (or a skewed cluster); dropping them before the
+    bucket join caps per-bucket work at max_bucket² with the
+    documented recall trade. Default None = exact documented
+    semantics (the oracle-checked path); at scale, raise `planes`
+    AND set a cap."""
     cos = int_dot(F.col("q_iv"), F.col("d_iv")).cast("double") / (
         F.col("q_nrm") * F.col("d_nrm")
     )
+    qb = _banded(data, id_col, vec_col, "q", planes, tables, dims)
+    db = _banded(data, id_col, vec_col, "d", planes, tables, dims)
+    if max_bucket is not None:
+        occ = (
+            qb.groupBy("bucket")
+            .agg(F.count("*").alias("__occ"))
+            .filter(F.col("__occ") <= max_bucket)
+            .select("bucket")
+        )
+        qb = qb.join(occ, "bucket")
+        db = db.join(occ, "bucket")
     return (
-        _banded(data, id_col, vec_col, "q", planes, tables, dims)
-        .join(_banded(data, id_col, vec_col, "d", planes, tables, dims), ["bucket"])
+        qb.join(db, ["bucket"])
         .filter(F.col("q_id") < F.col("d_id"))
         .select("q_id", "d_id", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)

@@ -1,0 +1,81 @@
+"""The ``max_bucket`` occupancy guard on both LSH candidate funnels
+(round 15). The scale probe's x2/x4 points measured the funnels'
+documented-but-previously-unmeasured quadratic term (q72 candidate
+pairs 9.1k → 31.8k → 128k for 5k → 10k → 20k docs; q80 'neardup'
+growth exponent ~1.5): candidate volume is Σ_buckets c·(c-1)/2, and a
+corpus dense at the collision threshold grows it as ~n². The guard
+drops over-occupied buckets BEFORE the pair join — the standard
+production LSH skew cap, with an explicit recall trade. Default None
+must keep the exact (oracle-checked) semantics.
+"""
+
+from pyspark.sql import functions as F
+
+from bigdatabowl2024_25_spark.operators.dedup import lsh_candidates
+from bigdatabowl2024_25_spark.operators.similarity import lsh_near_dup
+from bigdatabowl2024_25_spark.sources.io import literal_df
+
+_SIG_SCHEMA = "doc_id long, " + ", ".join(
+    f"mh_{i} long" for i in range(8)
+)
+
+
+def _sigs(spark):
+    """12 docs with one shared signature (a mega-bucket in every band)
+    plus 2 docs sharing only band 0 between themselves."""
+    rows = [tuple([i] + [7, 7, 13, 13, 19, 19, 23, 23]) for i in range(12)]
+    rows += [
+        (100, 1, 2, 30, 31, 32, 33, 34, 35),
+        (101, 1, 2, 40, 41, 42, 43, 44, 45),
+    ]
+    return literal_df(spark, rows, _SIG_SCHEMA)
+
+
+def test_minhash_cap_drops_only_mega_bucket_pairs(spark):
+    sigs = _sigs(spark)
+    full = lsh_candidates(sigs, "doc_id")
+    assert full.count() == 12 * 11 // 2 + 1
+    capped = lsh_candidates(sigs, "doc_id", max_bucket=5)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    # the 66 mega-bucket pairs are gone; the small-bucket pair stays
+    assert got == {(100, 101)}
+
+
+def test_minhash_cap_at_occupancy_boundary(spark):
+    sigs = _sigs(spark)
+    # cap == occupancy keeps the bucket (<=, not <)
+    assert lsh_candidates(sigs, "doc_id", max_bucket=12).count() == 67
+
+
+def _vectors(spark):
+    """10 identical vectors (one bucket per table) and 2 identical
+    vectors of the OPPOSITE sign — complementary sign pattern on every
+    hyperplane, so the two groups can never share a bucket."""
+    v = [1.0, -0.5, 0.25, 2.0]
+    w = [-x for x in v]
+    rows = [(i, v) for i in range(10)] + [(100, w), (101, w)]
+    return literal_df(spark, rows, "vec_id long, embedding array<float>")
+
+
+def test_near_dup_cap_drops_only_mega_bucket_pairs(spark):
+    e = _vectors(spark)
+    kw = dict(threshold=0.5, planes=6, tables=2, dims=4)
+    full = lsh_near_dup(e, "vec_id", "embedding", **kw)
+    assert full.count() == 10 * 9 // 2 + 1
+    capped = lsh_near_dup(
+        e, "vec_id", "embedding", max_bucket=5, **kw
+    )
+    got = {(r.q_id, r.d_id) for r in capped.collect()}
+    assert got == {(100, 101)}
+    # and the surviving pair is still exactly scored
+    [row] = capped.collect()
+    assert abs(row.cosine - 1.0) < 1e-9
+
+
+def test_near_dup_cap_boundary_keeps_all(spark):
+    e = _vectors(spark)
+    kw = dict(threshold=0.5, planes=6, tables=2, dims=4)
+    assert (
+        lsh_near_dup(e, "vec_id", "embedding", max_bucket=10, **kw).count()
+        == 46
+    )
