@@ -587,6 +587,7 @@ def incremental_lsh_candidates(
     text_col: str = "text",
     k: int = 8,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup candidate generation for a new batch against corpus
     history: returns (candidates, new_banded) where candidates pair
@@ -598,7 +599,17 @@ def incremental_lsh_candidates(
     16-byte md5 band keys — fixed-size per doc, append-only across
     batches (persist `new_banded` unioned in for the next round). The
     join shuffles band keys only; with the state table bucketed by
-    band_key, only the new batch's side moves."""
+    band_key, only the new batch's side moves.
+
+    ``max_bucket`` is `lsh_candidates`' round-15 occupancy guard, and
+    it matters MORE here: a band key that every daily batch touches
+    accumulates history occupancy without bound, so its per-batch
+    candidate volume (new_occ · total_occ) grows linearly per day —
+    quadratically cumulatively. The cap is on TOTAL (history + batch)
+    occupancy and affects CANDIDATE GENERATION ONLY: `new_banded` is
+    always returned complete, because the persisted LSH state must
+    stay exact for future batches (capping state rows would silently
+    change later rounds' semantics). Default None = exact semantics."""
     sh = with_shingles(new_df, text_col, id_col)
     sigs = minhash_signatures(sh, id_col, k=k)
     keys = band_keys(k, bands)
@@ -607,6 +618,17 @@ def incremental_lsh_candidates(
         F.explode(F.array(*keys)).alias("band_key"),
     )
     both = existing_banded.unionByName(new_banded)
+    if max_bucket is not None:
+        # filtering the history+batch side alone is sufficient (a pair
+        # needs the key on both sides) and rides the same band_key
+        # hash partitioning as the candidate join
+        occ = (
+            both.groupBy("band_key")
+            .agg(F.count("*").alias("__occ"))
+            .filter(F.col("__occ") <= max_bucket)
+            .select("band_key")
+        )
+        both = both.join(occ, "band_key")
     n = new_banded.alias("n")
     o = both.alias("o")
     cands = (

@@ -79,3 +79,39 @@ def test_near_dup_cap_boundary_keeps_all(spark):
         lsh_near_dup(e, "vec_id", "embedding", max_bucket=10, **kw).count()
         == 46
     )
+
+
+_HOT = "alpha beta gamma delta epsilon zeta"
+_COLD = "one two three four five six"
+
+
+def test_incremental_cap_on_total_occupancy_state_complete(spark):
+    from bigdatabowl2024_25_spark.operators.dedup import (
+        incremental_lsh_candidates,
+    )
+
+    empty = literal_df(spark, [], "doc long, band_key string")
+    hist = literal_df(
+        spark,
+        [(i, _HOT) for i in range(10)],
+        "doc_id long, text string",
+    )
+    _, hist_banded = incremental_lsh_candidates(hist, empty, "doc_id")
+    new = literal_df(
+        spark,
+        [(100, _HOT), (200, _COLD), (201, _COLD)],
+        "doc_id long, text string",
+    )
+    full, _ = incremental_lsh_candidates(new, hist_banded, "doc_id")
+    # doc 100 pairs with all 10 history docs; 200-201 pair in-batch
+    assert full.count() == 11
+    capped, nb = incremental_lsh_candidates(
+        new, hist_banded, "doc_id", max_bucket=5
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    # total occupancy of the hot key is 10 + 1 > 5 -> its pairs drop;
+    # the cold key holds 2 <= 5 -> its pair survives
+    assert got == {(200, 201)}
+    # the returned state is NEVER capped: persisted LSH history must
+    # stay exact for future batches
+    assert nb.count() == 3 * 4  # 3 docs x 4 bands
