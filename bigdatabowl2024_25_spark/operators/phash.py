@@ -146,6 +146,7 @@ def phash_near_dup(
     hash_col: str = "dhash",
     bands: int = 4,
     max_hamming: int = 6,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs from 64-bit perceptual hashes:
     explode each hash into `bands` 16-bit band keys (arithmetic shift
@@ -157,7 +158,17 @@ def phash_near_dup(
     volume is bucket-bounded (the q80 'neardup' discipline). Recall:
     pairs with Hamming < `bands` are caught with certainty
     (pigeonhole — some band has no flipped bit); above that, only if
-    the flips cluster inside few bands."""
+    the flips cluster inside few bands.
+
+    ``max_bucket`` (round 15): the occupancy guard of
+    `dedup.lsh_candidates`, and here the quadratic term is STRUCTURAL,
+    not corpus-dependent — the band key space is fixed at 2^16, so
+    per-bucket occupancy grows ∝ n/65536 no matter what, and Σc² has
+    an n²/(bands·2^16) floor (at 10⁸ images that is ~10¹¹ candidate
+    pairs). Buckets with occupancy > max_bucket (flat-color frames,
+    logo cards, test patterns — the image analog of boilerplate) are
+    dropped before the self-join; default None keeps exact
+    semantics."""
     assert 64 % bands == 0, "bands must divide 64"
     width = 64 // bands
     mask = (1 << width) - 1
@@ -177,6 +188,14 @@ def phash_near_dup(
             ])
         ).alias("bk"),
     ).select("doc", "__h", "bk.band", "bk.key")
+    if max_bucket is not None:
+        occ = (
+            banded.groupBy("band", "key")
+            .agg(F.count("*").alias("__occ"))
+            .filter(F.col("__occ") <= max_bucket)
+            .select("band", "key")
+        )
+        banded = banded.join(occ, ["band", "key"])
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -208,6 +227,7 @@ def incremental_phash_candidates(
     hash_col: str = "dhash",
     bands: int = 4,
     max_hamming: int = 6,
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The daily-crawl loop for IMAGES — the phash sibling of
     `dedup.incremental_lsh_candidates` (text bands) and
@@ -226,7 +246,13 @@ def incremental_phash_candidates(
     100 TB shape: the batch side explodes ×`bands` 8-byte keys and
     BROADCASTS; history is scanned in place (band keys derived in the
     scan projection — with the state bucketed by dhash prefix the
-    probe prunes). Verify is codegen bit_count(xor)."""
+    probe prunes). Verify is codegen bit_count(xor).
+
+    ``max_bucket`` (round 15): total-occupancy cap as in
+    `dedup.incremental_lsh_candidates` — a 16-bit band key the crawl
+    keeps hitting (flat frames, logo cards) accumulates history
+    occupancy without bound. Candidate generation only; `new_rows` is
+    always returned complete (persisted state must stay exact)."""
     assert 64 % bands == 0, "bands must divide 64"
     width = 64 // bands
 
@@ -255,6 +281,16 @@ def incremental_phash_candidates(
     pool = banded(state, "doc", "dhash").unionByName(
         banded(new_rows, "doc", "dhash")
     )
+    if max_bucket is not None:
+        # filtering the pool side alone suffices: every pair (history
+        # AND in-batch) needs a pool row on the over-occupied key
+        occ = (
+            pool.groupBy("band", "key")
+            .agg(F.count("*").alias("__occ"))
+            .filter(F.col("__occ") <= max_bucket)
+            .select("band", "key")
+        )
+        pool = pool.join(occ, ["band", "key"])
     # hamming BEFORE distinct: a within-batch pair appears in both
     # join orderings (n=a,p=b and n=b,p=a), so a distinct spanning the
     # side-tagged hash columns kept BOTH — one duplicate row per
@@ -359,6 +395,7 @@ def video_near_dup(
     max_hamming: int = 6,
     min_matching_frames: int = 2,
     collapse_runs: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate video pairs from per-frame dhashes, SHIFT-
     TOLERANT (round 10): candidates band-join on (band, key) alone —
@@ -382,7 +419,13 @@ def video_near_dup(
     per-video sort — frame counts then mean "matching scene changes",
     and a static N-frame twin costs 1 row, not N²). Both sides still
     shuffle (8-byte key, frame) rows only; payloads never move; the
-    offset histogram is one groupBy over verified collisions."""
+    offset histogram is one groupBy over verified collisions.
+
+    ``max_bucket`` (round 15): occupancy cap over (band, key) frame
+    rows — the cross-VIDEO analog of what `collapse_runs` already
+    removes within a video (a band value shared by thousands of
+    different clips' frames — black frames, slates — pairs them all);
+    default None keeps exact semantics."""
     assert 64 % bands == 0, "bands must divide 64"
     width = 64 // bands
     mask = (1 << width) - 1
@@ -418,6 +461,14 @@ def video_near_dup(
             ])
         ).alias("bk"),
     ).select("doc", "__f", "__h", "bk.band", "bk.key")
+    if max_bucket is not None:
+        occ = (
+            banded.groupBy("band", "key")
+            .agg(F.count("*").alias("__occ"))
+            .filter(F.col("__occ") <= max_bucket)
+            .select("band", "key")
+        )
+        banded = banded.join(occ, ["band", "key"])
     a, b = banded.alias("a"), banded.alias("b")
     frame_pairs = (
         a.join(

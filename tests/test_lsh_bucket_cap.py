@@ -115,3 +115,53 @@ def test_incremental_cap_on_total_occupancy_state_complete(spark):
     # the returned state is NEVER capped: persisted LSH history must
     # stay exact for future batches
     assert nb.count() == 3 * 4  # 3 docs x 4 bands
+
+
+_D1 = 0x1111_2222_3333_4444
+_D2 = 0x0123_4567_89AB_CDEF
+
+
+def test_phash_cap_drops_only_mega_bucket_pairs(spark):
+    from bigdatabowl2024_25_spark.operators.phash import phash_near_dup
+
+    rows = [(i, _D1) for i in range(12)] + [(100, _D2), (101, _D2)]
+    hashes = literal_df(spark, rows, "media_id long, dhash long")
+    assert phash_near_dup(hashes).count() == 12 * 11 // 2 + 1
+    capped = phash_near_dup(hashes, max_bucket=5)
+    assert {(r.id_a, r.id_b) for r in capped.collect()} == {(100, 101)}
+
+
+def test_incremental_phash_cap_state_complete(spark):
+    from bigdatabowl2024_25_spark.operators.phash import (
+        incremental_phash_candidates,
+    )
+
+    state = literal_df(
+        spark, [(i, _D1) for i in range(10)], "doc long, dhash long"
+    )
+    new = literal_df(
+        spark,
+        [(100, _D1), (200, _D2), (201, _D2)],
+        "media_id long, dhash long",
+    )
+    full, _ = incremental_phash_candidates(new, state)
+    assert full.count() == 11
+    capped, nr = incremental_phash_candidates(new, state, max_bucket=5)
+    assert {(r.id_a, r.id_b) for r in capped.collect()} == {(200, 201)}
+    assert nr.count() == 3  # new_rows never capped
+
+
+def test_video_cap_drops_only_mega_bucket_pairs(spark):
+    from bigdatabowl2024_25_spark.operators.phash import video_near_dup
+
+    # 12 single-frame clips sharing one hash; two 2-frame clips
+    # sharing a distinct pair of hashes (offset-0 twins)
+    rows = [(i, 0, _D1) for i in range(12)]
+    rows += [(100, 0, _D2), (100, 1, _D2 + 1),
+             (101, 0, _D2), (101, 1, _D2 + 1)]
+    fh = literal_df(spark, rows, "media_id long, frame long, dhash long")
+    full = video_near_dup(fh, min_matching_frames=1)
+    assert full.count() == 12 * 11 // 2 + 1
+    capped = video_near_dup(fh, min_matching_frames=1, max_bucket=5)
+    got = {(r.id_a, r.id_b, r.offset, r.n_match) for r in capped.collect()}
+    assert got == {(100, 101, 0, 2)}
