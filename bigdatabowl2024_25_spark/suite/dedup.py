@@ -1015,57 +1015,89 @@ def q74_near_dup_clusters(spark, sf_dir):
         spark.sparkContext.setCheckpointDir(
             tempfile.mkdtemp(prefix="bdb_q74_ckpt_")
         )
+    from ..concurrency import build_concurrently
+
     # q74/q75 cluster on the SYMMETRIC jaccard pairs only — containment
     # is an asymmetric report (quote detection), not an equivalence
-    pairs = (
-        q72_near_dup_pairs(spark, sf_dir)
-        .filter(F.col("kind") == "jaccard")
-        .select("id_a", "id_b")
-    )
-    cc = connected_components(pairs, checkpoint_mode="reliable").select(
-        F.lit("cc").alias("kind"),
-        "node",
-        "component",
-        F.lit(None).cast("bigint").alias("rank_scaled"),
-    )
+    def _build_cc():
+        pairs = (
+            q72_near_dup_pairs(spark, sf_dir)
+            .filter(F.col("kind") == "jaccard")
+            .select("id_a", "id_b")
+        )
+        return connected_components(pairs, checkpoint_mode="reliable")
 
     # 'pr' (round 9): fixed-point PageRank (`graph.pagerank`) over the
     # customer→supplier link graph — the web-graph centrality signal a
     # corpus pipeline uses for domain-quality weighting. Integer
     # arithmetic end-to-end, so the DuckDB oracle re-derives it with
     # the same unrolled recurrence (`oracle_pagerank_sql`).
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    pr_edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-        # the fact⋈fact derivation feeds all four centrality branches
-        # — checkpoint once so they share ONE materialization
-        .localCheckpoint(eager=False)
-    )
-    pr = pagerank(pr_edges, iterations=3).select(
-        F.lit("pr").alias("kind"),
-        "node",
-        F.lit(None).cast("bigint").alias("component"),
-        "rank_scaled",
-    )
-
     # 'hub'/'auth' (round 10): HITS over the SAME graph — the
     # two-sided centrality PageRank can't express (on this bipartite
     # graph hubs are exactly the customers, authorities the
     # suppliers). Integer L1-normalized power iteration; the oracle
     # (`oracle_hits_sql`) replays the identical HUGEINT recurrence.
     # broadcast_scores: this graph's node table is dimension-sized
-    # (customers + suppliers), so every per-round score join broadcasts
-    ht = hits(pr_edges, iterations=2, broadcast_scores=True)
+    # (customers + suppliers), so every per-round score join broadcasts.
+    # 'trust' (round 10): TrustRank — teleport restricted to a seed
+    # tenth of the supplier-side nodes (arithmetic predicate, so the
+    # oracle derives the identical seed set). The spam-demotion
+    # signal: trust flows OUT of the seeds; customers earn it only
+    # through links. Same checkpoint'd edge list as 'pr'/'hub'.
+    def _build_graphs():
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        pr_edges = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                F.col("o_custkey").alias("src"),
+                (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+            )
+            .distinct()
+            # the fact⋈fact derivation feeds all four centrality
+            # branches — checkpoint once so they share ONE
+            # materialization
+            .localCheckpoint(eager=False)
+        )
+        seeds = pr_edges.select(F.col("dst").alias("node")).filter(
+            F.col("node") % 10 == 3
+        )
+        return build_concurrently(
+            {
+                "pr": lambda: pagerank(pr_edges, iterations=3),
+                "ht": lambda: hits(
+                    pr_edges, iterations=2, broadcast_scores=True
+                ),
+                "tr": lambda: trustrank(pr_edges, seeds, iterations=2),
+            }
+        )
+
+    # round 15: the five branches' construction-time jobs (the q72
+    # funnel + eager CC strategy count on one side; the per-round
+    # toRdd mini-executions of three centrality chains on the other)
+    # are independent — overlap them instead of paying the measured
+    # ~11.6 s serial construction wall (attribution in SCALE.md's
+    # round-15 q74 section; results are identical, only job timing
+    # changes). pr/ht/tr fan out AFTER the shared pr_edges checkpoint
+    # so all three plan against the same materialized leaf.
+    built = build_concurrently({"cc": _build_cc, "g": _build_graphs})
+    cc = built["cc"].select(
+        F.lit("cc").alias("kind"),
+        "node",
+        "component",
+        F.lit(None).cast("bigint").alias("rank_scaled"),
+    )
+    pr = built["g"]["pr"].select(
+        F.lit("pr").alias("kind"),
+        "node",
+        F.lit(None).cast("bigint").alias("component"),
+        "rank_scaled",
+    )
+    ht = built["g"]["ht"]
     hub = ht.select(
         F.lit("hub").alias("kind"),
         "node",
@@ -1078,16 +1110,7 @@ def q74_near_dup_clusters(spark, sf_dir):
         F.lit(None).cast("bigint").alias("component"),
         F.col("auth_scaled").alias("rank_scaled"),
     )
-
-    # 'trust' (round 10): TrustRank — teleport restricted to a seed
-    # tenth of the supplier-side nodes (arithmetic predicate, so the
-    # oracle derives the identical seed set). The spam-demotion
-    # signal: trust flows OUT of the seeds; customers earn it only
-    # through links. Same checkpoint'd edge list as 'pr'/'hub'.
-    seeds = pr_edges.select(F.col("dst").alias("node")).filter(
-        F.col("node") % 10 == 3
-    )
-    tr = trustrank(pr_edges, seeds, iterations=2).select(
+    tr = built["g"]["tr"].select(
         F.lit("trust").alias("kind"),
         "node",
         F.lit(None).cast("bigint").alias("component"),

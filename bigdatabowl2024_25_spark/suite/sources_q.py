@@ -345,7 +345,6 @@ def q95_source_sink_roundtrip(spark, sf_dir):
     bit-for-bit by the DuckDB oracle.
     """
     sup = load_table(spark, sf_dir, "supplier")
-    assert_unique_key(sup, ["s_suppkey"])  # S7
 
     # round-8 widening: 'split_train'/'split_test' drive ml.hash_split
     # (X5 — the deterministic md5-bucket train/test split) through the
@@ -405,27 +404,35 @@ def q95_source_sink_roundtrip(spark, sf_dir):
 
     tmp = tempfile.mkdtemp(prefix="bdb_q95_")
     try:
-        pq_path = f"{tmp}/supplier_pq"
-        write_table(sup, pq_path, partition_by=["s_nationkey"])  # S3
-        back_pq = spark.read.parquet(pq_path)
+        # round 15 (guide §2.6): the sink roundtrips and artifact
+        # save/loads below are independent write jobs into disjoint
+        # scratch subdirs that ran strictly serially at construction —
+        # measured 7.4 s construct / 0.2 s collect for the whole
+        # query. Each becomes a builder and they overlap in driver
+        # threads; the digest frames, their union order, and therefore
+        # the driver oracle are unchanged.
+        def _pq_roundtrip():  # S3 + re-read
+            pq_path = f"{tmp}/supplier_pq"
+            write_table(sup, pq_path, partition_by=["s_nationkey"])
+            return spark.read.parquet(pq_path)
 
-        csv_path = f"{tmp}/supplier_csv"
-        write_csv(sup.select(*_CSV_COLS), csv_path)  # S6
-        back_csv = read_csv(  # S2: glob over the part files
-            spark, f"{csv_path}/part-*.csv", _CSV_SCHEMA
-        )
+        def _csv_roundtrip():  # S6 + S2: glob over the part files
+            csv_path = f"{tmp}/supplier_csv"
+            write_csv(sup.select(*_CSV_COLS), csv_path)
+            return read_csv(spark, f"{csv_path}/part-*.csv", _CSV_SCHEMA)
 
-        orc_path = f"{tmp}/supplier_orc"  # round 8: the second
-        # native columnar format — digest proves the sink+scan are
-        # lossless like the parquet branch
-        write_orc(sup, orc_path, partition_by=["s_nationkey"])
-        back_orc = read_orc(spark, orc_path)
+        def _orc_roundtrip():  # round 8: the second native columnar
+            # format — digest proves the sink+scan are lossless
+            orc_path = f"{tmp}/supplier_orc"
+            write_orc(sup, orc_path, partition_by=["s_nationkey"])
+            return read_orc(spark, orc_path)
 
-        jl_path = f"{tmp}/supplier_jsonl"  # the LLM-corpus format
-        write_jsonl(sup.select(*_CSV_COLS), jl_path)
-        back_jl = read_jsonl(
-            spark, f"{jl_path}/part-*.json", _CSV_SCHEMA
-        ).drop("_corrupt_record")
+        def _jsonl_roundtrip():  # the LLM-corpus format
+            jl_path = f"{tmp}/supplier_jsonl"
+            write_jsonl(sup.select(*_CSV_COLS), jl_path)
+            return read_jsonl(
+                spark, f"{jl_path}/part-*.json", _CSV_SCHEMA
+            ).drop("_corrupt_record")
 
         # 'zorder' (round 8): write the table Morton-clustered on
         # (s_suppkey, s_nationkey), re-read, recompute the z-value from
@@ -434,23 +441,28 @@ def q95_source_sink_roundtrip(spark, sf_dir):
         # quantization + bit-interleave math is engine-exact (the
         # file-level stripe-disjointness property is pinned separately
         # by tests/test_zorder.py's pyarrow stats check)
-        from ..operators.zorder import with_zvalue, write_zordered
+        def _zorder_roundtrip():
+            from ..operators.zorder import with_zvalue, write_zordered
 
-        z_path = f"{tmp}/supplier_z"
-        write_zordered(sup, z_path, _Z_COLS, n_files=4)
-        zdf = with_zvalue(spark.read.parquet(z_path), _Z_COLS)
-        zorder = (
-            zdf.groupBy(F.col("s_nationkey").cast("bigint").alias("nation"))
-            .agg(
-                F.count("*").alias("n"),
-                F.sum(F.col("s_suppkey").cast("bigint")).alias("key_sum"),
-                F.sum("__z").cast("bigint").alias("name_chars"),
+            z_path = f"{tmp}/supplier_z"
+            write_zordered(sup, z_path, _Z_COLS, n_files=4)
+            zdf = with_zvalue(spark.read.parquet(z_path), _Z_COLS)
+            return (
+                zdf.groupBy(
+                    F.col("s_nationkey").cast("bigint").alias("nation")
+                )
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("s_suppkey").cast("bigint")).alias(
+                        "key_sum"
+                    ),
+                    F.sum("__z").cast("bigint").alias("name_chars"),
+                )
+                .select(
+                    F.lit("zorder").alias("kind"),
+                    "nation", "n", "key_sum", "name_chars",
+                )
             )
-            .select(
-                F.lit("zorder").alias("kind"),
-                "nation", "n", "key_sum", "name_chars",
-            )
-        )
 
         # 'expect:*' (round 9): the data-quality layer — every row-
         # level expectation rides ONE aggregate pass over supplier;
@@ -493,25 +505,26 @@ def q95_source_sink_roundtrip(spark, sf_dir):
         # is the literal expected list, so a lost row, a reordered
         # rank, or a corrupted symbol in the persistence layer flips
         # q95 red.
-        from ..operators.tokenizer_io import (
-            load_tokenizer,
-            save_tokenizer,
-        )
+        def _tok_roundtrip():
+            from ..operators.tokenizer_io import (
+                load_tokenizer,
+                save_tokenizer,
+            )
 
-        tok_merges = [
-            ("w", "e"), ("l", "o"), ("n", "e"),
-            ("lo", "we"), ("ne", "we"), ("r", "</w>"),
-        ]
-        save_tokenizer(spark, f"{tmp}/tok_bpe", "bpe", tok_merges)
-        tok_fam, tok_loaded = load_tokenizer(spark, f"{tmp}/tok_bpe")
-        tokd = literal_df(spark, 
-            [
-                (f"tok:{tok_fam}:{i}:{a}+{b}", i, 1, len(a), len(b))
-                for i, (a, b) in enumerate(tok_loaded)
-            ],
-            "kind string, nation bigint, n bigint, "
-            "key_sum bigint, name_chars bigint",
-        )
+            tok_merges = [
+                ("w", "e"), ("l", "o"), ("n", "e"),
+                ("lo", "we"), ("ne", "we"), ("r", "</w>"),
+            ]
+            save_tokenizer(spark, f"{tmp}/tok_bpe", "bpe", tok_merges)
+            tok_fam, tok_loaded = load_tokenizer(spark, f"{tmp}/tok_bpe")
+            return literal_df(spark,
+                [
+                    (f"tok:{tok_fam}:{i}:{a}+{b}", i, 1, len(a), len(b))
+                    for i, (a, b) in enumerate(tok_loaded)
+                ],
+                "kind string, nation bigint, n bigint, "
+                "key_sum bigint, name_chars bigint",
+            )
 
         # 'qw:*' / 'lm:*' (round 13): the model-artifact layer
         # (operators/model_io) through the same digest. Quality
@@ -524,63 +537,97 @@ def q95_source_sink_roundtrip(spark, sf_dir):
         # artifact, so a lost row, broken rank, or corrupted count in
         # the persistence layer flips q95 red against the pinned
         # VALUES oracle.
-        from ..operators.model_io import (
-            load_lm,
-            load_quality_weights,
-            save_lm,
-            save_quality_weights,
-        )
-        from ..operators.ngram_lm import lm_train
+        def _qw_roundtrip():
+            from ..operators.model_io import (
+                load_quality_weights,
+                save_quality_weights,
+            )
 
-        qw_fix = [0.5, -1.25, 0.0078125, 3.0]
-        save_quality_weights(spark, f"{tmp}/qw", qw_fix, -0.375)
-        lqw, lqi = load_quality_weights(spark, f"{tmp}/qw")
-        qwd = literal_df(spark, 
-            [
-                (f"qw:{i}", i, 1, int(w * (1 << 20)), int(lqi * (1 << 20)))
-                for i, w in enumerate(lqw)
-            ],
-            "kind string, nation bigint, n bigint, "
-            "key_sum bigint, name_chars bigint",
-        )
-        lm_corpus = literal_df(spark, 
-            [(0, "the cat sat"), (1, "the cat ran"), (2, "a cat sat")],
-            "doc_id long, text string",
-        )
-        save_lm(
-            spark, f"{tmp}/lm", *lm_train(lm_corpus, "text", "doc_id")
-        )
-        lm_b, lm_c, lm_v = load_lm(spark, f"{tmp}/lm")
-        _nb = F.lit(None).cast("bigint")
-        lmd = (
-            lm_b.select(
-                F.concat(
-                    F.lit("lm:"), "prev", F.lit("+"), "tok"
-                ).alias("kind"),
-                _nb.alias("nation"),
-                F.col("cb").cast("bigint").alias("n"),
-                _nb.alias("key_sum"),
-                _nb.alias("name_chars"),
+            qw_fix = [0.5, -1.25, 0.0078125, 3.0]
+            save_quality_weights(spark, f"{tmp}/qw", qw_fix, -0.375)
+            lqw, lqi = load_quality_weights(spark, f"{tmp}/qw")
+            return literal_df(spark,
+                [
+                    (
+                        f"qw:{i}", i, 1,
+                        int(w * (1 << 20)), int(lqi * (1 << 20)),
+                    )
+                    for i, w in enumerate(lqw)
+                ],
+                "kind string, nation bigint, n bigint, "
+                "key_sum bigint, name_chars bigint",
             )
-            .unionByName(
-                lm_c.select(
-                    F.concat(F.lit("lmc:"), F.col("prev")).alias("kind"),
+
+        def _lm_roundtrip():
+            from ..operators.model_io import load_lm, save_lm
+            from ..operators.ngram_lm import lm_train
+
+            lm_corpus = literal_df(spark,
+                [(0, "the cat sat"), (1, "the cat ran"), (2, "a cat sat")],
+                "doc_id long, text string",
+            )
+            save_lm(
+                spark, f"{tmp}/lm", *lm_train(lm_corpus, "text", "doc_id")
+            )
+            lm_b, lm_c, lm_v = load_lm(spark, f"{tmp}/lm")
+            _nb = F.lit(None).cast("bigint")
+            return (
+                lm_b.select(
+                    F.concat(
+                        F.lit("lm:"), "prev", F.lit("+"), "tok"
+                    ).alias("kind"),
                     _nb.alias("nation"),
-                    F.col("cu").cast("bigint").alias("n"),
+                    F.col("cb").cast("bigint").alias("n"),
                     _nb.alias("key_sum"),
                     _nb.alias("name_chars"),
                 )
-            )
-            .unionByName(
-                lm_v.select(
-                    F.lit("lm:vocab").alias("kind"),
-                    _nb.alias("nation"),
-                    F.col("v").cast("bigint").alias("n"),
-                    _nb.alias("key_sum"),
-                    _nb.alias("name_chars"),
+                .unionByName(
+                    lm_c.select(
+                        F.concat(F.lit("lmc:"), F.col("prev")).alias(
+                            "kind"
+                        ),
+                        _nb.alias("nation"),
+                        F.col("cu").cast("bigint").alias("n"),
+                        _nb.alias("key_sum"),
+                        _nb.alias("name_chars"),
+                    )
+                )
+                .unionByName(
+                    lm_v.select(
+                        F.lit("lm:vocab").alias("kind"),
+                        _nb.alias("nation"),
+                        F.col("v").cast("bigint").alias("n"),
+                        _nb.alias("key_sum"),
+                        _nb.alias("name_chars"),
+                    )
                 )
             )
+
+        # S7 rides the same overlap: a failed PK assertion still
+        # propagates out of the gather and fails the query loudly
+        from ..concurrency import build_concurrently
+
+        built = build_concurrently(
+            {
+                "uk": lambda: assert_unique_key(sup, ["s_suppkey"]),
+                "pq": _pq_roundtrip,
+                "csv": _csv_roundtrip,
+                "orc": _orc_roundtrip,
+                "jl": _jsonl_roundtrip,
+                "z": _zorder_roundtrip,
+                "tok": _tok_roundtrip,
+                "qw": _qw_roundtrip,
+                "lm": _lm_roundtrip,
+            }
         )
+        back_pq = built["pq"]
+        back_csv = built["csv"]
+        back_orc = built["orc"]
+        back_jl = built["jl"]
+        zorder = built["z"]
+        tokd = built["tok"]
+        qwd = built["qw"]
+        lmd = built["lm"]
 
         # 'bin:*' / 'txt:*' (round 13): the raw-file INGEST sources —
         # literal fixture files written to scratch, read back through

@@ -1258,6 +1258,74 @@ def q64_binary_plumbing(spark, sf_dir):
     return out
 
 
+def _q64_clean_dclean(spark, d):
+    """The 'clean'/'dclean' pair: ONE shared prepare_corpus walk (the
+    round-12 sharing win), both digests pinned eagerly inside the
+    BoundaryCaches scope. Split out of `_q64_branch_frames` in round
+    15 so the walk's eager jobs can overlap the tokenizer trainers
+    and the lazy branches' plan construction (guide §2.6) instead of
+    serializing after them."""
+    from ..pipelines.corpus import (
+        BoundaryCaches,
+        CorpusConfig,
+        prepare_corpus,
+    )
+
+    base = d.select("doc_id", "text", "source")
+    pages = base.unionByName(
+        base.select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+        )
+    ).select(
+        "doc_id",
+        "source",
+        _pii_source(F.col("doc_id") % 100000, F.col("text")).alias(
+            "text"
+        ),
+    )
+    clb = F.col("text").cast("binary")
+    with BoundaryCaches() as dc_bc:
+        _dc_expose: dict = {}
+        dcleaned = prepare_corpus(
+            pages,
+            cfg=CorpusConfig(
+                min_tokens=_CLEAN_MIN_TOK,
+                max_dup_word_frac=_CLEAN_MAX_DUP,
+                max_top_bigram_frac=1.0,
+                near_dup=False,
+                mixture=_CLEAN_RATES,
+                dsir_k=_DCLEAN_K,
+                dsir_dim=_DCLEAN_DIM,
+                dsir_alpha=_DCLEAN_ALPHA,
+                dsir_seed=_DCLEAN_SEED,
+            ),
+            # a curated target is naturally much smaller than the
+            # corpus; a 1-in-5 English slice keeps the target
+            # featurization (one md5 per word+bigram) off the
+            # critical path
+            dsir_target=d.filter(
+                (F.col("lang") == "en") & (F.col("doc_id") % 5 == 0)
+            ).select("doc_id", "text"),
+            caches=dc_bc,
+            expose=_dc_expose,
+        )
+        dclean = dcleaned.select(
+            F.lit("dclean").alias("kind"),
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("part_id"),
+            F.length(clb).cast("bigint").alias("byte_len"),
+            F.md5(clb).alias("content_md5"),
+        ).localCheckpoint()
+        clean = _dc_expose["pre_dsir"].select(
+            F.lit("clean").alias("kind"),
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("part_id"),
+            F.length(clb).cast("bigint").alias("byte_len"),
+            F.md5(clb).alias("content_md5"),
+        ).localCheckpoint()
+    return clean, dclean
+
+
 def _q64_branch_frames(spark, sf_dir) -> dict:
     """Every q64 branch as its own DataFrame, keyed by kind, in the
     exact union order of `q64_binary_plumbing` (dict order IS the
@@ -1265,10 +1333,59 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
     measurable in isolation (`scripts/bench_q64_branches.py`) — the
     r11 driver bench grew q64 +52% with no way to see which leg
     paid, and the query has become where cost hides (VERDICT r11)."""
-    from ..operators.bpe import bpe_encode, bpe_train
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        byte_bpe_train,
+        unigram_train,
+        wordpiece_train,
+    )
     from ..operators.text import chunk_documents, pack_documents
 
     d = load_table(spark, sf_dir, "documents")
+    # round 15 (guide §2.6): the four tokenizer trainers are driver
+    # probe loops and the shared clean/dclean corpus walk pins its
+    # digests eagerly — ~8.5 s of independent construction-time jobs
+    # that ran strictly serially. Overlap them in driver threads while
+    # the main thread keeps building the lazy branches' plans; results
+    # are gathered where each branch needs them, so the emitted frames
+    # (and the driver oracle) are unchanged.
+    pool = ThreadPoolExecutor(max_workers=5)
+    try:
+        lit_corpus = _lit_df(spark, _BPE_CORPUS, "doc_id long, text string")
+        f_trained = pool.submit(
+            bpe_train, lit_corpus, "text", len(_BPE_MERGES)
+        )
+        f_wp = pool.submit(wordpiece_train, lit_corpus, "text", n_merges=10)
+        f_uni = pool.submit(
+            unigram_train,
+            lit_corpus,
+            "text",
+            target_vocab=12,
+            max_piece_len=6,
+            n_em_iters=2,
+        )
+        f_bbpe = pool.submit(byte_bpe_train, lit_corpus, "text", 12)
+        f_cd = pool.submit(_q64_clean_dclean, spark, d)
+        return _q64_branch_frames_rest(
+            spark, sf_dir, d, f_trained, f_wp, f_uni, f_bbpe, f_cd
+        )
+    finally:
+        pool.shutdown()
+
+
+def _q64_branch_frames_rest(
+    spark, sf_dir, d, f_trained, f_wp, f_uni, f_bbpe, f_cd
+) -> dict:
+    """Continuation of `_q64_branch_frames` with the five eager
+    builders in flight: lazy branches are planned first (overlapping
+    the futures' jobs), trainer-dependent frames gather their future
+    where needed."""
+    from ..operators.bpe import bpe_encode
+    from ..operators.text import chunk_documents, pack_documents
+
     b = F.col("text").cast("binary")
     doc = d.select(
         F.lit("doc").alias("kind"),
@@ -1330,12 +1447,8 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
             .cast("string"),
         ).alias("content_md5"),
     )
-    trained = bpe_train(
-        _lit_df(spark, _BPE_CORPUS, "doc_id long, text string"),
-        "text",
-        len(_BPE_MERGES),
-    )
-    train_rows = _lit_df(spark, 
+    trained = f_trained.result()
+    train_rows = _lit_df(spark,
         [
             ("bpe_train", i, 0, len(a) + len(b), f"{a} {b}")
             for i, (a, b) in enumerate(trained)
@@ -1350,14 +1463,8 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
     # the DISTINCT-WORD table only and joins the word→pieces mapping
     # back (the corpus never pays an interpreted fold), with
     # whole-word [UNK] for out-of-alphabet words.
-    from ..operators.bpe import wordpiece_train
-
-    wp_learned = wordpiece_train(
-        _lit_df(spark, _BPE_CORPUS, "doc_id long, text string"),
-        "text",
-        n_merges=10,
-    )
-    wp_train_rows = _lit_df(spark, 
+    wp_learned = f_wp.result()
+    wp_train_rows = _lit_df(spark,
         [("wp_train", i, 0, len(p), p) for i, p in enumerate(wp_learned)],
         "kind string, doc_id long, part_id long, byte_len long, "
         "content_md5 string",
@@ -1374,17 +1481,10 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
         _viterbi_pieces,
         _wp_word_pieces,
         encode_tokenizers,
-        unigram_train,
     )
 
-    uni_learned = unigram_train(
-        _lit_df(spark, _BPE_CORPUS, "doc_id long, text string"),
-        "text",
-        target_vocab=12,
-        max_piece_len=6,
-        n_em_iters=2,
-    )
-    uni_train_rows = _lit_df(spark, 
+    uni_learned = f_uni.result()
+    uni_train_rows = _lit_df(spark,
         [
             ("uni_train", i, li, len(p), p)
             for i, (p, li) in enumerate(uni_learned)
@@ -1403,14 +1503,10 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
     # token) against pinned VALUES — trainer OR encoder drift flips
     # the rows red, and the roundtrip losslessness lives in
     # tests/test_byte_bpe.py.
-    from ..operators.bpe import byte_bpe_encode, byte_bpe_train
+    from ..operators.bpe import byte_bpe_encode
 
-    bb_learned = byte_bpe_train(
-        _lit_df(spark, _BPE_CORPUS, "doc_id long, text string"),
-        "text",
-        12,
-    )
-    bb_train_rows = _lit_df(spark, 
+    bb_learned = f_bbpe.result()
+    bb_train_rows = _lit_df(spark,
         [
             ("bbpe_train", i, 0, len(a) + len(b), f"{a} {b}")
             for i, (a, b) in enumerate(bb_learned)
@@ -1581,20 +1677,6 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
     # the same page and the dedup stage provably fires; the oracle
     # re-derives the full four-stage walk, value-hashing every
     # survivor's redacted page.
-    from ..pipelines.corpus import CorpusConfig, prepare_corpus
-
-    base = d.select("doc_id", "text", "source")
-    pages = base.unionByName(
-        base.select(
-            (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
-        )
-    ).select(
-        "doc_id",
-        "source",
-        _pii_source(F.col("doc_id") % 100000, F.col("text")).alias(
-            "text"
-        ),
-    )
     # 'dclean' (round 10, VERDICT item 6): the SAME composition with
     # DSIR selection wired in as stage 7b (cfg.dsir_k) — of the
     # hygienic survivors, keep the _DCLEAN_K most like the English
@@ -1618,48 +1700,9 @@ def _q64_branch_frames(spark, sf_dir) -> dict:
     # the pair costs the dclean walk alone. Both digests pin eagerly
     # inside the caches scope (clean's is a doc-count-bounded digest
     # projection, not the corpus text).
-    from ..pipelines.corpus import BoundaryCaches
-
-    clb = F.col("text").cast("binary")
-    with BoundaryCaches() as dc_bc:
-        _dc_expose: dict = {}
-        dcleaned = prepare_corpus(
-            pages,
-            cfg=CorpusConfig(
-                min_tokens=_CLEAN_MIN_TOK,
-                max_dup_word_frac=_CLEAN_MAX_DUP,
-                max_top_bigram_frac=1.0,
-                near_dup=False,
-                mixture=_CLEAN_RATES,
-                dsir_k=_DCLEAN_K,
-                dsir_dim=_DCLEAN_DIM,
-                dsir_alpha=_DCLEAN_ALPHA,
-                dsir_seed=_DCLEAN_SEED,
-            ),
-            # a curated target is naturally much smaller than the
-            # corpus; a 1-in-5 English slice keeps the target
-            # featurization (one md5 per word+bigram) off the
-            # critical path
-            dsir_target=d.filter(
-                (F.col("lang") == "en") & (F.col("doc_id") % 5 == 0)
-            ).select("doc_id", "text"),
-            caches=dc_bc,
-            expose=_dc_expose,
-        )
-        dclean = dcleaned.select(
-            F.lit("dclean").alias("kind"),
-            "doc_id",
-            F.col("n_tokens").cast("bigint").alias("part_id"),
-            F.length(clb).cast("bigint").alias("byte_len"),
-            F.md5(clb).alias("content_md5"),
-        ).localCheckpoint()
-        clean = _dc_expose["pre_dsir"].select(
-            F.lit("clean").alias("kind"),
-            "doc_id",
-            F.col("n_tokens").cast("bigint").alias("part_id"),
-            F.length(clb).cast("bigint").alias("byte_len"),
-            F.md5(clb).alias("content_md5"),
-        ).localCheckpoint()
+    # (round 15: the walk itself lives in `_q64_clean_dclean`,
+    # launched as a construction-overlap future — gathered here)
+    clean, dclean = f_cd.result()
     # 'tmix' (round 9): temperature mixing (`sampling.
     # temperature_domain_sample`, the multilingual α-sampling recipe)
     # at α=0.5 over per-source token masses — sqrt is correctly
