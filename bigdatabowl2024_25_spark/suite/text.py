@@ -291,8 +291,14 @@ def q60_text_profile(spark, sf_dir):
     which costs one single-row stats aggregate (a SinglePartition
     exchange of one row, broadcast back) and a second corpus scan —
     the per-document columns themselves remain shuffle-free maps."""
+    from ..sources.io import spread
+
+    # single-chain query: every output column is per-row compute
+    # (regex counts, array lambdas, md5s) evaluated in the scan
+    # stage, which the one-row-group file pins to ONE task — widen it
+    # (round 15, guide §2.5; no-op on inputs already ≥ cores wide)
     d = bm25(
-        load_table(spark, sf_dir, "documents"),
+        spread(load_table(spark, sf_dir, "documents")),
         "text",
         _BM25_TERMS,
         k1=_BM25_K1,
@@ -1271,10 +1277,21 @@ def _q64_clean_dclean(spark, d):
         prepare_corpus,
     )
 
+    from ..sources.io import spread
+
     base = d.select("doc_id", "text", "source")
-    pages = base.unionByName(
-        base.select(
-            (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+    # the walk is a SERIAL construction-time chain (its digests pin
+    # eagerly), and the profile/redact stage is per-row regex+lambda
+    # compute evaluated in the scan stage — two tasks for the whole
+    # 2×corpus union on the single-row-group fixture. Widen it
+    # (round 15, guide §2.5; no-op on inputs already ≥ cores wide).
+    pages = spread(
+        base.unionByName(
+            base.select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                "text",
+                "source",
+            )
         )
     ).select(
         "doc_id",
@@ -1819,5 +1836,9 @@ def q65_winnowing_fingerprints(spark, sf_dir):
     the array-lambda formulation is 100× slower)."""
     from ..operators.text import winnow_fingerprints
 
+    # round 15 A/B (kept so it is not re-tried): `spread` on this
+    # scan measured 2.06 vs 2.00 s narrow — the char posexplode is
+    # cheap and the real work (window mins, collect_set) already runs
+    # post-exchange at full width, so the extra shuffle buys nothing
     d = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(d, "text", "doc_id", k=_K, w=_WIN)

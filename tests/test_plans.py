@@ -523,22 +523,46 @@ def test_gapfill_single_window_sort(spark):
 
 def test_q71_query_level_dsir_plan(spark):
     """Query-level pin for the widened q71 (sig + dsir + dsirk +
-    gopher): no SortMergeJoin anywhere — the DSIR model and scoring
-    joins must stay broadcast (a 100 TB corpus never shuffles for the
-    dim-row model), the Gumbel resample must be TakeOrderedAndProject
-    (never a global sort), no Python, and the shuffle count is pinned
-    at its as-designed value of 15: sig (shingle-hash distinct +
-    signature agg = 2), dsir model (target + raw bucket aggs = 4
-    two-phase halves... measured total), per-doc weight re-agg, and
-    the union's branch aggregates. A regression means a corpus-side
-    shuffle or join-strategy change crept into the wiring."""
+    gopher): no SortMergeJoin anywhere, the Gumbel resample must be
+    TakeOrderedAndProject (never a global sort), no Python, and the
+    shuffle count stays bounded. Round 15 moved the DSIR model/scoring
+    subtree behind a construction-time localCheckpoint (ONE feature
+    explode serves both multinomials, one per-doc weights
+    materialization serves dsir/dsirk/resample — the fused plan held
+    22 Generates with zero reuse before), so the model's
+    broadcast-join pin now lives in
+    `test_dsir_weights_model_join_broadcasts` below, against the
+    weights subplan itself."""
     spark.catalog.clearCache()
     plan = plan_of(suite.QUERIES["q71_signatures_and_selection"](spark, SF))
     assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert shuffles(plan) <= 15
+
+
+def test_dsir_weights_model_join_broadcasts(spark):
+    """The DSIR scoring join (corpus features ⋈ dim-row model) must
+    stay broadcast — a 100 TB corpus never shuffles for the model.
+    Pinned against the operator subplan because q71 checkpoints the
+    weights frame at construction (round 15), hiding the join from
+    the fused query plan."""
+    from bigdatabowl2024_25_spark.operators.dsir import (
+        dsir_bucket_counts,
+        dsir_model,
+        dsir_weights,
+    )
+    from bigdatabowl2024_25_spark.sources.io import load_table
+
+    d = load_table(spark, SF, "documents")
+    model = dsir_model(
+        dsir_bucket_counts(d.filter("lang = 'en'"), "text", dim=64),
+        dsir_bucket_counts(d, "text", dim=64),
+        dim=64,
+    )
+    plan = plan_of(dsir_weights(d, "text", "doc_id", model, dim=64))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_production_encode_id_guard_plan_neutral(spark):
