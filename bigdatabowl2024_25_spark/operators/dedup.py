@@ -389,6 +389,24 @@ def lsh_candidates(
     )
 
 
+def hash_sets(hashes: DataFrame, id_col: str) -> DataFrame:
+    """(doc, hs array<bigint>, n) — each document's distinct shingle
+    hashes collapsed into ONE array row (round 16). This is the
+    verify-stage layout: a candidate pair's intersection becomes a
+    single in-row `array_intersect` (JVM hash-set, codegen) instead of
+    the old explode-join-reaggregate — which shuffled
+    Σ_cand |S(a)| exploded rows and re-aggregated them per pair, the
+    dominant term of the funnel's quadratic candidate stage (guide
+    §2.3 "shuffle keys and metadata instead of payloads": here the
+    per-doc set IS the metadata, moved once per side instead of once
+    per candidate×shingle). Array order is irrelevant: intersection
+    SIZE and set size are order-free."""
+    return hashes.groupBy(F.col(id_col).alias("doc")).agg(
+        F.collect_list("h").alias("hs"),
+        F.count("*").alias("n"),
+    )
+
+
 def jaccard_pairs(
     candidates: DataFrame,
     shingled: DataFrame,
@@ -397,30 +415,37 @@ def jaccard_pairs(
     hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs (the verify stage of the
-    minhash→band→verify funnel), joining on hashed shingles — 8-byte
-    keys, no text movement. Pass a precomputed `hashes` relation to
+    minhash→band→verify funnel), via per-doc hash-set arrays
+    (`hash_sets`) — two equi-joins on the doc id attach both sets to
+    each candidate pair and ONE codegen `array_intersect` computes
+    |S(a) ∩ S(b)| in-row. Identical integers to the old
+    explode-join-groupBy form (both sides are distinct hash sets), so
+    identical Jaccard doubles; candidates with zero overlap now score
+    0.0 instead of vanishing pre-filter — indistinguishable after the
+    positive-threshold filter. Pass a precomputed `hashes` relation to
     share the subtree with the signature stage."""
     if hashes is None:
         hashes = shingle_hashes(shingled, id_col)
-    ex = hashes.withColumnRenamed(id_col, "doc")
-    sizes = ex.groupBy("doc").agg(F.count("*").alias("n"))
-    ea = ex.select(F.col("doc").alias("id_a"), "h")
-    eb = ex.select(F.col("doc").alias("id_b"), "h")
-    inter = (
-        candidates.join(ea, ["id_a"])
-        .join(eb, ["id_b", "h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    sets = hash_sets(hashes, id_col)
+    sa = sets.select(
+        F.col("doc").alias("id_a"),
+        F.col("hs").alias("__ha"),
+        F.col("n").alias("n_a"),
     )
-    na = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("n_b"))
+    sb = sets.select(
+        F.col("doc").alias("id_b"),
+        F.col("hs").alias("__hb"),
+        F.col("n").alias("n_b"),
+    )
+    n_inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb")))
     out = (
-        inter.join(na, ["id_a"])
-        .join(nb, ["id_b"])
+        candidates.join(sa, ["id_a"])
+        .join(sb, ["id_b"])
+        .withColumn("__ni", n_inter)
         .withColumn(
             "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            F.col("__ni").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("__ni")),
         )
     )
     return out.filter(F.col("jaccard") >= threshold).select(
@@ -462,7 +487,8 @@ def containment_pairs(
     if hashes is None:
         hashes = shingle_hashes(shingled, id_col)
     ex = hashes.withColumnRenamed(id_col, "doc")
-    sizes = ex.groupBy("doc").agg(F.count("*").alias("n"))
+    sets = hash_sets(hashes, id_col)
+    sizes = sets.select("doc", "n")
     dfreq = ex.groupBy("h").agg(F.count("*").alias("df"))
     ranked = (
         ex.join(dfreq, ["h"])
@@ -487,18 +513,26 @@ def containment_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    ea = ex.select(F.col("doc").alias("id_a"), "h")
-    eb = ex.select(F.col("doc").alias("id_b"), "h")
-    inter = (
-        cand.join(ea, ["id_a"])
-        .join(eb, ["id_b", "h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    # verify via per-doc hash-set arrays (round 16 — see jaccard_pairs:
+    # one codegen array_intersect per pair instead of the exploded
+    # join-reaggregate; identical integers, identical doubles)
+    sa = sets.select(
+        F.col("doc").alias("id_a"),
+        F.col("hs").alias("__ha"),
+        F.col("n").alias("n_a"),
     )
-    na = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("n_a"))
-    out = inter.join(na, ["id_a"]).withColumn(
-        "containment",
-        F.col("n_inter").cast("double") / F.col("n_a").cast("double"),
+    sb = sets.select(
+        F.col("doc").alias("id_b"), F.col("hs").alias("__hb")
+    )
+    out = (
+        cand.join(sa, ["id_a"])
+        .join(sb, ["id_b"])
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect(F.col("__ha"), F.col("__hb")))
+            .cast("double")
+            / F.col("n_a").cast("double"),
+        )
     )
     return out.filter(F.col("containment") >= threshold).select(
         "id_a", "id_b", "containment"

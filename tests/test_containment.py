@@ -119,3 +119,41 @@ def test_containment_plan_stays_jvm_side(spark):
         with_shingles(df, "text", "doc_id"), "doc_id", threshold=T
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hash_sets_verify_matches_exploded_join(spark):
+    """Round-16 internals pin: the array_intersect verify layout
+    (`hash_sets`) must produce the exact intersection/size integers
+    the old explode-join-reaggregate produced — including candidates
+    with ZERO overlap, which the old inner-join form dropped before
+    the threshold filter and the new form scores as 0.0."""
+    from bigdatabowl2024_25_spark.operators.dedup import hash_sets
+
+    df = spark.createDataFrame(
+        list(DOCS.items()), "doc_id long, text string"
+    )
+    sh = with_shingles(df, "text", "doc_id")
+    hashes = shingle_hashes(sh, "doc_id")
+    sets = {
+        r["doc"]: (set(r["hs"]), r["n"])
+        for r in hash_sets(hashes, "doc_id").collect()
+    }
+    ref = _shingle_sets(DOCS)
+    for i, s in ref.items():
+        assert sets[i][1] == len(sets[i][0]) == len(s)
+    # all unordered candidate pairs, including zero-overlap ones
+    cands = spark.createDataFrame(
+        [(a, b) for a in DOCS for b in DOCS if a < b],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(cands, sh, "doc_id", threshold=0.01).collect()
+    }
+    for (a, b) in [(a, b) for a in DOCS for b in DOCS if a < b]:
+        sa, sb = ref[a], ref[b]
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.01:
+            assert abs(got[(a, b)] - j) < 1e-12, (a, b)
+        else:
+            assert (a, b) not in got
