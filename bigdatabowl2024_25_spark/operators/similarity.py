@@ -421,14 +421,22 @@ def nearest_lists_exact(
     )
     d2 = F.aggregate(
         F.zip_with(
-            quantized(F.col(vec_col)),
+            F.col("__qiv"),
             F.col("__civ"),
             lambda x, y: (x - y) * (x - y),
         ),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    scored = queries.crossJoin(F.broadcast(c)).withColumn("__d2", d2)
+    # round 16: quantize ONCE per query row before the centroid cross
+    # join — inlined in the per-pair d2 the interpreted transform
+    # re-ran n_lists times per vector
+    scored = (
+        queries.withColumn("__qiv", quantized(F.col(vec_col)))
+        .crossJoin(F.broadcast(c))
+        .withColumn("__d2", d2)
+        .drop("__qiv")
+    )
     w = Window.partitionBy(id_col).orderBy(
         F.col("__d2").asc(), F.col("__list").asc()
     )
@@ -1248,8 +1256,23 @@ def lsh_near_dup(
     cos = int_dot(F.col("q_iv"), F.col("d_iv")).cast("double") / (
         F.col("q_nrm") * F.col("d_nrm")
     )
-    qb = _banded(data, id_col, vec_col, "q", planes, tables, dims)
-    db = _banded(data, id_col, vec_col, "d", planes, tables, dims)
+    # round 16: band ONCE and self-join two renamed views of the same
+    # checkpointed frame. The old two independent `_banded(data, ...)`
+    # trees differed only in column aliases, so the planner could not
+    # reuse them and the whole quantize+norm+planes·tables-plane-dot
+    # pass ran twice over the corpus. The checkpoint is a few
+    # fixed-width columns × tables rows per vector — the q71 weights
+    # boundary discipline.
+    banded = _banded(
+        data, id_col, vec_col, "q", planes, tables, dims
+    ).localCheckpoint()
+    qb = banded
+    db = banded.select(
+        F.col("q_id").alias("d_id"),
+        F.col("q_iv").alias("d_iv"),
+        F.col("q_nrm").alias("d_nrm"),
+        "bucket",
+    )
     if max_bucket is not None:
         occ = (
             qb.groupBy("bucket")

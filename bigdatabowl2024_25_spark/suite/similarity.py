@@ -832,24 +832,42 @@ def q83_ann_ivf_topk(spark, sf_dir):
     cents = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("__list"), "embedding"
     )
-    assigned = ivf_assign_exact(e, cents, "vec_id", "embedding")
+    # round 16: the corpus×16 argmin assignment feeds FOUR consumers
+    # ('ivf' scoring, 'diverse', 'pq' codes, 'incr' state) — in the
+    # fused plan each replicated the whole crossJoin+window subtree
+    # (the q71 duplicate-subtree signature: ~80 Window nodes in
+    # plans/r16/q83_..._before.txt, 0 reuse). One localCheckpoint at
+    # the natural one-row-per-vector boundary serves them all.
+    assigned = ivf_assign_exact(
+        e, cents, "vec_id", "embedding"
+    ).localCheckpoint()
     probes = nearest_lists_exact(q, cents, "vec_id", "embedding", nprobe=4)
+    # quantize + norm ONCE per side before the probe join — the old
+    # per-pair `quantized(...)` transforms re-ran interpreted on every
+    # candidate row (~8 corpus-sized transform evals per pair across
+    # the three dots). Same ints, same sqrt-product order ⇒ identical
+    # cosines.
     qp = probes.select(
         F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_vec"),
+        quantized(F.col("embedding")).alias("q_iv"),
         "__list",
+    ).withColumn(
+        "q_nrm",
+        F.sqrt(int_dot(F.col("q_iv"), F.col("q_iv")).cast("double")),
     )
-    qiv = quantized(F.col("q_vec"))
-    div = quantized(F.col("d_vec"))
-    cos = int_dot(qiv, div).cast("double") / (
-        F.sqrt(int_dot(qiv, qiv).cast("double"))
-        * F.sqrt(int_dot(div, div).cast("double"))
+    dv = assigned.select(
+        F.col("vec_id").alias("d_id"),
+        quantized(F.col("embedding")).alias("d_iv"),
+        "__list",
+    ).withColumn(
+        "d_nrm",
+        F.sqrt(int_dot(F.col("d_iv"), F.col("d_iv")).cast("double")),
     )
-    scored = (
-        assigned.withColumnRenamed("vec_id", "d_id")
-        .withColumnRenamed("embedding", "d_vec")
-        .join(F.broadcast(qp), ["__list"])
-        .select("q_id", "d_id", cos.alias("cosine"))
+    cos = int_dot(F.col("q_iv"), F.col("d_iv")).cast("double") / (
+        F.col("q_nrm") * F.col("d_nrm")
+    )
+    scored = dv.join(F.broadcast(qp), ["__list"]).select(
+        "q_id", "d_id", cos.alias("cosine")
     )
     ivf = topk_per_query(scored, k=5)
     ivf = ivf.filter(F.col("q_id") != F.col("d_id")).select(
@@ -930,13 +948,22 @@ def q83_ann_ivf_topk(spark, sf_dir):
     # Removal, dominance ranks, and both cosines are value-hashed.
     from ..operators.similarity import semantic_dedup
 
-    sd_in = e.select("vec_id", "embedding").unionByName(
-        e.filter(F.col("vec_id") < 20).select(
-            (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
-        )
+    sd_clones = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+    )
+    sd_in = e.select("vec_id", "embedding").unionByName(sd_clones)
+    # round 16: assignment is per-row deterministic, so the corpus
+    # part of sd_in's coarse assignment IS the shared checkpointed
+    # `assigned` — only the 20 clones assign fresh. Skips a second
+    # corpus×16 argmin + window inside semantic_dedup.
+    sd_assigned = assigned.select(
+        "vec_id", "embedding", "__list"
+    ).unionByName(
+        ivf_assign_exact(sd_clones, cents, "vec_id", "embedding")
     )
     sem = semantic_dedup(
-        sd_in, cents, "vec_id", "embedding", threshold=0.35
+        sd_in, cents, "vec_id", "embedding", threshold=0.35,
+        assigned=sd_assigned,
     ).select(
         F.lit("semdedup").alias("kind"),
         F.col("__list").cast("bigint").alias("q_id"),
