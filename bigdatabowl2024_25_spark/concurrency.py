@@ -45,9 +45,13 @@ def build_concurrently(
     """Run independent 0-arg builders in driver threads; return their
     results keyed like the input (insertion order preserved, so a
     union built from the result dict has a deterministic branch
-    order). Any builder exception propagates to the caller — the
-    pool's context join guarantees no orphaned half-built branch
-    keeps running jobs after the error surfaces."""
+    order). Any builder exception propagates to the caller — but only
+    AFTER every sibling builder has run to completion (results are
+    gathered in insertion order and the pool's context join waits for
+    all threads), so a failing branch does not cancel the others'
+    in-flight Spark jobs; it does guarantee no half-built branch is
+    still running by the time the exception surfaces (ADVICE r15
+    wording fix)."""
     if len(builders) <= 1:
         return {k: fn() for k, fn in builders.items()}
     with ThreadPoolExecutor(

@@ -131,8 +131,14 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     repartition is itself a full shuffle of the scanned bytes, so on
     an input that is already wide it must be (and is) a no-op: any
     real corpus at cluster scale scans as thousands of row groups ≥
-    cores, and this returns the input unchanged. The partition probe
-    builds the physical plan but runs no job."""
+    cores, and this returns the input unchanged.
+
+    PRECONDITION (ADVICE r15): call this only on EXCHANGE-FREE plans
+    (scans / narrow unions of scans). The `df.rdd` partition probe
+    builds the physical plan without running a job ONLY then — under
+    AQE, `Dataset.rdd` on a plan containing exchanges materializes the
+    intermediate query stages (submits the shuffle jobs) right here.
+    Every current call site is a scan-side widen; keep it that way."""
     n = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df

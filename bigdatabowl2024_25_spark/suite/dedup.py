@@ -1102,10 +1102,14 @@ def q74_near_dup_clusters(spark, sf_dir):
                 (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
             )
             .distinct()
-            # the fact⋈fact derivation feeds all four centrality
-            # branches — checkpoint once so they share ONE
-            # materialization
-            .localCheckpoint(eager=False)
+            # the fact⋈fact derivation feeds all three centrality
+            # branches — EAGER checkpoint (round 16, ADVICE r15): with
+            # eager=False the concurrent pr/ht/tr builders raced to
+            # materialize the lazy checkpoint and could compute the
+            # distinct fact-join up to 3×; eager runs it exactly once
+            # in this builder thread, still overlapped with the 'cc'
+            # branch by the outer build_concurrently
+            .localCheckpoint()
         )
         seeds = pr_edges.select(F.col("dst").alias("node")).filter(
             F.col("node") % 10 == 3
@@ -1126,8 +1130,9 @@ def q74_near_dup_clusters(spark, sf_dir):
     # are independent — overlap them instead of paying the measured
     # ~11.6 s serial construction wall (attribution in SCALE.md's
     # round-15 q74 section; results are identical, only job timing
-    # changes). pr/ht/tr fan out AFTER the shared pr_edges checkpoint
-    # so all three plan against the same materialized leaf.
+    # changes). pr/ht/tr fan out AFTER pr_edges' eager checkpoint has
+    # materialized, so all three plan against one already-computed
+    # leaf.
     built = build_concurrently({"cc": _build_cc, "g": _build_graphs})
     cc = built["cc"].select(
         F.lit("cc").alias("kind"),

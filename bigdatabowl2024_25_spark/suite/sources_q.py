@@ -604,7 +604,13 @@ def q95_source_sink_roundtrip(spark, sf_dir):
             )
 
         # S7 rides the same overlap: a failed PK assertion still
-        # propagates out of the gather and fails the query loudly
+        # propagates out of the gather and fails the query loudly.
+        # Deliberate ordering change vs pre-r15 (ADVICE r15): the
+        # check used to run FIRST and fail before any scratch write;
+        # now the format writes proceed concurrently and the error
+        # surfaces after the gather. Fail-fast is not part of this
+        # query's contract — the scratch dir is deleted either way —
+        # and the overlap is the q95 construction win.
         from ..concurrency import build_concurrently
 
         built = build_concurrently(
