@@ -7,6 +7,8 @@ ONE run, and the result is deterministic under repartitioning.
 
 from __future__ import annotations
 
+import pytest
+
 from bigdatabowl2024_25_spark.pipelines.corpus import (
     CorpusConfig,
     empty_state,
@@ -279,6 +281,7 @@ def test_prepare_batch_two_day_replay(spark):
     assert kept3.count() == 0
 
 
+@pytest.mark.slow
 def test_stream_prepare_daily_loop(spark, tmp_path):
     """The streaming daily-crawl loop: two file arrivals drained as
     separate micro-batches must reproduce prepare_batch's fates, the
@@ -334,6 +337,7 @@ def test_stream_prepare_daily_loop(spark, tmp_path):
     assert banded_docs == {1, 2, 12}
 
 
+@pytest.mark.slow
 def test_compact_state_preserves_dedup(spark, tmp_path):
     """Folding the state deltas into one partition must not change
     any future batch's dedup outcome — day 3's re-crawls still drop
@@ -476,6 +480,7 @@ def test_to_sequences_piece_base_guard(spark):
     assert all(r["doc_id"] == 1 for r in rows)
 
 
+@pytest.mark.slow
 def test_boundary_caches_released(spark):
     """BoundaryCaches scopes the _fanout persists: after the context
     exits, the session's persisted-RDD census returns to its baseline,

@@ -201,6 +201,7 @@ def test_resample_deterministic_subset(weights):
     assert set(a) <= all_ids
 
 
+@pytest.mark.slow
 def test_resample_biased_toward_high_weight(weights):
     # across 30 seeds, target-like docs (higher logw) must be drawn
     # strictly more often than off-distribution ones
@@ -339,6 +340,7 @@ def _gopher_ref(text: str, min_words=50, max_words=100_000):
     return sum(1 << i for i, r in enumerate(rules) if r)
 
 
+@pytest.mark.slow
 def test_gopher_fuzz_vs_reference(spark):
     """Randomized documents spanning every rule's boundary — bullets,
     ellipses, symbols, numeric tokens, required stopwords, newlines —

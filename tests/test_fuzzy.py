@@ -8,6 +8,8 @@ DuckDB cross-join levenshtein oracle at sf0.01.
 
 from __future__ import annotations
 
+import pytest
+
 from bigdatabowl2024_25_spark.operators.fuzzy import (
     edit_distance_self_join,
 )
@@ -53,6 +55,7 @@ def test_exact_recall_vs_bruteforce(spark):
         assert got == want, f"k={k}"
 
 
+@pytest.mark.slow
 def test_partition_invariance(spark):
     rows = [(i, w) for i, w in enumerate(WORDS)]
     a = edit_distance_self_join(

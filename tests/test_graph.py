@@ -10,6 +10,8 @@ recurrence.
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter, defaultdict
 
 import duckdb
@@ -307,6 +309,7 @@ def test_trustrank_empty_seed_set_fails_loudly(spark):
         trustrank(df, seeds, iterations=1).collect()
 
 
+@pytest.mark.slow
 def test_graph_ops_fuzz_random_digraphs(spark):
     """pagerank/hits/trustrank vs the python references on random
     digraphs with self-loops, sinks, sources, and disconnected

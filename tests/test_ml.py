@@ -60,6 +60,7 @@ def test_split_is_seed_stable(t):
     assert a == b
 
 
+@pytest.mark.slow
 def test_tune_cross_validator(t):
     """X6 hyperparameter search: seed-pinned CV grid returns a fitted
     best model with params from the grid."""
@@ -78,6 +79,7 @@ def test_tune_cross_validator(t):
     assert model.transform(feats).count() > 0
 
 
+@pytest.mark.slow
 def test_compare_model_families(t):
     """X6 model breadth: the reference compares RF/XGBoost/LogReg/...
     (`DefPosModel.ipynb` cell 16); here every MLlib-available family
@@ -699,6 +701,7 @@ def test_numpy_catboost_ordered_vs_plain(spark):
         assert sum(r.lab == r.predicted_label for r in p) >= 5
 
 
+@pytest.mark.slow
 def test_tune_random_seed_stable_and_bounded(spark):
     """RandomizedSearchCV analogue (DefCoverage cell 3): seed-pinned
     sample WITHOUT replacement, n_candidates recorded, same seed ->

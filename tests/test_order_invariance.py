@@ -151,6 +151,7 @@ def test_lsh_near_dup_layout_invariant(spark):
     assert base
 
 
+@pytest.mark.slow
 def test_star_cc_layout_invariant(spark):
     """large-star/small-star labels are min-reductions — layout-free
     by construction; pin it (the fingerprint-based convergence check

@@ -14,6 +14,8 @@ the result).
 
 from __future__ import annotations
 
+import pytest
+
 import random
 import re
 
@@ -173,6 +175,7 @@ def test_plan_two_skew_resistant_shuffles(spark):
     assert "Window" not in plan
 
 
+@pytest.mark.slow
 def test_hypothesis_reference_parity(spark):
     """Property: for ANY corpus over a small alphabet (maximizing
     collisions, empties, and whitespace-only paragraphs), both scopes

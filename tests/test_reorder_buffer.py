@@ -10,6 +10,8 @@ modification-time order.
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 import shutil
@@ -95,6 +97,7 @@ def test_reorder_step_boundaries():
     assert buf == [(86, "ok"), (100, "z")]
 
 
+@pytest.mark.slow
 def test_streaming_funnel_out_of_order_matches_batch(spark, tmp_path):
     """Steps arrive REVERSED across micro-batches (purchase+click
     before view). Without the buffer greedy state can only take
@@ -157,6 +160,7 @@ def test_streaming_funnel_out_of_order_matches_batch(spark, tmp_path):
     assert all(v == 1 for v in worst.values())
 
 
+@pytest.mark.slow
 def test_streaming_funnel_late_beyond_delay_drops(spark, tmp_path):
     """A row older than the already-advanced watermark is dropped —
     never inserted behind processed state. view@100 and purchase@200
@@ -225,6 +229,7 @@ def test_streaming_cusum_out_of_order_matches_batch(spark, tmp_path):
     assert any(v is not None for v in got.values())
 
 
+@pytest.mark.slow
 def test_streaming_anomaly_out_of_order_matches_batch(spark, tmp_path):
     """The rolling-anomaly twin under the same shuffled replay: flags
     equal the batch operator once the buffer restores event-time

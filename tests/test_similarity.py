@@ -194,6 +194,7 @@ def test_pq_adc_recall_codes_and_plan(spark):
     assert "Exchange" not in plan, plan
 
 
+@pytest.mark.slow
 def test_pq_kmeans_codebooks_deterministic_and_competitive(spark):
     """The trained-quantizer path: seeded per-subspace KMeans
     codebooks must reproduce exactly across fits, slot into the same
@@ -722,6 +723,7 @@ def test_jl_projection_and_topk(spark):
     assert rerun == {(r.q_id, r.d_id, r.cosine, r.rank) for r in got_rows}
 
 
+@pytest.mark.slow
 def test_jl_topk_fuzz_vs_python_reference(spark):
     """Fuzz the WHOLE two-stage JL funnel against an independent
     from-scratch Python implementation (exact ints, same tie-breaks)
@@ -872,6 +874,7 @@ def test_semantic_dedup_degenerate_vectors(spark):
         ).collect()
 
 
+@pytest.mark.slow
 def test_semantic_dedup_max_cluster_size_guard(spark):
     """Round-11 VERDICT item 3: the degenerate hot cluster — 200
     exact clones in ONE cluster (mass-produced spam, the exact thing

@@ -4,6 +4,8 @@ streaming/ carries, here with the integer-exact z-score rule."""
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 import shutil
@@ -72,6 +74,7 @@ def test_streaming_anomaly_matches_batch(spark, tmp_path):
     assert any(got.values())
 
 
+@pytest.mark.slow
 def test_streaming_anomaly_null_values_and_overflow(spark, tmp_path):
     import pytest
 
@@ -119,6 +122,7 @@ def test_streaming_anomaly_null_values_and_overflow(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_streaming_cusum_matches_batch(spark, tmp_path):
     from bigdatabowl2024_25_spark.operators.windows import cusum_flags
 
@@ -173,6 +177,7 @@ def test_streaming_cusum_matches_batch(spark, tmp_path):
     assert "up" in got.values() or "down" in got.values()
 
 
+@pytest.mark.slow
 def test_streaming_cusum_null_pause(spark, tmp_path):
     """A NULL value pauses the series without resetting drift state —
     the post-NULL row must still see the accumulated prefix sum."""

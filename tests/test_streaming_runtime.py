@@ -30,6 +30,8 @@ modification-time order.
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 import shutil
@@ -51,6 +53,7 @@ def _write_file(spark, stage_dir, flat_dir, df, seq: int) -> None:
     os.utime(dst, (base + seq, base + seq))
 
 
+@pytest.mark.slow
 def test_stateful_totals_survive_checkpoint_restart(spark, tmp_path):
     events = (
         load_table(spark, "/root/testdata/sf0.001", "events")
@@ -137,6 +140,7 @@ def _window_counts_batch(df, width_us: int):
     }
 
 
+@pytest.mark.slow
 def test_append_mode_watermark_eviction(spark, tmp_path):
     """Append mode + watermark against the REAL executor: windows are
     emitted exactly once their end falls behind the watermark, a
