@@ -87,7 +87,12 @@ SF001 = "/root/testdata/sf0.01"
 SF01 = "/root/testdata/sf0.1"
 SCALE_DIR = REPO / ".scale"
 FRACTIONS = (0.25, 0.5)
-UP_FACTORS = (2, 4)
+#: override with BDB_PROBE_UP="2,4,8" to add points (round 16: the
+#: x8 isomorphic universe pins whether a funnel's exponent holds past
+#: the x4 point the round-15 table ended at)
+UP_FACTORS = tuple(
+    int(x) for x in os.environ.get("BDB_PROBE_UP", "2,4").split(",")
+)
 
 #: heavy, corpus/embedding/graph-driven headline queries (fixture-
 #: bounded q94/q95 deliberately excluded — their wall time is literal
